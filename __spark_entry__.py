@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship search-engine query (tokenize →
+inverted index → PageRank → TF-IDF scoring, the reference's full
+capability in one plan) at sf0.001. ``queries()``/``oracle_sql()`` expose
+the full declared inventory from SURVEY.md §2.3, implemented in
+``page_rank_hadoop_spark/`` and mirrored by DuckDB oracles in
+``page_rank_hadoop_spark/plans/registry.py``.
 """
 
 from __future__ import annotations
@@ -13,26 +14,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from page_rank_hadoop_spark.plans import registry
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Full reference capability end-to-end: corpus → graph → 10-iteration
+    PageRank → TF-IDF × PageRank scoring for a term set → ranked results
+    (reference Q3, /root/reference/src/main/scala/Query.scala:83-90).
+    """
+    return registry.q_tfidf_score(spark, SF0001).limit(50)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return registry.build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query key (q_approx_distinct is omitted:
+    HLL sketch output is approximate by design → rows-only check)."""
+    return registry.build_oracles()

@@ -1,0 +1,119 @@
+"""Text column functions: tokenization, shingles, language-ID, quality
+scoring, token counting, fingerprinting.
+
+Tokenization follows the reference's term pattern ``[a-zA-Z]+``
+(/root/reference/src/main/scala/invertedIndex.scala:47). All functions are
+built-in column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path. Positions are token indexes, not byte offsets (deviation from
+the reference's (lineOffset, textOffset) pairs documented in SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-zA-Z]+"
+
+# Tiny per-language stopword marker sets for the n-gram language-ID
+# heuristic. Deliberately deterministic and vocabulary-based: testdata text
+# is synthetic English-ish regardless of its `lang` label, so the heuristic
+# is exercised for its plumbing (score → argmax), not NLP accuracy.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("de", "shi", "le", "wo", "ni"),
+}
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased ``[a-zA-Z]+`` token array (reference P3's term stream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), F.lit(0))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-free token count (BPE-ish proxy: regex word pieces)."""
+    return F.size(tokens(col))
+
+
+def char_shingles(col: Column | str, k: int = 8) -> Column:
+    """All character k-grams of a string as an array (for MinHash/Jaccard).
+
+    Pure expression: ``transform(sequence(...), i -> substr(s, i, k))``
+    stays in codegen; at 100 TB this is a map-side expansion with no
+    shuffle until the downstream aggregation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+        lambda i: F.substr(c, i, F.lit(k)),
+    )
+    return F.when(F.length(c) < k, F.array(c)).otherwise(grams)
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over the token stream."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language-ID: argmax of per-language marker-token hits.
+
+    Ties break lexicographically ('en' beats 'fr' at equal score) so the
+    result is deterministic and oracle-reproducible.
+    """
+    toks = tokens(col)
+    scored = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, marks in sorted(_LANG_MARKERS.items())
+    ]
+    # array_max on struct(score, lang) orders by score then lang; we want
+    # max score, ties → smallest lang, so compare on (score, negated-order
+    # proxy) — simplest deterministic form: reduce with a when-chain.
+    best = scored[0]
+    for s in scored[1:]:
+        best = F.when(s["score"] > best["score"], s).otherwise(best)
+    return best["lang"]
+
+
+def quality_score(text_col: Column | str, n_chars_col: Column | str | None = None) -> Column:
+    """Composite document-quality score in [0, 1]:
+    0.4·length_score + 0.3·(1 − punct_ratio·5 clipped) + 0.3·stopword_ratio.
+
+    length_score saturates at 2000 chars; punct_ratio is non-alnum-non-space
+    chars per char; stopword_ratio is stopword tokens per token.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c) if n_chars_col is None else (
+        F.col(n_chars_col) if isinstance(n_chars_col, str) else n_chars_col
+    )
+    length_score = F.least(n_chars / F.lit(2000.0), F.lit(1.0))
+    punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(F.length(c), F.lit(1))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
+    toks = tokens(c)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    # distinct-stopword presence ratio over a fixed 8-word list
+    stop_score = stop_hits / F.lit(float(len(_STOPWORDS)))
+    return F.round(0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+
+
+def fingerprint(col: Column | str, width: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized token
+    stream, truncated to ``width`` hex chars. Rolling-hash analog that is
+    portable between Spark and the DuckDB oracle."""
+    return F.substring(F.md5(F.array_join(tokens(col), " ")), 1, width)

@@ -1,0 +1,144 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies over the ``documents`` table, all shuffle-minimal:
+
+- exact          : hash-groupBy on md5(text), keep min doc_id
+- minhash_lsh    : char-shingles → MinHash signature → banded LSH keys →
+                   band-key equi-join → candidate pairs
+- simhash        : 64-bit simhash + bucket on high bits, hamming ≤ r pairs
+- ngram_jaccard  : word-shingle inverted index self-join with exact
+                   Jaccard on the candidate pairs
+- embedding near-dup lives in operators/similarity.py (cosine ≥ τ pairs)
+
+Scale notes: every strategy is (map-side signature) → (one equi-join
+shuffle on a short key) → (pair filter). None requires a cross join. The
+LSH band count bounds candidate-pair fanout; skewed bands (boilerplate
+docs) are the known hazard — cap band bucket size with a count filter
+before the self-join at production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.hashing import lsh_bands, minhash_signature, simhash64
+from page_rank_hadoop_spark.functions.text import char_shingles, tokens, word_shingles
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact-text dedup: one row per distinct text that occurs >1 time,
+    with the canonical (min) doc_id and the duplicate count."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_keep_first(documents: DataFrame) -> DataFrame:
+    """The kept set after exact dedup (min doc_id per text hash). Expressed
+    as groupBy(min) rather than a window so the plan is a single partial-
+    aggregated shuffle (a row_number window would sort each partition)."""
+    keep = documents.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    return documents.join(keep, "doc_id", "left_semi")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    Pipeline: shingle (map) → minhash signature (map) → explode band keys
+    (map) → self-equi-join on (band, key) via groupBy-collect (one
+    shuffle) → emit pairs. Returns distinct (doc_a, doc_b, n_bands_shared).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = documents.select(
+        "doc_id",
+        minhash_signature(F.array_distinct(char_shingles("text", shingle_k)), n_hashes).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("band").cast("int").alias("n_bands_shared"))
+    )
+    return pairs
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """doc_id → 64-bit (60 effective) simhash over the token stream."""
+    return documents.select("doc_id", simhash64(tokens("text")).alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:
+    """SimHash near-dup pairs: bucket by the top ``prefix_bits`` bits (one
+    shuffle) then exact hamming filter within buckets. Misses pairs that
+    differ inside the prefix — the standard multi-probe fix is to re-run
+    with rotated prefixes; one probe is the declared deterministic query.
+    """
+    sig = simhash_signatures(documents).withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, min_jaccard: float = 0.8
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    |A∩B| comes from the shingle inverted-index self-join; |A∪B| =
+    |A|+|B|−|A∩B| from per-doc shingle counts. Two shuffles total (the
+    shingle join, the per-pair count agg); the shingle join is the scale
+    hazard — prune ultra-common shingles (df cutoff) exactly like the
+    reference's df<3000 stop-word guard before running this at 100 TB.
+    """
+    sh = documents.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

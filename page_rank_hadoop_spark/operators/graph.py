@@ -1,0 +1,120 @@
+"""Link-graph construction, DataFrame-native.
+
+Reference semantics (/root/reference/src/main/scala/pageRank.scala):
+- P2  link extraction: every ``[[...]]`` match becomes an edge (:137,143-148)
+- J1  semi-join: keep only edges whose target page exists; the reference
+  did this with sentinel keys + secondary sort inside one reduce
+  (:149-178, README.md:100-144) — here it is a real ``left_semi`` join and
+  Catalyst picks broadcast-hash when the vertex set is small
+- J2  virtual NULL node: every page gets ``page→NULL`` and ``NULL→page``
+  (teleport/dangling sink-source, :185-206; README.md:217-222)
+- A1  adjacency aggregation: dedup'd out-link set, keep NULL only when it
+  is the sole out-link (dangling), else strip it (:249-274)
+
+Edge-extraction convention over the driver testdata (the ``documents``
+table has no ``[[link]]`` markup, so the convention is defined here and
+mirrored verbatim in the DuckDB oracles): for every *distinct* token t in
+document d,
+
+    dst(d, t) = (d*131 + length(t)*31 + ascii(first_char(t))) mod (N + 7)
+
+with N = count(documents), keeping dst != d. The ``mod (N+7)`` range
+deliberately produces ~7/N dangling targets so the semi/anti-join split is
+non-trivial, mirroring the reference's "reject non existing link" branch
+(pageRank.scala:209).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.text import tokens
+
+NULL_VID = -1  # virtual teleport/dangling node id in numeric graphs
+
+
+def extract_edges(documents: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """documents → distinct (src, dst) edges per the module convention.
+
+    Shuffle profile: one distinct (map-side combined). The token explode is
+    a projection; at 100 TB the dedup is the only exchange.
+    """
+    if n_docs is None:
+        n_docs = documents.count()
+    tok = documents.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+    )
+    dst = F.pmod(
+        F.col("src") * 131 + F.length("tok") * 31 + F.ascii(F.substring("tok", 1, 1)),
+        F.lit(n_docs + 7),
+    ).cast("long")
+    return tok.select("src", dst.alias("dst")).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def vertices(documents: DataFrame) -> DataFrame:
+    """Existing-page registry (reference's sentinel "page exists" records,
+    pageRank.scala:149-150, replaced by a real distinct projection)."""
+    return documents.select(F.col("doc_id").alias("id")).distinct()
+
+
+def resolve_edges(edges: DataFrame, verts: DataFrame) -> DataFrame:
+    """J1 accept branch: edges whose destination page exists."""
+    return edges.join(verts, edges.dst == verts.id, "left_semi")
+
+
+def rejected_edges(edges: DataFrame, verts: DataFrame) -> DataFrame:
+    """J1 reject branch (pageRank.scala:209): dangling-target edges."""
+    return edges.join(verts, edges.dst == verts.id, "left_anti")
+
+
+def augment_null_edges(kept_edges: DataFrame, verts: DataFrame, null_vid=NULL_VID) -> DataFrame:
+    """J2: edges ∪ {(v, NULL), (NULL, v) for every existing vertex v}."""
+    null_lit = F.lit(null_vid)
+    to_null = verts.select(F.col("id").alias("src"), null_lit.cast("long").alias("dst"))
+    from_null = verts.select(null_lit.cast("long").alias("src"), F.col("id").alias("dst"))
+    return kept_edges.unionByName(to_null).unionByName(from_null)
+
+
+def adjacency(kept_edges: DataFrame, verts: DataFrame, null_vid=NULL_VID) -> DataFrame:
+    """A1: src → sorted dedup'd out-link array with reference NULL
+    semantics — NULL stays only when it is the sole out-link.
+
+    Built by aggregating the augmented edge set then conditionally
+    ``array_remove``-ing the NULL id. One shuffle (the groupBy), map-side
+    combined via collect_set partial aggregation.
+    """
+    aug = augment_null_edges(kept_edges, verts, null_vid)
+    links = F.sort_array(F.collect_set("dst"))
+    return (
+        aug.groupBy("src")
+        .agg(links.alias("links_raw"))
+        .select(
+            F.col("src").alias("id"),
+            F.when(
+                F.size("links_raw") > 1, F.array_remove("links_raw", null_vid)
+            )
+            .otherwise(F.col("links_raw"))
+            .alias("links"),
+        )
+    )
+
+
+def outdegree(adj: DataFrame) -> DataFrame:
+    """id → outdeg (the scatter denominator, reference P5)."""
+    return adj.select("id", F.size("links").alias("outdeg"))
+
+
+def contributions(adj_with_pr: DataFrame) -> DataFrame:
+    """One scatter step (reference P5): explode links, contribute
+    pr/outdeg to each destination; gather is the groupBy-sum (A3 partial).
+    """
+    return (
+        adj_with_pr.select(
+            F.explode("links").alias("id"),
+            (F.col("pr") / F.size("links")).alias("contrib"),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("contrib"))
+    )

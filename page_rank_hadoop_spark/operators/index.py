@@ -1,0 +1,146 @@
+"""Positional inverted index + TF-IDF serving, DataFrame-native.
+
+Reference pipeline (/root/reference/src/main/scala/invertedIndex.scala):
+mapper emits one record per token occurrence with byte offsets (P3, :47-53),
+a combiner merges same-(term,doc) postings map-side (A5, :68-76), the
+reducer collects the posting list per term, computes df, and drops terms
+with df ≥ 3000 (A6, :89-96). Query-time scoring joins postings with
+PageRank: ``0.5·tf·ln(N/df) + 0.5·pr`` (Query.scala:52, 89).
+
+Spark-first mapping:
+- token stream  = ``posexplode(tokens(text))`` — one shuffle-free projection
+- tf            = groupBy(term, doc).count() — Catalyst generates the
+  partial/final HashAggregate pair automatically (the combiner for free)
+- postings/df   = one more agg by term; HAVING df < cutoff
+- positions     = ``collect_list(pos)`` token indexes (not byte offsets —
+  deviation documented in SURVEY.md §7)
+
+At scale the only shuffles are the two aggregations, both map-side
+combined; the index output should be written partitioned/sorted by term so
+point lookups (Q1) become row-group prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.text import tokens
+
+DF_CUTOFF = 3000  # reference stop-word/skew guard, invertedIndex.scala:93
+
+
+def token_stream(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per token occurrence: (doc_id, pos, term). Reference P3."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+
+
+def term_frequencies(documents: DataFrame) -> DataFrame:
+    """(term, doc_id) → tf + position list. Reference A5 (combiner merge).
+
+    ``collect_list(pos)`` arrives sorted because positions are generated
+    in order within a single input row, but we ``sort_array`` anyway:
+    at scale a doc's tokens can split across combiner batches.
+    """
+    return (
+        token_stream(documents)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def document_frequencies(documents: DataFrame, cutoff: int = DF_CUTOFF) -> DataFrame:
+    """term → df with the reference's HAVING df < cutoff (A6)."""
+    return (
+        token_stream(documents)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("int").alias("df"))
+        .filter(F.col("df") < cutoff)
+    )
+
+
+def inverted_index(documents: DataFrame, cutoff: int = DF_CUTOFF) -> DataFrame:
+    """term → (df, postings array<struct<doc_id, tf, positions>>).
+
+    Postings are sorted by doc_id (reference SH5 secondary sort delivered
+    titles in order; ``sort_array`` on the struct array gives the same
+    determinism without a custom shuffle comparator).
+    """
+    tf = term_frequencies(documents)
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("int").alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "positions"))
+            ).alias("postings"),
+        )
+        .filter(F.col("df") < cutoff)
+    )
+
+
+def tfidf_scores(
+    documents: DataFrame,
+    ranks: DataFrame,
+    query_terms: list[str],
+    cutoff: int = DF_CUTOFF,
+    w_tfidf: float = 0.5,
+    w_pr: float = 0.5,
+) -> DataFrame:
+    """Reference Q3: for each query term, score every posting's page by
+    ``w_tfidf·tf·ln(N/df) + w_pr·pr`` and rank (the reference printed
+    postings unsorted, Query.scala:92 — we add the sensible orderBy).
+
+    ``ranks`` must have (doc_id, pr). N = document count (reference read it
+    from a Hadoop counter, pageRank.scala:355; here it is a count() action).
+    """
+    n_docs = documents.count()
+    tf = term_frequencies(documents).filter(F.col("term").isin(query_terms))
+    df_ = document_frequencies(documents, cutoff).filter(F.col("term").isin(query_terms))
+    scored = (
+        tf.join(df_, "term")
+        .join(ranks, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                w_tfidf * F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                + w_pr * F.col("pr"),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "term", "doc_id")
+
+
+def point_lookup(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Serving-style point predicate (reference Q1/Q2 HBase Get): an
+    ``isin`` filter Catalyst pushes into the parquet scan (row-group
+    pruning when the index is written sorted by term)."""
+    return index.filter(F.col("term").isin(terms))
+
+
+def snippet_window(
+    documents: DataFrame, term: str, before: int = 20, width: int = 50
+) -> DataFrame:
+    """Reference Q4: 50-char window around the first hit of ``term``.
+
+    The reference seeked a local RandomAccessFile by stored byte offset
+    (Query.scala:97-101); with the text co-resident in the documents table
+    this is ``substring(text, locate(term)-before, width)`` — no I/O beyond
+    the column read.
+    """
+    pos = F.locate(term, F.col("text"))
+    return (
+        documents.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), F.greatest(pos - before, F.lit(1)), width).alias("snippet"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Iterative PageRank with the reference's exact policy, Spark-native.
+
+Reference (/root/reference/src/main/scala/pageRank.scala):
+- formula  pr' = α·(1/N) + (1−α)·Σ contribs, α = 0.15 (:294, :310)
+- policy   min 10 iterations, stop when avgChange ≤ 0.2, cap 50
+  (:360-371; avgChange = Σ|Δpr|/N — the reference scaled by 1000 and
+  truncated per record through a Hadoop counter (:307); we compute the
+  exact float sum, deviation noted in SURVEY.md §2.1)
+- N counts every adjacency row including the virtual NULL node (:258).
+
+Physical hygiene (SURVEY.md §7 hard-part 1): the reference wrote a
+SequenceFile per iteration, which implicitly truncated lineage. In Spark an
+unpersisted loop builds an O(iterations)-deep plan → re-execution blowup.
+Each iteration persists its ranks, unpersists the predecessor, and
+``localCheckpoint``s every ``checkpoint_every`` iterations to cut lineage.
+The adjacency table is persisted once and reused every iteration — at
+cluster scale you would additionally pre-partition it by id so the
+per-iteration join never reshuffles the big side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+ALPHA = 0.15  # pageRank.scala:294
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, pr)
+    iterations: int
+    avg_changes: list[float]
+
+
+def run_pagerank(
+    adj: DataFrame,
+    alpha: float = ALPHA,
+    min_iter: int = 10,
+    max_iter: int = 50,
+    tol: float = 0.2,
+    fixed_iterations: int | None = None,
+    checkpoint_every: int = 5,
+) -> PageRankResult:
+    """Iterate PageRank over an adjacency DataFrame ``(id, links)``.
+
+    ``fixed_iterations`` overrides the convergence policy (the declared
+    oracle query runs exactly 10 for determinism). With the policy active,
+    each iteration costs one extra tiny agg action for avgChange — the
+    Spark analog of the reference's counter read (pageRank.scala:366-371).
+    """
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    n = adj.count()  # action; also materializes the persist
+    ranks = adj.select("id", F.lit(1.0).alias("pr")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    avg_changes: list[float] = []
+    i = 0
+    limit = fixed_iterations if fixed_iterations is not None else max_iter
+    while i < limit:
+        i += 1
+        contribs = (
+            adj.join(ranks, "id")
+            .select(
+                F.explode("links").alias("id"),
+                (F.col("pr") / F.size("links")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        new_ranks = (
+            adj.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(alpha) * (1.0 / n)
+                    + F.lit(1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if i % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+
+        if fixed_iterations is None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            avg_change = (delta or 0.0) / n
+            avg_changes.append(avg_change)
+            ranks.unpersist()
+            ranks = new_ranks
+            if i >= min_iter and avg_change <= tol:
+                break
+        else:
+            new_ranks.count()  # materialize so the unpersist below is safe
+            ranks.unpersist()
+            ranks = new_ranks
+
+    adj.unpersist()
+    return PageRankResult(ranks=ranks, iterations=i, avg_changes=avg_changes)
+
+
+def top_k(ranks: DataFrame, k: int | None = None) -> DataFrame:
+    """Reference O1: global sort desc by (pr, id); ``limit`` makes it a
+    distributed top-k (TakeOrderedAndProject) instead of a total sort."""
+    out = ranks.orderBy(F.desc("pr"), F.col("id"))
+    return out.limit(k) if k is not None else out

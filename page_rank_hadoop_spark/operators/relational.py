@@ -1,0 +1,72 @@
+"""General relational surface: multi-way broadcast joins, set ops,
+approximate aggregates — the operators the reference lacked entirely
+(SURVEY.md §2.2) that any engine replacement must provide.
+
+Join strategy: dimension tables (region/nation/customer/supplier/part)
+are broadcast explicitly — at 100 TB lineitem/orders are the only big
+sides, so the whole star join is one shuffle-free pass over the fact
+table plus the final aggregation exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q5-shaped star join: revenue per nation, dims broadcast."""
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q1-shaped wide aggregation (partial agg + one exchange)."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def customers_with_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set-op surface: INTERSECT (has orders) tagged against EXCEPT (no
+    orders) — returns (c_custkey, has_orders)."""
+    cust_keys = customer.select("c_custkey")
+    order_cust = orders.select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust_keys.intersect(order_cust).withColumn("has_orders", F.lit(1))
+    without = cust_keys.exceptAll(order_cust.distinct()).withColumn("has_orders", F.lit(0))
+    return with_orders.unionByName(without)
+
+
+def approx_users_per_event_type(events: DataFrame) -> DataFrame:
+    """HLL approximate distinct users per event type (sketch aggregate;
+    rows-only correctness check — approx by design)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

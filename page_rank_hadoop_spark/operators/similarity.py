@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force top-k cosine against a probe vector — map-side score +
+  TakeOrderedAndProject; the correct baseline and already optimal for a
+  single probe (one pass over the data, no shuffle).
+- IVF-style bucketed search — assign every vector to its nearest of C
+  deterministic centroids (map-side argmin), search only the probe's
+  bucket. At 100 TB the centroid assignment is written once
+  (partitionBy(bucket)) and each query prunes to ~1/C of the data via
+  partition pruning.
+- embedding near-dup pairs — LSH on random-hyperplane signs (SimHash for
+  vectors) then exact cosine within buckets; avoids the O(n²) cross join.
+
+All vector math is built-in higher-order functions (functions/vectors.py);
+no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.vectors import cosine, dot, norm
+
+
+def _probe_lit(probe: list[float]):
+    return F.array(*[F.lit(float(x)) for x in probe])
+
+
+def knn_cosine(embeddings: DataFrame, probe: list[float], k: int = 10) -> DataFrame:
+    """Brute-force top-k by cosine similarity to ``probe``.
+
+    ``orderBy(desc).limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps its local top-k, the driver merges — no global sort.
+    """
+    p = _probe_lit(probe)
+    return (
+        embeddings.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), p), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def hyperplane_signature(embeddings: DataFrame, n_planes: int = 16, dim: int = 64) -> DataFrame:
+    """Sign-LSH signature: bit i = sign(dot(v, h_i)) with deterministic
+    pseudo-random hyperplanes h_i[j] = sin(i*7919 + j*104729) (fixed,
+    reproducible, no RNG state). Map-side only."""
+    import math
+
+    bits = []
+    for i in range(n_planes):
+        plane = [math.sin(i * 7919 + j * 104729) for j in range(dim)]
+        d = dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
+        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    sig = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        sig = sig + F.shiftleft(bit, b)
+    return embeddings.select("vec_id", "embedding", sig.alias("bucket"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, min_cosine: float = 0.95, n_planes: int = 12
+) -> DataFrame:
+    """Near-duplicate vector pairs via sign-LSH bucketing + exact cosine.
+
+    One equi-join shuffle on the bucket key instead of an O(n²) cross
+    join; recall is bounded by the bucket probe (standard LSH tradeoff).
+    """
+    sig = hyperplane_signature(embeddings, n_planes)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> DataFrame:
+    """Assign each vector to its nearest deterministic centroid (argmax
+    cosine). The scale path writes this out ``partitionBy('centroid')`` so
+    a probe query scans one partition; here we return the assignment."""
+    import math
+
+    best = None
+    for c in range(n_centroids):
+        cent = [math.sin(c * 2971 + j * 7919) for j in range(dim)]
+        sim = cosine(F.col("embedding"), F.array(*[F.lit(x) for x in cent]))
+        cand = F.struct(sim.alias("sim"), F.lit(c).alias("centroid"))
+        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
+    return embeddings.select("vec_id", "embedding", best["centroid"].alias("centroid"))
+
+
+def ivf_knn_cosine(
+    embeddings: DataFrame, probe: list[float], k: int = 10, n_centroids: int = 16, dim: int = 64
+) -> DataFrame:
+    """IVF search: score only vectors in the probe's centroid bucket.
+    Approximate (single-probe); the brute-force path is the oracle."""
+    import math
+
+    assigned = ivf_assign(embeddings, n_centroids, dim)
+    best_c, best_sim = 0, None
+    import numpy as np
+
+    p = np.asarray(probe, dtype="float64")
+    for c in range(n_centroids):
+        cent = np.array([math.sin(c * 2971 + j * 7919) for j in range(dim)])
+        sim = float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent)))
+        if best_sim is None or sim > best_sim:
+            best_c, best_sim = c, sim
+    pl = _probe_lit(probe)
+    return (
+        assigned.filter(F.col("centroid") == best_c)
+        .select("vec_id", F.round(cosine(F.col("embedding"), pl), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,50 @@
+"""Text-analysis operators: per-group stats, language-ID, quality scoring,
+token counts, fingerprints — the document-profiling surface of a
+training-data pipeline. All single-shuffle groupBy aggregations or pure
+projections."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per (lang, source): doc count, avg n_chars, avg token count."""
+    return (
+        documents.select("lang", "source", "n_chars", token_count("text").alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def rollup_stats(documents: DataFrame) -> DataFrame:
+    """ROLLUP(lang, source) doc counts — grouping-sets surface."""
+    return (
+        documents.rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def document_profile(documents: DataFrame) -> DataFrame:
+    """Per-document profile row: predicted language, quality score, token
+    count, fingerprint. Pure projection — map-only at any scale."""
+    return documents.select(
+        "doc_id",
+        "lang",
+        language_id("text").alias("lang_pred"),
+        quality_score("text", "n_chars").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        fingerprint("text").alias("fingerprint"),
+    )

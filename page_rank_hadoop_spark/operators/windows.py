@@ -1,0 +1,75 @@
+"""Window-function and event-time operators over the ``events`` table.
+
+- ranking windows (top-N per group)
+- lag/cumsum sessionization (gap > threshold starts a new session)
+- tumbling event-time windows (batch form; streaming/replay.py runs the
+  same aggregation as a Structured Streaming query with a watermark)
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id, lang) so the sort-within-partition stays bounded; tumbling
+windows are a plain groupBy on a derived bucket — no window sort at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n_per_group(
+    documents: DataFrame, n: int = 2, group_col: str = "lang", order_col: str = "n_chars"
+) -> DataFrame:
+    """Top-n docs per group by order_col desc (row_number ranking window).
+    Ties broken by doc_id for determinism."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.col("doc_id"))
+    return (
+        documents.select(group_col, "doc_id", order_col, F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= n)
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids per user: a gap > ``gap_minutes`` since the
+    previous event starts a new session (lag + running sum of boundary
+    flags). Returns (event_id, user_id, ts, session_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    # exact epoch seconds (with microseconds): unix_timestamp would truncate
+    # and disagree with sub-second gap boundaries
+    epoch = F.col("ts").cast("double")
+    prev_epoch = F.lag(epoch).over(w)
+    new_sess = F.when(
+        prev_epoch.isNull() | ((epoch - prev_epoch) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per (user, session): event count and value sum — the useful rollup
+    on top of sessionize."""
+    s = sessionize(events, gap_minutes)
+    joined = s.join(events.select("event_id", "value"), "event_id")
+    return joined.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def tumbling_window_counts(events: DataFrame, minutes: int = 15) -> DataFrame:
+    """Per-``minutes`` tumbling window: event count + value sum per
+    event_type. Derived-bucket groupBy (window start as a truncated
+    timestamp string for oracle-stable comparison)."""
+    bucket = F.from_unixtime(
+        (F.unix_timestamp("ts") / (minutes * 60)).cast("long") * (minutes * 60),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return (
+        events.groupBy(bucket.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )

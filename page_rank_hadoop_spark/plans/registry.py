@@ -1,0 +1,730 @@
+"""Declared query inventory (SURVEY.md §2.3) — the driver contract.
+
+Every entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with a
+DuckDB oracle SQL string computing the same result on the same parquet
+tables. Conventions that make the hash-compare robust:
+
+- every computed column is aliased identically on both sides
+- doubles produced by aggregation/iteration are ``round(x, 4..6)``
+- nested results (posting lists, adjacency arrays) are serialized with
+  ``to_json`` on both sides (identical compact formatting verified)
+- timestamps are formatted to ``yyyy-MM-dd HH:mm:ss`` strings
+- portable hashing is md5-based (identical hex in Spark and DuckDB);
+  pure-Spark scale paths may use xxhash64 but oracle-checked ones do not
+
+The graph queries use the edge-extraction convention documented in
+operators/graph.py (the testdata corpus has no ``[[link]]`` markup):
+``dst = (src*131 + len(token)*31 + ascii(token[0])) mod (N+7)`` over
+distinct tokens, keeping dst != src.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.text import TOKEN_RE
+from page_rank_hadoop_spark.operators import dedup, graph, index, pagerank, relational
+from page_rank_hadoop_spark.operators import similarity, textstats, windows
+from page_rank_hadoop_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+# token stream with 0-based positions (DuckDB has no lateral generate_series
+# over a column, so positions come from a range comprehension)
+SQL_TOKEN_STREAM = f"""
+  SELECT doc_id, (u.s.pos)::INT AS pos, u.s.term AS term
+  FROM (
+    SELECT doc_id,
+           [{{'pos': i - 1, 'term': l[i]}} for i in range(1, len(l) + 1)] AS ps
+    FROM (SELECT doc_id, {SQL_TOKENS} AS l FROM documents)
+  ), unnest(ps) u(s)
+"""
+
+# edge-extraction convention (operators/graph.py) + reference graph build
+SQL_GRAPH_CTES = f"""
+  nn AS (SELECT count(*) AS n FROM documents),
+  tok AS (
+    SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+  ),
+  edges AS (
+    SELECT DISTINCT doc_id AS src,
+      (doc_id*131 + length(tok)*31 + ascii(substr(tok,1,1))) % (nn.n + 7) AS dst
+    FROM tok, nn
+    WHERE (doc_id*131 + length(tok)*31 + ascii(substr(tok,1,1))) % (nn.n + 7) <> doc_id
+  ),
+  verts AS (SELECT DISTINCT doc_id AS id FROM documents),
+  kept AS (SELECT e.src, e.dst FROM edges e WHERE e.dst IN (SELECT id FROM verts)),
+  aug AS (
+    SELECT src, dst FROM kept
+    UNION ALL SELECT id AS src, -1 AS dst FROM verts
+    UNION ALL SELECT -1 AS src, id AS dst FROM verts
+  ),
+  deg_raw AS (SELECT src, count(*) AS draw FROM aug GROUP BY src),
+  fedges AS (
+    SELECT a.src, a.dst FROM aug a JOIN deg_raw d ON a.src = d.src
+    WHERE NOT (d.draw > 1 AND a.dst = -1)
+  ),
+  deg AS (SELECT src, count(*) AS outdeg FROM fedges GROUP BY src),
+  verts2 AS (SELECT id FROM verts UNION ALL SELECT -1 AS id),
+  ncount AS (SELECT count(*) AS n FROM verts2)
+"""
+
+
+def _sql_pagerank_iters(n_iter: int = 10, alpha: float = 0.15) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain ending at ``it{n}``."""
+    parts = ["  it0 AS (SELECT id, 1.0::DOUBLE AS pr FROM verts2)"]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""  contrib{k} AS (
+    SELECT e.dst AS id, sum(p.pr / dg.outdeg) AS c
+    FROM fedges e JOIN it{k-1} p ON e.src = p.id JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ),
+  it{k} AS (
+    SELECT v.id, {alpha}::DOUBLE/nc.n + {1.0 - alpha}::DOUBLE*coalesce(c.c, 0.0::DOUBLE) AS pr
+    FROM verts2 v CROSS JOIN ncount nc LEFT JOIN contrib{k} c ON v.id = c.id
+  )"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_CHAR_SHINGLES = (
+    "list_distinct([substr(text, i, 8) for i in range(1, greatest(length(text) - 6, 2))])"
+)
+
+N_HASHES, N_BANDS, ROWS_PER_BAND = 12, 4, 3
+TFIDF_TERMS = ("spark", "merge", "join")
+LOOKUP_TERMS = ("spark", "data", "query")
+DF_CUTOFF_DECLARED = 300  # testdata vocabulary df range is 25..~400; the
+# reference's 3000 cutoff (invertedIndex.scala:93) would keep everything —
+# 300 keeps the HAVING branch observable. inverted_index() defaults to 3000.
+SIMHASH_BITS = 60
+SIMHASH_PREFIX_BITS = 12
+SIMHASH_MAX_HAMMING = 20
+NEAR_DUP_MIN_COSINE = 0.30  # testdata embeddings are near-orthogonal (max
+# pair cosine ≈ 0.51); production near-dup would use ≥0.95.
+MIN_JACCARD = 0.5
+
+
+def _sql_minhash_ctes() -> str:
+    mins = ",\n      ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM mh")
+    bands = "\n    UNION ALL ".join(band_selects)
+    return f"""
+  sh AS (
+    SELECT doc_id, unnest({SQL_CHAR_SHINGLES}) AS s FROM documents
+  ),
+  mh AS (
+    SELECT doc_id,
+      {mins}
+    FROM sh GROUP BY doc_id
+  ),
+  bands AS (
+    {bands}
+  )
+"""
+
+
+def _sql_simhash_ctes() -> str:
+    bit_sums = ",\n      ".join(
+        f"sum((h >> {b}) & 1) AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN c{b}*2 > n THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+  toks AS (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents
+  ),
+  th AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+  ),
+  bitc AS (
+    SELECT doc_id, count(*) AS n,
+      {bit_sums}
+    FROM th GROUP BY doc_id
+  ),
+  sims AS (
+    SELECT doc_id, ({sim_expr}) AS simhash FROM bitc
+  )
+"""
+
+
+# deterministic hyperplanes shared between the Spark operator and the oracle
+def _planes(n_planes: int, dim: int) -> list[list[float]]:
+    import math
+
+    return [[math.sin(i * 7919 + j * 104729) for j in range(dim)] for i in range(n_planes)]
+
+
+EMB_DIM = 64
+N_PLANES = 12
+
+
+def _sql_hyperplane_bucket() -> str:
+    planes = _planes(N_PLANES, EMB_DIM)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+# ---------------------------------------------------------------------------
+# Spark callables
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+def q_scan_project(spark, sf):
+    return _docs(spark, sf).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_filter_predicate(spark, sf):
+    d = _docs(spark, sf)
+    return d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 300)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_tokenize_explode(spark, sf):
+    return index.token_stream(_docs(spark, sf))
+
+
+def q_term_tf(spark, sf):
+    return index.term_frequencies(_docs(spark, sf)).select("term", "doc_id", "tf")
+
+
+def q_inverted_index_df(spark, sf):
+    return index.document_frequencies(_docs(spark, sf), cutoff=DF_CUTOFF_DECLARED)
+
+
+def q_postings_collect(spark, sf):
+    inv = index.inverted_index(_docs(spark, sf), cutoff=DF_CUTOFF_DECLARED)
+    return inv.select("term", "df", F.to_json("postings").alias("postings_json"))
+
+
+def q_point_lookup_term(spark, sf):
+    inv = index.document_frequencies(_docs(spark, sf), cutoff=10**9)
+    return index.point_lookup(inv, list(LOOKUP_TERMS))
+
+
+def q_snippet_window(spark, sf):
+    return index.snippet_window(_docs(spark, sf), "spark")
+
+
+def q_edges_extract(spark, sf):
+    return graph.extract_edges(_docs(spark, sf))
+
+
+def q_semi_join_vertices(spark, sf):
+    d = _docs(spark, sf)
+    return graph.resolve_edges(graph.extract_edges(d), graph.vertices(d))
+
+
+def q_anti_join_vertices(spark, sf):
+    d = _docs(spark, sf)
+    return graph.rejected_edges(graph.extract_edges(d), graph.vertices(d))
+
+
+def q_union_null_edges(spark, sf):
+    d = _docs(spark, sf)
+    verts = graph.vertices(d)
+    kept = graph.resolve_edges(graph.extract_edges(d), verts)
+    return graph.augment_null_edges(kept, verts)
+
+
+def q_adjacency_list(spark, sf):
+    d = _docs(spark, sf)
+    verts = graph.vertices(d)
+    kept = graph.resolve_edges(graph.extract_edges(d), verts)
+    adj = graph.adjacency(kept, verts)
+    return adj.select("id", F.to_json("links").alias("links_json"))
+
+
+def q_outdegree(spark, sf):
+    d = _docs(spark, sf)
+    verts = graph.vertices(d)
+    kept = graph.resolve_edges(graph.extract_edges(d), verts)
+    return graph.outdegree(graph.adjacency(kept, verts))
+
+
+def _adjacency(spark, sf):
+    d = _docs(spark, sf)
+    verts = graph.vertices(d)
+    kept = graph.resolve_edges(graph.extract_edges(d), verts)
+    return graph.adjacency(kept, verts)
+
+
+def q_pagerank_contribs(spark, sf):
+    adj = _adjacency(spark, sf)
+    contribs = graph.contributions(adj.withColumn("pr", F.lit(1.0)))
+    return contribs.select("id", F.round("contrib", 6).alias("contrib"))
+
+
+def _pagerank10(spark, sf) -> DataFrame:
+    adj = _adjacency(spark, sf)
+    res = pagerank.run_pagerank(adj, fixed_iterations=10)
+    return res.ranks
+
+
+def q_pagerank_iterate(spark, sf):
+    return _pagerank10(spark, sf).select("id", F.round("pr", 6).alias("pr"))
+
+
+def q_topk_pagerank(spark, sf):
+    ranks = _pagerank10(spark, sf).select("id", F.round("pr", 6).alias("pr"))
+    return pagerank.top_k(ranks, 20)
+
+
+def q_tfidf_score(spark, sf):
+    d = _docs(spark, sf)
+    ranks = _pagerank10(spark, sf).withColumnRenamed("id", "doc_id")
+    return index.tfidf_scores(d, ranks, list(TFIDF_TERMS), cutoff=10**9)
+
+
+def q_text_stats(spark, sf):
+    return textstats.text_stats(_docs(spark, sf))
+
+
+def q_grouping_sets(spark, sf):
+    r = textstats.rollup_stats(_docs(spark, sf))
+    return r.select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        "n_docs",
+    )
+
+
+def q_doc_profile(spark, sf):
+    return textstats.document_profile(_docs(spark, sf))
+
+
+def q_window_rank(spark, sf):
+    return windows.top_n_per_group(_docs(spark, sf), n=2)
+
+
+def q_window_lag_sessionize(spark, sf):
+    return windows.session_stats(load_table(spark, sf, "events"))
+
+
+def q_tumbling_window(spark, sf):
+    return windows.tumbling_window_counts(load_table(spark, sf, "events"))
+
+
+def q_exact_dedup(spark, sf):
+    return dedup.exact_duplicates(_docs(spark, sf))
+
+
+def q_exact_dedup_prefix(spark, sf):
+    d = _docs(spark, sf).withColumn("text", F.substring("text", 1, 30))
+    return dedup.exact_duplicates(d)
+
+
+def q_near_dedup_minhash(spark, sf):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf), shingle_k=8, n_hashes=N_HASHES, n_bands=N_BANDS)
+
+
+def q_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, min_jaccard=MIN_JACCARD)
+
+
+def q_simhash_pairs(spark, sf):
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf), max_hamming=SIMHASH_MAX_HAMMING, prefix_bits=SIMHASH_PREFIX_BITS
+    )
+
+
+def _probe(spark, sf) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_knn_cosine(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.knn_cosine(emb, _probe(spark, sf), k=10)
+
+
+def q_embedding_near_dup(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, min_cosine=NEAR_DUP_MIN_COSINE, n_planes=N_PLANES
+    )
+
+
+def q_join_broadcast_dims(spark, sf):
+    return relational.revenue_by_nation(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def q_pricing_summary(spark, sf):
+    return relational.pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+def q_distinct_intersect(spark, sf):
+    return relational.customers_with_without_orders(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def q_approx_distinct(spark, sf):
+    return relational.approx_users_per_event_type(load_table(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it']"
+_LANG_MARKERS_SQL = """(VALUES
+  ('de', ['der','die','das','und','ist']),
+  ('en', ['the','and','of','to','a']),
+  ('es', ['el','los','las','es','y']),
+  ('fr', ['le','la','les','et','est']),
+  ('zh', ['de','shi','le','wo','ni'])) l(lang, markers)"""
+
+
+def build_oracles() -> dict[str, str]:
+    terms_in = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
+    lookup_in = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
+    pr_iters = _sql_pagerank_iters(10)
+    oracles: dict[str, str] = {}
+
+    oracles["q_scan_project"] = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+    oracles["q_filter_predicate"] = (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 300"
+    )
+
+    oracles["q_tokenize_explode"] = SQL_TOKEN_STREAM
+
+    oracles["q_term_tf"] = f"""
+      SELECT term, doc_id, count(*)::INT AS tf FROM ({SQL_TOKEN_STREAM}) GROUP BY term, doc_id
+    """
+
+    oracles["q_inverted_index_df"] = f"""
+      SELECT term, count(DISTINCT doc_id)::INT AS df
+      FROM ({SQL_TOKEN_STREAM}) GROUP BY term HAVING count(DISTINCT doc_id) < {DF_CUTOFF_DECLARED}
+    """
+
+    oracles["q_postings_collect"] = f"""
+      WITH tf AS (
+        SELECT term, doc_id, count(*)::INT AS tf, list(pos ORDER BY pos) AS positions
+        FROM ({SQL_TOKEN_STREAM}) GROUP BY term, doc_id
+      )
+      SELECT term, count(*)::INT AS df,
+             to_json(list_sort(list({{'doc_id': doc_id, 'tf': tf, 'positions': positions}}))) AS postings_json
+      FROM tf GROUP BY term HAVING count(*) < {DF_CUTOFF_DECLARED}
+    """
+
+    oracles["q_point_lookup_term"] = f"""
+      SELECT term, count(DISTINCT doc_id)::INT AS df
+      FROM ({SQL_TOKEN_STREAM}) WHERE term IN ({lookup_in}) GROUP BY term
+    """
+
+    oracles["q_snippet_window"] = """
+      SELECT doc_id,
+             substr(text, greatest(strpos(text, 'spark') - 20, 1), 50) AS snippet
+      FROM documents WHERE strpos(text, 'spark') > 0
+    """
+
+    oracles["q_edges_extract"] = f"WITH {SQL_GRAPH_CTES} SELECT src, dst FROM edges"
+
+    oracles["q_semi_join_vertices"] = f"WITH {SQL_GRAPH_CTES} SELECT src, dst FROM kept"
+
+    oracles["q_anti_join_vertices"] = f"""
+      WITH {SQL_GRAPH_CTES}
+      SELECT src, dst FROM edges WHERE dst NOT IN (SELECT id FROM verts)
+    """
+
+    oracles["q_union_null_edges"] = f"WITH {SQL_GRAPH_CTES} SELECT src, dst FROM aug"
+
+    oracles["q_adjacency_list"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      raw AS (SELECT src AS id, list_sort(list(dst)) AS l FROM aug GROUP BY src)
+      SELECT id,
+             to_json(CASE WHEN len(l) > 1 THEN list_filter(l, x -> x <> -1) ELSE l END) AS links_json
+      FROM raw
+    """
+
+    oracles["q_outdegree"] = f"""
+      WITH {SQL_GRAPH_CTES} SELECT src AS id, outdeg::INT AS outdeg FROM deg
+    """
+
+    oracles["q_pagerank_contribs"] = f"""
+      WITH {SQL_GRAPH_CTES}
+      SELECT e.dst AS id, round(sum(1.0::DOUBLE / dg.outdeg), 6) AS contrib
+      FROM fedges e JOIN deg dg ON e.src = dg.src GROUP BY e.dst
+    """
+
+    oracles["q_pagerank_iterate"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      {pr_iters}
+      SELECT id, round(pr, 6) AS pr FROM it10
+    """
+
+    oracles["q_topk_pagerank"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      {pr_iters}
+      SELECT id, round(pr, 6) AS pr FROM it10 ORDER BY round(pr, 6) DESC, id LIMIT 20
+    """
+
+    oracles["q_tfidf_score"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      {pr_iters},
+      tf AS (
+        SELECT term, doc_id, count(*)::INT AS tf FROM ({SQL_TOKEN_STREAM})
+        WHERE term IN ({terms_in}) GROUP BY term, doc_id
+      ),
+      dfreq AS (
+        SELECT term, count(DISTINCT doc_id)::INT AS df FROM ({SQL_TOKEN_STREAM})
+        WHERE term IN ({terms_in}) GROUP BY term
+      )
+      SELECT tf.term, tf.doc_id,
+             round(0.5 * tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df)
+                   + 0.5 * r.pr, 6) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term JOIN it10 r ON tf.doc_id = r.id
+    """
+
+    oracles["q_text_stats"] = f"""
+      SELECT lang, source, count(*) AS n_docs,
+             round(avg(n_chars), 6) AS avg_chars,
+             round(avg(len({SQL_TOKENS})), 6) AS avg_tokens
+      FROM documents GROUP BY lang, source
+    """
+
+    oracles["q_grouping_sets"] = """
+      SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+             count(*) AS n_docs
+      FROM documents GROUP BY ROLLUP(lang, source)
+    """
+
+    oracles["q_doc_profile"] = f"""
+      WITH base AS (
+        SELECT doc_id, lang, text, n_chars, {SQL_TOKENS} AS toks FROM documents
+      ),
+      scores AS (
+        SELECT b.doc_id, l.lang AS cand,
+               len(list_intersect(b.toks, l.markers)) AS score
+        FROM base b CROSS JOIN {_LANG_MARKERS_SQL}
+      ),
+      pred AS (
+        SELECT doc_id, cand AS lang_pred,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        FROM scores
+      )
+      SELECT b.doc_id, b.lang, p.lang_pred,
+             round(0.4::DOUBLE * least(b.n_chars / 2000.0::DOUBLE, 1.0::DOUBLE)
+                   + 0.3::DOUBLE * greatest(0.0::DOUBLE,
+                       1.0::DOUBLE - (length(regexp_replace(b.text, '[a-zA-Z0-9\\s]', '', 'g'))
+                                      / greatest(length(b.text), 1)) * 5)
+                   + 0.3::DOUBLE * (len(list_intersect(b.toks, {_STOPWORDS_SQL})) / 8.0::DOUBLE),
+                   6) AS quality,
+             (len(b.toks))::INT AS n_tokens,
+             substr(md5(array_to_string(b.toks, ' ')), 1, 16) AS fingerprint
+      FROM base b JOIN pred p ON b.doc_id = p.doc_id AND p.rn = 1
+    """
+
+    oracles["q_window_rank"] = """
+      SELECT lang, doc_id, n_chars, rn::INT AS rn FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+      ) WHERE rn <= 2
+    """
+
+    oracles["q_window_lag_sessionize"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, value,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      )
+      SELECT user_id, session_id, count(*) AS n_events,
+             round(sum(value), 6) AS sum_value
+      FROM sess GROUP BY user_id, session_id
+    """
+
+    oracles["q_tumbling_window"] = """
+      SELECT strftime(to_timestamp(((floor(epoch(ts) / 900))::BIGINT * 900)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2
+    """
+
+    oracles["q_exact_dedup"] = """
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+      FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """
+
+    oracles["q_exact_dedup_prefix"] = """
+      SELECT md5(substr(text, 1, 30)) AS text_hash, min(doc_id) AS keep_doc_id,
+             count(*) AS n_dups
+      FROM documents GROUP BY md5(substr(text, 1, 30)) HAVING count(*) > 1
+    """
+
+    oracles["q_near_dedup_minhash"] = f"""
+      WITH {_sql_minhash_ctes()}
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(DISTINCT a.band)::INT AS n_bands_shared
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    """
+
+    oracles["q_ngram_jaccard"] = f"""
+      WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+               ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]
+          END)) AS shingle
+        FROM toks
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT i.doc_a, i.doc_b,
+             round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 6) AS jaccard
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 6) >= {MIN_JACCARD}
+    """
+
+    oracles["q_simhash_pairs"] = f"""
+      WITH {_sql_simhash_ctes()}
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM sims a JOIN sims b
+        ON (a.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS}) = (b.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS})
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+    oracles["q_knn_cosine"] = """
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos_sim
+      FROM embeddings
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+    oracles["q_embedding_near_dup"] = f"""
+      WITH sig AS (
+        SELECT vec_id, embedding, ({_sql_hyperplane_bucket()}) AS bucket FROM embeddings
+      )
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEAR_DUP_MIN_COSINE}
+    """
+
+    oracles["q_join_broadcast_dims"] = """
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    """
+
+    oracles["q_pricing_summary"] = """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    oracles["q_distinct_intersect"] = """
+      SELECT c_custkey, 1 AS has_orders FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT c_custkey, 0 AS has_orders FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+    # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
+    return oracles
+
+
+def build_queries() -> dict[str, QueryFn]:
+    return {
+        "q_scan_project": q_scan_project,
+        "q_filter_predicate": q_filter_predicate,
+        "q_tokenize_explode": q_tokenize_explode,
+        "q_term_tf": q_term_tf,
+        "q_inverted_index_df": q_inverted_index_df,
+        "q_postings_collect": q_postings_collect,
+        "q_point_lookup_term": q_point_lookup_term,
+        "q_snippet_window": q_snippet_window,
+        "q_edges_extract": q_edges_extract,
+        "q_semi_join_vertices": q_semi_join_vertices,
+        "q_anti_join_vertices": q_anti_join_vertices,
+        "q_union_null_edges": q_union_null_edges,
+        "q_adjacency_list": q_adjacency_list,
+        "q_outdegree": q_outdegree,
+        "q_pagerank_contribs": q_pagerank_contribs,
+        "q_pagerank_iterate": q_pagerank_iterate,
+        "q_topk_pagerank": q_topk_pagerank,
+        "q_tfidf_score": q_tfidf_score,
+        "q_text_stats": q_text_stats,
+        "q_grouping_sets": q_grouping_sets,
+        "q_doc_profile": q_doc_profile,
+        "q_window_rank": q_window_rank,
+        "q_window_lag_sessionize": q_window_lag_sessionize,
+        "q_tumbling_window": q_tumbling_window,
+        "q_exact_dedup": q_exact_dedup,
+        "q_exact_dedup_prefix": q_exact_dedup_prefix,
+        "q_near_dedup_minhash": q_near_dedup_minhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_knn_cosine": q_knn_cosine,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_join_broadcast_dims": q_join_broadcast_dims,
+        "q_pricing_summary": q_pricing_summary,
+        "q_distinct_intersect": q_distinct_intersect,
+        "q_approx_distinct": q_approx_distinct,
+    }

@@ -1,0 +1,66 @@
+"""Parquet table catalog over the driver's testdata layout.
+
+Analog of the reference's sources (SURVEY.md S1/S2/S6): the reference read
+line-oriented text and SequenceFiles (pageRank.scala:342,351 in
+/root/reference); we standardize on columnar parquet so Catalyst gets
+predicate pushdown, column pruning and vectorized reads for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. A bare ``spark.read.parquet`` keeps the scan
+    declarative so filters/projections from downstream operators reach the
+    parquet reader (check ``PushedFilters``/``ReadSchema`` in explain).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which the vectorized Spark
+    reader rejects; we read it as long nanos (legacy conf) and convert to a
+    microsecond timestamp (same truncation DuckDB applies on its ns→µs
+    read), keeping the session conf untouched afterwards.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div: float division would lose precision at 1e18 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register testdata tables as temp views so operators can be written in
+    SQL when that is the clearer form."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
