@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized with a noop-format write so the full plan
+executes without collecting results to the driver (the reference's
+micro-bench M1, Query.scala:109-118, wrapped wall-clock the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_join_broadcast_dims",
+    "q_term_tf",
+    "q_postings_collect",
+    "q_tfidf_score",
+    "q_pagerank_iterate",
+    "q_topk_pagerank",
+    "q_near_dedup_minhash",
+    "q_simhash_pairs",
+    "q_ngram_jaccard",
+    "q_doc_profile",
+    "q_window_lag_sessionize",
+    "q_tumbling_window",
+    "q_knn_cosine",
+    "q_embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from page_rank_hadoop_spark import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,19 +25,33 @@ def md5_hash(col: Column | str, salt: int | None = None) -> Column:
     return F.md5(c)
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
 def minhash_signature(shingles: Column, n_hashes: int) -> Column:
-    """MinHash signature as an array of n hex strings.
+    """MinHash signature as an array of n bigints (Carter-Wegman family).
 
-    ``array_min(transform(shingles, s -> md5(i || s)))`` per permutation i.
-    All map-side, no shuffle; signature width n_hashes trades recall for
-    cost (n·|shingles| md5 calls per document).
+    One md5 per shingle, split into two 32-bit halves (a, b); the i-th
+    hash is ``(a + i·b) mod P`` with P the smallest prime > 2^32, so the
+    n_hashes permutations cost n cheap integer passes instead of n md5
+    passes (≈12× less hashing at n=12). All map-side, no shuffle; max
+    intermediate value a + n·b < 2^32·(n+1) stays far below 2^63, so the
+    arithmetic is overflow-free in both Spark and the DuckDB oracle.
     """
-    def salted(i: int):
-        # NB: a one-param lambda — a two-param lambda would be interpreted
-        # by transform() as (element, index) and shadow the closure.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+    ab = F.transform(
+        F.transform(shingles, lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("b"),
+        ),
+    )
 
-    sig = [F.array_min(F.transform(shingles, salted(i))) for i in range(n_hashes)]
+    def perm(i: int):
+        # one-param lambda on purpose: transform() treats two-param
+        # lambdas as (element, index)
+        return lambda x: (x["a"] + i * x["b"]) % MINHASH_PRIME
+
+    sig = [F.array_min(F.transform(ab, perm(i))) for i in range(n_hashes)]
     return F.array(*sig)
 
 
@@ -46,10 +60,11 @@ def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     hash) structs. Documents sharing any band key are near-dup candidates;
     the downstream band-key equi-join is the only shuffle in the pipeline.
     """
+    as_str = F.transform(signature, lambda h: h.cast("string"))
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")).alias(
+            F.md5(F.array_join(F.slice(as_str, b * rows_per_band + 1, rows_per_band), "|")).alias(
                 "key"
             ),
         )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from page_rank_hadoop_spark.functions.hashing import lsh_bands, minhash_signature, simhash64
+from page_rank_hadoop_spark.functions.hashing import MINHASH_PRIME
 from page_rank_hadoop_spark.functions.text import char_shingles, tokens, word_shingles
 
 
@@ -52,19 +52,46 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
-    Pipeline: shingle (map) → minhash signature (map) → explode band keys
-    (map) → self-equi-join on (band, key) via groupBy-collect (one
-    shuffle) → emit pairs. Returns distinct (doc_a, doc_b, n_bands_shared).
+    Pipeline: shingle-explode (map) → one md5 + 32-bit split per shingle
+    (plain codegen'd columns — higher-order-function forms defeat
+    subexpression elimination and recompute the hash per signature slot) →
+    groupBy(doc_id) with n_hashes Carter-Wegman ``min((a+i·b) mod P)``
+    aggregates (map-side combined) → band keys → band equi-join → pairs.
+    Two shuffles total (signature agg, band join), both on short keys.
     """
     rows_per_band = n_hashes // n_bands
-    sig = documents.select(
-        "doc_id",
-        minhash_signature(F.array_distinct(char_shingles("text", shingle_k)), n_hashes).alias(
-            "sig"
-        ),
+    sh = documents.select(
+        "doc_id", F.explode(F.array_distinct(char_shingles("text", shingle_k))).alias("s")
     )
-    banded = sig.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("b")
+    m = F.md5("s")
+    ab = sh.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("b"),
+    )
+    mh = ab.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = mh.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -78,8 +105,25 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """doc_id → 64-bit (60 effective) simhash over the token stream."""
-    return documents.select("doc_id", simhash64(tokens("text")).alias("simhash"))
+    """doc_id → 64-bit (60 effective) simhash over the token stream.
+
+    Exploded-aggregation form: one md5 per token occurrence, then a single
+    hash-aggregate with 60 bit-count sums per doc (map-side combined).
+    ~10× cheaper than per-row array scans — the per-doc-array form
+    (functions/hashing.simhash64) re-walks the hash array once per bit.
+    """
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    bit_sums = [
+        F.sum((F.shiftright(h, b) % 2)).alias(f"c{b}") for b in range(60)
+    ]
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    sim = F.lit(0).cast("long")
+    for b in range(60):
+        sim = sim + F.when(F.col(f"c{b}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:

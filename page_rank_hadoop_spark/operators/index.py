@@ -65,6 +65,17 @@ def document_frequencies(documents: DataFrame, cutoff: int = DF_CUTOFF) -> DataF
     )
 
 
+def df_from_tf(tf: DataFrame, cutoff: int = DF_CUTOFF) -> DataFrame:
+    """df derived from an existing term-frequency table — one small agg
+    instead of re-tokenizing the corpus (tf already has one row per
+    (term, doc))."""
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("int").alias("df"))
+        .filter(F.col("df") < cutoff)
+    )
+
+
 def inverted_index(documents: DataFrame, cutoff: int = DF_CUTOFF) -> DataFrame:
     """term → (df, postings array<struct<doc_id, tf, positions>>).
 
@@ -102,7 +113,9 @@ def tfidf_scores(
     """
     n_docs = documents.count()
     tf = term_frequencies(documents).filter(F.col("term").isin(query_terms))
-    df_ = document_frequencies(documents, cutoff).filter(F.col("term").isin(query_terms))
+    # df derived from tf — avoids a second full tokenization pass; with the
+    # isin filter applied first, both aggs touch only the query terms
+    df_ = df_from_tf(tf, cutoff)
     scored = (
         tf.join(df_, "term")
         .join(ranks, "doc_id")
