@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata struct
+(media_type, width/height or sample_rate, codec). The Spark-side plumbing
+— schema, partition-aware batching, Arrow-batched ``mapInPandas`` UDF
+signatures — is real and tested; the actual media decode is stubbed
+because codec libraries are not in this container:
+
+- ``decode_stub=False`` raises NotImplementedError (the production hook:
+  swap in PIL/av/soundfile inside ``_decode_batch``)
+- ``decode_stub=True`` produces a deterministic fake feature vector from
+  the payload bytes, so the distributed pipeline (schema, batch shapes,
+  partitioning) is exercised end-to-end.
+
+Scale notes: payloads never pass through Python row-at-a-time — Arrow
+batches carry them into pandas; frame-sample/resize return *new* binary
+columns so downstream stages stay columnar. Partition sizing matters more
+than usual here (payloads are MBs, not bytes): repartition by a size-aware
+key before heavy decode so one straggler partition doesn't hold the stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_FIELDS = "media_id bigint, media_type string, n_bytes int, features array<float>"
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decode→embed path: byte-histogram
+    moments. Replace with a real decoder when codec libs are available."""
+    if payload is None:
+        return [0.0] * FEATURE_DIM
+    n = max(len(payload), 1)
+    return [sum(payload[i::FEATURE_DIM]) / (255.0 * n) for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """binary payloads → fixed-width feature vectors via mapInPandas.
+
+    Arrow moves whole partitions as pandas batches; the UDF is pure
+    per-batch (no driver state), so the operator scales with partition
+    count. With ``decode_stub=False`` this is where a real image/audio
+    decoder plugs in.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries (PIL/av); "
+                    "run with decode_stub=True for the deterministic fake"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
+                    "features": pdf["payload"].map(_fake_features),
+                }
+            )
+
+    return media.mapInPandas(op, schema=_FEATURES_FIELDS)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 1024, frame_len: int = 64) -> DataFrame:
+    """Video-style frame sampling as pure column expressions: slice the
+    payload every N bytes into fixed-length binary 'frames' (explode).
+    Real frame extraction would swap the slicing for a codec call; the
+    partitioning/explode shape is identical."""
+    n_frames = F.greatest((F.length("payload") / every_n_bytes).cast("int"), F.lit(1))
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.substr(F.col("payload"), i * every_n_bytes + 1, F.lit(frame_len)),
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(frames).alias("frame_no", "frame"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-type payload stats — metadata-only (never touches payload bytes
+    beyond length, which parquet serves from column stats at scale)."""
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("payload")).alias("avg_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )

@@ -70,10 +70,16 @@ def rejected_edges(edges: DataFrame, verts: DataFrame) -> DataFrame:
 
 
 def augment_null_edges(kept_edges: DataFrame, verts: DataFrame, null_vid=NULL_VID) -> DataFrame:
-    """J2: edges ∪ {(v, NULL), (NULL, v) for every existing vertex v}."""
-    null_lit = F.lit(null_vid)
-    to_null = verts.select(F.col("id").alias("src"), null_lit.cast("long").alias("dst"))
-    from_null = verts.select(null_lit.cast("long").alias("src"), F.col("id").alias("dst"))
+    """J2: edges ∪ {(v, NULL), (NULL, v) for every existing vertex v}.
+
+    The sentinel is cast to the vertex id type, so the same operator works
+    for numeric graphs (testdata convention, sentinel −1) and the
+    reference's string titles (sentinel "NULL", pageRank.scala:242).
+    """
+    id_type = dict(verts.dtypes)["id"]
+    null_lit = F.lit(null_vid).cast(id_type)
+    to_null = verts.select(F.col("id").alias("src"), null_lit.alias("dst"))
+    from_null = verts.select(null_lit.alias("src"), F.col("id").alias("dst"))
     return kept_edges.unionByName(to_null).unionByName(from_null)
 
 

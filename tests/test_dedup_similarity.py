@@ -1,0 +1,90 @@
+"""Dedup + similarity operator semantics on controlled fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from page_rank_hadoop_spark.operators import dedup, similarity
+
+
+def _dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark query engines at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_duplicates(spark):
+    out = dedup.exact_duplicates(_dup_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["keep_doc_id"] == 1
+    assert out[0]["n_dups"] == 2
+
+
+def test_dedup_keep_first(spark):
+    kept = dedup.dedup_keep_first(_dup_docs(spark))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    pairs = dedup.minhash_lsh_pairs(_dup_docs(spark)).collect()
+    pairset = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"] for r in pairs}
+    assert pairset.get((1, 2)) == 4  # identical docs share every band
+    assert (1, 4) not in pairset and (2, 4) not in pairset
+
+
+def test_ngram_jaccard_scores(spark):
+    out = dedup.ngram_jaccard_pairs(_dup_docs(spark), n=3, min_jaccard=0.5)
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert (1, 3) in rows  # one-word edit keeps most shingles
+    assert all(v >= 0.5 for v in rows.values())
+
+
+def test_simhash_identical_zero_hamming(spark):
+    pairs = dedup.simhash_near_pairs(_dup_docs(spark), max_hamming=3).collect()
+    d = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert d.get((1, 2)) == 0
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_knn_cosine_ordering(spark):
+    out = similarity.knn_cosine(_emb(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+    assert out[2]["cos_sim"] == pytest.approx(0.0)
+
+
+def test_embedding_near_dup(spark):
+    out = similarity.embedding_near_dup_pairs(_emb(spark), min_cosine=0.9, n_planes=8)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    # 0 and 1 are near-identical; recall depends on sharing an LSH bucket,
+    # which holds for near-parallel vectors
+    assert pairs <= {(0, 1)}
+    knn_check = (0, 1) in pairs
+    assert knn_check  # cos(0,1) ≈ 0.994 → same signs on almost all planes
+
+
+def test_ivf_matches_brute_force_topk(spark):
+    """IVF probe bucket must contain the brute-force top-1."""
+    probe = [1.0, 0.0, 0.0, 0.0]
+    bf = similarity.knn_cosine(_emb(spark), probe, k=1).collect()[0]
+    ivf = similarity.ivf_knn_cosine(_emb(spark), probe, k=1, n_centroids=4, dim=4).collect()
+    assert ivf and ivf[0]["vec_id"] == bf["vec_id"]

@@ -1,0 +1,57 @@
+"""Inverted-index semantics on the FIXTURES.md §B2 fixture."""
+
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import index
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark makes pagerank easy"),
+            (2, "pagerank ranks pages pagerank"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_postings(spark):
+    inv = index.inverted_index(_fixture(spark))
+    row = inv.filter(F.col("term") == "pagerank").collect()[0]
+    assert row["df"] == 2
+    postings = [(p["doc_id"], p["tf"], list(p["positions"])) for p in row["postings"]]
+    assert postings == [(1, 1, [2]), (2, 2, [0, 3])]
+
+
+def test_df_cutoff(spark):
+    inv = index.inverted_index(_fixture(spark), cutoff=2)
+    terms = {r["term"] for r in inv.collect()}
+    assert "pagerank" not in terms  # df=2 not < 2
+    assert "spark" in terms
+
+
+def test_df_from_tf_matches_document_frequencies(docs):
+    tf = index.term_frequencies(docs)
+    a = {(r["term"], r["df"]) for r in index.df_from_tf(tf, cutoff=10**9).collect()}
+    b = {(r["term"], r["df"]) for r in index.document_frequencies(docs, cutoff=10**9).collect()}
+    assert a == b
+
+
+def test_snippet_window(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 40 + "needle" + "y" * 40), (2, "no hit here")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["snippet"] for r in index.snippet_window(docs, "needle").collect()}
+    assert list(out) == [1]
+    assert "needle" in out[1]
+    assert len(out[1]) == 50
+
+
+def test_tfidf_scoring_order(spark):
+    docs = _fixture(spark)
+    ranks = spark.createDataFrame([(1, 0.5), (2, 0.9)], ["doc_id", "pr"])
+    scored = index.tfidf_scores(docs, ranks, ["pagerank"], cutoff=10**9)
+    rows = scored.collect()
+    # df=2, N=2 → ln(1)=0 → score = 0.5·pr: doc 2 first
+    assert [r["doc_id"] for r in rows] == [2, 1]
+    assert rows[0]["score"] == 0.45

@@ -1,0 +1,74 @@
+"""PageRank invariants (SURVEY.md §5.3).
+
+With every vertex having outdeg ≥ 1 (the NULL wiring guarantees it), the
+scatter conserves mass, so total rank follows the exact recurrence
+Σpr_k = α + (1−α)·Σpr_{k−1} from pr₀ = 1.0 per vertex — the same dynamics
+as the reference's formula (pageRank.scala:310).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import graph, pagerank
+from page_rank_hadoop_spark.sources.corpus import parse_corpus_lines
+
+CORPUS = [
+    "<title>1</title> [[2]] [[4]]",
+    "<title>2</title> [[1]] [[3]]",
+    "<title>4</title>",
+]
+
+
+@pytest.fixture(scope="module")
+def adj(spark):
+    parsed = parse_corpus_lines(
+        spark.createDataFrame([(line,) for line in CORPUS], ["line"])
+    )
+    edges = parsed.select(F.col("title").alias("src"), F.explode("links").alias("dst"))
+    verts = parsed.select(F.col("title").alias("id")).distinct()
+    kept = graph.resolve_edges(edges, verts)
+    return graph.adjacency(kept, verts, null_vid="NULL")
+
+
+def test_mass_recurrence(adj):
+    n = adj.count()  # 4 vertices incl NULL
+    res = pagerank.run_pagerank(adj, fixed_iterations=3)
+    total = res.ranks.agg(F.sum("pr")).collect()[0][0]
+    expect = float(n)
+    for _ in range(3):
+        expect = 0.15 + 0.85 * expect
+    assert total == pytest.approx(expect, rel=1e-9)
+
+
+def test_fixed_point_formula(adj):
+    """One iteration from uniform pr=1: every vertex gets
+    α/N + (1−α)·Σ(1/outdeg of in-neighbors)."""
+    res = pagerank.run_pagerank(adj, fixed_iterations=1)
+    got = {r["id"]: r["pr"] for r in res.ranks.collect()}
+    # graph after strip: 1→[2,4], 2→[1], 4→[NULL], NULL→[1,2,4]
+    a, n = 0.15, 4
+    base = a / n
+    assert got["1"] == pytest.approx(base + 0.85 * (1.0 + 1.0 / 3))  # from 2, NULL
+    assert got["2"] == pytest.approx(base + 0.85 * (0.5 + 1.0 / 3))  # from 1, NULL
+    assert got["4"] == pytest.approx(base + 0.85 * (0.5 + 1.0 / 3))  # from 1, NULL
+    assert got["NULL"] == pytest.approx(base + 0.85 * 1.0)           # from 4
+
+
+def test_convergence_policy(adj):
+    """Reference policy (pageRank.scala:360-371): min 10 iterations, stop
+    when avgChange ≤ tol, cap 50. The tiny graph converges immediately, so
+    exactly 10 iterations must run."""
+    res = pagerank.run_pagerank(adj, min_iter=10, max_iter=50, tol=0.2)
+    assert res.iterations == 10
+    assert len(res.avg_changes) == 10
+    assert res.avg_changes[-1] <= 0.2
+    # avgChange decreasing after warmup
+    assert res.avg_changes[3] <= res.avg_changes[1]
+
+
+def test_topk_ordering(adj):
+    res = pagerank.run_pagerank(adj, fixed_iterations=5)
+    top = pagerank.top_k(res.ranks, 2).collect()
+    prs = [r["pr"] for r in top]
+    assert prs == sorted(prs, reverse=True)
+    assert len(top) == 2

@@ -1,0 +1,67 @@
+"""Text-analysis functions: language-ID, quality, fingerprint, shingles."""
+
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.functions.text import (
+    char_shingles,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from page_rank_hadoop_spark.operators import textstats
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist hier"),
+            (3, "le chat et la maison est grande"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred"] for r in df.select("doc_id", language_id("text").alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_language_id_tie_breaks_lexicographic(spark):
+    df = spark.createDataFrame([(1, "xyz qqq")], ["doc_id", "text"])
+    out = df.select(language_id("text").alias("pred")).collect()[0]["pred"]
+    assert out == "de"  # all scores 0 → first lang alphabetically
+
+
+def test_quality_score_bounds(docs):
+    vals = [r["q"] for r in docs.select(quality_score("text", "n_chars").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame([(1, "Hello world HELLO")], ["doc_id", "text"])
+    row = df.select(
+        token_count("text").alias("n"), fingerprint("text").alias("fp")
+    ).collect()[0]
+    assert row["n"] == 3
+    assert len(row["fp"]) == 16
+    # case-normalized: same fingerprint as the lower-cased text
+    row2 = spark.createDataFrame([(1, "hello world hello")], ["i", "text"]).select(
+        fingerprint("text").alias("fp")
+    ).collect()[0]
+    assert row["fp"] == row2["fp"]
+
+
+def test_shingle_edge_cases(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])  # shorter than k
+    ch = df.select(char_shingles("text", 8).alias("s")).collect()[0]["s"]
+    assert ch == ["abc"]
+    ws = df.select(word_shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert ws == ["abc"]
+
+
+def test_rollup_counts(docs):
+    out = textstats.rollup_stats(docs).collect()
+    total = [r for r in out if r["lang"] is None and r["source"] is None]
+    assert total[0]["n_docs"] == docs.count()
+    per_lang = {r["lang"]: r["n_docs"] for r in out if r["lang"] and r["source"] is None}
+    assert sum(per_lang.values()) == docs.count()

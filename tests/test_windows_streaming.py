@@ -1,0 +1,58 @@
+"""Window/sessionization semantics + streaming-vs-batch equivalence."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import windows
+from page_rank_hadoop_spark.streaming.replay import run_replay_to_memory
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 7, t0, 1.0),
+        (2, 7, t0 + dt.timedelta(minutes=10), 2.0),   # same session (gap 10m)
+        (3, 7, t0 + dt.timedelta(minutes=50), 3.0),   # new session (gap 40m)
+        (4, 8, t0, 4.0),                               # other user
+    ]
+    return spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+
+
+def test_sessionize_gap_semantics(spark):
+    out = windows.sessionize(_events(spark), gap_minutes=30)
+    sess = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert sess[1] == 1 and sess[2] == 1 and sess[3] == 2 and sess[4] == 1
+
+
+def test_session_stats(spark):
+    out = windows.session_stats(_events(spark), gap_minutes=30)
+    rows = {(r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"]) for r in out.collect()}
+    assert rows[(7, 1)] == (2, 3.0)
+    assert rows[(7, 2)] == (1, 3.0)
+    assert rows[(8, 1)] == (1, 4.0)
+
+
+def test_boundary_gap_exactly_30min_is_same_session(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 9, t0, 1.0), (2, 9, t0 + dt.timedelta(minutes=30), 1.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    out = windows.sessionize(ev, gap_minutes=30)
+    sess = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert sess[2] == 1  # strict > threshold starts a session, not >=
+
+
+def test_streaming_replay_matches_batch(spark):
+    """Structured Streaming replay of events must produce exactly the
+    batch tumbling-window result (same plan, streaming execution)."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    batch = windows.tumbling_window_counts(load_table(spark, SF0001, "events"))
+    stream = run_replay_to_memory(spark, SF0001, query_name="t_replay")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s
