@@ -56,15 +56,27 @@ def char_shingles(col: Column | str, k: int = 8) -> Column:
     return F.when(F.length(c) < k, F.array(c)).otherwise(grams)
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined) over the token stream."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over an already-materialized
+    token array column.
+
+    Callers should project ``tokens(text)`` into its own column FIRST and
+    pass the attribute reference: referencing a `regexp_extract_all` call
+    directly here makes Catalyst re-evaluate the regex inside the
+    ``transform`` lambda (measured ~1.7× slower end-to-end at sf0.1).
+    """
     return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over the token stream. Prefer
+    the two-step ``word_shingles_of`` form in hot paths (see its note)."""
+    return word_shingles_of(tokens(col), n)
 
 
 def language_id(col: Column | str) -> Column:

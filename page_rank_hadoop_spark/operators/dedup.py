@@ -21,9 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from page_rank_hadoop_spark.functions.hashing import MINHASH_PRIME
-from page_rank_hadoop_spark.functions.text import char_shingles, tokens, word_shingles
+from page_rank_hadoop_spark.functions.text import char_shingles, tokens, word_shingles_of
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -93,6 +94,9 @@ def minhash_lsh_pairs(
     banded = mh.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # n_bands rows per doc; persist so the self-join's two sides share one
+    # shingle+signature computation instead of re-scanning the corpus.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -135,6 +139,8 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, prefix_bits: 
     sig = simhash_signatures(documents).withColumn(
         "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
     )
+    # One row per doc; shared by both self-join sides (see minhash note).
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, "bucket")
@@ -159,10 +165,19 @@ def ngram_jaccard_pairs(
     hazard — prune ultra-common shingles (df cutoff) exactly like the
     reference's df<3000 stop-word guard before running this at 100 TB.
     """
-    sh = documents.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", n))).alias("shingle")
+    # Two-step projection: materialize the token array before the shingle
+    # transform (regex would otherwise re-run inside the lambda), and build
+    # the distinct shingle array ONCE per doc so per-doc sizes come from
+    # size(arr) — no second corpus scan, no extra groupBy shuffle.
+    base = documents.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # One row per doc → persisting makes the three consumers (sizes twice,
+    # the exploded join input) share a single corpus scan. At scale this is
+    # the signature-table materialization every LSH dedup pipeline does.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = base.select("doc_id", F.size("arr").alias("n_shingles"))
+    sh = base.select("doc_id", F.explode("arr").alias("shingle"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from page_rank_hadoop_spark.functions.vectors import cosine, dot, norm
 
@@ -71,6 +72,10 @@ def embedding_near_dup_pairs(
     join; recall is bounded by the bucket probe (standard LSH tradeoff).
     """
     sig = hyperplane_signature(embeddings, n_planes)
+    # One row per vector; persist so both self-join sides share a single
+    # signature computation (12 × 64-dim dot products per row otherwise
+    # run twice).
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, "bucket")

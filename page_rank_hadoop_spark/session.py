@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # 10MB (Spark's default) measured better than 64MB here: the dedup
+        # self-joins' shingle/band tables fall under a bigger threshold and
+        # the driver-side hashed-relation build is slower + GC-noisier than
+        # the sort-merge join it replaces. Dimension tables stay broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10MB")
         # ANSI mode off: we want permissive casts identical to the lenient
         # semantics the oracles assume (no runtime errors on edge values).
         .config("spark.sql.ansi.enabled", "false")
