@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "q_tumbling_window",
     "q_knn_cosine",
     "q_embedding_near_dup",
+    "q_asof_join",
+    "q_ivf_knn",
+    "q_media_features",
+    "q_search_snippets",
 ]
 
 

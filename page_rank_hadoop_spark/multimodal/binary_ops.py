@@ -50,7 +50,31 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 8
 
-_FEATURES_FIELDS = "media_id bigint, media_type string, n_bytes int, features array<float>"
+# features are float64: the values stay bit-identical to an independent
+# recomputation (the DuckDB oracle), which float32 storage would break
+_FEATURES_FIELDS = "media_id bigint, media_type string, n_bytes int, features array<double>"
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table over ``documents`` (testdata has
+    no binary column): payload = UTF-8 bytes of the text, media_type cycles
+    by doc_id. Lets the mapInPandas decode pipeline run under the driver's
+    oracle gate — the DuckDB twin recomputes the same features from the
+    text chars (pure-ASCII corpus, so char codes == payload bytes)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )
 
 
 def _fake_features(payload: bytes) -> list[float]:

@@ -63,6 +63,36 @@ def customers_with_without_orders(customer: DataFrame, orders: DataFrame) -> Dat
     return with_orders.unionByName(without)
 
 
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag.
+
+    ``percentile`` (exact, linear interpolation) matches DuckDB's
+    ``quantile_cont`` semantics so the oracle hash-compares; the scale
+    path would switch to ``percentile_approx`` (t-digest sketch,
+    single-pass mergeable) and a rows-only check.
+    """
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.95]))
+    return lineitem.groupBy("l_returnflag").agg(
+        F.to_json(F.transform(pct, lambda x: F.round(x, 4))).alias("pct_json"),
+        F.count("*").alias("n"),
+    )
+
+
+def cube_stats(documents: DataFrame) -> DataFrame:
+    """CUBE(lang, source) — all 4 grouping sets in one pass (Catalyst
+    expands to a single Expand + aggregate, one shuffle)."""
+    return (
+        documents.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "avg_chars",
+        )
+    )
+
+
 def approx_users_per_event_type(events: DataFrame) -> DataFrame:
     """HLL approximate distinct users per event type (sketch aggregate;
     rows-only correctness check — approx by design)."""

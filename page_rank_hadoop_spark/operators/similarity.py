@@ -92,16 +92,31 @@ def embedding_near_dup_pairs(
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> DataFrame:
     """Assign each vector to its nearest deterministic centroid (argmax
     cosine). The scale path writes this out ``partitionBy('centroid')`` so
-    a probe query scans one partition; here we return the assignment."""
+    a probe query scans one partition; here we return the assignment.
+
+    Argmax is ``array_position(sims, array_max(sims))`` over a materialized
+    sims column — first occurrence wins ties. (A fold of
+    ``when(cand > best, cand).otherwise(best)`` duplicates the whole
+    accumulated tree at every level: 2^16 expression nodes, which stalls
+    analysis/codegen for minutes. Arrays keep it linear.)
+    """
     import math
 
-    best = None
-    for c in range(n_centroids):
-        cent = [math.sin(c * 2971 + j * 7919) for j in range(dim)]
-        sim = cosine(F.col("embedding"), F.array(*[F.lit(x) for x in cent]))
-        cand = F.struct(sim.alias("sim"), F.lit(c).alias("centroid"))
-        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
-    return embeddings.select("vec_id", "embedding", best["centroid"].alias("centroid"))
+    sims = F.array(
+        *[
+            cosine(
+                F.col("embedding"),
+                F.array(*[F.lit(math.sin(c * 2971 + j * 7919)) for j in range(dim)]),
+            )
+            for c in range(n_centroids)
+        ]
+    )
+    with_sims = embeddings.select("vec_id", "embedding", sims.alias("sims"))
+    return with_sims.select(
+        "vec_id",
+        "embedding",
+        (F.array_position("sims", F.array_max("sims")) - 1).cast("int").alias("centroid"),
+    )
 
 
 def ivf_knn_cosine(

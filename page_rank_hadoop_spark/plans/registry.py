@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_hadoop_spark.functions.text import TOKEN_RE
-from page_rank_hadoop_spark.operators import dedup, graph, index, pagerank, relational
+from page_rank_hadoop_spark.multimodal.binary_ops import extract_features, media_from_documents
+from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank, relational
 from page_rank_hadoop_spark.operators import similarity, textstats, windows
 from page_rank_hadoop_spark.sources.catalog import load_table
 
@@ -180,6 +181,59 @@ def _planes(n_planes: int, dim: int) -> list[list[float]]:
     import math
 
     return [[math.sin(i * 7919 + j * 104729) for j in range(dim)] for i in range(n_planes)]
+
+
+N_CENTROIDS = 16
+
+
+def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+    """IVF oracle: centroid literals match operators/similarity.ivf_assign;
+    first-occurrence-of-max (list_position of list_max) mirrors the Spark
+    strictly-greater when-chain's first-wins tie behavior."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    return f"""
+      WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+      probe_c AS (
+        SELECT list_position({sims_of('p')}, list_max({sims_of('p')})) AS pc FROM probe
+      ),
+      assigned AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims_of('embedding::DOUBLE[]')},
+                             list_max({sims_of('embedding::DOUBLE[]')})) AS c
+        FROM embeddings
+      )
+      SELECT a.vec_id,
+             round(list_cosine_similarity(a.v, (SELECT p FROM probe)), 6) AS cos_sim
+      FROM assigned a WHERE a.c = (SELECT pc FROM probe_c)
+      ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _sql_media_features() -> str:
+    """DuckDB twin of multimodal._fake_features: the corpus is pure ASCII,
+    so char codes equal payload bytes; sums are exact ints and the final
+    float64 division is bit-identical to the Python computation."""
+    comps = []
+    for i in range(8):
+        comps.append(
+            f"round(coalesce(list_sum([ascii(substr(text, j, 1)) "
+            f"for j in range({i + 1}, length(text) + 1, 8)]), 0) "
+            f"/ (255.0::DOUBLE * greatest(length(text), 1)), 4)"
+        )
+    features = "[" + ", ".join(comps) + "]"
+    return f"""
+      SELECT doc_id AS media_id,
+             list_extract(['image', 'audio', 'video'], (doc_id % 3)::INT + 1) AS media_type,
+             length(text)::INT AS n_bytes,
+             to_json({features}) AS features_json
+      FROM documents
+    """
 
 
 EMB_DIM = 64
@@ -418,6 +472,89 @@ def q_distinct_intersect(spark, sf):
 
 def q_approx_distinct(spark, sf):
     return relational.approx_users_per_event_type(load_table(spark, sf, "events"))
+
+
+def q_dedup_keep_first(spark, sf):
+    return dedup.dedup_keep_first(_docs(spark, sf)).select("doc_id")
+
+
+def q_cube_stats(spark, sf):
+    return relational.cube_stats(_docs(spark, sf))
+
+
+def q_percentiles(spark, sf):
+    return relational.price_percentiles(load_table(spark, sf, "lineitem"))
+
+
+def q_search_snippets(spark, sf):
+    """Reference Q3+Q4 composed: score pages for a term, attach the
+    char-window snippet — the full interactive-search serving path."""
+    d = _docs(spark, sf)
+    ranks = _pagerank10(spark, sf).withColumnRenamed("id", "doc_id")
+    top = (
+        index.tfidf_scores(d, ranks, ["spark"], cutoff=10**9)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+    return top.join(index.snippet_window(d, "spark"), "doc_id").select(
+        "doc_id", "score", "snippet"
+    )
+
+
+def q_asof_join(spark, sf):
+    ev = load_table(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof.as_of_join(
+        purchases, clicks, on="user_id", right_payload=["event_id", "value"], prefix="click_"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "click_event_id",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
+def q_media_features(spark, sf):
+    """Multimodal decode pipeline (stubbed codec): binary payloads →
+    mapInPandas feature extraction; features rounded for the oracle."""
+    media = media_from_documents(_docs(spark, sf))
+    feats = extract_features(media, decode_stub=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.to_json(F.transform("features", lambda x: F.round(x.cast("double"), 4))).alias(
+            "features_json"
+        ),
+    )
+
+
+def q_media_stats(spark, sf):
+    from page_rank_hadoop_spark.multimodal.binary_ops import media_stats
+
+    media = media_from_documents(_docs(spark, sf))
+    s = media_stats(media)
+    return s.select(
+        "media_type", "n", F.round("avg_bytes", 6).alias("avg_bytes"), "max_bytes"
+    )
+
+
+def q_ivf_knn(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -708,6 +845,73 @@ def build_oracles() -> dict[str, str]:
       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """
 
+    oracles["q_dedup_keep_first"] = """
+      SELECT doc_id FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """
+
+    oracles["q_cube_stats"] = """
+      SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+             count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+      FROM documents GROUP BY CUBE(lang, source)
+    """
+
+    oracles["q_percentiles"] = """
+      SELECT l_returnflag,
+             to_json([round(x, 4) for x in
+                      quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])]) AS pct_json,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """
+
+    oracles["q_search_snippets"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      {pr_iters},
+      tf AS (
+        SELECT term, doc_id, count(*)::INT AS tf FROM ({SQL_TOKEN_STREAM})
+        WHERE term = 'spark' GROUP BY term, doc_id
+      ),
+      dfreq AS (
+        SELECT term, count(DISTINCT doc_id)::INT AS df FROM ({SQL_TOKEN_STREAM})
+        WHERE term = 'spark' GROUP BY term
+      ),
+      scored AS (
+        SELECT tf.doc_id,
+               round(0.5 * tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df)
+                     + 0.5 * r.pr, 6) AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term JOIN it10 r ON tf.doc_id = r.id
+      ),
+      top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+      SELECT t.doc_id, t.score,
+             substr(d.text, greatest(strpos(d.text, 'spark') - 20, 1), 50) AS snippet
+      FROM top t JOIN documents d ON t.doc_id = d.doc_id
+      WHERE strpos(d.text, 'spark') > 0
+    """
+
+    oracles["q_asof_join"] = """
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS event_id, arg_max(value, event_id) AS value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      ),
+      p AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+      )
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(c.ts) AS click_ts_us,
+             c.event_id AS click_event_id, round(c.value, 6) AS click_value
+      FROM p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    oracles["q_media_features"] = _sql_media_features()
+
+    oracles["q_media_stats"] = """
+      SELECT list_extract(['image', 'audio', 'video'], (doc_id % 3)::INT + 1) AS media_type,
+             count(*) AS n, round(avg(length(text)), 6) AS avg_bytes,
+             max(length(text))::INT AS max_bytes
+      FROM documents GROUP BY 1
+    """
+
+    oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     return oracles
 
@@ -749,4 +953,12 @@ def build_queries() -> dict[str, QueryFn]:
         "q_pricing_summary": q_pricing_summary,
         "q_distinct_intersect": q_distinct_intersect,
         "q_approx_distinct": q_approx_distinct,
+        "q_dedup_keep_first": q_dedup_keep_first,
+        "q_cube_stats": q_cube_stats,
+        "q_percentiles": q_percentiles,
+        "q_search_snippets": q_search_snippets,
+        "q_asof_join": q_asof_join,
+        "q_media_features": q_media_features,
+        "q_media_stats": q_media_stats,
+        "q_ivf_knn": q_ivf_knn,
     }

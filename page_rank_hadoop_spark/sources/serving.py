@@ -1,0 +1,39 @@
+"""Keyed serving tables — the engine's analog of the reference's HBase
+point-lookup sinks (SURVEY.md S4/S5: PageRankWriteToHBase,
+pageRank.scala:399-457, and InvertedIndexToHBase, invertedIndex.scala:126-178,
+both driver-side `Put(rowkey, ...)` loops).
+
+Spark-first replacement: write the result parquet REPARTITIONED AND SORTED
+by the lookup key. Parquet keeps per-row-group min/max stats per column, so
+a later ``filter(key == x)`` / ``isin`` prunes to the few row groups whose
+[min, max] covers the key — the columnar equivalent of an HBase rowkey
+range scan, with zero serving infrastructure. For a hot serving path the
+same write gains a ``bucketBy(key)`` variant into a warehouse table, which
+additionally removes the shuffle from any later join on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_keyed(df: DataFrame, path: str, key: str, n_files: int | None = None) -> None:
+    """Write ``df`` as a key-ordered parquet serving table.
+
+    ``repartitionByRange(key)`` gives disjoint key ranges per file (global
+    clustering), ``sortWithinPartitions`` orders rows inside each file so
+    row-group stats are tight. n_files defaults to Spark's range-partition
+    estimate; pin it for stable file counts in tests.
+    """
+    parted = (
+        df.repartitionByRange(n_files, key) if n_files else df.repartitionByRange(key)
+    )
+    parted.sortWithinPartitions(key).write.mode("overwrite").parquet(path)
+
+
+def read_point(spark: SparkSession, path: str, key: str, values: list) -> DataFrame:
+    """Point lookup on a keyed table (reference Q1/Q2 HBase ``Get``): an
+    ``isin`` predicate Catalyst pushes into the parquet scan — check
+    ``PushedFilters: [In(key, ...)]`` in ``.explain``."""
+    return spark.read.parquet(path).filter(F.col(key).isin(values))

@@ -1,0 +1,78 @@
+"""As-of join semantics + keyed serving-table sink (reference S4/S5 analog)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators.asof import as_of_join
+from page_rank_hadoop_spark.sources.serving import read_point, write_keyed
+
+
+def _t(m):
+    return dt.datetime(2026, 1, 1, 0, m, 0)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _t(5), 9.0), (2, 100, _t(10), 8.0), (3, 200, _t(3), 7.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, _t(2), 1.0),
+            (12, 100, _t(5), 2.0),   # equal-ts: visible to left @ :05
+            (13, 100, _t(7), 3.0),
+            (14, 300, _t(1), 4.0),   # key with no left rows
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    return left, right
+
+
+def test_asof_inner_matches_latest_at_or_before(spark):
+    left, right = _fixture(spark)
+    out = as_of_join(
+        left, right, on="user_id", right_payload=["event_id", "value"], prefix="r_"
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    # left @ :05 sees right @ :05 (equal ts inclusive), not :02
+    assert rows[1]["r_event_id"] == 12 and rows[1]["r_value"] == 2.0
+    # left @ :10 sees right @ :07
+    assert rows[2]["r_event_id"] == 13
+    # user 200 has no right rows at all → dropped by inner
+    assert 3 not in rows
+
+
+def test_asof_left_keeps_unmatched(spark):
+    left, right = _fixture(spark)
+    out = as_of_join(
+        left, right, on="user_id", right_payload=["event_id", "value"],
+        prefix="r_", how="left",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[3]["r_event_id"] is None and rows[3]["r_ts"] is None
+    # left columns pass through untouched
+    assert rows[3]["value"] == 7.0
+
+
+def test_asof_single_shuffle_plan(spark):
+    left, right = _fixture(spark)
+    out = as_of_join(left, right, on="user_id", right_payload=["value"])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one window over a union — no join operator anywhere in the plan
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_write_keyed_point_lookup_pushdown(spark, docs, tmp_path):
+    path = str(tmp_path / "served")
+    table = docs.select("doc_id", "lang", "n_chars")
+    write_keyed(table, path, key="doc_id", n_files=4)
+    got = read_point(spark, path, "doc_id", [3, 7]).collect()
+    assert sorted(r["doc_id"] for r in got) == [3, 7]
+    physical = (
+        read_point(spark, path, "doc_id", [3, 7])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(doc_id" in physical
