@@ -46,6 +46,56 @@ def test_boundary_gap_exactly_30min_is_same_session(spark):
     assert sess[2] == 1  # strict > threshold starts a session, not >=
 
 
+def test_stateful_sessionize_matches_batch_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionization must equal the batch lag+cumsum
+    operator, with state carried across TWO microbatches (one file each)."""
+    import os
+    import time
+
+    from page_rank_hadoop_spark.streaming.stateful import streaming_sessionize_stats
+
+    ev = _events(spark)
+    early = ev.filter(F.col("event_id") <= 2)
+    late = ev.filter(F.col("event_id") > 2)
+    d = str(tmp_path / "ev")
+    early.coalesce(1).write.parquet(d + "/b1")
+    late.coalesce(1).write.parquet(d + "/b2")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, sub in enumerate(("b1", "b2")):
+        for f in os.listdir(d + f"/{sub}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{sub}_{f}"
+                os.link(f"{d}/{sub}/{f}", dst)
+                os.utime(dst, (now + i, now + i))  # b1 strictly older → processed first
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_sessionize_stats(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    updates = spark.table("t_sessions")
+    # update mode appends every snapshot; n_events only grows per session,
+    # so the final shape is the max-n_events row per (user, session)
+    final = (
+        updates.groupBy("user_id", "session_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+        .select("user_id", "session_id", F.col("s.n_events"), F.col("s.sum_value"))
+    )
+    batch = windows.session_stats(ev, gap_minutes=30)
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
+
+
 def test_streaming_replay_matches_batch(spark):
     """Structured Streaming replay of events must produce exactly the
     batch tumbling-window result (same plan, streaming execution)."""
