@@ -1,0 +1,99 @@
+"""Physical-plan audit: assert the plans we want at scale, not just plans
+that pass.
+
+Checks, per query: column pruning reached the parquet scan (ReadSchema),
+filters were pushed (PushedFilters), small dimensions broadcast, top-k
+compiled to TakeOrderedAndProject (no global sort), and nothing degraded
+to CartesianProduct / row-at-a-time Python eval in a JVM-only query.
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.01)
+Exit code 1 if any expectation fails — wired into tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, [(kind, pattern), ...]) — kind: 'has' / 'not' regex over the
+# formatted physical plan, 'read_cols' exact ReadSchema column set for the
+# FIRST documents/lineitem scan.
+EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
+    ("q_scan_project", [("read_cols", "doc_id,lang,n_chars,source"), ("not", "Exchange")]),
+    (
+        "q_filter_predicate",
+        [
+            ("has", r"PushedFilters: \[.*IsNotNull\(lang\)"),
+            ("has", r"EqualTo\(lang,en\)"),
+            ("has", r"GreaterThanOrEqual\(n_chars,300\)"),
+        ],
+    ),
+    ("q_term_tf", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
+    (
+        "q_join_broadcast_dims",
+        [
+            ("has", r"BroadcastHashJoin.*c_custkey|BroadcastHashJoin"),
+            ("not", r"CartesianProduct"),
+        ],
+    ),
+    ("q_topk_pagerank", [("has", r"TakeOrderedAndProject")]),
+    ("q_knn_cosine", [("has", r"TakeOrderedAndProject"), ("not", r"\bSort\b.*global=true")]),
+    ("q_point_lookup_term", [("not", r"CartesianProduct")]),
+    (
+        "q_pricing_summary",
+        [("read_cols", "l_discount,l_extendedprice,l_linestatus,l_quantity,l_returnflag")],
+    ),
+    ("q_semi_join_vertices", [("has", r"(LeftSemi|left_semi)"), ("not", r"CartesianProduct")]),
+    ("q_anti_join_vertices", [("has", r"(LeftAnti|left_anti)")]),
+    ("q_asof_join", [("not", r"\bJoin\b"), ("has", r"Window")]),
+    ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
+    ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
+    ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
+]
+
+
+def first_read_schema(plan: str, table_hint: str = "") -> str | None:
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    return ",".join(sorted(cols))
+
+
+def main(sf_dir: str | None = None) -> int:
+    sf_dir = sf_dir or "/root/testdata/sf0.01"
+    from page_rank_hadoop_spark import get_spark
+    from page_rank_hadoop_spark.plans.registry import build_queries
+
+    spark = get_spark("plan_audit")
+    qs = build_queries()
+    failures = 0
+    for name, checks in EXPECTATIONS:
+        df = qs[name](spark, sf_dir)
+        plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        for kind, pat in checks:
+            if kind == "has":
+                ok = re.search(pat, plan) is not None
+            elif kind == "not":
+                ok = re.search(pat, plan) is None
+            elif kind == "read_cols":
+                ok = first_read_schema(plan) == pat
+            else:
+                raise ValueError(kind)
+            status = "ok  " if ok else "FAIL"
+            if not ok:
+                failures += 1
+                print(f"{status} {name}: {kind} {pat!r}")
+                if kind == "read_cols":
+                    print(f"      got: {first_read_schema(plan)}")
+            else:
+                print(f"{status} {name}: {kind} {pat!r}")
+    print(f"\n{failures} plan expectation failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else None))
