@@ -61,6 +61,57 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def range_count_preceding(
+    events: DataFrame,
+    anchor_type: str = "purchase",
+    count_type: str = "click",
+    window_seconds: int = 600,
+) -> DataFrame:
+    """For each ``anchor_type`` event: how many ``count_type`` events the
+    same user produced in the strictly-preceding ``window_seconds``.
+
+    This is a range join (events ⋈ events ON user AND ts BETWEEN ...)
+    expressed as ONE range-frame window pass — no self-join, no pair
+    blowup: sum an indicator over RANGE [-window, -1µs) per user, then
+    keep anchor rows. Scale profile: single shuffle on user_id + one
+    bounded sort, versus a range self-join's quadratic per-user fanout.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-window_seconds * 1_000_000, -1)
+    )
+    counted = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == count_type, 1).otherwise(0)).over(w),
+            F.lit(0),
+        ).alias("n_preceding"),
+    )
+    return counted.filter(F.col("event_type") == anchor_type).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "n_preceding"
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """JSON column surface: parse ``props`` (a JSON object string), extract
+    the numeric field, aggregate per event_type. ``from_json`` with an
+    explicit schema stays JVM-side (Jackson in codegen), never Python."""
+    k = F.from_json("props", "k int")["k"]
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 def tumbling_window_counts(events: DataFrame, minutes: int = 15) -> DataFrame:
     """Per-``minutes`` tumbling window: event count + value sum per
     event_type. Derived-bucket groupBy (window start as a truncated

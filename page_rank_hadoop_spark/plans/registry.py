@@ -527,6 +527,14 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_range_count(spark, sf):
+    return windows.range_count_preceding(load_table(spark, sf, "events"))
+
+
+def q_json_extract(spark, sf):
+    return windows.json_props_stats(load_table(spark, sf, "events"))
+
+
 def q_media_features(spark, sf):
     """Multimodal decode pipeline (stubbed codec): binary payloads →
     mapInPandas feature extraction; features rounded for the oracle."""
@@ -901,6 +909,23 @@ def build_oracles() -> dict[str, str]:
       FROM p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
     """
 
+    oracles["q_range_count"] = """
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, n_preceding FROM (
+        SELECT event_id, user_id, ts, event_type,
+               coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_preceding
+        FROM events
+      ) WHERE event_type = 'purchase'
+    """
+
+    oracles["q_json_extract"] = """
+      SELECT event_type, count(*) AS n,
+             sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+             round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k
+      FROM events GROUP BY event_type
+    """
+
     oracles["q_media_features"] = _sql_media_features()
 
     oracles["q_media_stats"] = """
@@ -958,6 +983,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_percentiles": q_percentiles,
         "q_search_snippets": q_search_snippets,
         "q_asof_join": q_asof_join,
+        "q_range_count": q_range_count,
+        "q_json_extract": q_json_extract,
         "q_media_features": q_media_features,
         "q_media_stats": q_media_stats,
         "q_ivf_knn": q_ivf_knn,
