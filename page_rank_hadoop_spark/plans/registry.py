@@ -373,6 +373,15 @@ def q_topk_pagerank(spark, sf):
     return pagerank.top_k(ranks, 20)
 
 
+def q_pagerank_converged(spark, sf):
+    """Reference iteration policy exactly (pageRank.scala:360-371): min 10
+    iterations, stop when avgChange ≤ 0.2, cap 50. Adaptive control flow →
+    no SQL oracle (driver records the rows-only check per the contract)."""
+    adj = _adjacency(spark, sf)
+    res = pagerank.run_pagerank(adj)
+    return res.ranks.select("id", F.round("pr", 6).alias("pr"))
+
+
 def q_tfidf_score(spark, sf):
     d = _docs(spark, sf)
     ranks = _pagerank10(spark, sf).withColumnRenamed("id", "doc_id")
@@ -959,6 +968,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_outdegree": q_outdegree,
         "q_pagerank_contribs": q_pagerank_contribs,
         "q_pagerank_iterate": q_pagerank_iterate,
+        "q_pagerank_converged": q_pagerank_converged,
         "q_topk_pagerank": q_topk_pagerank,
         "q_tfidf_score": q_tfidf_score,
         "q_text_stats": q_text_stats,
