@@ -93,6 +93,33 @@ def cube_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT OUTER join surface: every customer with their order count —
+    zero for customers without orders (the rows an inner join drops)."""
+    counts = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        customer.select("c_custkey")
+        .join(counts, "c_custkey", "left")
+        .select("c_custkey", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+def grouping_sets_stats(documents: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((lang), (source)) — the two one-dimension
+    marginals in one pass, distinct from rollup/cube. Uses the SQL form
+    (the DataFrame API has no groupingSets builder)."""
+    documents.createOrReplaceTempView("_gs_docs")
+    return documents.sparkSession.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs
+        FROM _gs_docs GROUP BY GROUPING SETS ((lang), (source))
+        """
+    )
+
+
 def approx_users_per_event_type(events: DataFrame) -> DataFrame:
     """HLL approximate distinct users per event type (sketch aggregate;
     rows-only correctness check — approx by design)."""

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_rank_hadoop_spark.functions.text import TOKEN_RE
-from page_rank_hadoop_spark.multimodal.binary_ops import extract_features, media_from_documents
+from page_rank_hadoop_spark.multimodal.binary_ops import (
+    extract_features,
+    frame_sample,
+    media_from_documents,
+)
 from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank, relational
 from page_rank_hadoop_spark.operators import similarity, textstats, windows
 from page_rank_hadoop_spark.sources.catalog import load_table
@@ -496,6 +500,31 @@ def q_approx_distinct(spark, sf):
     return relational.approx_users_per_event_type(load_table(spark, sf, "events"))
 
 
+def q_outer_join_counts(spark, sf):
+    return relational.customer_order_counts(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def q_grouping_sets_marginals(spark, sf):
+    return relational.grouping_sets_stats(_docs(spark, sf))
+
+
+def q_frame_sample(spark, sf):
+    """Multimodal frame sampling: slice binary payloads into fixed-length
+    frames (posexplode). Frames compared base64 so the oracle can recompute
+    them from the ASCII text."""
+    media = media_from_documents(_docs(spark, sf))
+    frames = frame_sample(media, every_n_bytes=1024, frame_len=64)
+    # Spark's base64 is MIME-chunked (\r\n every 76 chars); strip to match
+    # the oracle's unchunked RFC 4648 form
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.regexp_replace(F.base64("frame"), "[\\r\\n]", "").alias("frame_b64"),
+    )
+
+
 def q_dedup_keep_first(spark, sf):
     return dedup.dedup_keep_first(_docs(spark, sf)).select("doc_id")
 
@@ -875,6 +904,30 @@ def build_oracles() -> dict[str, str]:
       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """
 
+    oracles["q_outer_join_counts"] = """
+      SELECT c.c_custkey, coalesce(o.n, 0)::BIGINT AS n_orders
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+      ) o ON c.c_custkey = o.o_custkey
+    """
+
+    oracles["q_grouping_sets_marginals"] = """
+      SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+             count(*) AS n_docs
+      FROM documents GROUP BY GROUPING SETS ((lang), (source))
+    """
+
+    oracles["q_frame_sample"] = """
+      SELECT doc_id AS media_id, (u.f.frame_no)::INT AS frame_no,
+             base64(encode(u.f.fr)) AS frame_b64
+      FROM (
+        SELECT doc_id,
+               [{'frame_no': i, 'fr': substr(text, i*1024 + 1, 64)}
+                for i in range(0, greatest((length(text) // 1024)::INT, 1))] AS fs
+        FROM documents
+      ), unnest(fs) u(f)
+    """
+
     oracles["q_dedup_keep_first"] = """
       SELECT doc_id FROM documents
       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
@@ -1002,6 +1055,9 @@ def build_queries() -> dict[str, QueryFn]:
         "q_distinct_intersect": q_distinct_intersect,
         "q_approx_distinct": q_approx_distinct,
         "q_dedup_keep_first": q_dedup_keep_first,
+        "q_outer_join_counts": q_outer_join_counts,
+        "q_grouping_sets_marginals": q_grouping_sets_marginals,
+        "q_frame_sample": q_frame_sample,
         "q_cube_stats": q_cube_stats,
         "q_percentiles": q_percentiles,
         "q_search_snippets": q_search_snippets,
