@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): operator semantics vs naive Python
+reference implementations on randomized small inputs. These catch the
+boundary cases fixtures miss (equal timestamps, singleton groups, empty
+matches)."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from page_rank_hadoop_spark.operators import windows
+from page_rank_hadoop_spark.operators.asof import as_of_join
+from page_rank_hadoop_spark.operators.dedup import exact_duplicates
+
+# keep Spark round-trips modest: few examples, small lists
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_ts = st.integers(min_value=0, max_value=3600)  # seconds within an hour
+_uid = st.integers(min_value=1, max_value=3)
+
+
+@st.composite
+def _event_rows(draw, min_size=0, max_size=12):
+    rows = draw(
+        st.lists(st.tuples(_uid, _ts), min_size=min_size, max_size=max_size, unique=True)
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        (i + 1, uid, t0 + dt.timedelta(seconds=s), float(i))
+        for i, (uid, s) in enumerate(rows)
+    ]
+
+
+@given(left=_event_rows(min_size=1), right=_event_rows())
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    ldf = spark.createDataFrame(left, ["event_id", "user_id", "ts", "value"])
+    rdf = spark.createDataFrame(
+        right or [(0, -99, dt.datetime(2024, 1, 1), 0.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    got = {
+        r["event_id"]: (r["r_event_id"], r["r_ts"])
+        for r in as_of_join(
+            ldf, rdf, on="user_id", right_payload=["event_id"], prefix="r_", how="left"
+        ).collect()
+    }
+    rows = right or [(0, -99, dt.datetime(2024, 1, 1), 0.0)]
+    for eid, uid, ts, _ in left:
+        cands = [(rts, reid) for reid, ruid, rts, _ in rows if ruid == uid and rts <= ts]
+        want = max(cands) if cands else None  # latest ts, then max event_id
+        assert got[eid] == ((want[1], want[0]) if want else (None, None)), (
+            f"left {eid}: got {got[eid]}, want {want}"
+        )
+
+
+@given(rows=_event_rows(min_size=1))
+@settings(**SETTINGS)
+def test_sessionize_matches_naive(spark, rows):
+    gap_s = 600
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in windows.sessionize(df, gap_minutes=10).collect()
+    }
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, _ in sorted(rows, key=lambda r: (r[2], r[0])):
+        by_user.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_user.items():
+        sid, last = 1, None
+        for ts, eid in evs:
+            if last is not None and (ts - last).total_seconds() > gap_s:
+                sid += 1
+            assert got[eid] == sid, f"event {eid}: got {got[eid]}, want {sid}"
+            last = ts
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["aaa", "bbb", "ccc", "ddd"]), min_size=1, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_matches_naive(spark, texts):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["keep_doc_id"], r["n_dups"]) for r in exact_duplicates(df).collect()
+    }
+    want = set()
+    for t in set(texts):
+        ids = [i for i, tt in docs if tt == t]
+        if len(ids) > 1:
+            want.add((min(ids), len(ids)))
+    assert got == want
