@@ -93,6 +93,31 @@ def cube_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key's big-side rows over
+    ``n_salts`` sub-keys (deterministic hash of ``salt_cols``), replicate
+    the small side once per salt, join on (key, salt).
+
+    AQE's skew-join split handles sort-merge skew at runtime; this manual
+    form is for the cases AQE cannot touch — skewed SHUFFLE-HASH/broadcast
+    build sides, pre-aggregation hot keys, or static plans. Cost model: the
+    small side grows ×n_salts (keep it the genuinely small side); the big
+    side's hot partitions shrink ÷n_salts.
+    """
+    salt_src = [F.col(c) for c in (salt_cols or big.columns)]
+    b = big.withColumn("__salt", F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [on, "__salt"]).drop("__salt")
+
+
 def customer_order_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """LEFT OUTER join surface: every customer with their order count —
     zero for customers without orders (the rows an inner join drops)."""
