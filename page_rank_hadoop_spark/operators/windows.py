@@ -96,6 +96,21 @@ def range_count_preceding(
     )
 
 
+def daily_event_breakdown(events: DataFrame) -> DataFrame:
+    """Date/time function surface: truncate to day, ISO day-of-week, hour
+    bucketing — grouped counts. All built-in datetime expressions."""
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .groupBy("day", "dow", "hour", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """JSON column surface: parse ``props`` (a JSON object string), extract
     the numeric field, aggregate per event_type. ``from_json`` with an

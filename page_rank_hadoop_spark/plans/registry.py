@@ -586,6 +586,10 @@ def q_json_extract(spark, sf):
     return windows.json_props_stats(load_table(spark, sf, "events"))
 
 
+def q_date_breakdown(spark, sf):
+    return windows.daily_event_breakdown(load_table(spark, sf, "events"))
+
+
 def q_media_features(spark, sf):
     """Multimodal decode pipeline (stubbed codec): binary payloads →
     mapInPandas feature extraction; features rounded for the oracle."""
@@ -994,6 +998,14 @@ def build_oracles() -> dict[str, str]:
       ) WHERE event_type = 'purchase'
     """
 
+    oracles["q_date_breakdown"] = """
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             (dayofweek(ts) + 1)::INT AS dow,
+             hour(ts)::INT AS hour,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2, 3, 4
+    """
+
     oracles["q_json_extract"] = """
       SELECT event_type, count(*) AS n,
              sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
@@ -1064,6 +1076,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_asof_join": q_asof_join,
         "q_range_count": q_range_count,
         "q_json_extract": q_json_extract,
+        "q_date_breakdown": q_date_breakdown,
         "q_media_features": q_media_features,
         "q_media_stats": q_media_stats,
         "q_ivf_knn": q_ivf_knn,
