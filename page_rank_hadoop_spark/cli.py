@@ -1,0 +1,174 @@
+"""CLI entry points mirroring the reference's four commands
+(/root/reference/README.md:15-68):
+
+  hadoop jar … InvertedIndexMapReduce <in> <out>   → cli index
+  hadoop jar … PageRankMapReduce <in> <out>        → cli pagerank
+  …ToHBase loaders                                 → the keyed parquet the
+                                                     commands above already
+                                                     write (sources/serving)
+  hadoop jar … Query <idx> <pr> <corpus>           → cli query
+
+Usage:
+  python -m page_rank_hadoop_spark.cli index    <input> <out_dir> [--format parquet|corpus]
+  python -m page_rank_hadoop_spark.cli pagerank <input> <out_dir> [--format parquet|corpus]
+                                                [--iterations N | --converge]
+  python -m page_rank_hadoop_spark.cli query    <index_dir> <ranks_dir> <input> <term> [term ...]
+
+``--format corpus`` reads the reference's line-oriented wiki dump
+(<title>…</title>, [[link]], <text>…</text>) via sources/corpus.py;
+``parquet`` reads a documents table (doc_id, text, …). Outputs are keyed
+serving tables (term- / id-sorted parquet — the HBase-sink analog) plus,
+for pagerank, the reference's tab-separated final ranking (S3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load_documents(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    if fmt == "corpus":
+        from page_rank_hadoop_spark.sources.corpus import read_corpus
+
+        # the reference keys everything by title (string ids); all graph/
+        # index operators are id-type-agnostic, so titles pass through
+        parsed = read_corpus(spark, path)
+        return parsed.select(
+            F.col("title").alias("doc_id"), F.col("links"), F.col("text")
+        )
+    return spark.read.parquet(path)
+
+
+def _graph_edges(docs: DataFrame, fmt: str) -> tuple[DataFrame, DataFrame, str]:
+    """(vertices, edges, null_vid) per input format: real ``[[link]]``
+    edges for corpus input (reference P2), the documented token-hash
+    convention for the link-free parquet testdata."""
+    from page_rank_hadoop_spark.operators import graph
+
+    verts = graph.vertices(docs)
+    if fmt == "corpus":
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode("links").alias("dst")
+        ).distinct()
+        return verts, edges, "NULL"
+    return verts, graph.extract_edges(docs), graph.NULL_VID
+
+
+def cmd_index(spark: SparkSession, args: argparse.Namespace) -> int:
+    from page_rank_hadoop_spark.operators.index import inverted_index
+    from page_rank_hadoop_spark.sources.serving import write_keyed
+
+    docs = _load_documents(spark, args.input, args.format)
+    inv = inverted_index(docs, cutoff=args.df_cutoff)
+    write_keyed(inv, os.path.join(args.out, "index"), key="term")
+    print(f"index: {inv.count()} terms → {args.out}/index")
+    return 0
+
+
+def cmd_pagerank(spark: SparkSession, args: argparse.Namespace) -> int:
+    from page_rank_hadoop_spark.operators import graph, pagerank
+    from page_rank_hadoop_spark.sources.serving import write_keyed
+
+    docs = _load_documents(spark, args.input, args.format)
+    verts, edges, null_vid = _graph_edges(docs, args.format)
+    kept = graph.resolve_edges(edges, verts)
+    adj = graph.adjacency(kept, verts, null_vid=null_vid)
+    res = pagerank.run_pagerank(
+        adj, fixed_iterations=None if args.converge else args.iterations
+    )
+    ranks = res.ranks
+    write_keyed(ranks, os.path.join(args.out, "ranks"), key="id")
+    # reference S3: final tab-separated ranking, desc by (pr, id)
+    (
+        pagerank.top_k(ranks)
+        .select(F.col("id").cast("string"), F.format_number("pr", 6))
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .csv(os.path.join(args.out, "ranks_tsv"))
+    )
+    print(
+        f"pagerank: {ranks.count()} vertices, {res.iterations} iterations "
+        f"→ {args.out}/ranks (+ ranks_tsv)"
+    )
+    return 0
+
+
+def cmd_query(spark: SparkSession, args: argparse.Namespace) -> int:
+    from page_rank_hadoop_spark.operators.index import snippet_window
+    from page_rank_hadoop_spark.sources.serving import read_point
+
+    docs = _load_documents(spark, args.input, args.format)
+    n_docs = docs.count()
+    postings = (
+        read_point(spark, args.index_dir, "term", args.terms)
+        .select("term", "df", F.explode("postings").alias("p"))
+        .select("term", "df", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+    )
+    ranks = spark.read.parquet(args.ranks_dir).withColumnRenamed("id", "doc_id")
+    scored = postings.join(ranks, "doc_id").select(
+        "term",
+        "doc_id",
+        (
+            0.5 * F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+            + 0.5 * F.col("pr")
+        ).alias("score"),
+    )
+    # the reference printed postings unsorted (Query.scala:92); we rank
+    out = scored.orderBy(F.desc("score"), "term", "doc_id").limit(args.top_k)
+    rows = out.collect()
+    snippets = {}
+    for term in args.terms:
+        for r in snippet_window(docs, term).collect():
+            snippets[(term, r["doc_id"])] = r["snippet"]
+    for r in rows:
+        snip = snippets.get((r["term"], r["doc_id"]), "")
+        print(f"{r['term']}\t{r['doc_id']}\t{r['score']:.6f}\t{snip}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--format", choices=("parquet", "corpus"), default="parquet")
+
+    pi = sub.add_parser("index", parents=[common])
+    pi.add_argument("input")
+    pi.add_argument("out")
+    pi.add_argument("--df-cutoff", type=int, default=3000)  # invertedIndex.scala:93
+    pi.set_defaults(fn=cmd_index)
+
+    pp = sub.add_parser("pagerank", parents=[common])
+    pp.add_argument("input")
+    pp.add_argument("out")
+    pp.add_argument("--iterations", type=int, default=10)
+    pp.add_argument("--converge", action="store_true",
+                    help="reference policy: min 10, stop at avgChange<=0.2, cap 50")
+    pp.set_defaults(fn=cmd_pagerank)
+
+    pq = sub.add_parser("query", parents=[common])
+    pq.add_argument("index_dir")
+    pq.add_argument("ranks_dir")
+    pq.add_argument("input")
+    pq.add_argument("terms", nargs="+")
+    pq.add_argument("--top-k", type=int, default=10)
+    pq.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from page_rank_hadoop_spark import get_spark
+
+    spark = get_spark("cli")
+    return args.fn(spark, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

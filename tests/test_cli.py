@@ -1,0 +1,48 @@
+"""End-to-end CLI parity: index → pagerank → query, mirroring the
+reference's command sequence (README.md:15-68) on the sf0.001 documents
+table."""
+
+from page_rank_hadoop_spark.cli import main
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_cli_index_pagerank_query(spark, tmp_path, capsys):
+    out = str(tmp_path / "engine")
+    assert main(["index", f"{SF0001}/documents.parquet", out]) == 0
+    assert main(["pagerank", f"{SF0001}/documents.parquet", out, "--iterations", "3"]) == 0
+    assert (
+        main(
+            [
+                "query",
+                f"{out}/index",
+                f"{out}/ranks",
+                f"{SF0001}/documents.parquet",
+                "spark",
+                "data",
+            ]
+        )
+        == 0
+    )
+    printed = capsys.readouterr().out
+    lines = [l for l in printed.splitlines() if "\t" in l]
+    assert lines, printed
+    # ranked results: term \t doc_id \t score \t snippet
+    first = lines[0].split("\t")
+    assert first[0] in ("spark", "data")
+    assert float(first[2]) == float(first[2])  # parses as a score
+
+
+def test_cli_corpus_format(spark, tmp_path):
+    corpus = tmp_path / "dump.txt"
+    corpus.write_text(
+        "<title>A</title><text>alpha beta [[B]] words spark here</text>\n"
+        "<title>B</title><text>gamma delta [[A]] more spark text</text>\n"
+    )
+    out = str(tmp_path / "eng2")
+    assert main(["index", str(corpus), out, "--format", "corpus"]) == 0
+    assert main(["pagerank", str(corpus), out, "--format", "corpus", "--iterations", "2"]) == 0
+    # corpus graphs use REAL [[link]] edges with title ids + NULL sentinel
+    ranks = spark.read.parquet(f"{out}/ranks")
+    ids = {r["id"] for r in ranks.collect()}
+    assert ids == {"A", "B", "NULL"}
