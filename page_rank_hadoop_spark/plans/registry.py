@@ -457,6 +457,15 @@ def q_simhash_pairs(spark, sf):
     )
 
 
+def q_simhash_multiprobe(spark, sf):
+    return dedup.simhash_near_pairs_multiprobe(
+        _docs(spark, sf),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        prefix_bits=SIMHASH_PREFIX_BITS,
+        n_probes=5,
+    )
+
+
 def _probe(spark, sf) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
@@ -859,6 +868,24 @@ def build_oracles() -> dict[str, str]:
       WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """
 
+    probe_joins = "\n      UNION ".join(
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM sims a JOIN sims b
+        ON ((a.simhash >> {r * SIMHASH_PREFIX_BITS}) & {(1 << SIMHASH_PREFIX_BITS) - 1})
+         = ((b.simhash >> {r * SIMHASH_PREFIX_BITS}) & {(1 << SIMHASH_PREFIX_BITS) - 1})
+       AND a.doc_id < b.doc_id"""
+        for r in range(5)
+    )
+    oracles["q_simhash_multiprobe"] = f"""
+      WITH {_sql_simhash_ctes()},
+      cand AS (
+      {probe_joins}
+      )
+      SELECT DISTINCT doc_a, doc_b, hamming FROM cand
+      WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+
     oracles["q_knn_cosine"] = """
       SELECT vec_id,
              round(list_cosine_similarity(embedding::DOUBLE[],
@@ -1060,6 +1087,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_near_dedup_minhash": q_near_dedup_minhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_simhash_multiprobe": q_simhash_multiprobe,
         "q_knn_cosine": q_knn_cosine,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_join_broadcast_dims": q_join_broadcast_dims,

@@ -28,6 +28,35 @@ def test_dedup_keep_first(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
 
 
+def test_simhash_multiprobe_recall(spark, docs):
+    """5 disjoint 12-bit windows cover all 60 bits, so multiprobe is a
+    strict superset of the top-window single probe, and by pigeonhole it
+    finds EVERY pair with hamming <= 4 (a pair differing in <= 4 bits
+    cannot disagree in all 5 windows)."""
+    d = docs.limit(60)
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(d, max_hamming=20, prefix_bits=12).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs_multiprobe(
+            d, max_hamming=20, prefix_bits=12, n_probes=5
+        ).collect()
+    }
+    assert single <= multi
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(d).collect()}
+    ids = sorted(sigs)
+    brute_low = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    assert brute_low <= multi  # pigeonhole guarantee
+
+
 def test_minhash_identical_docs_always_pair(spark):
     pairs = dedup.minhash_lsh_pairs(_dup_docs(spark)).collect()
     pairset = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"] for r in pairs}
