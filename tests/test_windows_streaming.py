@@ -96,6 +96,73 @@ def test_stateful_sessionize_matches_batch_across_microbatches(spark, tmp_path):
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
 
 
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    """Append-mode watermark semantics: a 15-min window finalizes once the
+    watermark (30 min) passes its end, and a late event arriving after
+    that is DROPPED — the finalized window must not include it."""
+    import os
+    import time
+
+    from page_rank_hadoop_spark.streaming.replay import streaming_tumbling_counts
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batches = [
+        # batch 1: three on-time events in window [00:00, 00:15)
+        [(1, t0 + dt.timedelta(minutes=1), "click", 1.0),
+         (2, t0 + dt.timedelta(minutes=5), "click", 1.0),
+         (3, t0 + dt.timedelta(minutes=9), "click", 1.0)],
+        # batch 2: far-future event advances the watermark past 00:15+30m
+        [(4, t0 + dt.timedelta(minutes=90), "click", 1.0)],
+        # batch 3: neutral event — the advanced watermark takes effect,
+        # finalizing + evicting the first window (watermark enforcement is
+        # lazy: a late row in the SAME batch as the advance still merges)
+        [(6, t0 + dt.timedelta(minutes=91), "click", 1.0)],
+        # batch 4: late event back inside the finalized window → dropped
+        [(5, t0 + dt.timedelta(minutes=2), "click", 1.0)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp_dir = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp_dir)
+        for f in os.listdir(tmp_dir):
+            if f.endswith(".parquet"):
+                dst = f"{src}/b{i}_{f}"
+                os.link(f"{tmp_dir}/{f}", dst)
+                os.utime(dst, (now + i, now + i))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = streaming_tumbling_counts(stream, minutes=15, watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_watermark")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.table("t_watermark").collect()
+    rows = {r["window_start"]: r["n"] for r in emitted}
+    # the finalized [00:00, 00:15) window holds ONLY the 3 on-time events
+    assert rows.get("2024-06-01 00:00:00") == 3
+    # exactly one emission per finalized window (no late-recreate duplicate)
+    assert len(emitted) == len(rows)
+    # the far-future window never finalized → absent in append mode
+    assert "2024-06-01 01:30:00" not in rows
+    # the state operator reported the late row dropped
+    drops = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert drops == 1
+
+
 def test_streaming_replay_matches_batch(spark):
     """Structured Streaming replay of events must produce exactly the
     batch tumbling-window result (same plan, streaming execution)."""
