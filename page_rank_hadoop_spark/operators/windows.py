@@ -96,6 +96,40 @@ def range_count_preceding(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame, minutes: int = 15, slide_minutes: int = 5
+) -> DataFrame:
+    """Hopping/sliding event-time windows: each event lands in
+    window/slide overlapping buckets (``F.window`` with a slide —
+    Catalyst expands to a generate + groupBy, one shuffle)."""
+    w = F.window("ts", f"{minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def pivot_counts_by_day(events: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Pivot/crosstab surface: one row per day, one count column per
+    event_type (explicit value list keeps the schema static — required
+    for a deterministic plan; Spark would otherwise collect the distinct
+    values first)."""
+    types = types or ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def daily_event_breakdown(events: DataFrame) -> DataFrame:
     """Date/time function surface: truncate to day, ISO day-of-week, hour
     bucketing — grouped counts. All built-in datetime expressions."""

@@ -599,6 +599,26 @@ def q_date_breakdown(spark, sf):
     return windows.daily_event_breakdown(load_table(spark, sf, "events"))
 
 
+def q_sliding_window(spark, sf):
+    return windows.sliding_window_counts(load_table(spark, sf, "events"))
+
+
+def q_pivot_counts(spark, sf):
+    return windows.pivot_counts_by_day(load_table(spark, sf, "events"))
+
+
+def q_zscore_groupmap(spark, sf):
+    from page_rank_hadoop_spark.operators.pandas_ops import zscore_per_group
+
+    return zscore_per_group(_docs(spark, sf))
+
+
+def q_weighted_avg_udaf(spark, sf):
+    from page_rank_hadoop_spark.operators.pandas_ops import weighted_avg_chars
+
+    return weighted_avg_chars(_docs(spark, sf))
+
+
 def q_media_features(spark, sf):
     """Multimodal decode pipeline (stubbed codec): binary payloads →
     mapInPandas feature extraction; features rounded for the oracle."""
@@ -1033,6 +1053,46 @@ def build_oracles() -> dict[str, str]:
       FROM events GROUP BY 1, 2, 3, 4
     """
 
+    oracles["q_sliding_window"] = """
+      SELECT strftime(to_timestamp(s), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM (
+        SELECT event_type, value,
+               unnest([(floor(epoch(ts)/300)*300 - 600)::BIGINT,
+                       (floor(epoch(ts)/300)*300 - 300)::BIGINT,
+                       (floor(epoch(ts)/300)*300)::BIGINT]) AS s
+        FROM events
+      )
+      GROUP BY 1, 2
+    """
+
+    oracles["q_pivot_counts"] = """
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'error') AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY 1
+    """
+
+    oracles["q_zscore_groupmap"] = """
+      SELECT doc_id, lang,
+             round(CASE WHEN sd = 0 THEN 0.0 ELSE (n_chars - mu) / sd END, 6) AS z
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               avg(n_chars) OVER w AS mu, stddev_pop(n_chars) OVER w AS sd
+        FROM documents WINDOW w AS (PARTITION BY lang)
+      )
+    """
+
+    oracles["q_weighted_avg_udaf"] = """
+      SELECT lang,
+             round(sum(n_chars::DOUBLE * ((doc_id % 5) + 1)) /
+                   sum(((doc_id % 5) + 1)::DOUBLE), 6) AS wavg_chars
+      FROM documents GROUP BY lang
+    """
+
     oracles["q_json_extract"] = """
       SELECT event_type, count(*) AS n,
              sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
@@ -1105,6 +1165,10 @@ def build_queries() -> dict[str, QueryFn]:
         "q_range_count": q_range_count,
         "q_json_extract": q_json_extract,
         "q_date_breakdown": q_date_breakdown,
+        "q_sliding_window": q_sliding_window,
+        "q_pivot_counts": q_pivot_counts,
+        "q_zscore_groupmap": q_zscore_groupmap,
+        "q_weighted_avg_udaf": q_weighted_avg_udaf,
         "q_media_features": q_media_features,
         "q_media_stats": q_media_stats,
         "q_ivf_knn": q_ivf_knn,
