@@ -52,6 +52,15 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
     ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
+    # Python/Arrow operators appear exactly where intended:
+    ("q_media_features", [("has", r"MapInPandas"), ("not", r"BatchEvalPython")]),
+    ("q_zscore_groupmap", [("has", r"FlatMapGroupsInPandas"), ("not", r"BatchEvalPython")]),
+    ("q_weighted_avg_udaf", [("has", r"(AggregateInPandas|ArrowAggregatePython)"), ("not", r"BatchEvalPython")]),
+    # JVM-only queries never fall back to Python eval:
+    ("q_doc_profile", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_near_dedup_minhash", [("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"CartesianProduct")]),
+    ("q_sliding_window", [("has", r"Expand|Generate"), ("not", r"CartesianProduct")]),
+    ("q_pivot_counts", [("not", r"CartesianProduct"), ("has", r"HashAggregate")]),
 ]
 
 
