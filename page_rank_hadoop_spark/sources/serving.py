@@ -32,6 +32,21 @@ def write_keyed(df: DataFrame, path: str, key: str, n_files: int | None = None) 
     parted.sortWithinPartitions(key).write.mode("overwrite").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    """Warehouse-table variant: ``bucketBy(key)`` clusters rows by hash so
+    a later join or aggregation on the key needs NO shuffle on this side
+    (Catalyst sees the bucket spec and drops the Exchange). This is the
+    scale path for repeatedly-joined tables — e.g. the ranks table joined
+    by every scoring query; at 100 TB it converts the per-query shuffle
+    into a one-time write cost."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 def read_point(spark: SparkSession, path: str, key: str, values: list) -> DataFrame:
     """Point lookup on a keyed table (reference Q1/Q2 HBase ``Get``): an
     ``isin`` predicate Catalyst pushes into the parquet scan — check

@@ -65,6 +65,28 @@ def test_asof_single_shuffle_plan(spark):
     assert "Window" in plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, docs):
+    """Both sides bucketed by the join key → Catalyst plans the join with
+    zero Exchange operators (the 100 TB path for hot join keys)."""
+    from page_rank_hadoop_spark.sources.serving import write_bucketed
+
+    left = docs.select("doc_id", "lang")
+    right = docs.select("doc_id", "n_chars")
+    write_bucketed(left, "t_bk_left", key="doc_id", n_buckets=4)
+    write_bucketed(right, "t_bk_right", key="doc_id", n_buckets=4)
+    try:
+        # force a merge join (tiny test tables would broadcast otherwise —
+        # also shuffle-free, but then the bucket spec isn't what's on trial)
+        j = spark.table("t_bk_left").hint("merge").join(spark.table("t_bk_right"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bk_left")
+        spark.sql("DROP TABLE IF EXISTS t_bk_right")
+
+
 def test_write_keyed_point_lookup_pushdown(spark, docs, tmp_path):
     path = str(tmp_path / "served")
     table = docs.select("doc_id", "lang", "n_chars")
