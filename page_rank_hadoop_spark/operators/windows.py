@@ -130,6 +130,14 @@ def pivot_counts_by_day(events: DataFrame, types: list[str] | None = None) -> Da
     )
 
 
+def unpivot_counts(pivoted: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Unpivot/melt surface — the inverse of ``pivot_counts_by_day``:
+    (day, click, error, …) wide rows back to (day, event_type, n) long
+    form via ``DataFrame.unpivot`` (Catalyst Expand, no shuffle)."""
+    types = types or ["click", "error", "purchase", "signup", "view"]
+    return pivoted.unpivot("day", types, "event_type", "n")
+
+
 def daily_event_breakdown(events: DataFrame) -> DataFrame:
     """Date/time function surface: truncate to day, ISO day-of-week, hour
     bucketing — grouped counts. All built-in datetime expressions."""

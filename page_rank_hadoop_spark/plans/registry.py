@@ -319,7 +319,8 @@ def _graph(spark, sf) -> dict[str, DataFrame]:
         verts = graph.vertices(d).persist(StorageLevel.MEMORY_AND_DISK)
         edges = graph.extract_edges(d).persist(StorageLevel.MEMORY_AND_DISK)
         kept = graph.resolve_edges(edges, verts).persist(StorageLevel.MEMORY_AND_DISK)
-        g = {"verts": verts, "edges": edges, "kept": kept}
+        adj = graph.adjacency(kept, verts).persist(StorageLevel.MEMORY_AND_DISK)
+        g = {"verts": verts, "edges": edges, "kept": kept, "adj": adj}
         _GRAPH_CACHE[key] = g
     return g
 
@@ -343,19 +344,16 @@ def q_union_null_edges(spark, sf):
 
 
 def q_adjacency_list(spark, sf):
-    g = _graph(spark, sf)
-    adj = graph.adjacency(g["kept"], g["verts"])
+    adj = _graph(spark, sf)["adj"]
     return adj.select("id", F.to_json("links").alias("links_json"))
 
 
 def q_outdegree(spark, sf):
-    g = _graph(spark, sf)
-    return graph.outdegree(graph.adjacency(g["kept"], g["verts"]))
+    return graph.outdegree(_graph(spark, sf)["adj"])
 
 
 def _adjacency(spark, sf):
-    g = _graph(spark, sf)
-    return graph.adjacency(g["kept"], g["verts"])
+    return _graph(spark, sf)["adj"]
 
 
 def q_pagerank_contribs(spark, sf):
@@ -605,6 +603,14 @@ def q_sliding_window(spark, sf):
 
 def q_pivot_counts(spark, sf):
     return windows.pivot_counts_by_day(load_table(spark, sf, "events"))
+
+
+def q_unpivot_counts(spark, sf):
+    """pivot → unpivot roundtrip: wide day×type count matrix melted back
+    to long form (zero-count cells become explicit rows — the difference
+    from the raw groupBy, which the oracle mirrors with a day×type grid)."""
+    pivoted = windows.pivot_counts_by_day(load_table(spark, sf, "events"))
+    return windows.unpivot_counts(pivoted)
 
 
 def q_zscore_groupmap(spark, sf):
@@ -1076,6 +1082,17 @@ def build_oracles() -> dict[str, str]:
       FROM events GROUP BY 1
     """
 
+    oracles["q_unpivot_counts"] = """
+      SELECT d.day, t.event_type,
+             coalesce(c.n, 0)::BIGINT AS n
+      FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events) d
+      CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t
+      LEFT JOIN (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ) c ON c.day = d.day AND c.event_type = t.event_type
+    """
+
     oracles["q_zscore_groupmap"] = """
       SELECT doc_id, lang,
              round(CASE WHEN sd = 0 THEN 0.0 ELSE (n_chars - mu) / sd END, 6) AS z
@@ -1167,6 +1184,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_date_breakdown": q_date_breakdown,
         "q_sliding_window": q_sliding_window,
         "q_pivot_counts": q_pivot_counts,
+        "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,
         "q_weighted_avg_udaf": q_weighted_avg_udaf,
         "q_media_features": q_media_features,
