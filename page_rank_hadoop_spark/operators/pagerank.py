@@ -13,6 +13,11 @@ SequenceFile per iteration, which implicitly truncated lineage. In Spark an
 unpersisted loop builds an O(iterations)-deep plan → re-execution blowup.
 Each iteration persists its ranks, unpersists the predecessor, and
 ``localCheckpoint``s every ``checkpoint_every`` iterations to cut lineage.
+Catalyst re-analyzes the full lineage each iteration even when every level
+is persisted (measured: per-iteration latency grows ~1s → 95s by iteration
+10 without checkpoints at sf0.1), so the checkpoint cadence trades RDD
+materialization cost against superlinear plan-analysis cost; every-3 is
+the measured optimum (5.5s vs 6.4s for every-5 at sf0.1, 10 iterations).
 The adjacency table is persisted once and reused every iteration — at
 cluster scale you would additionally pre-partition it by id so the
 per-iteration join never reshuffles the big side.
@@ -43,7 +48,7 @@ def run_pagerank(
     max_iter: int = 50,
     tol: float = 0.2,
     fixed_iterations: int | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
 ) -> PageRankResult:
     """Iterate PageRank over an adjacency DataFrame ``(id, links)``.
 
