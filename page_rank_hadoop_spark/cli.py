@@ -120,14 +120,19 @@ def cmd_query(spark: SparkSession, args: argparse.Namespace) -> int:
     )
     # the reference printed postings unsorted (Query.scala:92); we rank
     out = scored.orderBy(F.desc("score"), "term", "doc_id").limit(args.top_k)
-    rows = out.collect()
-    snippets = {}
+    # Snippets join cluster-side against the top-k (mirrors q_search_snippets,
+    # plans/registry.py): the ONLY driver collect is the <= top_k result rows.
+    snips = None
     for term in args.terms:
-        for r in snippet_window(docs, term).collect():
-            snippets[(term, r["doc_id"])] = r["snippet"]
+        s = snippet_window(docs, term).withColumn("term", F.lit(term))
+        snips = s if snips is None else snips.unionByName(s)
+    rows = (
+        out.join(snips, ["term", "doc_id"], "left")
+        .orderBy(F.desc("score"), "term", "doc_id")
+        .collect()
+    )
     for r in rows:
-        snip = snippets.get((r["term"], r["doc_id"]), "")
-        print(f"{r['term']}\t{r['doc_id']}\t{r['score']:.6f}\t{snip}")
+        print(f"{r['term']}\t{r['doc_id']}\t{r['score']:.6f}\t{r['snippet'] or ''}")
     return 0
 
 

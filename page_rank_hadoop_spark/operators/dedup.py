@@ -27,6 +27,23 @@ from page_rank_hadoop_spark.functions.hashing import MINHASH_PRIME
 from page_rank_hadoop_spark.functions.text import char_shingles, tokens, word_shingles_of
 
 
+def _drop_hot_keys(df: DataFrame, key_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """Remove rows whose bucket key occurs more than ``max_bucket_size``
+    times — the engine's analog of the reference's df<3000 stop-word guard
+    (invertedIndex.scala:93). A boilerplate band/shingle shared by k docs
+    makes the self-join emit k² candidate rows; at production scale one
+    viral key is quadratic. Cost: one map-side-combined count aggregate,
+    then a broadcast anti-join (the hot-key set is tiny by construction —
+    at most |rows|/max_bucket_size keys)."""
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Exact-text dedup: one row per distinct text that occurs >1 time,
     with the canonical (min) doc_id and the duplicate count."""
@@ -50,6 +67,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 8,
     n_hashes: int = 12,
     n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
@@ -59,6 +77,10 @@ def minhash_lsh_pairs(
     groupBy(doc_id) with n_hashes Carter-Wegman ``min((a+i·b) mod P)``
     aggregates (map-side combined) → band keys → band equi-join → pairs.
     Two shuffles total (signature agg, band join), both on short keys.
+
+    ``max_bucket_size`` (None = off, the exact/declared-oracle mode) drops
+    band keys shared by more docs before the self-join — the skew guard
+    for boilerplate corpora at production scale (see _drop_hot_keys).
     """
     rows_per_band = n_hashes // n_bands
     sh = documents.select(
@@ -97,6 +119,8 @@ def minhash_lsh_pairs(
     # n_bands rows per doc; persist so the self-join's two sides share one
     # shingle+signature computation instead of re-scanning the corpus.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket_size is not None:
+        banded = _drop_hot_keys(banded, ["band", "key"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -203,15 +227,21 @@ def simhash_near_pairs_multiprobe(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, min_jaccard: float = 0.8
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     |A∩B| comes from the shingle inverted-index self-join; |A∪B| =
     |A|+|B|−|A∩B| from per-doc shingle counts. Two shuffles total (the
     shingle join, the per-pair count agg); the shingle join is the scale
-    hazard — prune ultra-common shingles (df cutoff) exactly like the
-    reference's df<3000 stop-word guard before running this at 100 TB.
+    hazard — ``max_shingle_df`` (None = off, the exact/declared-oracle
+    mode) prunes shingles occurring in more docs before the self-join,
+    exactly the reference's df<3000 stop-word guard. NOTE: with the cap on,
+    n_common undercounts by the pruned shingles, so reported jaccard is a
+    lower bound — the standard candidate-recall/precision dial.
     """
     # Two-step projection: materialize the token array before the shingle
     # transform (regex would otherwise re-run inside the lambda), and build
@@ -226,6 +256,8 @@ def ngram_jaccard_pairs(
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = base.select("doc_id", F.size("arr").alias("n_shingles"))
     sh = base.select("doc_id", F.explode("arr").alias("shingle"))
+    if max_shingle_df is not None:
+        sh = _drop_hot_keys(sh, ["shingle"], max_shingle_df)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "shingle")

@@ -2,10 +2,14 @@
 
 Reference (/root/reference/src/main/scala/pageRank.scala):
 - formula  pr' = α·(1/N) + (1−α)·Σ contribs, α = 0.15 (:294, :310)
-- policy   min 10 iterations, stop when avgChange ≤ 0.2, cap 50
-  (:360-371; avgChange = Σ|Δpr|/N — the reference scaled by 1000 and
-  truncated per record through a Hadoop counter (:307); we compute the
-  exact float sum, deviation noted in SURVEY.md §2.1)
+- policy   min 10 iterations, stop when avgChange ≤ 0.2, cap 50 (:360-371)
+  DEVIATION (documented): the reference's counter is NOT a true rank
+  delta — pageRankMap emits the links record with rank 0 (:280), so
+  prevPageRank is always 0 in pageRankReduce and the counter accumulates
+  |Σ contribs| per node (pre-damping contribution mass), scaled by 1000
+  and truncated per record (:307). We compute the exact float Σ|Δpr|/N
+  (true average rank change), which can stop at a different iteration in
+  convergence mode; declared convergence queries are rows-only checked.
 - N counts every adjacency row including the virtual NULL node (:258).
 
 Physical hygiene (SURVEY.md §7 hard-part 1): the reference wrote a
@@ -18,9 +22,12 @@ is persisted (measured: per-iteration latency grows ~1s → 95s by iteration
 10 without checkpoints at sf0.1), so the checkpoint cadence trades RDD
 materialization cost against superlinear plan-analysis cost; every-3 is
 the measured optimum (5.5s vs 6.4s for every-5 at sf0.1, 10 iterations).
-The adjacency table is persisted once and reused every iteration — at
-cluster scale you would additionally pre-partition it by id so the
-per-iteration join never reshuffles the big side.
+The adjacency table is repartitioned by id ONCE, persisted, and reused
+every iteration, so the per-iteration join never reshuffles the big side:
+the executed one-iteration plan has exactly ONE Exchange (the contribs
+gather groupBy) — the scatter join feeds off the id-partitioned cache and
+the rank-update join aligns adj(id) with contribs(id) shuffle-free
+(pinned in tools/plan_audit.py).
 """
 
 from __future__ import annotations
@@ -57,7 +64,14 @@ def run_pagerank(
     each iteration costs one extra tiny agg action for avgChange — the
     Spark analog of the reference's counter read (pageRank.scala:366-371).
     """
-    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    # Pre-partition the adjacency by id ONCE and persist our own copy:
+    # every per-iteration join then reshuffles only the small ranks side
+    # (the contribs aggregate), never the big adjacency. Persisting a fresh
+    # repartitioned DataFrame (instead of the caller's) also keeps hands
+    # off any caller-owned cache — run_pagerank previously persisted and
+    # then unpersisted the caller's adj, silently evicting the shared
+    # graph cache (the 'already cached' warning in round-1 bench logs).
+    adj = adj.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
     n = adj.count()  # action; also materializes the persist
     ranks = adj.select("id", F.lit(1.0).alias("pr")).persist(StorageLevel.MEMORY_AND_DISK)
 

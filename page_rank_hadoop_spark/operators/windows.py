@@ -28,10 +28,14 @@ def top_n_per_group(
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, carry: list[str] | None = None
+) -> DataFrame:
     """Assign session ids per user: a gap > ``gap_minutes`` since the
     previous event starts a new session (lag + running sum of boundary
-    flags). Returns (event_id, user_id, ts, session_id)."""
+    flags). Returns (event_id, user_id, ts, *carry, session_id) —
+    ``carry`` columns ride along through the window pass so downstream
+    rollups never need to join back to the source (one shuffle total)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60
     # exact epoch seconds (with microseconds): unix_timestamp would truncate
@@ -46,16 +50,17 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
+        *(carry or []),
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
     )
 
 
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per (user, session): event count and value sum — the useful rollup
-    on top of sessionize."""
-    s = sessionize(events, gap_minutes)
-    joined = s.join(events.select("event_id", "value"), "event_id")
-    return joined.groupBy("user_id", "session_id").agg(
+    on top of sessionize. ``value`` is carried through the window pass, so
+    the plan is one shuffle (user_id) + the final agg — no join back."""
+    s = sessionize(events, gap_minutes, carry=["value"])
+    return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )

@@ -33,6 +33,47 @@ def test_cli_index_pagerank_query(spark, tmp_path, capsys):
     assert float(first[2]) == float(first[2])  # parses as a score
 
 
+def test_cli_query_bounded_collect(spark, tmp_path, monkeypatch, capsys):
+    """cmd_query must never materialize more than top_k rows on the driver
+    (round-1 advice: snippets join cluster-side, ONE bounded collect)."""
+    out = str(tmp_path / "engine_b")
+    assert main(["index", f"{SF0001}/documents.parquet", out]) == 0
+    assert main(["pagerank", f"{SF0001}/documents.parquet", out, "--iterations", "2"]) == 0
+
+    # pyspark>=4: the classic DataFrame subclass overrides collect, so the
+    # patch must land there, not on the pyspark.sql.DataFrame ABC
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    top_k = 5
+    assert (
+        main(
+            [
+                "query",
+                f"{out}/index",
+                f"{out}/ranks",
+                f"{SF0001}/documents.parquet",
+                "spark",
+                "data",
+                "--top-k",
+                str(top_k),
+            ]
+        )
+        == 0
+    )
+    assert sizes and all(s <= top_k for s in sizes), sizes
+    printed = capsys.readouterr().out
+    assert len([l for l in printed.splitlines() if "\t" in l]) <= top_k
+
+
 def test_cli_corpus_format(spark, tmp_path):
     corpus = tmp_path / "dump.txt"
     corpus.write_text(

@@ -64,6 +64,49 @@ def test_minhash_identical_docs_always_pair(spark):
     assert (1, 4) not in pairset and (2, 4) not in pairset
 
 
+def _hot_key_docs(spark):
+    """20 identical boilerplate docs (one viral band/shingle key) plus a
+    genuine near-dup pair of distinct texts."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("lazy", "sleepy")
+    rows = [(i, boiler) for i in range(100, 120)] + [(1, a), (2, b)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_hot_band_cap(spark):
+    """max_bucket_size bounds the self-join fanout: the 20-doc boilerplate
+    band key (190 candidate pairs) is dropped, the small-bucket pair
+    survives — the engine's analog of the reference's df<3000 guard."""
+    d = _hot_key_docs(spark)
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(d).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(d, max_bucket_size=5).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) >= 190
+    assert all(a >= 100 for a, _ in uncapped - capped)  # only hot-key pairs dropped
+    assert (100, 101) not in capped
+    assert (1, 2) in capped  # small buckets unaffected
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    d = _hot_key_docs(spark)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(d, n=3, min_jaccard=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(d, n=3, min_jaccard=0.5, max_shingle_df=5).collect()
+    }
+    assert (100, 101) in uncapped
+    assert (100, 101) not in capped  # viral shingles pruned before the join
+    assert (1, 2) in capped  # rare-shingle pair still found, jaccard intact
+
+
 def test_ngram_jaccard_scores(spark):
     out = dedup.ngram_jaccard_pairs(_dup_docs(spark), n=3, min_jaccard=0.5)
     rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}

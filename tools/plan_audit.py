@@ -60,6 +60,11 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_doc_profile", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_near_dedup_minhash", [("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"CartesianProduct")]),
     ("q_sliding_window", [("has", r"Expand|Generate"), ("not", r"CartesianProduct")]),
+    # sessionize carries `value` through the window pass — no join-back:
+    (
+        "q_window_lag_sessionize",
+        [("has", r"Window"), ("not", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)")],
+    ),
     ("q_pivot_counts", [("not", r"CartesianProduct"), ("has", r"HashAggregate")]),
 ]
 
