@@ -132,6 +132,66 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Candidate pairs → dedup groups: (doc_id, component_id) where
+    component_id is the minimum doc_id reachable through the pair graph —
+    the step that turns MinHash/SimHash pair output into keep/drop
+    decisions (keep component_id, drop the rest).
+
+    Iterative min-label propagation: each round every vertex takes
+    min(own label, neighbors' labels); converges in O(diameter) rounds
+    (near-dup clusters are shallow — boilerplate families form stars, so
+    diameter is small in practice). Loop hygiene mirrors
+    operators/pagerank.py: persist + unpersist predecessor +
+    localCheckpoint cadence to cut lineage; the symmetric edge list is
+    repartitioned by src once so each round shuffles only the label side.
+    Scale path for adversarial deep chains: the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") finishes in O(log n) rounds with the same join shape.
+
+    Only documents appearing in ≥1 pair are returned — singletons are
+    their own component by definition.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("label"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    for i in range(1, max_iter + 1):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        if i % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """doc_id → 64-bit (60 effective) simhash over the token stream.
 

@@ -107,6 +107,21 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (1, 2) in capped  # rare-shingle pair still found, jaccard intact
 
 
+def test_near_dup_components_chain(spark):
+    """Transitive closure: A-B, B-C chain collapses to one component with
+    the min id as label, even though (A, C) was never a candidate pair;
+    disjoint pairs stay separate components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.near_dup_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_ngram_jaccard_scores(spark):
     out = dedup.ngram_jaccard_pairs(_dup_docs(spark), n=3, min_jaccard=0.5)
     rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
