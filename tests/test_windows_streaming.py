@@ -173,3 +173,39 @@ def test_streaming_replay_matches_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s
+
+
+def test_streaming_replay_matches_duckdb_oracle(spark):
+    """Oracle-grade streaming evidence (round-1 stretch goal): the
+    streaming replay at sf0.01 value-matches the SAME DuckDB oracle SQL
+    that gates the batch q_tumbling_window — not just batch-equivalence,
+    an independent implementation of the semantics."""
+    import decimal
+
+    import duckdb
+
+    from page_rank_hadoop_spark.plans import registry
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    res = con.execute(registry.build_oracles()["q_tumbling_window"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    out = run_replay_to_memory(spark, sf_dir, query_name="t_replay_oracle")
+    scols = out.columns
+    srows = [tuple(r) for r in out.collect()]
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def cell(v):
+            if isinstance(v, (float, decimal.Decimal)):
+                return repr(round(float(v), 9))
+            return str(v)
+
+        return sorted("|".join(cell(r[i]) for i in order) for r in rows)
+
+    assert sorted(scols) == sorted(dcols)
+    assert norm(srows, scols) == norm(drows, dcols)
