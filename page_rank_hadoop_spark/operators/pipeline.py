@@ -1,0 +1,64 @@
+"""Dataset-maintenance operators for a training-data pipeline: snapshot
+merge (upsert), deterministic train/val splitting, and quantile-based
+quality filtering. All single-shuffle or broadcast-only plans.
+
+These extend the reference's batch surface (SURVEY.md §2.2 "reference
+lacks") with the operations a 100 TB corpus refresh actually runs:
+merge the new crawl into the corpus, re-split, re-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Upsert ``updates`` into ``base`` on ``key``: an updated row replaces
+    the base row, unmatched base rows are kept — the Delta/Iceberg MERGE
+    semantics expressed engine-neutrally.
+
+    Plan: one left-anti join (base minus updated keys) + union. At scale
+    the anti-join shuffles on the key once; with both tables bucketed by
+    key (sources/serving.write_bucketed) it is shuffle-free. Columns must
+    match by name (unionByName).
+    """
+    kept = base.join(updates.select(key).distinct(), key, "left_anti")
+    return updates.unionByName(kept.select(*updates.columns))
+
+
+def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
+    """Deterministic, engine-portable train/val split: bucket =
+    md5(key) first-8-hex-digits mod 100, split = 'train' if bucket <
+    ``train_pct``. Pure projection — no shuffle, no RNG, stable across
+    engines and runs (the property a reproducible data pipeline needs;
+    sample-by-seed is neither portable nor stable under repartitioning).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return df.withColumn(
+        "split", F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    )
+
+
+def quantile_filter(
+    documents: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Keep rows strictly above their group's exact interpolated
+    ``quantile`` of ``value_col`` — per-language quality-threshold
+    filtering. The per-group thresholds are a tiny aggregate joined back
+    with a broadcast: one shuffle for the agg, zero for the filter join.
+    """
+    thresholds = documents.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(quantile)).alias("_thr")
+    )
+    return (
+        documents.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(value_col) > F.col("_thr"))
+        .drop("_thr")
+    )

@@ -32,7 +32,7 @@ from page_rank_hadoop_spark.multimodal.binary_ops import (
     media_from_documents,
 )
 from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank, relational
-from page_rank_hadoop_spark.operators import similarity, textstats, windows
+from page_rank_hadoop_spark.operators import pipeline, similarity, textstats, windows
 from page_rank_hadoop_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -443,6 +443,30 @@ def q_exact_dedup_prefix(spark, sf):
 
 def q_near_dedup_minhash(spark, sf):
     return dedup.minhash_lsh_pairs(_docs(spark, sf), shingle_k=8, n_hashes=N_HASHES, n_bands=N_BANDS)
+
+
+def q_merge_upsert(spark, sf):
+    """Snapshot refresh: every doc_id % 10 == 0 row arrives updated
+    (n_chars bumped); the merge keeps updates on collision, base rows
+    otherwise — Delta/Iceberg MERGE semantics, engine-neutral."""
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    updates = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    return pipeline.merge_upsert(d, updates, "doc_id")
+
+
+def q_hash_split(spark, sf):
+    """Deterministic engine-portable train/val split (md5-bucket mod 100)."""
+    return pipeline.hash_split(_docs(spark, sf).select("doc_id"), "doc_id", 80)
+
+
+def q_quantile_filter(spark, sf):
+    """Per-language quality gate: keep docs strictly above the in-language
+    median n_chars (exact interpolated percentile, broadcast thresholds)."""
+    return pipeline.quantile_filter(_docs(spark, sf), "lang", "n_chars", 0.5).select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 def q_dedup_components(spark, sf):
@@ -884,6 +908,33 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_merge_upsert"] = """
+      WITH upd AS (
+        SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        FROM documents WHERE doc_id % 10 = 0
+      )
+      SELECT doc_id, lang, n_chars FROM upd
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+    """
+
+    oracles["q_hash_split"] = """
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    """
+
+    oracles["q_quantile_filter"] = """
+      WITH thr AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS t FROM documents GROUP BY lang
+      )
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE d.n_chars > thr.t
+    """
+
     oracles["q_dedup_components"] = f"""
       WITH RECURSIVE {_sql_minhash_ctes()},
       pairs AS (
@@ -1191,6 +1242,9 @@ def build_queries() -> dict[str, QueryFn]:
         "q_media_stats": q_media_stats,
         "q_ivf_knn": q_ivf_knn,
         "q_dedup_components": q_dedup_components,
+        "q_merge_upsert": q_merge_upsert,
+        "q_hash_split": q_hash_split,
+        "q_quantile_filter": q_quantile_filter,
         # --- (2) sole-evidence queries ---
         "q_term_tf": q_term_tf,
         "q_inverted_index_df": q_inverted_index_df,

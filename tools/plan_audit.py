@@ -60,6 +60,10 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_doc_profile", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_near_dedup_minhash", [("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"CartesianProduct")]),
     ("q_sliding_window", [("has", r"Expand|Generate"), ("not", r"CartesianProduct")]),
+    # pipeline ops: split is map-only; quantile thresholds broadcast:
+    ("q_hash_split", [("not", r"Exchange"), ("not", r"BatchEvalPython")]),
+    ("q_quantile_filter", [("has", r"BroadcastHashJoin"), ("not", r"SortMergeJoin")]),
+    ("q_merge_upsert", [("has", r"(LeftAnti|left_anti)"), ("not", r"CartesianProduct")]),
     # sessionize carries `value` through the window pass — no join-back:
     (
         "q_window_lag_sessionize",
