@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",
+    "q_merge_upsert",
+    "q_hash_split",
+    "q_quantile_filter",
 ]
 
 

@@ -138,16 +138,22 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the step that turns MinHash/SimHash pair output into keep/drop
     decisions (keep component_id, drop the rest).
 
-    Iterative min-label propagation: each round every vertex takes
-    min(own label, neighbors' labels); converges in O(diameter) rounds
-    (near-dup clusters are shallow — boilerplate families form stars, so
-    diameter is small in practice). Loop hygiene mirrors
-    operators/pagerank.py: persist + unpersist predecessor +
-    localCheckpoint cadence to cut lineage; the symmetric edge list is
-    repartitioned by src once so each round shuffles only the label side.
-    Scale path for adversarial deep chains: the large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") finishes in O(log n) rounds with the same join shape.
+    Iterative min-label propagation WITH pointer jumping: each round
+    every vertex takes min(own, neighbors') labels, then compresses
+    label := label-of-label (one extra equi-join). Compression halves
+    chain depth per round → O(log diameter) rounds (the same idea as
+    large-star/small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond").
+
+    Physical hygiene differs from the PageRank loop on purpose: the
+    labels table is referenced THREE times per round (neighbor join,
+    pointer-jump self-join, convergence diff), so a lazily-persisted
+    lineage fans out ~3× per round and Catalyst re-analysis dominates
+    wall-clock within a few rounds (measured at sf0.1: 32s plain
+    propagation, 72s with the self-join added under a lazy every-3
+    cadence). An EAGER localCheckpoint per round keeps every round's
+    plan constant-size: same input drops to ~0.5s/round flat — 25s
+    total, of which 10s is the MinHash pair build, 9s the label rounds.
 
     Only documents appearing in ≥1 pair are returned — singletons are
     their own component by definition.
@@ -162,9 +168,11 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
-        sym.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("label"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint()  # eager: every round starts from a flat scan
+    )
     for i in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -175,16 +183,21 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.join(nbr_min, "id", "left")
             .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
         )
-        if i % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        # pointer jumping: label := label's label (labels' domain is node
+        # ids, so the self-join is total). Monotone non-increasing and
+        # bounded below by the component min → convergence unaffected.
+        parent = new_labels.select(F.col("id").alias("label"), F.col("label").alias("_pl"))
+        new_labels = (
+            new_labels.join(parent, "label")
+            .select("id", F.col("_pl").alias("label"))
+            .localCheckpoint()  # eager materialization, constant-size plan
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
