@@ -227,17 +227,28 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:
+def simhash_near_pairs(
+    documents: DataFrame,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
     """SimHash near-dup pairs: bucket by the top ``prefix_bits`` bits (one
     shuffle) then exact hamming filter within buckets. Misses pairs that
     differ inside the prefix — the standard multi-probe fix is to re-run
     with rotated prefixes; one probe is the declared deterministic query.
+
+    ``signatures`` (a precomputed, typically persisted (doc_id, simhash)
+    table) lets callers share one signature build across probe variants —
+    the registry's materialized-view reuse.
     """
-    sig = simhash_signatures(documents).withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits)
-    )
-    # One row per doc; shared by both self-join sides (see minhash note).
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    base = signatures if signatures is not None else simhash_signatures(documents)
+    sig = base.withColumn("bucket", F.shiftright(F.col("simhash"), 60 - prefix_bits))
+    if signatures is None:
+        # One row per doc; shared by both self-join sides (see minhash
+        # note). Skipped when the caller supplied a persisted table — the
+        # bucket projection re-reads that cache.
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, "bucket")
@@ -256,6 +267,7 @@ def simhash_near_pairs_multiprobe(
     max_hamming: int = 8,
     prefix_bits: int = 12,
     n_probes: int = 5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe SimHash: bucket each signature on ``n_probes`` disjoint
     bit-windows (window r = bits [r·prefix, r·prefix+prefix)); a pair is a
@@ -271,7 +283,10 @@ def simhash_near_pairs_multiprobe(
     """
     if n_probes * prefix_bits > 60:
         raise ValueError("n_probes * prefix_bits must be <= 60")
-    sig = simhash_signatures(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = simhash_signatures(documents).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << prefix_bits) - 1
     windows = F.array(
         *[

@@ -38,6 +38,52 @@ def token_stream(documents: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def token_stream_with_offsets(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per token occurrence with its 1-based CHAR OFFSET in the
+    text: (doc_id, term, off) — the reference-faithful posting position.
+
+    The reference stores a (lineOffset, textOffset) pair per occurrence
+    (Writables.scala:24-44, consumed for snippet seeks at
+    Query.scala:97-101). The documents table is a single text field with
+    no line structure, so the char offset is the faithful analog (a
+    line-oriented source would add a cumulative-newline-count column the
+    same way). Offsets are computed JVM-side, no Python: a token start is
+    any position i where text[i] is a letter and text[i-1] is not, and
+    [a-zA-Z]+ runs are in bijection with such positions, so
+    ``arrays_zip(tokens, starts)`` aligns exactly.
+    """
+    lo = F.lower(F.col(text_col))
+
+    def is_alpha(pos):
+        c = F.ascii(lo.substr(pos, F.lit(1)))
+        return (c >= 97) & (c <= 122)
+
+    starts = F.filter(
+        F.sequence(F.lit(1), F.length(lo)),
+        lambda i: is_alpha(i) & ((i == 1) | ~is_alpha(i - 1)),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.arrays_zip(tokens(text_col).alias("term"), starts.alias("off"))).alias("z"),
+        )
+        .select("doc_id", F.col("z.term").alias("term"), F.col("z.off").alias("off"))
+    )
+
+
+def postings_with_offsets(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """(term, doc_id) → tf + sorted char-offset array (JSON-serialized for
+    the oracle hash) for the given term set — the byte-faithful posting
+    payload the reference serves from HBase (S5/Q2)."""
+    occ = token_stream_with_offsets(documents).filter(F.col("term").isin(terms))
+    return occ.groupBy("term", "doc_id").agg(
+        F.count("*").cast("int").alias("tf"),
+        F.to_json(F.sort_array(F.collect_list("off"))).alias("offsets_json"),
+    )
+
+
 def term_frequencies(documents: DataFrame) -> DataFrame:
     """(term, doc_id) → tf + position list. Reference A5 (combiner merge).
 

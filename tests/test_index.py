@@ -23,6 +23,23 @@ def test_postings(spark):
     assert postings == [(1, 1, [2]), (2, 2, [0, 3])]
 
 
+def test_token_offsets_golden(spark):
+    """Char offsets are 1-based positions of token starts, robust to
+    punctuation/digit separators and a leading token at position 1."""
+    d = spark.createDataFrame([(1, "Spark 2.0, spark!  SPARK")], ["doc_id", "text"])
+    occ = index.token_stream_with_offsets(d).collect()
+    got = sorted((r["term"], r["off"]) for r in occ)
+    assert got == [("spark", 1), ("spark", 12), ("spark", 20)]
+
+
+def test_postings_with_offsets(spark):
+    out = index.postings_with_offsets(_fixture(spark), ["pagerank"]).collect()
+    rows = {r["doc_id"]: (r["tf"], r["offsets_json"]) for r in out}
+    # doc 1: "spark makes pagerank easy" -> offset 13
+    # doc 2: "pagerank ranks pages pagerank" -> offsets 1, 22
+    assert rows == {1: (1, "[13]"), 2: (2, "[1,22]")}
+
+
 def test_df_cutoff(spark):
     inv = index.inverted_index(_fixture(spark), cutoff=2)
     terms = {r["term"] for r in inv.collect()}
