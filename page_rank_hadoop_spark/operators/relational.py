@@ -36,6 +36,36 @@ def revenue_by_nation(
     )
 
 
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cut_date: str = "1998-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H-Q3-shaped: top-k unshipped orders by revenue for a market
+    segment. Filters reach both scans (pushdown), the filtered customer
+    side broadcasts, revenue aggregates with partial agg, and the top-k
+    compiles to TakeOrderedAndProject — the canonical selective star
+    join + rank pattern."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ord_f = orders.filter(F.col("o_orderdate") < F.lit(cut_date).cast("timestamp"))
+    li_f = lineitem.filter(F.col("l_shipdate") > F.lit(cut_date).cast("timestamp"))
+    return (
+        li_f.join(ord_f, li_f.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(k)
+    )
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H-Q1-shaped wide aggregation (partial agg + one exchange)."""
     return (

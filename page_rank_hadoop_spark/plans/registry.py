@@ -445,6 +445,15 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3: top-10 unshipped BUILDING-segment orders by revenue."""
+    return relational.shipping_priority(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+    )
+
+
 def q_postings_offsets(spark, sf):
     """Byte-faithful posting positions (reference Writables.scala:24-44):
     1-based char offset of every occurrence of the lookup terms. Closes
@@ -948,6 +957,21 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_shipping_priority"] = """
+      SELECT l.l_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        AND l.l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10
+    """
+
     in_terms = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
     oracles["q_postings_offsets"] = f"""
       WITH lo AS (SELECT doc_id, lower(text) AS t FROM documents),
@@ -1309,6 +1333,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_ivf_knn": q_ivf_knn,
         "q_dedup_components": q_dedup_components,
         "q_postings_offsets": q_postings_offsets,
+        "q_shipping_priority": q_shipping_priority,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

@@ -59,6 +59,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT, "
+    "_corrupt STRING"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, drop_corrupt: bool = True
+) -> DataFrame:
+    """Schema-on-read JSONL ingestion for the documents table — the crawl
+    dump arrives as JSON lines long before it becomes parquet. Explicit
+    schema (never inferSchema: at 100 TB inference is a full extra pass),
+    PERMISSIVE mode with a named corrupt-record column so malformed lines
+    are quarantined, not fatal; ``drop_corrupt=False`` returns them for a
+    dead-letter sink. JSON line reads are splittable, so ingestion
+    parallelizes per-block like any text scan.
+    """
+    df = (
+        spark.read.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    if drop_corrupt:
+        return df.filter(df["_corrupt"].isNull()).drop("_corrupt")
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register testdata tables as temp views so operators can be written in
     SQL when that is the clearer form."""

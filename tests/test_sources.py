@@ -31,3 +31,25 @@ def test_csv_scan_pushdown(spark, tmp_path):
     df = spark.read.option("header", True).schema("id long, v long").csv(path)
     got = df.filter(F.col("id") == 42).collect()
     assert len(got) == 1 and got[0]["v"] == 84
+
+
+def test_jsonl_documents_with_corrupt_quarantine(spark, tmp_path):
+    """JSONL ingestion: explicit schema, malformed lines quarantined via
+    PERMISSIVE corrupt-record handling — valid rows survive, corrupt rows
+    are retrievable for a dead-letter sink, never fatal."""
+    from page_rank_hadoop_spark.sources.catalog import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}\n'
+        '{"doc_id": 2, "text": "gamma", "lang": "fr", "source": "web", "n_chars": 5}\n'
+        "{this is not json at all\n"
+    )
+    good = read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "alpha beta", 2: "gamma"}
+    assert "_corrupt" not in good.columns
+
+    full = read_documents_jsonl(spark, str(p), drop_corrupt=False)
+    corrupt = full.filter(F.col("_corrupt").isNotNull()).collect()
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt"].startswith("{this")

@@ -60,6 +60,17 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_doc_profile", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_near_dedup_minhash", [("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"CartesianProduct")]),
     ("q_sliding_window", [("has", r"Expand|Generate"), ("not", r"CartesianProduct")]),
+    # TPC-H Q3: filters pushed, filtered customer broadcast, top-k not sort:
+    (
+        "q_shipping_priority",
+        [
+            ("has", r"TakeOrderedAndProject"),
+            ("has", r"BroadcastHashJoin"),
+            ("has", r"PushedFilters: \[.*c_mktsegment"),
+        ],
+    ),
+    # offset postings stay JVM-side (sequence/filter/zip, no Python eval):
+    ("q_postings_offsets", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     # pipeline ops: split is map-only; quantile thresholds broadcast:
     ("q_hash_split", [("not", r"Exchange"), ("not", r"BatchEvalPython")]),
     ("q_quantile_filter", [("has", r"BroadcastHashJoin"), ("not", r"SortMergeJoin")]),
