@@ -68,10 +68,11 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     n_bands: int = 4,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
 
-    Pipeline: shingle-explode (map) → one md5 + 32-bit split per shingle
+    Pipeline: shingle-explode (map) → one hash + 32-bit split per shingle
     (plain codegen'd columns — higher-order-function forms defeat
     subexpression elimination and recompute the hash per signature slot) →
     groupBy(doc_id) with n_hashes Carter-Wegman ``min((a+i·b) mod P)``
@@ -81,17 +82,34 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` (None = off, the exact/declared-oracle mode) drops
     band keys shared by more docs before the self-join — the skew guard
     for boilerplate corpora at production scale (see _drop_hot_keys).
+
+    ``hash_fn``: 'md5' (default) is engine-portable — DuckDB computes the
+    identical signature, which is what the oracle gate checks. 'xxhash64'
+    is the production fast path (one codegen'd 64-bit hash per shingle vs
+    md5's 128-bit digest + two hex-decode passes); same LSH guarantees,
+    different signatures, so it is pytest-covered rather than
+    oracle-checked.
     """
     rows_per_band = n_hashes // n_bands
     sh = documents.select(
         "doc_id", F.explode(F.array_distinct(char_shingles("text", shingle_k))).alias("s")
     )
-    m = F.md5("s")
-    ab = sh.select(
-        "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("a"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("b"),
-    )
+    if hash_fn == "xxhash64":
+        h64 = F.xxhash64("s")
+        ab = sh.select(
+            "doc_id",
+            F.pmod(F.shiftright(h64, 32), F.lit(2**32)).cast("long").alias("a"),
+            F.pmod(h64, F.lit(2**32)).cast("long").alias("b"),
+        )
+    elif hash_fn == "md5":
+        m = F.md5("s")
+        ab = sh.select(
+            "doc_id",
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("b"),
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     mh = ab.groupBy("doc_id").agg(
         *[
             F.min((F.col("a") + i * F.col("b")) % MINHASH_PRIME).alias(f"h{i}")

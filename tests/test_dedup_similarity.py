@@ -92,6 +92,16 @@ def test_minhash_hot_band_cap(spark):
     assert (1, 2) in capped  # small buckets unaffected
 
 
+def test_minhash_xxhash64_production_path(spark):
+    """The xxhash64 fast path keeps LSH semantics: identical docs share
+    every band, unrelated docs share none (signatures differ from md5 by
+    design — this path trades oracle portability for JVM hash speed)."""
+    pairs = dedup.minhash_lsh_pairs(_dup_docs(spark), hash_fn="xxhash64").collect()
+    pairset = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"] for r in pairs}
+    assert pairset.get((1, 2)) == 4
+    assert (1, 4) not in pairset and (2, 4) not in pairset
+
+
 def test_ngram_jaccard_hot_shingle_cap(spark):
     d = _hot_key_docs(spark)
     uncapped = {
