@@ -120,25 +120,36 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
 
 
 def ivf_knn_cosine(
-    embeddings: DataFrame, probe: list[float], k: int = 10, n_centroids: int = 16, dim: int = 64
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    dim: int = 64,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF search: score only vectors in the probe's centroid bucket.
-    Approximate (single-probe); the brute-force path is the oracle."""
+    """IVF search: score only vectors in the ``n_probe`` centroid buckets
+    nearest the probe (the standard IVF recall/cost dial — FAISS's
+    ``nprobe``). ``n_probe=1`` is the declared approximate query;
+    ``n_probe=n_centroids`` degenerates to exact brute force (pytest pins
+    this equivalence). Probed-bucket selection is driver-side math over
+    the C centroid literals (C floats — no data touched); the scan then
+    prunes to ~n_probe/C of the corpus via the centroid filter (an
+    `isin` over partition values when the assignment is written out
+    ``partitionBy('centroid')``)."""
     import math
 
-    assigned = ivf_assign(embeddings, n_centroids, dim)
-    best_c, best_sim = 0, None
     import numpy as np
 
+    assigned = ivf_assign(embeddings, n_centroids, dim)
     p = np.asarray(probe, dtype="float64")
+    sims = []
     for c in range(n_centroids):
         cent = np.array([math.sin(c * 2971 + j * 7919) for j in range(dim)])
-        sim = float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent)))
-        if best_sim is None or sim > best_sim:
-            best_c, best_sim = c, sim
+        sims.append((float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent))), c))
+    probed = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
     pl = _probe_lit(probe)
     return (
-        assigned.filter(F.col("centroid") == best_c)
+        assigned.filter(F.col("centroid").isin(probed))
         .select("vec_id", F.round(cosine(F.col("embedding"), pl), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)

