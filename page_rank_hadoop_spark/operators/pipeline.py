@@ -43,6 +43,26 @@ def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
     )
 
 
+def balanced_sample(
+    df: DataFrame, group_col: str = "lang", n_per_group: int = 50, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-group downsampling to ``n_per_group`` rows — the
+    language/source-balancing step of corpus assembly. Rows are ranked
+    inside each group by md5(key) (a stable pseudo-random order — same
+    portability argument as hash_split) and the first n kept, so the
+    sample is reproducible across runs, engines, and repartitioning,
+    unlike ``sampleBy`` seeds. One shuffle on the group key; the
+    within-group sort is bounded per partition (row_number window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(key).cast("string")), key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def quantile_filter(
     documents: DataFrame,
     group_col: str = "lang",

@@ -477,6 +477,14 @@ def q_hash_split(spark, sf):
     return pipeline.hash_split(_docs(spark, sf).select("doc_id"), "doc_id", 80)
 
 
+def q_balanced_sample(spark, sf):
+    """Corpus balancing: at most 30 docs per language, chosen by a stable
+    md5 rank — reproducible across engines (oracle = same window SQL)."""
+    return pipeline.balanced_sample(
+        _docs(spark, sf).select("doc_id", "lang"), "lang", 30
+    )
+
+
 def q_quantile_filter(spark, sf):
     """Per-language quality gate: keep docs strictly above the in-language
     median n_chars (exact interpolated percentile, broadcast thresholds)."""
@@ -1016,6 +1024,14 @@ def build_oracles() -> dict[str, str]:
       FROM documents
     """
 
+    oracles["q_balanced_sample"] = """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents
+      ) WHERE rn <= 30
+    """
+
     oracles["q_quantile_filter"] = """
       WITH thr AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS t FROM documents GROUP BY lang
@@ -1337,7 +1353,17 @@ def build_queries() -> dict[str, QueryFn]:
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,
-        # --- (2) sole-evidence queries ---
+        "q_balanced_sample": q_balanced_sample,
+        # --- (2) sole-evidence queries, flagship/custom operators first;
+        # generic SQL surfaces (all r1-green) sit nearest the cutoff ---
+        "q_asof_join": q_asof_join,
+        "q_search_snippets": q_search_snippets,
+        "q_range_count": q_range_count,
+        "q_tfidf_score": q_tfidf_score,
+        "q_pagerank_iterate": q_pagerank_iterate,
+        "q_pagerank_converged": q_pagerank_converged,
+        "q_pagerank_contribs": q_pagerank_contribs,
+        "q_topk_pagerank": q_topk_pagerank,
         "q_term_tf": q_term_tf,
         "q_inverted_index_df": q_inverted_index_df,
         "q_postings_collect": q_postings_collect,
@@ -1345,38 +1371,30 @@ def build_queries() -> dict[str, QueryFn]:
         "q_snippet_window": q_snippet_window,
         "q_semi_join_vertices": q_semi_join_vertices,
         "q_anti_join_vertices": q_anti_join_vertices,
-        "q_pagerank_contribs": q_pagerank_contribs,
-        "q_pagerank_iterate": q_pagerank_iterate,
-        "q_pagerank_converged": q_pagerank_converged,
-        "q_topk_pagerank": q_topk_pagerank,
-        "q_tfidf_score": q_tfidf_score,
-        "q_text_stats": q_text_stats,
-        "q_grouping_sets": q_grouping_sets,
-        "q_doc_profile": q_doc_profile,
-        "q_window_rank": q_window_rank,
-        "q_window_lag_sessionize": q_window_lag_sessionize,
-        "q_tumbling_window": q_tumbling_window,
-        "q_exact_dedup": q_exact_dedup,
-        "q_exact_dedup_prefix": q_exact_dedup_prefix,
         "q_near_dedup_minhash": q_near_dedup_minhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_pairs": q_simhash_pairs,
         "q_simhash_multiprobe": q_simhash_multiprobe,
         "q_knn_cosine": q_knn_cosine,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_exact_dedup": q_exact_dedup,
+        "q_exact_dedup_prefix": q_exact_dedup_prefix,
+        "q_dedup_keep_first": q_dedup_keep_first,
+        "q_window_lag_sessionize": q_window_lag_sessionize,
+        "q_tumbling_window": q_tumbling_window,
+        "q_window_rank": q_window_rank,
+        "q_text_stats": q_text_stats,
+        "q_doc_profile": q_doc_profile,
+        "q_frame_sample": q_frame_sample,
         "q_join_broadcast_dims": q_join_broadcast_dims,
         "q_pricing_summary": q_pricing_summary,
-        "q_distinct_intersect": q_distinct_intersect,
-        "q_approx_distinct": q_approx_distinct,
-        "q_dedup_keep_first": q_dedup_keep_first,
-        "q_outer_join_counts": q_outer_join_counts,
-        "q_grouping_sets_marginals": q_grouping_sets_marginals,
-        "q_frame_sample": q_frame_sample,
-        "q_cube_stats": q_cube_stats,
         "q_percentiles": q_percentiles,
-        "q_search_snippets": q_search_snippets,
-        "q_asof_join": q_asof_join,
-        "q_range_count": q_range_count,
+        "q_cube_stats": q_cube_stats,
+        "q_grouping_sets": q_grouping_sets,
+        "q_grouping_sets_marginals": q_grouping_sets_marginals,
+        "q_distinct_intersect": q_distinct_intersect,
+        "q_outer_join_counts": q_outer_join_counts,
+        "q_approx_distinct": q_approx_distinct,
         "q_json_extract": q_json_extract,
         "q_date_breakdown": q_date_breakdown,
         "q_sliding_window": q_sliding_window,

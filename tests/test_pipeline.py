@@ -40,6 +40,18 @@ def test_quantile_filter_median(spark):
     assert kept == {3, 4, 11}
 
 
+def test_balanced_sample_caps_groups(spark, docs):
+    out = pipeline.balanced_sample(docs.select("doc_id", "lang"), "lang", 5)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, totals[lang])
+    # deterministic: same selection twice
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in pipeline.balanced_sample(docs.select("doc_id", "lang"), "lang", 5).collect()}
+    assert a == b
+
+
 def test_hash_split_no_shuffle(spark, docs):
     plan = pipeline.hash_split(docs.select("doc_id"), "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection
