@@ -55,3 +55,50 @@ def test_balanced_sample_caps_groups(spark, docs):
 def test_hash_split_no_shuffle(spark, docs):
     plan = pipeline.hash_split(docs.select("doc_id"), "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection
+
+
+def test_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """The IVF scale path: assignment written partitionBy(centroid) lets a
+    probe query prune to its bucket's files — PartitionFilters in the
+    scan, not a post-read filter (the 1/C scan-cost claim in SCALING.md)."""
+    from page_rank_hadoop_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4 == b) for b in range(4)]) for i in range(40)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    path = str(tmp_path / "ivf")
+    similarity.ivf_assign(emb, n_centroids=4, dim=4).write.partitionBy(
+        "centroid"
+    ).parquet(path)
+    full = spark.read.parquet(path)
+    target, n_target = (
+        full.groupBy("centroid").count().orderBy(F.desc("count"), "centroid").first()
+    )
+    scan = full.filter(F.col("centroid") == int(target))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters")[1][:120]
+    # the filter is partition-level: pruned files only, counts intact
+    assert scan.count() == n_target and n_target < 40
+
+
+def test_merge_upsert_bucketed_no_shuffle(spark, docs):
+    """With base and updates saved as bucketed tables on the merge key,
+    the anti-join runs shuffle-free (SCALING.md's MERGE claim)."""
+    import shutil
+
+    from page_rank_hadoop_spark.sources.serving import write_bucketed
+
+    for t in ("t_merge_base", "t_merge_upd"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    base = docs.select("doc_id", "lang", "n_chars")
+    upd = base.filter(F.col("doc_id") % 7 == 0).withColumn("n_chars", F.col("n_chars") + 1)
+    write_bucketed(base, "t_merge_base", "doc_id", n_buckets=4)
+    write_bucketed(upd, "t_merge_upd", "doc_id", n_buckets=4)
+    b, u = spark.table("t_merge_base"), spark.table("t_merge_upd")
+    merged = pipeline.merge_upsert(b, u, "doc_id")
+    merged.count()
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert merged.count() == base.count()
