@@ -97,3 +97,39 @@ def test_exact_dedup_matches_naive(spark, texts):
         if len(ids) > 1:
             want.add((min(ids), len(ids)))
     assert got == want
+
+
+_node = st.integers(min_value=0, max_value=25)
+
+
+@given(pairs=st.lists(st.tuples(_node, _node), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_components_match_union_find(spark, pairs):
+    """near_dup_components == a naive union-find on any random pair graph
+    (self-loops and duplicate pairs included): every doc appearing in a
+    pair gets the min doc_id of its connected component."""
+    from page_rank_hadoop_spark.operators.dedup import near_dup_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame([(a, b) for a, b in pairs], "doc_a LONG, doc_b LONG")
+    got = {
+        r["doc_id"]: r["component_id"] for r in near_dup_components(df).collect()
+    }
+    assert got == expect
