@@ -178,6 +178,40 @@ def tfidf_scores(
     return scored.orderBy(F.desc("score"), "term", "doc_id")
 
 
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 per (term, doc) for the query terms — the standard
+    upgrade over the reference's tf·ln(N/df) weighting (Robertson &
+    Zaragoza 2009): idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturates
+    at k1 and is normalized by doc length vs the corpus average.
+
+    Plan shape matches tfidf_scores: one tokenize pass filtered to the
+    query terms for tf/df, plus a map-side doc-length projection whose
+    corpus average is a scalar agg broadcast into the expression. The
+    per-doc length join is on doc_id (tiny: only docs containing a query
+    term survive the semi-ish join).
+    """
+    n_docs = documents.count()
+    lens = documents.select("doc_id", F.size(tokens("text")).alias("dl"))
+    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    tf = term_frequencies(documents).filter(F.col("term").isin(query_terms))
+    df_ = df_from_tf(tf, cutoff=10**9)
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        tf.join(df_, "term")
+        .join(lens, "doc_id")
+        .select("term", "doc_id", F.round(idf * norm, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "term", "doc_id")
+    )
+
+
 def point_lookup(index: DataFrame, terms: list[str]) -> DataFrame:
     """Serving-style point predicate (reference Q1/Q2 HBase Get): an
     ``isin`` filter Catalyst pushes into the parquet scan (row-group

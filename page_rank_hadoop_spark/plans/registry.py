@@ -445,6 +445,12 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_bm25_score(spark, sf):
+    """Okapi BM25 for the lookup terms — the modern ranking twin of the
+    reference's tf·ln(N/df) (reference Q3 upgrade path)."""
+    return index.bm25_scores(_docs(spark, sf), list(LOOKUP_TERMS))
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H Q3: top-10 unshipped BUILDING-segment orders by revenue."""
     return relational.shipping_priority(
@@ -965,6 +971,27 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_bm25_score"] = f"""
+      WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+      lens AS (SELECT doc_id, len({SQL_TOKENS}) AS dl FROM documents),
+      stats AS (SELECT avg(dl) AS avgdl FROM lens),
+      nn AS (SELECT count(*) AS n FROM documents),
+      tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks
+        WHERE term IN ({{in_terms}}) GROUP BY term, doc_id
+      ),
+      dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT t.term, t.doc_id,
+             round(
+               ln(1.0 + (nn.n - dfx.df + 0.5) / (dfx.df + 0.5))
+               * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / stats.avgdl)),
+               6) AS bm25
+      FROM tf t
+      JOIN dfx ON t.term = dfx.term
+      JOIN lens l ON t.doc_id = l.doc_id
+      CROSS JOIN stats CROSS JOIN nn
+    """.replace("{in_terms}", ", ".join(f"'{t}'" for t in LOOKUP_TERMS))
+
     oracles["q_shipping_priority"] = """
       SELECT l.l_orderkey,
              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1349,6 +1376,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_ivf_knn": q_ivf_knn,
         "q_dedup_components": q_dedup_components,
         "q_postings_offsets": q_postings_offsets,
+        "q_bm25_score": q_bm25_score,
         "q_shipping_priority": q_shipping_priority,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,

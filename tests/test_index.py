@@ -40,6 +40,31 @@ def test_postings_with_offsets(spark):
     assert rows == {1: (1, "[13]"), 2: (2, "[1,22]")}
 
 
+def test_bm25_semantics(spark):
+    """BM25 invariants: rarer terms outscore common ones at equal tf; tf
+    growth raises the score with saturation (bounded by idf*(k1+1))."""
+    d = spark.createDataFrame(
+        [
+            (1, "rare common common filler words here"),
+            (2, "common filler other words again now"),
+            (3, "common rare rare rare filler pad pad"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["term"], r["doc_id"]): r["bm25"]
+        for r in index.bm25_scores(d, ["rare", "common"]).collect()
+    }
+    # same doc 1: 'rare' (df=2) beats 'common' (df=3) despite lower tf? no —
+    # compare at equal tf: doc1 has tf(rare)=1; doc2 tf(common)=1 and both
+    # docs have similar length, so idf dominates:
+    assert rows[("rare", 1)] > rows[("common", 2)]
+    # tf saturation: tf=3 scores higher than tf=1 for the same term
+    assert rows[("rare", 3)] > rows[("rare", 1)]
+    # all scores positive and bounded by idf*(k1+1)
+    assert all(v > 0 for v in rows.values())
+
+
 def test_df_cutoff(spark):
     inv = index.inverted_index(_fixture(spark), cutoff=2)
     terms = {r["term"] for r in inv.collect()}
