@@ -4,8 +4,9 @@ scoring, token counting, fingerprinting.
 Tokenization follows the reference's term pattern ``[a-zA-Z]+``
 (/root/reference/src/main/scala/invertedIndex.scala:47). All functions are
 built-in column expressions (JVM-side, whole-stage codegen) — no Python in
-the hot path. Positions are token indexes, not byte offsets (deviation from
-the reference's (lineOffset, textOffset) pairs documented in SURVEY.md §7).
+the hot path. Byte-faithful char offsets per occurrence live in
+operators/index.token_stream_with_offsets (the reference's
+(lineOffset, textOffset) analog).
 """
 
 from __future__ import annotations
@@ -129,3 +130,26 @@ def fingerprint(col: Column | str, width: int = 16) -> Column:
     stream, truncated to ``width`` hex chars. Rolling-hash analog that is
     portable between Spark and the DuckDB oracle."""
     return F.substring(F.md5(F.array_join(tokens(col), " ")), 1, width)
+
+
+def winnow_fingerprints_of(toks: Column, k: int = 4, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every word k-gram, slide a w-hash window over
+    the sequence, keep each window's minimum, dedup + sort. Guarantee:
+    any shared token run of ≥ w + k − 1 tokens contributes at least one
+    common fingerprint, so partial-overlap detection needs only a set
+    intersection — no alignment.
+
+    Pure higher-order expressions (transform/slice/array_min): map-side
+    at any scale, shuffle only in whatever aggregation consumes the set.
+    Hashes are md5-derived 60-bit ints, portable to the DuckDB oracle.
+    """
+    grams = word_shingles_of(toks, k)
+    hs = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(hs, i, w))
+    )
+    return F.sort_array(F.array_distinct(mins))

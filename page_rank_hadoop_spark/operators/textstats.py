@@ -13,7 +13,20 @@ from page_rank_hadoop_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens,
+    winnow_fingerprints_of,
 )
+
+
+def winnow_fingerprint_table(documents: DataFrame, k: int = 4, w: int = 4) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints (MOSS) — exploded for set-
+    intersection joins: two docs sharing any ≥(w+k−1)-token run share a
+    row on fp, so overlap detection is one equi-join on fp. Map-side
+    expansion; see functions/text.winnow_fingerprints_of."""
+    base = documents.select("doc_id", tokens("text").alias("toks"))
+    return base.select(
+        "doc_id", F.explode(winnow_fingerprints_of(F.col("toks"), k, w)).alias("fp")
+    )
 
 
 def text_stats(documents: DataFrame) -> DataFrame:

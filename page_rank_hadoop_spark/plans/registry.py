@@ -445,6 +445,12 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_winnow_fingerprints(spark, sf):
+    """MOSS winnowing fingerprints (k=4-gram hashes, w=4 window minima):
+    partial-overlap detection via set intersection."""
+    return textstats.winnow_fingerprint_table(_docs(spark, sf))
+
+
 def q_bm25_score(spark, sf):
     """Okapi BM25 for the lookup terms — the modern ranking twin of the
     reference's tf·ln(N/df) (reference Q3 upgrade path)."""
@@ -971,6 +977,29 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_winnow_fingerprints"] = f"""
+      WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(l) < 4 THEN [array_to_string(l, ' ')]
+                    ELSE [array_to_string(l[i:i+3], ' ') for i in range(1, len(l) - 2)]
+               END AS gs
+        FROM toks
+      ),
+      hs AS (
+        SELECT doc_id, [('0x' || substr(md5(g), 1, 15))::BIGINT for g in gs] AS hl
+        FROM grams
+      ),
+      mins AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                 [list_min(hl[i:i+3]) for i in range(1, greatest(len(hl) - 3, 1) + 1)]
+               )) AS fps
+        FROM hs
+      )
+      SELECT doc_id, unnest(fps) AS fp FROM mins
+    """
+
     oracles["q_bm25_score"] = f"""
       WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
       lens AS (SELECT doc_id, len({SQL_TOKENS}) AS dl FROM documents),
@@ -1377,6 +1406,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_dedup_components": q_dedup_components,
         "q_postings_offsets": q_postings_offsets,
         "q_bm25_score": q_bm25_score,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_shipping_priority": q_shipping_priority,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,

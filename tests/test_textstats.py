@@ -65,3 +65,26 @@ def test_rollup_counts(docs):
     assert total[0]["n_docs"] == docs.count()
     per_lang = {r["lang"]: r["n_docs"] for r in out if r["lang"] and r["source"] is None}
     assert sum(per_lang.values()) == docs.count()
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Schleimer/Wilkerson/Aiken guarantee: two docs sharing a token run
+    of >= w + k - 1 (= 7) tokens share >= 1 fingerprint; disjoint-vocab
+    docs share none."""
+    from page_rank_hadoop_spark.operators.textstats import winnow_fingerprint_table
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    d = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"nine ten {shared} eleven twelve"),
+            (3, "unrelated words entirely different vocabulary here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprint_table(d).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # overlap detected
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
