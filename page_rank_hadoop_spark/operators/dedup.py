@@ -25,6 +25,7 @@ from pyspark.storagelevel import StorageLevel
 
 from page_rank_hadoop_spark.functions.hashing import MINHASH_PRIME
 from page_rank_hadoop_spark.functions.text import char_shingles, tokens, word_shingles_of
+from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
 
 def _drop_hot_keys(df: DataFrame, key_cols: list[str], max_bucket_size: int) -> DataFrame:
@@ -91,7 +92,7 @@ def minhash_lsh_pairs(
     oracle-checked.
     """
     rows_per_band = n_hashes // n_bands
-    sh = documents.select(
+    sh = ensure_parallel(documents).select(
         "doc_id", F.explode(F.array_distinct(char_shingles("text", shingle_k))).alias("s")
     )
     if hash_fn == "xxhash64":
@@ -231,7 +232,7 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     ~10× cheaper than per-row array scans — the per-doc-array form
     (functions/hashing.simhash64) re-walks the hash array once per bit.
     """
-    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    tok = ensure_parallel(documents).select("doc_id", F.explode(tokens("text")).alias("t"))
     h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
     bit_sums = [
         F.sum((F.shiftright(h, b) % 2)).alias(f"c{b}") for b in range(60)
@@ -353,7 +354,7 @@ def ngram_jaccard_pairs(
     # transform (regex would otherwise re-run inside the lambda), and build
     # the distinct shingle array ONCE per doc so per-doc sizes come from
     # size(arr) — no second corpus scan, no extra groupBy shuffle.
-    base = documents.select("doc_id", tokens("text").alias("toks")).select(
+    base = ensure_parallel(documents).select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr")
     )
     # One row per doc → persisting makes the three consumers (sizes twice,

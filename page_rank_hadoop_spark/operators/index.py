@@ -54,6 +54,9 @@ def token_stream_with_offsets(
     [a-zA-Z]+ runs are in bijection with such positions, so
     ``arrays_zip(tokens, starts)`` aligns exactly.
     """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    documents = ensure_parallel(documents)
     lo = F.lower(F.col(text_col))
 
     def is_alpha(pos):

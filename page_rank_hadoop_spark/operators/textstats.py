@@ -23,7 +23,9 @@ def winnow_fingerprint_table(documents: DataFrame, k: int = 4, w: int = 4) -> Da
     intersection joins: two docs sharing any ≥(w+k−1)-token run share a
     row on fp, so overlap detection is one equi-join on fp. Map-side
     expansion; see functions/text.winnow_fingerprints_of."""
-    base = documents.select("doc_id", tokens("text").alias("toks"))
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    base = ensure_parallel(documents).select("doc_id", tokens("text").alias("toks"))
     return base.select(
         "doc_id", F.explode(winnow_fingerprints_of(F.col("toks"), k, w)).alias("fp")
     )

@@ -59,6 +59,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallel(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Small-input parallelism guard for map-heavy operators: if the scan
+    yields fewer partitions than ``min_fraction × defaultParallelism``
+    (e.g. one tiny parquet row group locally), round-robin repartition to
+    the full core count so per-row-expensive projections (shingle
+    hashing, winnowing, offset scans) use every core.
+
+    At 100 TB this is a no-op: `spark.sql.files.maxPartitionBytes`
+    already splits big inputs into >= cores partitions, so the guard
+    never fires and no shuffle is added. The repartition only triggers on
+    inputs small enough that shuffling them is free (one tiny exchange
+    unlocks N-way map parallelism)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
+
+
 DOCUMENTS_JSONL_SCHEMA = (
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT, "
     "_corrupt STRING"
