@@ -61,7 +61,9 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     by doc_id. Lets the mapInPandas decode pipeline run under the driver's
     oracle gate — the DuckDB twin recomputes the same features from the
     text chars (pure-ASCII corpus, so char codes == payload bytes)."""
-    return documents.select(
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    return ensure_parallel(documents).select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

@@ -42,7 +42,9 @@ def extract_edges(documents: DataFrame, n_docs: int | None = None) -> DataFrame:
     """
     if n_docs is None:
         n_docs = documents.count()
-    tok = documents.select(
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    tok = ensure_parallel(documents).select(
         F.col("doc_id").alias("src"),
         F.explode(F.array_distinct(tokens("text"))).alias("tok"),
     )

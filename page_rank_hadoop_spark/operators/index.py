@@ -12,8 +12,9 @@ Spark-first mapping:
 - tf            = groupBy(term, doc).count() — Catalyst generates the
   partial/final HashAggregate pair automatically (the combiner for free)
 - postings/df   = one more agg by term; HAVING df < cutoff
-- positions     = ``collect_list(pos)`` token indexes (not byte offsets —
-  deviation documented in SURVEY.md §7)
+- positions     = ``collect_list(pos)`` token indexes for the compact
+  index; byte-faithful char offsets via ``token_stream_with_offsets`` /
+  ``postings_with_offsets`` (the reference's (lineOffset, textOffset))
 
 At scale the only shuffles are the two aggregations, both map-side
 combined; the index output should be written partitioned/sorted by term so
@@ -94,8 +95,10 @@ def term_frequencies(documents: DataFrame) -> DataFrame:
     in order within a single input row, but we ``sort_array`` anyway:
     at scale a doc's tokens can split across combiner batches.
     """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
     return (
-        token_stream(documents)
+        token_stream(ensure_parallel(documents))
         .groupBy("term", "doc_id")
         .agg(
             F.count("*").cast("int").alias("tf"),

@@ -52,6 +52,9 @@ def hyperplane_signature(embeddings: DataFrame, n_planes: int = 16, dim: int = 6
     reproducible, no RNG state). Map-side only."""
     import math
 
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    embeddings = ensure_parallel(embeddings)
     bits = []
     for i in range(n_planes):
         plane = [math.sin(i * 7919 + j * 104729) for j in range(dim)]
@@ -111,7 +114,9 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
             for c in range(n_centroids)
         ]
     )
-    with_sims = embeddings.select("vec_id", "embedding", sims.alias("sims"))
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    with_sims = ensure_parallel(embeddings).select("vec_id", "embedding", sims.alias("sims"))
     return with_sims.select(
         "vec_id",
         "embedding",
