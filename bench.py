@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "q_merge_upsert",
     "q_hash_split",
     "q_quantile_filter",
+    "q_bm25_score",
+    "q_winnow_fingerprints",
+    "q_shipping_priority",
 ]
 
 
