@@ -42,6 +42,20 @@ def streaming_tumbling_counts(stream: DataFrame, minutes: int = 15, watermark: s
     )
 
 
+def streaming_dedup(
+    stream: DataFrame, keys: list[str] | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop any event whose key was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+). The state store keeps
+    one entry per key only until the watermark passes it, so state size
+    is bounded by the horizon — the production answer to at-least-once
+    sources (Kafka redelivery, replayed checkpoints), where a global
+    ``dropDuplicates`` would grow state forever."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_replay_to_memory(
     spark: SparkSession, sf_dir: str, minutes: int = 15, query_name: str = "replay_out"
 ) -> DataFrame:

@@ -209,3 +209,54 @@ def test_streaming_replay_matches_duckdb_oracle(spark):
 
     assert sorted(scols) == sorted(dcols)
     assert norm(srows, scols) == norm(drows, dcols)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered event_id inside the
+    watermark horizon is emitted once; state is bounded by the horizon
+    (the at-least-once-source dedup the batch engine does with groupBy)."""
+    import os
+    import time
+
+    from page_rank_hadoop_spark.streaming.replay import streaming_dedup
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batches = [
+        [(1, t0 + dt.timedelta(minutes=1), "click", 1.0),
+         (2, t0 + dt.timedelta(minutes=2), "view", 2.0)],
+        # batch 2: event 1 redelivered (same id, same payload) + a new one
+        [(1, t0 + dt.timedelta(minutes=1), "click", 1.0),
+         (3, t0 + dt.timedelta(minutes=3), "click", 3.0)],
+        # batch 3: event 2 redelivered much later but within the horizon
+        [(2, t0 + dt.timedelta(minutes=2), "view", 2.0)],
+    ]
+    src = str(tmp_path / "src_dedup")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp_dir = str(tmp_path / f"d{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp_dir)
+        for f in os.listdir(tmp_dir):
+            if f.endswith(".parquet"):
+                dst = f"{src}/d{i}_{f}"
+                os.link(f"{tmp_dir}/{f}", dst)
+                os.utime(dst, (now + i, now + i))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_dedup(stream, ["event_id"], watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.table("t_dedup").collect()
+    ids = sorted(r["event_id"] for r in emitted)
+    assert ids == [1, 2, 3]  # each id exactly once despite redeliveries
