@@ -66,6 +66,39 @@ def shipping_priority(
     )
 
 
+def large_volume_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_quantity: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H-Q18-shaped: customers whose orders exceed ``min_quantity``
+    total units — the aggregate-HAVING-then-join pattern. The qualifying
+    set is a groupBy reduction of lineitem (map-side combined, one row
+    per big order), so the subsequent joins carry only qualifying orders;
+    top-k by order value compiles to TakeOrderedAndProject."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(k)
+    )
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H-Q1-shaped wide aggregation (partial agg + one exchange)."""
     return (

@@ -66,6 +66,51 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def funnel_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Session conversion funnel view → click → purchase: per session the
+    stages must occur in strict time order (first view before first click
+    before first purchase). One row out: total sessions and cumulative
+    stage completions. Plan: the sessionize window pass (one shuffle on
+    user_id) + per-session min-when aggregate + a global single-row agg —
+    scale-independent output size."""
+    s = sessionize(events, gap_minutes, carry=["event_type"])
+    stage_ts = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("click_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("purchase_ts"),
+    )
+    vc = F.col("view_ts").isNotNull() & (F.col("view_ts") < F.col("click_ts"))
+    return stage_ts.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("view_ts").isNotNull().cast("int")).alias("n_view"),
+        F.sum(vc.cast("int")).alias("n_view_click"),
+        F.sum((vc & (F.col("click_ts") < F.col("purchase_ts"))).cast("int")).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+def cohort_retention(events: DataFrame, max_offset: int = 3) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort day, day offset ≤ max_offset) the count of distinct users
+    active that day. Two aggregations (distinct user-days, cohort min)
+    + one join back — the join key (user_id) is the natural partitioning,
+    and output is O(days × offsets), scale-independent."""
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
 def range_count_preceding(
     events: DataFrame,
     anchor_type: str = "purchase",

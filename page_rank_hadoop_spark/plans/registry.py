@@ -445,6 +445,25 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_large_volume_orders(spark, sf):
+    """TPC-H Q18: orders exceeding 250 total units, top-100 by value."""
+    return relational.large_volume_orders(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+    )
+
+
+def q_funnel_stats(spark, sf):
+    """Session funnel view → click → purchase (strict time order)."""
+    return windows.funnel_stats(load_table(spark, sf, "events"))
+
+
+def q_cohort_retention(spark, sf):
+    """First-activity-day cohorts × day offsets 0..3, distinct users."""
+    return windows.cohort_retention(load_table(spark, sf, "events"))
+
+
 def q_winnow_fingerprints(spark, sf):
     """MOSS winnowing fingerprints (k=4-gram hashes, w=4 window minima):
     partial-overlap detection via set intersection."""
@@ -977,6 +996,61 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_large_volume_orders"] = """
+      WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 250
+      )
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o.o_totalprice, b.total_qty
+      FROM big b
+      JOIN orders o ON b.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o_orderdate, o.o_orderkey
+      LIMIT 100
+    """
+
+    oracles["q_funnel_stats"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, ts, event_type,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      ),
+      stages AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+        FROM sess GROUP BY user_id, session_id
+      )
+      SELECT count(*) AS n_sessions,
+             sum((view_ts IS NOT NULL)::INT) AS n_view,
+             sum((view_ts < click_ts)::INT) AS n_view_click,
+             sum((view_ts < click_ts AND click_ts < purchase_ts)::INT)
+               AS n_view_click_purchase
+      FROM stages
+    """
+
+    oracles["q_cohort_retention"] = """
+      WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+             (d.day - c.cohort_day) AS day_offset,
+             count(DISTINCT d.user_id) AS n_users
+      FROM days d JOIN cohort c ON d.user_id = c.user_id
+      WHERE (d.day - c.cohort_day) <= 3
+      GROUP BY c.cohort_day, (d.day - c.cohort_day)
+    """
+
     oracles["q_winnow_fingerprints"] = f"""
       WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
       grams AS (
@@ -1408,6 +1482,9 @@ def build_queries() -> dict[str, QueryFn]:
         "q_bm25_score": q_bm25_score,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_shipping_priority": q_shipping_priority,
+        "q_large_volume_orders": q_large_volume_orders,
+        "q_funnel_stats": q_funnel_stats,
+        "q_cohort_retention": q_cohort_retention,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

@@ -260,3 +260,38 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     emitted = spark.table("t_dedup").collect()
     ids = sorted(r["event_id"] for r in emitted)
     assert ids == [1, 2, 3]  # each id exactly once despite redeliveries
+
+
+def test_funnel_strict_order(spark):
+    """Funnel stages must occur in strict time order WITHIN one session:
+    purchase-before-click does not complete the funnel; a later session's
+    clean view→click→purchase does."""
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, session 1: view -> click -> purchase (complete)
+        (1, 1, t0, "view", 0.0), (2, 1, t0 + m, "click", 0.0), (3, 1, t0 + 2 * m, "purchase", 0.0),
+        # user 2, session 1: purchase first -> no funnel
+        (4, 2, t0, "purchase", 0.0), (5, 2, t0 + m, "view", 0.0), (6, 2, t0 + 2 * m, "click", 0.0),
+        # user 3, session 1: view only
+        (7, 3, t0, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    r = windows.funnel_stats(ev).collect()[0]
+    assert (r["n_sessions"], r["n_view"], r["n_view_click"], r["n_view_click_purchase"]) == (3, 3, 2, 1)
+
+
+def test_cohort_retention_offsets(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    day = dt.timedelta(days=1)
+    rows = [
+        (1, 1, t0, "view", 0.0), (2, 1, t0 + day, "view", 0.0),      # user 1: day 0, 1
+        (3, 2, t0, "view", 0.0), (4, 2, t0 + 2 * day, "view", 0.0),  # user 2: day 0, 2
+        (5, 3, t0 + day, "view", 0.0),                               # user 3: cohort day 1
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type", "value"])
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"] for r in windows.cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
