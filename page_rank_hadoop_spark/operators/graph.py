@@ -109,6 +109,50 @@ def adjacency(kept_edges: DataFrame, verts: DataFrame, null_vid=NULL_VID) -> Dat
     )
 
 
+def shortest_paths(edges: DataFrame, source, max_hops: int = 10) -> DataFrame:
+    """Single-source BFS hop counts over a directed edge list: (id, dist)
+    for every vertex reachable from ``source`` in ≤ ``max_hops`` hops —
+    the second classic iterative graph algorithm beside PageRank
+    (Bellman-Ford with unit weights; Pregel's hello-world).
+
+    Frontier expansion: each round joins the CURRENT FRONTIER (only the
+    vertices first reached last round — not the whole distance table)
+    against the edge list, then anti-joins out already-settled vertices.
+    Work per round is O(frontier out-edges), the same reason Pregel
+    vote-to-halt beats whole-graph recompute. Loop hygiene: eager
+    localCheckpoint per round (see near_dup_components — the settled set
+    is referenced twice per round). Early exit on empty frontier costs
+    one count action per round (the frontier is already materialized by
+    the checkpoint, so the count is a cached-scan sum)."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").distinct().repartition("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    spark = edges.sparkSession
+    # spark.range, not createDataFrame: a literal-list frame becomes a
+    # Python-RDD scan that re-spawns workers on every downstream action
+    settled = spark.range(1).select(
+        F.lit(source).cast("long").alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(settled.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return settled
+
+
 def outdegree(adj: DataFrame) -> DataFrame:
     """id → outdeg (the scatter denominator, reference P5)."""
     return adj.select("id", F.size("links").alias("outdeg"))

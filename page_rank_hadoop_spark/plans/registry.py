@@ -445,6 +445,12 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_shortest_paths(spark, sf):
+    """Single-source BFS hop counts from doc 0 over the resolved edge
+    graph (frontier expansion, ≤10 hops) — the Pregel hello-world."""
+    return graph.shortest_paths(_graph(spark, sf)["kept"], source=0, max_hops=10)
+
+
 def q_large_volume_orders(spark, sf):
     """TPC-H Q18: orders exceeding 250 total units, top-100 by value."""
     return relational.large_volume_orders(
@@ -996,6 +1002,18 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_shortest_paths"] = f"""
+      WITH RECURSIVE {SQL_GRAPH_CTES},
+      walk AS (
+        SELECT 0::BIGINT AS id, 0 AS dist
+        UNION
+        SELECT k.dst AS id, w.dist + 1 AS dist
+        FROM kept k JOIN walk w ON k.src = w.id
+        WHERE w.dist < 10
+      )
+      SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id
+    """
+
     oracles["q_large_volume_orders"] = """
       WITH big AS (
         SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
@@ -1485,6 +1503,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_large_volume_orders": q_large_volume_orders,
         "q_funnel_stats": q_funnel_stats,
         "q_cohort_retention": q_cohort_retention,
+        "q_shortest_paths": q_shortest_paths,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

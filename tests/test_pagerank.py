@@ -117,3 +117,16 @@ def test_topk_ordering(adj):
     prs = [r["pr"] for r in top]
     assert prs == sorted(prs, reverse=True)
     assert len(top) == 2
+
+
+def test_shortest_paths_bfs(spark):
+    """BFS distances on a hand graph: chain 1->2->3, shortcut 1->3? no —
+    verify min-dist wins, unreachable nodes absent, max_hops honored."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (9, 1)],  # 9 unreachable FROM 1
+        ["src", "dst"],
+    )
+    got = {r["id"]: r["dist"] for r in graph.shortest_paths(edges, source=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # 3 via direct edge, not the chain
+    capped = {r["id"]: r["dist"] for r in graph.shortest_paths(edges, source=1, max_hops=1).collect()}
+    assert capped == {1: 0, 2: 1, 3: 1}
