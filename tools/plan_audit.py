@@ -60,6 +60,13 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_doc_profile", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_near_dedup_minhash", [("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"CartesianProduct")]),
     ("q_sliding_window", [("has", r"Expand|Generate"), ("not", r"CartesianProduct")]),
+    # round-2 additions: ranking/analytics queries keep their plan shape
+    ("q_large_volume_orders", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct")]),
+    ("q_funnel_stats", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"BatchEvalPython")]),
+    ("q_cohort_retention", [("not", r"CartesianProduct"), ("not", r"BatchEvalPython")]),
+    ("q_bm25_score", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_winnow_fingerprints", [("has", r"Generate"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_balanced_sample", [("has", r"Window"), ("not", r"CartesianProduct")]),
     # TPC-H Q3: filters pushed, filtered customer broadcast, top-k not sort:
     (
         "q_shipping_priority",
