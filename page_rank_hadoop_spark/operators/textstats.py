@@ -31,6 +31,32 @@ def winnow_fingerprint_table(documents: DataFrame, k: int = 4, w: int = 4) -> Da
     )
 
 
+def stats_correlation(documents: DataFrame) -> DataFrame:
+    """Per-language Pearson correlation + population covariance between
+    doc length and token count — the statistical-aggregate surface
+    (corr/covar are single-pass partial-aggregable in both engines)."""
+    return (
+        documents.select("lang", "n_chars", token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.corr("n_chars", "n_tokens"), 6).alias("corr_chars_tokens"),
+            F.round(F.covar_pop("n_chars", "n_tokens"), 4).alias("covar_pop"),
+        )
+    )
+
+
+def length_histogram(documents: DataFrame, bucket_width: int = 500) -> DataFrame:
+    """Doc-length histogram: fixed-width buckets via integer division —
+    a single partial-agg shuffle, deterministic bucket arithmetic shared
+    with the oracle."""
+    bucket = (F.col("n_chars") / bucket_width).cast("long") * bucket_width
+    return (
+        documents.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source): doc count, avg n_chars, avg token count."""
     return (

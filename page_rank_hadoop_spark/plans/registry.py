@@ -445,6 +445,16 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_stats_correlation(spark, sf):
+    """Per-lang corr/covar of doc length vs token count."""
+    return textstats.stats_correlation(_docs(spark, sf))
+
+
+def q_histogram(spark, sf):
+    """Doc-length histogram, 500-char buckets."""
+    return textstats.length_histogram(_docs(spark, sf))
+
+
 def q_shortest_paths(spark, sf):
     """Single-source BFS hop counts from doc 0 over the resolved edge
     graph (frontier expansion, ≤10 hops) — the Pregel hello-world."""
@@ -1002,6 +1012,19 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_stats_correlation"] = f"""
+      WITH t AS (SELECT lang, n_chars, len({SQL_TOKENS}) AS n_tokens FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             round(corr(n_chars, n_tokens), 6) AS corr_chars_tokens,
+             round(covar_pop(n_chars, n_tokens), 4) AS covar_pop
+      FROM t GROUP BY lang
+    """
+
+    oracles["q_histogram"] = """
+      SELECT (n_chars // 500) * 500 AS bucket_lo, count(*) AS n_docs
+      FROM documents GROUP BY (n_chars // 500) * 500
+    """
+
     oracles["q_shortest_paths"] = f"""
       WITH RECURSIVE {SQL_GRAPH_CTES},
       walk AS (
@@ -1504,6 +1527,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_funnel_stats": q_funnel_stats,
         "q_cohort_retention": q_cohort_retention,
         "q_shortest_paths": q_shortest_paths,
+        "q_stats_correlation": q_stats_correlation,
+        "q_histogram": q_histogram,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,
