@@ -34,15 +34,17 @@ def _drop_hot_keys(df: DataFrame, key_cols: list[str], max_bucket_size: int) -> 
     (invertedIndex.scala:93). A boilerplate band/shingle shared by k docs
     makes the self-join emit k² candidate rows; at production scale one
     viral key is quadratic. Cost: one map-side-combined count aggregate,
-    then a broadcast anti-join (the hot-key set is tiny by construction —
-    at most |rows|/max_bucket_size keys)."""
+    then an anti-join. The hot-key set is usually tiny (boilerplate
+    families), but its worst case is |rows|/max_bucket_size keys, so the
+    broadcast decision is left to AQE's runtime size check rather than a
+    hint that could force an oversized broadcast on adversarial data."""
     hot = (
         df.groupBy(*key_cols)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket_size)
         .select(*key_cols)
     )
-    return df.join(F.broadcast(hot), key_cols, "left_anti")
+    return df.join(hot, key_cols, "left_anti")
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
