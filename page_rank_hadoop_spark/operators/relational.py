@@ -116,6 +116,43 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def promo_revenue_by_type(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q14-shaped: revenue and PROMO share per part type — big-fact
+    ⋈ broadcast-dim with conditional aggregation (the promo share is a
+    sum(when)/sum ratio computed in one agg pass)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def supplier_revenue(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Supplier-side star join (TPC-H-Q5 supplier leg): revenue per
+    supplier nation, dims broadcast, one fact shuffle for the agg."""
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+        )
+    )
+
+
 def customers_with_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set-op surface: INTERSECT (has orders) tagged against EXCEPT (no
     orders) — returns (c_custkey, has_orders)."""

@@ -445,6 +445,22 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_promo_revenue(spark, sf):
+    """TPC-H Q14: revenue + PROMO share per part type (part table)."""
+    return relational.promo_revenue_by_type(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def q_supplier_revenue(spark, sf):
+    """Supplier-leg star join: revenue per supplier nation (supplier table)."""
+    return relational.supplier_revenue(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
 def q_stats_correlation(spark, sf):
     """Per-lang corr/covar of doc length vs token count."""
     return textstats.stats_correlation(_docs(spark, sf))
@@ -1012,6 +1028,28 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_promo_revenue"] = """
+      SELECT p.p_type,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             count(*) AS n_items,
+             round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type
+    """
+
+    oracles["q_supplier_revenue"] = """
+      SELECT n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             count(DISTINCT s.s_suppkey) AS n_suppliers
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    """
+
     oracles["q_stats_correlation"] = f"""
       WITH t AS (SELECT lang, n_chars, len({SQL_TOKENS}) AS n_tokens FROM documents)
       SELECT lang, count(*) AS n_docs,
@@ -1529,6 +1567,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_shortest_paths": q_shortest_paths,
         "q_stats_correlation": q_stats_correlation,
         "q_histogram": q_histogram,
+        "q_promo_revenue": q_promo_revenue,
+        "q_supplier_revenue": q_supplier_revenue,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,
