@@ -41,6 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.debug.maxToStringFields", "200")
         # 10MB (Spark's default) measured better than 64MB here: the dedup
         # self-joins' shingle/band tables fall under a bigger threshold and
         # the driver-side hashed-relation build is slower + GC-noisier than

@@ -32,6 +32,23 @@ def write_keyed(df: DataFrame, path: str, key: str, n_files: int | None = None) 
     parted.sortWithinPartitions(key).write.mode("overwrite").parquet(path)
 
 
+def write_compacted(df: DataFrame, path: str, target_mb: int = 256) -> int:
+    """Write ``df`` as parquet with file counts sized from Catalyst's
+    size estimate — the small-files/compaction guard a 100 TB pipeline
+    needs at every sink: too many tiny files poison later scans (one task
+    per file), one giant file serializes the write. Uses the optimizer's
+    ``sizeInBytes`` statistic (free — no extra pass over the data;
+    parquet compresses ~3-5× below the in-memory estimate, making the
+    actual files comfortably under ``target_mb``). Returns the file
+    count. Coalesce, not repartition, when shrinking — no shuffle."""
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, -(-est_bytes // (target_mb * 1024 * 1024)))
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
 ) -> None:

@@ -98,3 +98,28 @@ def test_write_keyed_point_lookup_pushdown(spark, docs, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [In(doc_id" in physical
+
+
+def test_write_compacted_sizes_files(spark, tmp_path, docs):
+    """File count follows the Catalyst size estimate: a tiny table
+    compacts to ONE file regardless of input partitioning; a small
+    target_mb forces a split."""
+    import glob
+
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    d = docs.repartition(16)  # deliberately fragmented input
+    p1 = str(tmp_path / "one")
+    n1 = write_compacted(d, p1, target_mb=256)
+    assert n1 == 1
+    assert len(glob.glob(p1 + "/part-*.parquet")) == 1
+
+    p2 = str(tmp_path / "many")
+    big = spark.range(60_000).select(
+        F.col("id"), F.lpad(F.col("id").cast("string"), 200, "x").alias("pad")
+    )
+    n2 = write_compacted(big, p2, target_mb=1)  # ~12MB estimate -> several files
+    assert n2 > 1
+    assert len(glob.glob(p2 + "/part-*.parquet")) == n2
+    # round trip intact
+    assert spark.read.parquet(p2).count() == 60_000
