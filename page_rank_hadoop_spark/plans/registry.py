@@ -445,6 +445,24 @@ def q_near_dedup_minhash(spark, sf):
     return _minhash_pairs(spark, sf)
 
 
+def q_media_resize(spark, sf):
+    """Multimodal resize plumbing (mapInPandas binary→binary): hashable
+    projection of the resized payloads (length + md5 — the corpus is
+    pure ASCII so the DuckDB twin rebuilds the same bytes from text)."""
+    from page_rank_hadoop_spark.multimodal.binary_ops import (
+        media_from_documents,
+        resize_media,
+    )
+
+    out = resize_media(media_from_documents(_docs(spark, sf)), factor=4)
+    return out.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("int").alias("out_bytes"),
+        F.md5("payload").alias("out_md5"),
+    )
+
+
 def q_promo_revenue(spark, sf):
     """TPC-H Q14: revenue + PROMO share per part type (part table)."""
     return relational.promo_revenue_by_type(
@@ -1028,6 +1046,21 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.doc_id, b.doc_id
     """
 
+    oracles["q_media_resize"] = """
+      WITH resized AS (
+        SELECT doc_id,
+               array_to_string(
+                 [substr(text, i, 1) for i in range(1, length(text) + 1) if (i - 1) % 4 = 0],
+                 '') AS out
+        FROM documents
+      )
+      SELECT doc_id AS media_id,
+             list_extract(['image', 'audio', 'video'], (doc_id % 3)::INT + 1) AS media_type,
+             length(out)::INT AS out_bytes,
+             md5(out) AS out_md5
+      FROM resized
+    """
+
     oracles["q_promo_revenue"] = """
       SELECT p.p_type,
              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -1569,6 +1602,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_histogram": q_histogram,
         "q_promo_revenue": q_promo_revenue,
         "q_supplier_revenue": q_supplier_revenue,
+        "q_media_resize": q_media_resize,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

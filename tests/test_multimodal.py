@@ -49,3 +49,27 @@ def test_frame_sample(spark):
 def test_media_stats(spark):
     out = {r["media_type"]: r["n"] for r in media_stats(_media(spark)).collect()}
     assert out == {"image": 2, "audio": 1, "video": 1}
+
+
+def test_resize_media_byte_stride(spark):
+    from page_rank_hadoop_spark.multimodal.binary_ops import resize_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abcdefgh")), (2, "audio", None)],
+        "media_id LONG, media_type STRING, payload BINARY",
+    )
+    out = {r["media_id"]: r["payload"] for r in resize_media(media, factor=3).collect()}
+    assert bytes(out[1]) == b"adg"  # every 3rd byte
+    assert out[2] is None           # null payload passes through
+
+
+def test_resize_media_real_decode_is_marked(spark):
+    import pytest
+
+    from page_rank_hadoop_spark.multimodal.binary_ops import resize_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc"))], "media_id LONG, media_type STRING, payload BINARY"
+    )
+    with pytest.raises(Exception, match="codec"):
+        resize_media(media, decode_stub=False).collect()

@@ -54,6 +54,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
     # Python/Arrow operators appear exactly where intended:
     ("q_media_features", [("has", r"MapInPandas"), ("not", r"BatchEvalPython")]),
+    ("q_media_resize", [("has", r"MapInPandas"), ("not", r"BatchEvalPython")]),
     ("q_zscore_groupmap", [("has", r"FlatMapGroupsInPandas"), ("not", r"BatchEvalPython")]),
     ("q_weighted_avg_udaf", [("has", r"(AggregateInPandas|ArrowAggregatePython)"), ("not", r"BatchEvalPython")]),
     # JVM-only queries never fall back to Python eval:
