@@ -132,24 +132,31 @@ def fingerprint(col: Column | str, width: int = 16) -> Column:
     return F.substring(F.md5(F.array_join(tokens(col), " ")), 1, width)
 
 
-def winnow_fingerprints_of(toks: Column, k: int = 4, w: int = 4) -> Column:
-    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken 2003 — the
-    MOSS algorithm): hash every word k-gram, slide a w-hash window over
-    the sequence, keep each window's minimum, dedup + sort. Guarantee:
-    any shared token run of ≥ w + k − 1 tokens contributes at least one
-    common fingerprint, so partial-overlap detection needs only a set
-    intersection — no alignment.
-
-    Pure higher-order expressions (transform/slice/array_min): map-side
-    at any scale, shuffle only in whatever aggregation consumes the set.
-    Hashes are md5-derived 60-bit ints, portable to the DuckDB oracle.
-    """
+def gram_hashes_of(toks: Column, k: int = 4) -> Column:
+    """Word k-gram hash sequence (md5-derived 60-bit ints, portable to
+    the DuckDB oracle) — step 1 of winnowing. Callers MUST project this
+    into its own column before sliding windows over it: referencing the
+    expression inside another ``transform`` lambda defeats subexpression
+    elimination and recomputes the whole hash array per window (measured
+    ~10× slower at sf0.1 — same trap as the regex note above)."""
     grams = word_shingles_of(toks, k)
-    hs = F.transform(
+    return F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
+
+
+def window_minima_of(hs: Column, w: int = 4) -> Column:
+    """Winnowing step 2 (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    algorithm): each w-window's minimum over a MATERIALIZED hash-array
+    column, dedup + sort. Guarantee: any shared token run of ≥ w + k − 1
+    tokens contributes at least one common fingerprint, so partial-
+    overlap detection needs only a set intersection — no alignment.
+    ``least(element_at…)`` rather than ``array_min(slice…)``: no per-
+    window array allocation (least skips the NULLs short docs produce).
+    """
     n_windows = F.greatest(F.size(hs) - (w - 1), F.lit(1))
     mins = F.transform(
-        F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(hs, i, w))
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.least(*[F.element_at(hs, i + j) for j in range(w)]),
     )
     return F.sort_array(F.array_distinct(mins))

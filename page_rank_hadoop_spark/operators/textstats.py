@@ -10,11 +10,12 @@ from pyspark.sql import functions as F
 
 from page_rank_hadoop_spark.functions.text import (
     fingerprint,
+    gram_hashes_of,
     language_id,
     quality_score,
     token_count,
     tokens,
-    winnow_fingerprints_of,
+    window_minima_of,
 )
 
 
@@ -22,12 +23,14 @@ def winnow_fingerprint_table(documents: DataFrame, k: int = 4, w: int = 4) -> Da
     """(doc_id, fp) winnowing fingerprints (MOSS) — exploded for set-
     intersection joins: two docs sharing any ≥(w+k−1)-token run share a
     row on fp, so overlap detection is one equi-join on fp. Map-side
-    expansion; see functions/text.winnow_fingerprints_of."""
+    expansion in THREE projection steps (tokens → gram hashes → window
+    minima) so each array is computed once — see gram_hashes_of."""
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
     base = ensure_parallel(documents).select("doc_id", tokens("text").alias("toks"))
-    return base.select(
-        "doc_id", F.explode(winnow_fingerprints_of(F.col("toks"), k, w)).alias("fp")
+    hashed = base.select("doc_id", gram_hashes_of(F.col("toks"), k).alias("hs"))
+    return hashed.select(
+        "doc_id", F.explode(window_minima_of(F.col("hs"), w)).alias("fp")
     )
 
 
