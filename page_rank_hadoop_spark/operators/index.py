@@ -57,8 +57,16 @@ def token_stream_with_offsets(
     """
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
-    documents = ensure_parallel(documents)
-    lo = F.lower(F.col(text_col))
+    # lower(text) MUST be its own projected column: referenced inside the
+    # filter lambda it would re-lowercase the whole string once per
+    # character position — O(n²) per doc (subexpression elimination does
+    # not cross HOF lambda scopes; see functions/text.gram_hashes_of).
+    base = ensure_parallel(documents).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("toks"),
+        F.lower(F.col(text_col)).alias("lo"),
+    )
+    lo = F.col("lo")
 
     def is_alpha(pos):
         c = F.ascii(lo.substr(pos, F.lit(1)))
@@ -69,9 +77,9 @@ def token_stream_with_offsets(
         lambda i: is_alpha(i) & ((i == 1) | ~is_alpha(i - 1)),
     )
     return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.arrays_zip(tokens(text_col).alias("term"), starts.alias("off"))).alias("z"),
+        base.select(
+            "doc_id",
+            F.explode(F.arrays_zip(F.col("toks").alias("term"), starts.alias("off"))).alias("z"),
         )
         .select("doc_id", F.col("z.term").alias("term"), F.col("z.off").alias("off"))
     )
