@@ -66,6 +66,66 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def session_intervals(
+    events: DataFrame, gap_minutes: int = 30, min_events: int = 2
+) -> DataFrame:
+    """Per (user, session): [t0, t1] activity interval, sessions with
+    ≥ ``min_events`` events — the interval table the overlap join runs on."""
+    s = sessionize(events, gap_minutes)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"), F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= min_events)
+    )
+
+
+def interval_overlap_pairs(intervals: DataFrame, cell_seconds: int = 3600) -> DataFrame:
+    """Cross-user overlapping interval pairs — the scalable form of the
+    interval/range join. A naive ``a.t0 <= b.t1 AND b.t0 <= a.t1`` theta
+    join is a cartesian product at scale; instead each interval explodes
+    to the grid cells it covers (``cell_seconds`` wide — ~1-2 cells for
+    short sessions), candidates equi-join on the cell (ONE shuffle on a
+    short key, the same shape as every LSH dedup pipeline), the exact
+    overlap predicate filters, and ``distinct`` drops the duplicate hit
+    when a pair shares several cells. Pick ``cell_seconds`` near the
+    median interval length: too small explodes cells, too big packs
+    everything into few cells (the standard grid-join dial).
+
+    Returns (user_a, session_a, user_b, session_b, overlap_s), user_a <
+    user_b (same-user sessions never overlap by construction).
+    """
+    iv = intervals.select(
+        "user_id",
+        "session_id",
+        F.col("t0").cast("double").alias("e0"),
+        F.col("t1").cast("double").alias("e1"),
+    )
+    cells = F.sequence(
+        (F.col("e0") / cell_seconds).cast("long"), (F.col("e1") / cell_seconds).cast("long")
+    )
+    g = iv.withColumn("cell", F.explode(cells))
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.e0") <= F.col("b.e1"))
+            & (F.col("b.e0") <= F.col("a.e1"))
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("session_b"),
+            F.round(
+                F.least(F.col("a.e1"), F.col("b.e1")) - F.greatest(F.col("a.e0"), F.col("b.e0")),
+                6,
+            ).alias("overlap_s"),
+        )
+        .distinct()
+    )
+
+
 def funnel_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session conversion funnel view → click → purchase: per session the
     stages must occur in strict time order (first view before first click

@@ -504,6 +504,13 @@ def q_large_volume_orders(spark, sf):
     )
 
 
+def q_interval_overlap(spark, sf):
+    """Cross-user overlapping session intervals via the grid-bucketed
+    interval join (no cartesian; one equi-join shuffle on the hour cell)."""
+    iv = windows.session_intervals(load_table(spark, sf, "events"))
+    return windows.interval_overlap_pairs(iv)
+
+
 def q_funnel_stats(spark, sf):
     """Session funnel view → click → purchase (strict time order)."""
     return windows.funnel_stats(load_table(spark, sf, "events"))
@@ -1123,6 +1130,31 @@ def build_oracles() -> dict[str, str]:
       LIMIT 100
     """
 
+    oracles["q_interval_overlap"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, ts,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      ),
+      iv AS (
+        SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+        FROM sess GROUP BY user_id, session_id HAVING count(*) >= 2
+      )
+      SELECT a.user_id AS user_a, a.session_id AS session_a,
+             b.user_id AS user_b, b.session_id AS session_b,
+             round(epoch(least(a.t1, b.t1)) - epoch(greatest(a.t0, b.t0)), 6) AS overlap_s
+      FROM iv a JOIN iv b
+        ON a.t0 <= b.t1 AND b.t0 <= a.t1 AND a.user_id < b.user_id
+    """
+
     oracles["q_funnel_stats"] = """
       WITH s AS (
         SELECT event_id, user_id, ts, event_type,
@@ -1603,6 +1635,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_promo_revenue": q_promo_revenue,
         "q_supplier_revenue": q_supplier_revenue,
         "q_media_resize": q_media_resize,
+        "q_interval_overlap": q_interval_overlap,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

@@ -295,3 +295,33 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_interval_overlap_grid_join(spark):
+    """Grid-bucketed overlap join == naive pairwise check, including
+    intervals that only touch across a cell boundary and same-user
+    exclusion; no duplicate pairs from shared cells."""
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(uid, sid, start_min, end_min):
+        return (uid, sid, t0 + dt.timedelta(minutes=start_min), t0 + dt.timedelta(minutes=end_min))
+
+    rows = [
+        iv(1, 1, 0, 90),     # spans 2 hour-cells
+        iv(2, 1, 55, 65),    # overlaps u1s1 across the cell boundary
+        iv(3, 1, 200, 210),  # disjoint
+        iv(4, 1, 85, 95),    # overlaps u1s1 tail only
+        iv(1, 2, 300, 310),  # same user as u1s1 — excluded by design
+        iv(2, 2, 305, 312),  # overlaps u1s2
+    ]
+    intervals = spark.createDataFrame(
+        rows, "user_id LONG, session_id LONG, t0 TIMESTAMP, t1 TIMESTAMP"
+    )
+    out = windows.interval_overlap_pairs(intervals, cell_seconds=3600)
+    pairs = {(r["user_a"], r["session_a"], r["user_b"], r["session_b"]) for r in out.collect()}
+    assert pairs == {(1, 1, 2, 1), (1, 1, 4, 1), (1, 2, 2, 2)}
+    # exactly one row per pair despite multi-cell overlap
+    assert out.count() == 3
+    # overlap seconds exact
+    secs = {(r["user_a"], r["user_b"]): r["overlap_s"] for r in out.collect() if r["session_a"] == 1}
+    assert secs[(1, 2)] == 600.0 and secs[(1, 4)] == 300.0

@@ -62,6 +62,10 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_near_dedup_minhash", [("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"CartesianProduct")]),
     ("q_sliding_window", [("has", r"Expand|Generate"), ("not", r"CartesianProduct")]),
     # round-2 additions: ranking/analytics queries keep their plan shape
+    (
+        "q_interval_overlap",
+        [("has", r"Generate"), ("not", r"CartesianProduct"), ("not", r"BroadcastNestedLoopJoin")],
+    ),
     ("q_large_volume_orders", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct")]),
     ("q_funnel_stats", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"BatchEvalPython")]),
     ("q_cohort_retention", [("not", r"CartesianProduct"), ("not", r"BatchEvalPython")]),
