@@ -203,24 +203,35 @@ def bm25_scores(
     Zaragoza 2009): idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturates
     at k1 and is normalized by doc length vs the corpus average.
 
-    Plan shape matches tfidf_scores: one tokenize pass filtered to the
-    query terms for tf/df, plus a map-side doc-length projection whose
-    corpus average is a scalar agg broadcast into the expression. The
-    per-doc length join is on doc_id (tiny: only docs containing a query
-    term survive the semi-ish join).
+    ONE tokenize per corpus scan: a shared base projects the token array
+    once and derives BOTH the doc length and the query-term occurrences
+    from it (size + filter over the same attribute); n_docs and avgdl
+    come from a single scalar aggregate action over that base. Two scans
+    total (the stats action, the query), versus four in the naive
+    count/avg/tf/lens formulation.
     """
-    n_docs = documents.count()
-    lens = documents.select("doc_id", F.size(tokens("text")).alias("dl"))
-    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
-    tf = term_frequencies(documents).filter(F.col("term").isin(query_terms))
-    df_ = df_from_tf(tf, cutoff=10**9)
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
+    base = ensure_parallel(documents).select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        F.filter(tokens("text"), lambda t: F.array_contains(terms_arr, t)).alias("hits"),
+    )
+    row = base.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"] or 1.0
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     norm = F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
     )
     return (
         tf.join(df_, "term")
-        .join(lens, "doc_id")
         .select("term", "doc_id", F.round(idf * norm, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "term", "doc_id")
     )

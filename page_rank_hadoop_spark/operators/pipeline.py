@@ -13,16 +13,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key: str, on_duplicates: str = "error"
+) -> DataFrame:
     """Upsert ``updates`` into ``base`` on ``key``: an updated row replaces
     the base row, unmatched base rows are kept — the Delta/Iceberg MERGE
-    semantics expressed engine-neutrally.
+    semantics expressed engine-neutrally, including the multiple-match
+    rule: ``on_duplicates='error'`` (default, Delta's behavior) raises if
+    updates carry the same key twice — a silent pass would emit duplicate
+    keys into the snapshot and corrupt every downstream keyed join/agg;
+    'keep_min' deterministically keeps the lexicographically-least row
+    per key; 'allow' skips the check (caller guarantees uniqueness —
+    avoids the validation action).
 
     Plan: one left-anti join (base minus updated keys) + union. At scale
     the anti-join shuffles on the key once; with both tables bucketed by
     key (sources/serving.write_bucketed) it is shuffle-free. Columns must
-    match by name (unionByName).
+    match by name (unionByName). The 'error' check is one cheap
+    map-side-combined aggregate action, the same price Delta pays.
     """
+    if on_duplicates == "error":
+        n_dup = (
+            updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"merge_upsert: updates contain duplicate {key!r} values "
+                "(MERGE multiple-match); dedupe first or pass "
+                "on_duplicates='keep_min'"
+            )
+    elif on_duplicates == "keep_min":
+        others = [c for c in updates.columns if c != key]
+        packed = updates.groupBy(key).agg(F.min(F.struct(*others)).alias("_r"))
+        updates = packed.select(key, *[F.col(f"_r.{c}").alias(c) for c in others])
+    elif on_duplicates != "allow":
+        raise ValueError("on_duplicates must be 'error', 'keep_min', or 'allow'")
     kept = base.join(updates.select(key).distinct(), key, "left_anti")
     return updates.unionByName(kept.select(*updates.columns))
 

@@ -116,23 +116,25 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def promo_revenue_by_type(lineitem: DataFrame, part: DataFrame) -> DataFrame:
-    """TPC-H-Q14-shaped: revenue and PROMO share per part type — big-fact
-    ⋈ broadcast-dim with conditional aggregation (the promo share is a
-    sum(when)/sum ratio computed in one agg pass)."""
+def promo_revenue_by_month(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H-Q14-shaped: per ship-month, the PROMO share of revenue
+    ACROSS ALL part types (grouping must differ from the conditioned
+    column or the ratio degenerates to 100/0 — Q14's point is the
+    sum(when)/sum ratio over a mixed population in one agg pass), plus
+    total revenue. Big-fact ⋈ broadcast-dim, one shuffle."""
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy("p_type")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(F.sum(rev), 4).alias("revenue"),
-            F.count("*").alias("n_items"),
             F.round(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
                 / F.sum(rev),
                 6,
             ).alias("promo_pct"),
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
         )
     )
 

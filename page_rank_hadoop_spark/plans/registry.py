@@ -464,8 +464,8 @@ def q_media_resize(spark, sf):
 
 
 def q_promo_revenue(spark, sf):
-    """TPC-H Q14: revenue + PROMO share per part type (part table)."""
-    return relational.promo_revenue_by_type(
+    """TPC-H Q14: PROMO revenue share per ship-month (part table)."""
+    return relational.promo_revenue_by_month(
         load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
     )
 
@@ -1069,15 +1069,15 @@ def build_oracles() -> dict[str, str]:
     """
 
     oracles["q_promo_revenue"] = """
-      SELECT p.p_type,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
-             count(*) AS n_items,
+      SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
              round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                                     THEN l.l_extendedprice * (1 - l.l_discount)
                                     ELSE 0.0 END)
-                   / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+             count(*) AS n_items
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-      GROUP BY p.p_type
+      GROUP BY strftime(l.l_shipdate, '%Y-%m')
     """
 
     oracles["q_supplier_revenue"] = """

@@ -40,10 +40,20 @@ def write_compacted(df: DataFrame, path: str, target_mb: int = 256) -> int:
     ``sizeInBytes`` statistic (free — no extra pass over the data;
     parquet compresses ~3-5× below the in-memory estimate, making the
     actual files comfortably under ``target_mb``). Returns the file
-    count. Coalesce, not repartition, when shrinking — no shuffle."""
+    count. Coalesce, not repartition, when shrinking — no shuffle.
+
+    Stats-less plans (RDD/createDataFrame-backed, some multi-join trees)
+    report ``sizeInBytes = Long.MaxValue`` or wildly multiplied
+    estimates; those fall back to the current partition count instead of
+    requesting billions of files, and the target is capped at 100k files
+    either way (a 100 TB table at 256 MB/file is ~400k — past that you
+    want a partitioned layout, not one flat directory)."""
     est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    n_files = max(1, -(-est_bytes // (target_mb * 1024 * 1024)))
     cur = df.rdd.getNumPartitions()
+    if est_bytes <= 0 or est_bytes >= (1 << 62):  # missing/absent statistics
+        n_files = cur
+    else:
+        n_files = min(max(1, -(-est_bytes // (target_mb * 1024 * 1024))), 100_000)
     out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
     out.write.mode("overwrite").parquet(path)
     return n_files

@@ -123,3 +123,11 @@ def test_write_compacted_sizes_files(spark, tmp_path, docs):
     assert len(glob.glob(p2 + "/part-*.parquet")) == n2
     # round trip intact
     assert spark.read.parquet(p2).count() == 60_000
+
+    # stats-less plan (createDataFrame -> sizeInBytes = Long.MaxValue):
+    # falls back to the current partition count, never billions of files
+    statless = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    p3 = str(tmp_path / "statless")
+    n3 = write_compacted(statless, p3, target_mb=1)
+    assert 1 <= n3 <= statless.rdd.getNumPartitions()
+    assert spark.read.parquet(p3).count() == 10

@@ -17,6 +17,21 @@ def test_merge_upsert_semantics(spark):
     assert out == {1: 10, 2: 99, 3: 30, 5: 50}
 
 
+def test_merge_upsert_duplicate_update_keys(spark):
+    """Delta MERGE multiple-match semantics: duplicate keys in updates
+    raise by default; keep_min resolves deterministically."""
+    import pytest
+
+    base = spark.createDataFrame([(1, "a", 10)], ["doc_id", "lang", "n_chars"])
+    dup_updates = spark.createDataFrame(
+        [(1, "a", 99), (1, "a", 42)], ["doc_id", "lang", "n_chars"]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        pipeline.merge_upsert(base, dup_updates, "doc_id")
+    out = pipeline.merge_upsert(base, dup_updates, "doc_id", on_duplicates="keep_min").collect()
+    assert len(out) == 1 and out[0]["n_chars"] == 42  # lexicographically least row wins
+
+
 def test_hash_split_deterministic_and_partitioned(spark, docs):
     a = pipeline.hash_split(docs.select("doc_id"), "doc_id", 80)
     b = pipeline.hash_split(docs.select("doc_id"), "doc_id", 80)
