@@ -70,7 +70,12 @@ def ensure_parallel(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     already splits big inputs into >= cores partitions, so the guard
     never fires and no shuffle is added. The repartition only triggers on
     inputs small enough that shuffling them is free (one tiny exchange
-    unlocks N-way map parallelism)."""
+    unlocks N-way map parallelism).
+
+    Deliberately applied at the per-operator call sites (not hoisted into
+    load_table): scan-purity queries (q_scan_project, q_tokenize_explode)
+    pin 'no Exchange' in the plan audit — a projection must not shuffle —
+    so only operators whose per-row work dominates scan cost opt in."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
