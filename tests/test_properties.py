@@ -133,3 +133,39 @@ def test_components_match_union_find(spark, pairs):
         r["doc_id"]: r["component_id"] for r in near_dup_components(df).collect()
     }
     assert got == expect
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user_id
+            st.integers(min_value=0, max_value=7200),  # start offset s
+            st.integers(min_value=0, max_value=5400),  # duration s
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_overlap_matches_naive(spark, iv):
+    """Grid-bucketed overlap join == naive O(n²) pairwise check for any
+    random interval set, including zero-length intervals and intervals
+    spanning several grid cells."""
+    from page_rank_hadoop_spark.operators.windows import interval_overlap_pairs
+
+    rows = [
+        (uid, sid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s),
+         dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s + d))
+        for sid, (uid, s, d) in enumerate(iv)
+    ]
+    expect = set()
+    for ua, sa, a0, a1 in rows:
+        for ub, sb, b0, b1 in rows:
+            if ua < ub and a0 <= b1 and b0 <= a1:
+                expect.add((ua, sa, ub, sb))
+    df = spark.createDataFrame(rows, "user_id LONG, session_id LONG, t0 TIMESTAMP, t1 TIMESTAMP")
+    got = {
+        (r["user_a"], r["session_a"], r["user_b"], r["session_b"])
+        for r in interval_overlap_pairs(df, cell_seconds=1800).collect()
+    }
+    assert got == expect
