@@ -13,6 +13,8 @@ Usage:
   python -m page_rank_hadoop_spark.cli pagerank <input> <out_dir> [--format parquet|corpus]
                                                 [--iterations N | --converge]
   python -m page_rank_hadoop_spark.cli query    <index_dir> <ranks_dir> <input> <term> [term ...]
+  python -m page_rank_hadoop_spark.cli dedup    <input> <out_dir> [--strategy exact|minhash]
+                                                [--max-bucket-size N]
 
 ``--format corpus`` reads the reference's line-oriented wiki dump
 (<title>…</title>, [[link]], <text>…</text>) via sources/corpus.py;
@@ -136,6 +138,31 @@ def cmd_query(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
+    """End-to-end corpus dedup: exact (hash-groupBy keep-first) or near
+    (MinHash-LSH pairs → connected components → keep component min).
+    Writes the kept corpus; the dropped doc_ids go to <out>/dropped for
+    audit — the full training-data dedup pass as one command."""
+    from page_rank_hadoop_spark.operators import dedup
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    docs = _load_documents(spark, args.input, args.format)
+    if args.strategy == "exact":
+        kept = dedup.dedup_keep_first(docs)
+    else:
+        pairs = dedup.minhash_lsh_pairs(
+            docs, max_bucket_size=args.max_bucket_size
+        )
+        comp = dedup.near_dup_components(pairs)
+        drop = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+        kept = docs.join(drop, "doc_id", "left_anti")
+    dropped = docs.select("doc_id").subtract(kept.select("doc_id"))
+    write_compacted(kept, os.path.join(args.out, "kept"))
+    write_compacted(dropped, os.path.join(args.out, "dropped"))
+    print(f"dedup[{args.strategy}]: kept {kept.count()} dropped {dropped.count()} → {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -156,6 +183,14 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--converge", action="store_true",
                     help="reference policy: min 10, stop at avgChange<=0.2, cap 50")
     pp.set_defaults(fn=cmd_pagerank)
+
+    pd_ = sub.add_parser("dedup", parents=[common])
+    pd_.add_argument("input")
+    pd_.add_argument("out")
+    pd_.add_argument("--strategy", choices=("exact", "minhash"), default="exact")
+    pd_.add_argument("--max-bucket-size", type=int, default=None,
+                     help="hot-band cap for minhash at production scale")
+    pd_.set_defaults(fn=cmd_dedup)
 
     pq = sub.add_parser("query", parents=[common])
     pq.add_argument("index_dir")

@@ -79,7 +79,9 @@ def session_intervals(
     )
 
 
-def interval_overlap_pairs(intervals: DataFrame, cell_seconds: int = 3600) -> DataFrame:
+def interval_overlap_pairs(
+    intervals: DataFrame, cell_seconds: int = 3600, max_cell_size: int | None = None
+) -> DataFrame:
     """Cross-user overlapping interval pairs — the scalable form of the
     interval/range join. A naive ``a.t0 <= b.t1 AND b.t0 <= a.t1`` theta
     join is a cartesian product at scale; instead each interval explodes
@@ -93,7 +95,14 @@ def interval_overlap_pairs(intervals: DataFrame, cell_seconds: int = 3600) -> Da
 
     Returns (user_a, session_a, user_b, session_b, overlap_s), user_a <
     user_b (same-user sessions never overlap by construction).
+
+    ``max_cell_size`` (None = off, the exact/declared-oracle mode) drops
+    cells covering more intervals before the self-join — the same viral-
+    key guard as the LSH band caps (a flash-crowd hour is quadratic in
+    concurrent sessions; see operators/dedup._drop_hot_keys).
     """
+    from page_rank_hadoop_spark.operators.dedup import _drop_hot_keys
+
     iv = intervals.select(
         "user_id",
         "session_id",
@@ -104,6 +113,8 @@ def interval_overlap_pairs(intervals: DataFrame, cell_seconds: int = 3600) -> Da
         (F.col("e0") / cell_seconds).cast("long"), (F.col("e1") / cell_seconds).cast("long")
     )
     g = iv.withColumn("cell", F.explode(cells))
+    if max_cell_size is not None:
+        g = _drop_hot_keys(g, ["cell"], max_cell_size)
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(b, "cell")

@@ -87,3 +87,28 @@ def test_cli_corpus_format(spark, tmp_path):
     ranks = spark.read.parquet(f"{out}/ranks")
     ids = {r["id"] for r in ranks.collect()}
     assert ids == {"A", "B", "NULL"}
+
+
+def test_cli_dedup_exact_and_minhash(spark, tmp_path):
+    """cli dedup: kept + dropped partitions; exact drops the later
+    duplicate, minhash additionally groups near-dups via components."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about spark query engines at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    out = str(tmp_path / "dedup_out")
+    assert main(["dedup", src, out, "--strategy", "exact"]) == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    dropped = {r["doc_id"] for r in spark.read.parquet(f"{out}/dropped").collect()}
+    assert kept == {1, 3} and dropped == {2}
+
+    out2 = str(tmp_path / "dedup_out2")
+    assert main(["dedup", src, out2, "--strategy", "minhash"]) == 0
+    kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/kept").collect()}
+    assert kept2 == {1, 3}
