@@ -52,6 +52,46 @@ def merge_upsert(
     return updates.unionByName(kept.select(*updates.columns))
 
 
+def merge_scd2(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str = "effective_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge (the CDC/history pattern
+    Delta's MERGE INTO serves; emulated engine-neutrally with anti-join +
+    union): ``base`` rows carry (``valid_from``, ``valid_to`` NULL =
+    current); each update CLOSES the key's current row (valid_to :=
+    update's ``effective_col``) and APPENDS a new current row — history
+    rows pass through untouched, so every key's attribute timeline is
+    queryable as-of any date.
+
+    Plan: one equi-join (close) + one anti-join (untouched current) +
+    unions, all on the key — shuffle-free when base/updates are bucketed
+    by the key, like merge_upsert. Updates must be key-unique (validate
+    upstream with merge_upsert's on_duplicates='error' check).
+    """
+    eff = F.col(effective_col)
+    attrs = [c for c in updates.columns if c not in (key, effective_col)]
+    current = base.filter(F.col("valid_to").isNull())
+    history = base.filter(F.col("valid_to").isNotNull())
+    closed = (
+        current.drop("valid_to")
+        .join(updates.select(key, eff.alias("_eff")), key)
+        .withColumn("valid_to", F.col("_eff"))
+        .drop("_eff")
+        .select(*base.columns)
+    )
+    untouched = current.join(updates.select(key), key, "left_anti").select(*base.columns)
+    new_rows = updates.select(
+        key,
+        *attrs,
+        eff.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    ).select(*base.columns)
+    return history.unionByName(closed).unionByName(untouched).unionByName(new_rows)
+
+
 def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
     """Deterministic, engine-portable train/val split: bucket =
     md5(key) first-8-hex-digits mod 100, split = 'train' if bucket <

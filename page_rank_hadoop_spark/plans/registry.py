@@ -560,6 +560,33 @@ def q_merge_upsert(spark, sf):
     return pipeline.merge_upsert(d, updates, "doc_id")
 
 
+def q_merge_scd2(spark, sf):
+    """SCD2/CDC merge: docs snapshot (valid_from 2024-01-01, open-ended)
+    + updates for doc_id % 10 == 0 effective 2024-06-01 → closed old
+    rows, appended current rows, untouched keys pass through."""
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        .withColumn("effective_ts", F.lit("2024-06-01 00:00:00").cast("timestamp"))
+    )
+    out = pipeline.merge_scd2(base, updates, "doc_id")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("OPEN")).alias("valid_to"),
+    )
+
+
 def q_hash_split(spark, sf):
     """Deterministic engine-portable train/val split (md5-bucket mod 100)."""
     return pipeline.hash_split(_docs(spark, sf).select("doc_id"), "doc_id", 80)
@@ -1291,6 +1318,17 @@ def build_oracles() -> dict[str, str]:
       WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
     """
 
+    oracles["q_merge_scd2"] = """
+      WITH upd AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+                   WHERE doc_id % 10 = 0)
+      SELECT d.doc_id, d.lang, d.n_chars, '2024-01-01' AS valid_from,
+             CASE WHEN d.doc_id % 10 = 0 THEN '2024-06-01' ELSE 'OPEN' END AS valid_to
+      FROM documents d
+      UNION ALL
+      SELECT doc_id, lang, n_chars, '2024-06-01' AS valid_from, 'OPEN' AS valid_to
+      FROM upd
+    """
+
     oracles["q_hash_split"] = """
       SELECT doc_id,
              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
@@ -1636,6 +1674,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_supplier_revenue": q_supplier_revenue,
         "q_media_resize": q_media_resize,
         "q_interval_overlap": q_interval_overlap,
+        "q_merge_scd2": q_merge_scd2,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

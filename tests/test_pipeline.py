@@ -117,3 +117,36 @@ def test_merge_upsert_bucketed_no_shuffle(spark, docs):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert merged.count() == base.count()
+
+
+def test_merge_scd2_history_chain(spark):
+    """Two sequential SCD2 merges build a 3-row timeline for the changed
+    key: closed -> closed -> open, with contiguous validity bounds."""
+    import datetime as dt
+
+    t0, t1, t2 = (dt.datetime(2024, m, 1) for m in (1, 3, 6))
+    base = spark.createDataFrame(
+        [(1, 10, t0, None), (2, 20, t0, None)],
+        "doc_id LONG, n_chars LONG, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    u1 = spark.createDataFrame([(1, 11, t1)], "doc_id LONG, n_chars LONG, effective_ts TIMESTAMP")
+    u2 = spark.createDataFrame([(1, 12, t2)], "doc_id LONG, n_chars LONG, effective_ts TIMESTAMP")
+    v1 = pipeline.merge_scd2(base, u1, "doc_id")
+    v2 = pipeline.merge_scd2(v1, u2, "doc_id")
+    rows = sorted(
+        ((r["doc_id"], r["n_chars"], r["valid_from"], r["valid_to"]) for r in v2.collect()),
+        key=lambda x: (x[0], x[2]),
+    )
+    assert rows == [
+        (1, 10, t0, t1),
+        (1, 11, t1, t2),
+        (1, 12, t2, None),
+        (2, 20, t0, None),  # untouched key keeps its open row
+    ]
+    # as-of query: key 1's value on 2024-04-15 is the middle generation
+    asof = v2.filter(
+        (F.col("doc_id") == 1)
+        & (F.col("valid_from") <= dt.datetime(2024, 4, 15))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > dt.datetime(2024, 4, 15)))
+    ).collect()
+    assert len(asof) == 1 and asof[0]["n_chars"] == 11

@@ -53,3 +53,14 @@ def test_jsonl_documents_with_corrupt_quarantine(spark, tmp_path):
     full = read_documents_jsonl(spark, str(p), drop_corrupt=False)
     corrupt = full.filter(F.col("_corrupt").isNotNull()).collect()
     assert len(corrupt) == 1 and corrupt[0]["_corrupt"].startswith("{this")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, docs):
+    """ORC source/sink parity: round trip preserves rows; predicate
+    pushdown reaches the ORC scan like parquet."""
+    p = str(tmp_path / "docs_orc")
+    docs.select("doc_id", "lang", "n_chars").write.orc(p)
+    back = spark.read.orc(p).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:100]
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
