@@ -1,0 +1,62 @@
+"""Optional-format connectors, gated behind capability checks.
+
+Delta/Iceberg/Hudi and JDBC need their jars on the session classpath;
+this container image ships none of them (pyspark + parquet/orc/csv/json
+only). Each reader below PROBES the capability and fails with an
+actionable message instead of a raw ClassNotFoundException five stages
+into a job — the plumbing (option names, session config keys) is the
+real production shape, so swapping in the jar is the only change needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _format_available(spark: SparkSession, fmt_class: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(fmt_class)
+        return True
+    except Exception:  # noqa: BLE001 — py4j raises wrapped JVM errors
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta table scan. Requires delta-spark jars +
+    ``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``."""
+    if not _format_available(spark, "org.apache.spark.sql.delta.DeltaLog"):
+        raise ImportError(
+            "Delta Lake jars not on the classpath; add delta-spark and the "
+            "DeltaSparkSessionExtension session config, or use the parquet "
+            "tables + operators/pipeline.merge_upsert/merge_scd2 (the "
+            "engine-neutral MERGE equivalents)."
+        )
+    return spark.read.format("delta").load(path)
+
+
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg table scan. Requires iceberg-spark-runtime + a catalog
+    config (``spark.sql.catalog.<name>``)."""
+    if not _format_available(spark, "org.apache.iceberg.spark.source.IcebergSource"):
+        raise ImportError(
+            "Iceberg runtime not on the classpath; add "
+            "iceberg-spark-runtime and a spark.sql.catalog entry."
+        )
+    return spark.read.format("iceberg").load(table)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, driver_class: str, **options: str
+) -> DataFrame:
+    """JDBC source with partitioned reads. Requires the database's JDBC
+    driver jar. For scale, pass partitionColumn/lowerBound/upperBound/
+    numPartitions so the read parallelizes instead of single-streaming."""
+    if not _format_available(spark, driver_class):
+        raise ImportError(
+            f"JDBC driver {driver_class} not on the classpath; add the "
+            "database driver jar to spark.jars."
+        )
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -64,3 +64,19 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path, docs):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:100]
     assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_optional_connectors_fail_actionably(spark):
+    """Delta/Iceberg/JDBC jars are absent in this image: the connectors
+    must fail with an actionable ImportError naming the fix, never a raw
+    ClassNotFoundException mid-job."""
+    import pytest
+
+    from page_rank_hadoop_spark.sources import connectors
+
+    with pytest.raises(ImportError, match="delta-spark"):
+        connectors.read_delta(spark, "/tmp/nope")
+    with pytest.raises(ImportError, match="iceberg-spark-runtime"):
+        connectors.read_iceberg(spark, "cat.db.t")
+    with pytest.raises(ImportError, match="driver jar"):
+        connectors.read_jdbc(spark, "jdbc:postgresql://x/y", "t", "org.postgresql.Driver")
