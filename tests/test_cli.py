@@ -112,3 +112,19 @@ def test_cli_dedup_exact_and_minhash(spark, tmp_path):
     assert main(["dedup", src, out2, "--strategy", "minhash"]) == 0
     kept2 = {r["doc_id"] for r in spark.read.parquet(f"{out2}/kept").collect()}
     assert kept2 == {1, 3}
+
+
+def test_cli_pagerank_converge_flag(spark, tmp_path):
+    """--converge exercises the reference stop policy through the CLI
+    (min 10 iterations on a tiny immediately-converging graph)."""
+    corpus = tmp_path / "dump3.txt"
+    corpus.write_text(
+        "<title>A</title><text>alpha [[B]] spark</text>\n"
+        "<title>B</title><text>beta [[A]] spark</text>\n"
+    )
+    out = str(tmp_path / "eng3")
+    assert main(["pagerank", str(corpus), out, "--format", "corpus", "--converge"]) == 0
+    ranks = spark.read.parquet(f"{out}/ranks")
+    assert {r["id"] for r in ranks.collect()} == {"A", "B", "NULL"}
+    total = sum(r["pr"] for r in ranks.collect())
+    assert total > 0
