@@ -42,6 +42,29 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-family pre-tokenizer pattern, restricted to constructs shared by
+# Java regex and RE2 (no lookarounds, which RE2/DuckDB lacks): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs. Run
+# over lower() text so the letter class stays [a-z].
+BPE_RE = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+WS_RE = "\\S+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of ``BPE_RE`` over the lower-cased
+    text — the token-budget estimate an LLM pipeline bills by (a trained
+    BPE merges within these pre-token pieces, never across, so the count
+    upper-bounds piece granularity deterministically, engine-portably)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), F.lit(0)))
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace-delimited token count (the naive budget baseline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(WS_RE), F.lit(0)))
+
+
 def char_shingles(col: Column | str, k: int = 8) -> Column:
     """All character k-grams of a string as an array (for MinHash/Jaccard).
 

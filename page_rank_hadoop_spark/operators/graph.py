@@ -170,3 +170,53 @@ def contributions(adj_with_pr: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.sum("contrib").alias("contrib"))
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over the undirected-ized edge list — the
+    classic graph-analytics aggregate beside PageRank/BFS/components.
+
+    Degree orientation (the standard scale trick): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    so each vertex's oriented out-degree is bounded by ~√m regardless of
+    how viral it is — a celebrity vertex with 10⁸ followers produces
+    almost no wedges because nearly all its edges point INTO it. Wedges
+    (u→v, u→w) then close against the oriented edge (v, w): two
+    equi-joins, no cartesian anywhere, each triangle counted exactly
+    once. The (deg, id) total order is packed into one comparable long
+    (deg·2³² + id — ids are < 2³² here; a production build over wider
+    ids would compare a struct instead).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    rank = (F.col("deg") * F.lit(4294967296) + F.col("id")).alias("r")
+    rk = deg.select("id", rank)
+    both = (
+        und.join(rk.select(F.col("id").alias("a"), F.col("r").alias("ra")), "a")
+        .join(rk.select(F.col("id").alias("b"), F.col("r").alias("rb")), "b")
+    )
+    lo_first = F.col("ra") < F.col("rb")
+    orient = both.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("rb")).otherwise(F.col("ra")).alias("rv"),
+    )
+    w1 = orient.select("u", F.col("v").alias("x"), F.col("rv").alias("rx"))
+    w2 = orient.select("u", F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("rx") < F.col("ry"))
+        .select(F.col("x").alias("u"), F.col("y").alias("v"))
+    )
+    return wedges.join(orient.select("u", "v"), ["u", "v"]).agg(
+        F.count("*").alias("n_triangles")
+    )

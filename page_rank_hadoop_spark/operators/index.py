@@ -262,3 +262,45 @@ def snippet_window(
             F.substring(F.col("text"), F.greatest(pos - before, F.lit(1)), width).alias("snippet"),
         )
     )
+
+
+def phrase_matches(documents: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase query over the positional index: documents containing
+    the terms of ``phrase`` at consecutive token positions, with the
+    phrase frequency and first match position — WHY the reference stores
+    positions per posting (Writables.scala:24-44) rather than bare tf.
+
+    Plan shape: one token-stream pass filtered to the phrase's terms
+    (tiny fraction of the stream), ONE groupBy(doc) collecting the
+    position list per phrase slot, then pure array algebra: a phrase
+    start is a position p with p ∈ pos(t0), p+1 ∈ pos(t1), ... — i.e.
+    ``array_intersect`` of the slot arrays shifted by their offsets. No
+    self-joins, no explode-back; at scale this is a single shuffle on
+    doc_id of a term-filtered stream.
+    """
+    occ = token_stream(documents).filter(F.col("term").isin(phrase))
+    slots = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+        ).alias(f"_p{i}")
+        for i, t in enumerate(phrase)
+    ]
+    per_doc = occ.groupBy("doc_id").agg(*slots)
+
+    def shifted(name: str, by: int):
+        # NB: the lambda must be unary — F.transform treats a binary
+        # lambda as (element, array_index), not a captured default.
+        return F.transform(F.col(name), lambda x: x - F.lit(by))
+
+    starts = F.col("_p0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, shifted(f"_p{i}", i))
+    return (
+        per_doc.select(
+            "doc_id",
+            F.size(starts).alias("phrase_tf"),
+            F.array_min(starts).alias("first_pos"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .orderBy("doc_id")
+    )

@@ -254,3 +254,108 @@ def approx_users_per_event_type(events: DataFrame) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass data-quality profile of the given numeric columns, long
+    form: (column_name, n_nulls, n_distinct, min_v, max_v, avg_v).
+
+    ONE aggregation job computes every metric for every column (Catalyst
+    plans the multi-distinct via a single Expand), then an explode of a
+    literal struct array melts the 1-row wide result to long form — no
+    per-column scans, no driver loop. At 100 TB the exact multi-column
+    countDistinct Expand (×|cols| row multiplier before the partial agg)
+    is the knob to watch: swap ``approx_count_distinct`` in for the
+    exact one and the profile is a plain single-pass partial agg.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nulls_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            F.round(F.avg(F.col(c).cast("double")), 6).alias(f"_avg_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_v"),
+                F.col(f"_max_{c}").alias("max_v"),
+                F.col(f"_avg_{c}").alias("avg_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*").orderBy("column_name")
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS decorrelation: orders in a date range that
+    have at least one line item shipped > ``late_days`` after the order
+    date, counted per priority. (Q4's commit-vs-receipt predicate is
+    adapted to the columns this schema has: ship lag vs order date.)
+
+    The EXISTS becomes a LEFT SEMI join on the order key with the lag
+    predicate as a residual condition — the fact table is touched once,
+    no correlated re-scan per order. Both sides pushdown-filter before
+    the join (date range on orders; the semi join keeps at most one
+    match per order so no post-dedup is needed).
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo)) & (F.col("o_orderdate") < F.lit(date_hi))
+    )
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & (
+        l["l_shipdate"] > o["o_orderdate"] + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def idle_customer_stats(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H-Q22-shaped anti-join + scalar subquery: customers richer
+    than the average positive account balance with no order since
+    ``since`` (every testdata customer has SOME order, so the recency
+    cutoff is what keeps the anti-join arm observable), rolled up per
+    market segment.
+
+    The scalar average stays IN the plan: a 1-row aggregate cross-joined
+    (Catalyst broadcasts it) rather than collected to the driver; the
+    NOT EXISTS is a LEFT ANTI join on the customer key with the date
+    filter pushed below the join. Shuffle profile at scale: one agg over
+    customer, one anti-join shuffle on custkey (orders projected and
+    filtered to the recent keys only), final tiny agg.
+    """
+    avg_df = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_df)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(since)).select("o_custkey")
+    idle = rich.join(recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

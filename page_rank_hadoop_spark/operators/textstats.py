@@ -92,3 +92,67 @@ def document_profile(documents: DataFrame) -> DataFrame:
         token_count("text").alias("n_tokens"),
         fingerprint("text").alias("fingerprint"),
     )
+
+
+def token_budget(documents: DataFrame) -> DataFrame:
+    """Per-document token-budget estimate: whitespace tokens (naive
+    baseline), BPE-ish pre-tokenizer pieces (what an LLM pipeline bills
+    by), and chars-per-piece compression ratio. Pure projection — two
+    regexp passes per row, map-only at any scale."""
+    from page_rank_hadoop_spark.functions.text import bpe_token_count, ws_token_count
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    bpe = bpe_token_count("text")
+    return ensure_parallel(documents).select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(
+            F.when(bpe > 0, F.col("n_chars").cast("double") / bpe), 4
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def term_cooccurrence(
+    documents: DataFrame, vocab_size: int = 50, min_docs: int = 5
+) -> DataFrame:
+    """Term co-occurrence with PMI over a bounded vocabulary: the top
+    ``vocab_size`` terms by document frequency (ties broken by term),
+    pairs of distinct terms appearing in the same document, kept when
+    they co-occur in ≥ ``min_docs`` docs.
+
+    PMI = ln(n_both · N / (df_a · df_b)) — positive means the pair
+    co-occurs more than independence predicts (collocation mining /
+    topic drift detection over a corpus).
+
+    Scale shape: the vocabulary cap is what makes this safe — each doc
+    contributes ≤ vocab_size rows after the broadcast semi-join, so the
+    doc_id self-join fans out ≤ vocab_size² pairs per doc (a constant),
+    never |vocab|² globally. One shuffle for df, one for the pair count;
+    the vocabulary itself is broadcast (tiny by construction).
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    n_docs = documents.count()
+    dt = ensure_parallel(documents).select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    df_ = dt.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_.orderBy(F.desc("df"), "term").limit(vocab_size)
+    dtv = dt.join(F.broadcast(vocab), "term")
+    a = dtv.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = dtv.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_docs)
+    )
+    pmi = F.log(
+        F.col("n_both").cast("double") * F.lit(float(n_docs))
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return co.select(
+        "term_a", "term_b", "n_both", F.round(pmi, 6).alias("pmi")
+    ).orderBy(F.desc("pmi"), "term_a", "term_b")

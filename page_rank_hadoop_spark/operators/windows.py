@@ -302,3 +302,35 @@ def tumbling_window_counts(events: DataFrame, minutes: int = 15) -> DataFrame:
         events.groupBy(bucket.alias("window_start"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+def session_window_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Native gap-based session windows: ``F.session_window`` merges an
+    event into the running session when its ts is ≤ the session end
+    (inclusive boundary — a gap of exactly ``gap_minutes`` still merges,
+    measured; the same convention as ``sessionize``'s strict-> new-session
+    test, so the two operators produce identical partitions). Emits per
+    (user, session): activity bounds as epoch seconds, event count,
+    value sum.
+
+    This is the batch twin of the Structured Streaming session window
+    (same expression under a watermark merges sessions across
+    microbatches with state cleanup for free — no applyInPandasWithState
+    needed for plain gap sessionization). One shuffle on user_id; the
+    session merge is a sort-within-partition, the same cost shape as the
+    lag/cumsum formulation.
+    """
+    g = (
+        events.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return g.select(
+        "user_id",
+        F.round(F.col("session_window.start").cast("double"), 6).alias("session_start_s"),
+        F.round(F.col("session_window.end").cast("double"), 6).alias("session_end_s"),
+        "n_events",
+        "sum_value",
+    )

@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from page_rank_hadoop_spark.functions.text import TOKEN_RE
+from page_rank_hadoop_spark.functions.text import BPE_RE, TOKEN_RE
 from page_rank_hadoop_spark.multimodal.binary_ops import (
     extract_features,
     frame_sample,
@@ -112,6 +112,9 @@ LOOKUP_TERMS = ("spark", "data", "query")
 DF_CUTOFF_DECLARED = 300  # testdata vocabulary df range is 25..~400; the
 # reference's 3000 cutoff (invertedIndex.scala:93) would keep everything —
 # 300 keeps the HAVING branch observable. inverted_index() defaults to 3000.
+PHRASE = ("stream", "data")  # adjacent-token phrase present at every SF
+COOC_VOCAB, COOC_MIN_DOCS = 50, 5
+PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 SIMHASH_BITS = 60
 SIMHASH_PREFIX_BITS = 12
 SIMHASH_MAX_HAMMING = 20
@@ -885,6 +888,60 @@ _LANG_MARKERS_SQL = """(VALUES
   ('zh', ['de','shi','le','wo','ni'])) l(lang, markers)"""
 
 
+def q_phrase_search(spark, sf):
+    """Exact adjacent-phrase query over the positional index — the reason
+    the reference stores per-occurrence positions (Writables.scala:24-44):
+    docs containing "stream data" at consecutive token positions."""
+    return index.phrase_matches(_docs(spark, sf), list(PHRASE))
+
+
+def q_session_window(spark, sf):
+    """Native gap-based session windows (F.session_window) — batch twin
+    of the streaming session window; complements the lag/cumsum
+    sessionize with the >=-gap boundary convention."""
+    return windows.session_window_stats(load_table(spark, sf, "events"))
+
+
+def q_token_budget(spark, sf):
+    """Per-doc token budget: whitespace tokens vs BPE-ish pre-tokenizer
+    pieces + chars-per-piece ratio (map-only projection)."""
+    return textstats.token_budget(_docs(spark, sf))
+
+
+def q_term_cooccurrence(spark, sf):
+    """PMI collocations over the top-50-df vocabulary, pairs co-occurring
+    in ≥5 docs (bounded-fanout doc_id self-join)."""
+    return textstats.term_cooccurrence(_docs(spark, sf), COOC_VOCAB, COOC_MIN_DOCS)
+
+
+def q_column_profile(spark, sf):
+    """One-pass column data-quality profile of lineitem numerics (nulls,
+    distincts, min/max/avg), melted to long form."""
+    return relational.column_profile(load_table(spark, sf, "lineitem"), list(PROFILE_COLS))
+
+
+def q_order_priority(spark, sf):
+    """TPC-H-Q4-shaped EXISTS decorrelation: 1996 orders with a >60-day
+    ship lag, counted per priority (LEFT SEMI + residual predicate)."""
+    return relational.order_priority_counts(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def q_idle_customers(spark, sf):
+    """TPC-H-Q22-shaped anti-join + in-plan scalar subquery: never-ordered
+    customers above the average positive balance, per segment."""
+    return relational.idle_customer_stats(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def q_triangle_count(spark, sf):
+    """Degree-oriented triangle count over the resolved link graph (two
+    equi-joins, wedge fanout bounded by orientation — no cartesian)."""
+    return graph.triangle_count(_graph(spark, sf)["kept"])
+
+
 def build_oracles() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
     lookup_in = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
@@ -1639,6 +1696,133 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
 
+    k = len(PHRASE)
+    phrase_cond = " AND ".join(f"l[i+{j}] = '{t}'" for j, t in enumerate(PHRASE))
+    oracles["q_phrase_search"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      m AS (
+        SELECT doc_id,
+               [i - 1 for i in range(1, len(l) - {k} + 2) if {phrase_cond}] AS starts
+        FROM t
+      )
+      SELECT doc_id, len(starts)::INT AS phrase_tf, list_min(starts)::INT AS first_pos
+      FROM m WHERE len(starts) > 0 ORDER BY doc_id
+    """
+
+    oracles["q_session_window"] = """
+      WITH e AS (
+        SELECT user_id, event_id, epoch(ts) AS es, value,
+               lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+        FROM events
+      ),
+      s AS (
+        SELECT user_id, es, value,
+               sum(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY es, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+      )
+      SELECT user_id, round(min(es), 6) AS session_start_s,
+             round(max(es) + 1800, 6) AS session_end_s,
+             count(*) AS n_events, round(sum(value), 6) AS sum_value
+      FROM s GROUP BY user_id, sid
+    """
+
+    bpe_sql = BPE_RE.replace("'", "''")
+    oracles["q_token_budget"] = f"""
+      WITH b AS (
+        SELECT doc_id, n_chars,
+               len(regexp_extract_all(text, '\\S+'))::INT AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{bpe_sql}'))::INT AS bpe_tokens
+        FROM documents
+      )
+      SELECT doc_id, ws_tokens, bpe_tokens,
+             round(CASE WHEN bpe_tokens > 0
+                        THEN n_chars::DOUBLE / bpe_tokens END, 4) AS chars_per_bpe_token
+      FROM b
+    """
+
+    oracles["q_term_cooccurrence"] = f"""
+      WITH dt AS (
+        SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS term FROM documents
+      ),
+      nn AS (SELECT count(*) AS n FROM documents),
+      dfv AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      vocab AS (SELECT term, df FROM dfv ORDER BY df DESC, term LIMIT {COOC_VOCAB}),
+      dtv AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)),
+      co AS (
+        SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+               count(*) AS n_both
+        FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= {COOC_MIN_DOCS}
+      )
+      SELECT term_a, term_b, n_both,
+             round(ln(n_both::DOUBLE * nn.n / (df_a::DOUBLE * df_b)), 6) AS pmi
+      FROM co, nn ORDER BY pmi DESC, term_a, term_b
+    """
+
+    profile_parts = [
+        f"""SELECT '{c}' AS column_name,
+              sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+              count(DISTINCT {c})::BIGINT AS n_distinct,
+              min({c}::DOUBLE) AS min_v, max({c}::DOUBLE) AS max_v,
+              round(avg({c}::DOUBLE), 6) AS avg_v
+            FROM lineitem"""
+        for c in PROFILE_COLS
+    ]
+    oracles["q_column_profile"] = (
+        "SELECT * FROM (" + " UNION ALL ".join(profile_parts) + ") ORDER BY column_name"
+    )
+
+    oracles["q_order_priority"] = """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    oracles["q_idle_customers"] = """
+      SELECT c_mktsegment, count(*) AS n_customers,
+             round(sum(c_acctbal), 2) AS total_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+    oracles["q_triangle_count"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM kept WHERE src <> dst
+      ),
+      tdeg AS (
+        SELECT id, count(*) AS dg
+        FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        GROUP BY id
+      ),
+      trk AS (SELECT id, dg * 4294967296 + id AS r FROM tdeg),
+      o AS (
+        SELECT CASE WHEN ra.r < rb.r THEN u.a ELSE u.b END AS u,
+               CASE WHEN ra.r < rb.r THEN u.b ELSE u.a END AS v,
+               greatest(ra.r, rb.r) AS rv
+        FROM und u JOIN trk ra ON u.a = ra.id JOIN trk rb ON u.b = rb.id
+      )
+      SELECT count(*) AS n_triangles
+      FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.rv < w2.rv
+      JOIN o e ON e.u = w1.v AND e.v = w2.v
+    """
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     return oracles
 
@@ -1679,6 +1863,14 @@ def build_queries() -> dict[str, QueryFn]:
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,
         "q_balanced_sample": q_balanced_sample,
+        "q_phrase_search": q_phrase_search,
+        "q_session_window": q_session_window,
+        "q_token_budget": q_token_budget,
+        "q_term_cooccurrence": q_term_cooccurrence,
+        "q_column_profile": q_column_profile,
+        "q_order_priority": q_order_priority,
+        "q_idle_customers": q_idle_customers,
+        "q_triangle_count": q_triangle_count,
         # --- (2) sole-evidence queries, flagship/custom operators first;
         # generic SQL surfaces (all r1-green) sit nearest the cutoff ---
         "q_asof_join": q_asof_join,

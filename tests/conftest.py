@@ -21,3 +21,10 @@ def docs(spark):
     from page_rank_hadoop_spark.sources.catalog import load_table
 
     return load_table(spark, SF0001, "documents")
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    return load_table(spark, SF0001, "events")

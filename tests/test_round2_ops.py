@@ -1,0 +1,205 @@
+"""Round-2 extension operators: phrase search, native session windows,
+token budget, co-occurrence/PMI, column profiling, TPC-H Q4/Q22 shapes,
+triangle counting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import graph, index, relational, textstats, windows
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+# ---------------------------------------------------------------------------
+
+def test_phrase_matches_hand_built(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "big data stream data flows"),      # one "stream data" at pos 2
+            (2, "stream data stream data"),          # two matches, overlapping terms
+            (3, "data stream"),                      # reversed — no match
+            (4, "stream of data"),                   # gap — no match
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["phrase_tf"], r["first_pos"]) for r in
+           index.phrase_matches(df, ["stream", "data"]).collect()}
+    assert out == {1: (1, 2), 2: (2, 0)}
+
+
+def test_phrase_matches_three_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "a quick brown fox and a quick brown cat"), (2, "quick fox brown")],
+        ["doc_id", "text"],
+    )
+    out = index.phrase_matches(df, ["quick", "brown", "fox"]).collect()
+    assert [(r["doc_id"], r["phrase_tf"], r["first_pos"]) for r in out] == [(1, 1, 1)]
+
+
+def test_phrase_matches_repeated_term_phrase(spark):
+    df = spark.createDataFrame([(1, "go go go stop")], ["doc_id", "text"])
+    out = index.phrase_matches(df, ["go", "go"]).collect()
+    assert [(r["phrase_tf"], r["first_pos"]) for r in out] == [(2, 0)]
+
+
+# ---------------------------------------------------------------------------
+# session windows (native)
+# ---------------------------------------------------------------------------
+
+def test_session_window_matches_sessionize_counts(spark, events):
+    """Native session_window and lag/cumsum sessionize produce the same
+    session partition (both merge at a gap of exactly the window size —
+    measured inclusive boundary, see session_window_stats docstring)."""
+    native = windows.session_window_stats(events, gap_minutes=30)
+    manual = windows.session_stats(events, gap_minutes=30)
+    # same number of sessions and same multiset of (n_events, sum_value)
+    assert native.count() == manual.count()
+    a = sorted((r["n_events"], r["sum_value"]) for r in native.collect())
+    b = sorted((r["n_events"], r["sum_value"]) for r in manual.collect())
+    assert a == b
+
+
+def test_session_window_boundary_semantics(spark):
+    """A gap of exactly the window size MERGES (inclusive boundary) —
+    same convention as sessionize's strict-> new-session test."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "c", 1.0),
+         (2, "2024-01-01 00:30:00", 7, "c", 1.0),
+         (3, "2024-01-01 01:00:00.000001", 7, "c", 1.0)],  # 1µs past gap → new
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.session_window_stats(df, gap_minutes=30).collect()
+    assert sorted(r["n_events"] for r in out) == [1, 2]
+    assert windows.session_stats(df, gap_minutes=30).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# token budget
+# ---------------------------------------------------------------------------
+
+def test_token_budget_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, it's 42 degrees!", 29)],
+        ["doc_id", "text", "n_chars"],
+    )
+    r = textstats.token_budget(df).collect()[0]
+    assert r["ws_tokens"] == 5
+    # lower: "hello world, it's 42 degrees!" →
+    # [hello][ world][,][ it]['s][ 42][ degrees][!]
+    assert r["bpe_tokens"] == 8
+    assert r["chars_per_bpe_token"] == round(29 / 8, 4)
+
+
+def test_token_budget_empty_text(spark):
+    df = spark.createDataFrame([(1, "", 0)], ["doc_id", "text", "n_chars"])
+    r = textstats.token_budget(df).collect()[0]
+    assert (r["ws_tokens"], r["bpe_tokens"], r["chars_per_bpe_token"]) == (0, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence
+# ---------------------------------------------------------------------------
+
+def test_term_cooccurrence_hand_built(spark):
+    # "x y" together in 3 docs; "x z" in 1; vocab covers all terms
+    # (distinct one-off filler words so no filler pair reaches min_docs)
+    rows = [(0, "x y aaa"), (1, "x y bbb"), (2, "x y ccc"), (3, "x z"), (4, "y alone")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.term_cooccurrence(df, vocab_size=10, min_docs=2).collect()
+    pairs = {(r["term_a"], r["term_b"]): r["n_both"] for r in out}
+    assert pairs == {("x", "y"): 3}
+
+
+def test_term_cooccurrence_pmi_sign(spark):
+    # pair present in every doc → pmi = ln(n·N/(n·n)) = ln(N/n) = 0 when df==N
+    df = spark.createDataFrame([(i, "a b") for i in range(5)], ["doc_id", "text"])
+    out = textstats.term_cooccurrence(df, vocab_size=5, min_docs=2).collect()
+    assert len(out) == 1 and abs(out[0]["pmi"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# column profile
+# ---------------------------------------------------------------------------
+
+def test_column_profile_hand_built(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (2.0, 5.0), (None, 7.0)], ["a", "b"]
+    )
+    out = {r["column_name"]: r for r in relational.column_profile(df, ["a", "b"]).collect()}
+    assert out["a"]["n_nulls"] == 1 and out["a"]["n_distinct"] == 2
+    assert out["a"]["min_v"] == 1.0 and out["a"]["max_v"] == 2.0
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+    assert out["b"]["avg_v"] == round((5 + 5 + 7) / 3, 6)
+
+
+def test_column_profile_single_job(spark):
+    """The profile is ONE aggregation plan, not per-column scans: the
+    optimized plan contains exactly one scan of the input."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"), (F.col("id") % 7).cast("double").alias("b")
+    )
+    plan = relational.column_profile(df, ["a", "b"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 / Q22 shapes
+# ---------------------------------------------------------------------------
+
+def test_order_priority_counts_semi_join_semantics(spark):
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", "1996-03-01"), (2, "1-URGENT", "1996-03-01"),
+         (3, "2-HIGH", "1995-01-01")],  # outside date range
+        ["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    lineitem = spark.createDataFrame(
+        [(1, "1996-08-01"), (1, "1996-03-02"),   # one late, one on-time → counts ONCE
+         (2, "1996-03-05"),                       # on-time only → not counted
+         (3, "1996-08-01")],                      # late but order outside range
+        ["l_orderkey", "l_shipdate"],
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = relational.order_priority_counts(orders, lineitem).collect()
+    assert [(r["o_orderpriority"], r["n_orders"]) for r in out] == [("1-URGENT", 1)]
+
+
+def test_idle_customers_nonempty_at_sf0001(spark):
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    out = relational.idle_customer_stats(
+        load_table(spark, SF0001, "customer"), load_table(spark, SF0001, "orders")
+    )
+    assert out.agg(F.sum("n_customers")).collect()[0][0] == 5
+
+
+# ---------------------------------------------------------------------------
+# triangle count
+# ---------------------------------------------------------------------------
+
+def test_triangle_count_hand_built(spark):
+    # K4 on {1,2,3,4} has 4 triangles; plus a pendant edge and a duplicate
+    # + reversed edge that must not change the count
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(5, 1), (1, 5), (2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert graph.triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_no_triangles(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert graph.triangle_count(df).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Property check vs an O(n³) reference on a small random-ish graph."""
+    import itertools
+
+    edges = [(i, (i * 7 + 3) % 13) for i in range(13)] + [(i, (i * 5 + 1) % 13) for i in range(13)]
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    expected = sum(
+        1 for a, b, c in itertools.combinations(sorted({v for e in und for v in e}), 3)
+        if (a, b) in und and (a, c) in und and (b, c) in und
+    )
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    assert graph.triangle_count(df).collect()[0]["n_triangles"] == expected
