@@ -264,6 +264,44 @@ def snippet_window(
     )
 
 
+def proximity_matches(
+    documents: DataFrame, term_a: str, term_b: str, max_dist: int = 5
+) -> DataFrame:
+    """Proximity query over the positional index: documents where
+    ``term_a`` and ``term_b`` occur within ``max_dist`` token positions
+    of each other (the NEAR/k operator phrase search generalizes to),
+    with the closest distance and per-term occurrence counts.
+
+    Same plan shape as ``phrase_matches``: term-filtered token stream,
+    ONE groupBy(doc) collecting both position arrays, then pure array
+    algebra — all pairwise |pa−pb| via nested ``transform`` + ``flatten``
+    + ``array_min``. The per-doc cost is tf_a·tf_b (single-digit
+    typically); no self-join, one shuffle of a two-term stream.
+    """
+    occ = token_stream(documents).filter(F.col("term").isin([term_a, term_b]))
+    per_doc = (
+        occ.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.when(F.col("term") == term_a, F.col("pos"))).alias("_pa"),
+            F.collect_list(F.when(F.col("term") == term_b, F.col("pos"))).alias("_pb"),
+        )
+        .filter((F.size("_pa") > 0) & (F.size("_pb") > 0))
+    )
+    dists = F.flatten(
+        F.transform("_pa", lambda a: F.transform(F.col("_pb"), lambda b: F.abs(a - b)))
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.array_min(dists).alias("min_dist"),
+            F.size("_pa").alias("tf_a"),
+            F.size("_pb").alias("tf_b"),
+        )
+        .filter(F.col("min_dist") <= max_dist)
+        .orderBy("doc_id")
+    )
+
+
 def phrase_matches(documents: DataFrame, phrase: list[str]) -> DataFrame:
     """Exact phrase query over the positional index: documents containing
     the terms of ``phrase`` at consecutive token positions, with the

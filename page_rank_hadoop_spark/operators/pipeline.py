@@ -128,6 +128,32 @@ def balanced_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep each row with its
+    group's probability (``rates[group]``, else ``default_rate``) — the
+    per-source up/down-weighting step that assembles an LLM training mix
+    ("keep 10% of crawl, 100% of curated"). The coin flip is
+    md5(key)-derived (first 8 hex digits / 2³²), so the sample is exactly
+    reproducible across runs, engines, and repartitioning, and a row's
+    fate is stable as rates for OTHER groups change. Pure projection —
+    no shuffle, no RNG state; the rate table rides along as a literal
+    map expression (broadcast-free at any scale).
+    """
+    rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    uniform = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    rate = F.coalesce(rate_map[F.col(group_col)], F.lit(float(default_rate)))
+    return df.filter(uniform < rate)
+
+
 def quantile_filter(
     documents: DataFrame,
     group_col: str = "lang",

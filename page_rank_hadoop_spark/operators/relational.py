@@ -256,6 +256,60 @@ def approx_users_per_event_type(events: DataFrame) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H-Q5-shaped snowflake join: revenue per nation from line items
+    where the customer and the supplier share the nation, restricted to
+    one region and an order-date range.
+
+    Join strategy at scale: region→nation→supplier is a pure dim chain —
+    broadcast every step, so the only shuffles are fact-side
+    (lineitem⋈orders on orderkey, then ⋈customer on custkey). The
+    c_nationkey = s_nationkey co-location predicate rides the broadcast
+    supplier join as a residual, never a join reorder hazard. Date and
+    region filters sit below every join (pushdown on orders, dim
+    pre-filter before broadcast).
+    """
+    n = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(n), supplier["s_nationkey"] == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo)) & (F.col("o_orderdate") < F.lit(date_hi))
+    ).select("o_orderkey", "o_custkey")
+    lo = lineitem.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    ).join(o, F.col("l_orderkey") == o["o_orderkey"])
+    loc = lo.join(customer.select("c_custkey", "c_nationkey"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+    full = loc.join(
+        F.broadcast(s),
+        (F.col("l_suppkey") == s["s_suppkey"])
+        & (F.col("c_nationkey") == s["s_nationkey"]),
+    )
+    return (
+        full.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass data-quality profile of the given numeric columns, long
     form: (column_name, n_nulls, n_distinct, min_v, max_v, avg_v).

@@ -113,6 +113,44 @@ def token_budget(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks (RAG /
+    context-window prep): windows of ``size`` tokens every ``stride``
+    tokens, emitted as (doc_id, chunk_id, n_tokens, chunk_text) with
+    chunk_text the space-joined token window (token-normalized text, not
+    a byte-faithful substring — the granularity an embedding/indexing
+    stage consumes).
+
+    Pure map-side: tokenize once, explode a ``sequence`` of window
+    starts, ``slice`` per start. Fanout is ⌈n/stride⌉ rows per doc with
+    ~size/stride× token duplication — a constant factor, no shuffle at
+    any scale. Empty documents produce no chunks.
+    """
+    from page_rank_hadoop_spark.functions.text import tokens
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = ensure_parallel(documents).select("doc_id", tokens("text").alias("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(stride)
+    )
+    per_start = toks.select(
+        "doc_id", "_t", F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_t"), F.col("_start") + 1, size)
+    return (
+        per_start.select(
+            "doc_id",
+            (F.col("_start") / stride).cast("int").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def term_cooccurrence(
     documents: DataFrame, vocab_size: int = 50, min_docs: int = 5
 ) -> DataFrame:

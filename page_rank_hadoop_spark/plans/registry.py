@@ -113,6 +113,11 @@ DF_CUTOFF_DECLARED = 300  # testdata vocabulary df range is 25..~400; the
 # reference's 3000 cutoff (invertedIndex.scala:93) would keep everything —
 # 300 keeps the HAVING branch observable. inverted_index() defaults to 3000.
 PHRASE = ("stream", "data")  # adjacent-token phrase present at every SF
+PROX_TERMS, PROX_DIST = ("key", "sort"), 2  # 125/338 both-term docs match
+# at sf0.001 (77/304 at sf0.01) — the distance filter is observably active
+# in both directions at every SF.
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 COOC_VOCAB, COOC_MIN_DOCS = 50, 5
 PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 SIMHASH_BITS = 60
@@ -940,6 +945,38 @@ def q_triangle_count(spark, sf):
     """Degree-oriented triangle count over the resolved link graph (two
     equi-joins, wedge fanout bounded by orientation — no cartesian)."""
     return graph.triangle_count(_graph(spark, sf)["kept"])
+
+
+def q_proximity_search(spark, sf):
+    """NEAR/k proximity query over the positional index: docs where
+    "key" and "sort" occur within 2 token positions."""
+    return index.proximity_matches(_docs(spark, sf), *PROX_TERMS, PROX_DIST)
+
+
+def q_doc_chunks(spark, sf):
+    """RAG-prep chunking: overlapping 64-token windows every 48 tokens,
+    map-only explode (no shuffle)."""
+    return textstats.chunk_documents(_docs(spark, sf), CHUNK_SIZE, CHUNK_STRIDE)
+
+
+def q_mixture_sample(spark, sf):
+    """Deterministic per-source mixture sampling (md5-coin vs a literal
+    rate map) — the LLM training-mix assembly step."""
+    return pipeline.mixture_sample(_docs(spark, sf), MIX_RATES).orderBy("doc_id")
+
+
+def q_local_supplier_volume(spark, sf):
+    """TPC-H-Q5-shaped snowflake: revenue per nation where customer and
+    supplier share the nation, ASIA region, 1995-1996 orders (broadcast
+    dim chain, fact-only shuffles)."""
+    return relational.local_supplier_volume(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
 
 
 def build_oracles() -> dict[str, str]:
@@ -1823,6 +1860,65 @@ def build_oracles() -> dict[str, str]:
       JOIN o e ON e.u = w1.v AND e.v = w2.v
     """
 
+    a, b = PROX_TERMS
+    oracles["q_proximity_search"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      p AS (
+        SELECT doc_id,
+               [i - 1 for i in range(1, len(l) + 1) if l[i] = '{a}'] AS pa,
+               [i - 1 for i in range(1, len(l) + 1) if l[i] = '{b}'] AS pb
+        FROM t
+      ),
+      d AS (
+        SELECT doc_id, pa, pb,
+               list_min(flatten(list_transform(pa,
+                 x -> list_transform(pb, y -> abs(x - y))))) AS md
+        FROM p WHERE len(pa) > 0 AND len(pb) > 0
+      )
+      SELECT doc_id, md::INT AS min_dist, len(pa)::INT AS tf_a, len(pb)::INT AS tf_b
+      FROM d WHERE md <= {PROX_DIST} ORDER BY doc_id
+    """
+
+    oracles["q_doc_chunks"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      s AS (
+        SELECT doc_id, l, unnest(range(0, greatest(len(l), 1), {CHUNK_STRIDE})) AS st
+        FROM t
+      ),
+      c AS (
+        SELECT doc_id, (st // {CHUNK_STRIDE})::INT AS chunk_id,
+               l[st + 1 : st + {CHUNK_SIZE}] AS chunk
+        FROM s
+      )
+      SELECT doc_id, chunk_id, len(chunk)::INT AS n_tokens,
+             array_to_string(chunk, ' ') AS chunk_text
+      FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id
+    """
+
+    mix_case = " ".join(
+        f"WHEN '{src}' THEN {rate}::DOUBLE" for src, rate in MIX_RATES.items()
+    )
+    oracles["q_mixture_sample"] = f"""
+      SELECT * FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0
+            < CASE source {mix_case} ELSE 0.0::DOUBLE END
+      ORDER BY doc_id
+    """
+
+    oracles["q_local_supplier_volume"] = """
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name
+    """
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     return oracles
 
@@ -1871,6 +1967,10 @@ def build_queries() -> dict[str, QueryFn]:
         "q_order_priority": q_order_priority,
         "q_idle_customers": q_idle_customers,
         "q_triangle_count": q_triangle_count,
+        "q_proximity_search": q_proximity_search,
+        "q_doc_chunks": q_doc_chunks,
+        "q_mixture_sample": q_mixture_sample,
+        "q_local_supplier_volume": q_local_supplier_volume,
         # --- (2) sole-evidence queries, flagship/custom operators first;
         # generic SQL surfaces (all r1-green) sit nearest the cutoff ---
         "q_asof_join": q_asof_join,

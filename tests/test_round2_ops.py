@@ -203,3 +203,117 @@ def test_triangle_count_matches_bruteforce(spark):
     )
     df = spark.createDataFrame(list(und), ["src", "dst"])
     assert graph.triangle_count(df).collect()[0]["n_triangles"] == expected
+
+
+# ---------------------------------------------------------------------------
+# proximity search (NEAR/k)
+# ---------------------------------------------------------------------------
+
+def test_proximity_matches_hand_built(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),            # dist 1 → match at k=2
+            (2, "alpha x y beta"),              # dist 3 → no match at k=2
+            (3, "beta z alpha"),                # dist 2, order-agnostic → match
+            (4, "alpha only here"),             # missing beta → no row
+            (5, "beta beta x alpha beta"),      # min over all pairs = 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["min_dist"], r["tf_a"], r["tf_b"]) for r in
+           index.proximity_matches(df, "alpha", "beta", max_dist=2).collect()}
+    assert out == {1: (1, 1, 1), 3: (2, 1, 1), 5: (1, 1, 3)}
+
+
+# ---------------------------------------------------------------------------
+# document chunking (RAG prep)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 tokens, size=4, stride=3 → starts 0,3,6,9 → lengths 4,4,4,1
+    toks = "ta tb tc td te tf tg th ti tj".split()
+    df = spark.createDataFrame([(1, " ".join(toks)), (2, "")], ["doc_id", "text"])
+    rows = textstats.chunk_documents(df, size=4, stride=3).collect()
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]  # empty doc → no chunks
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert rows[0]["chunk_text"] == "ta tb tc td"
+    assert rows[1]["chunk_text"] == "td te tf tg"   # stride-3 overlap of 1
+    assert rows[3]["chunk_text"] == "tj"
+    # every token is covered by at least one chunk
+    covered = {t for r in rows for t in r["chunk_text"].split()}
+    assert covered == set(toks)
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "just three tokens")], ["doc_id", "text"])
+    rows = textstats.chunk_documents(df, size=64, stride=48).collect()
+    assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [(0, 3)]
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling
+# ---------------------------------------------------------------------------
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    from page_rank_hadoop_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], ["doc_id", "source"]
+    )
+    kept1 = {r["doc_id"] for r in pl.mixture_sample(df, {"a": 0.5, "b": 0.1}).collect()}
+    kept2 = {r["doc_id"] for r in pl.mixture_sample(df, {"a": 0.5, "b": 0.1}).collect()}
+    assert kept1 == kept2  # reproducible
+    # rate=1.0 keeps everything in that group; rate=0.0 keeps nothing
+    all_a = {r["doc_id"] for r in pl.mixture_sample(df, {"a": 1.0}).collect()}
+    assert all_a == {i for i in range(400) if i % 2}
+    # a row's fate in group a is unchanged when only b's rate changes
+    kept3 = {r["doc_id"] for r in pl.mixture_sample(df, {"a": 0.5, "b": 0.9}).collect()}
+    assert {d for d in kept1 if d % 2} == {d for d in kept3 if d % 2}
+    # approximate rate honored (md5 uniformity; generous tolerance)
+    n_a = sum(1 for d in kept1 if d % 2)
+    assert 60 <= n_a <= 140  # E=100 of 200 at p=.5
+
+
+def test_mixture_sample_unknown_group_default_rate(spark):
+    from page_rank_hadoop_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([(i, "zzz") for i in range(50)], ["doc_id", "source"])
+    assert pl.mixture_sample(df, {"a": 1.0}).count() == 0
+    assert pl.mixture_sample(df, {"a": 0.0}, default_rate=1.0).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape (local supplier volume)
+# ---------------------------------------------------------------------------
+
+def test_local_supplier_volume_hand_built(spark):
+    region = spark.createDataFrame([(1, "ASIA"), (2, "EUROPE")], ["r_regionkey", "r_name"])
+    nation = spark.createDataFrame(
+        [(10, 1, "JAPAN"), (11, 1, "CHINA"), (20, 2, "FRANCE")],
+        ["n_nationkey", "n_regionkey", "n_name"],
+    )
+    supplier = spark.createDataFrame(
+        [(100, 10), (101, 11), (102, 20)], ["s_suppkey", "s_nationkey"]
+    )
+    customer = spark.createDataFrame(
+        [(200, 10), (201, 11), (202, 20)], ["c_custkey", "c_nationkey"]
+    )
+    orders = spark.createDataFrame(
+        [(300, 200, "1995-06-01"), (301, 201, "1994-01-01"), (302, 200, "1996-01-01")],
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (300, 100, 100.0, 0.1),   # cust JP + supp JP, in range → 90 to JAPAN
+            (300, 101, 50.0, 0.0),    # cust JP + supp CN → nation mismatch, dropped
+            (301, 100, 999.0, 0.0),   # order out of date range, dropped
+            (302, 100, 10.0, 0.5),    # cust JP + supp JP → 5 to JAPAN
+            (302, 102, 77.0, 0.0),    # supp FRANCE (not ASIA), dropped
+        ],
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    rows = relational.local_supplier_volume(
+        customer, orders, lineitem, supplier, nation, region
+    ).collect()
+    assert [(r["n_name"], r["revenue"]) for r in rows] == [("JAPAN", 95.0)]
