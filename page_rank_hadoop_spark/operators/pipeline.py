@@ -173,3 +173,47 @@ def quantile_filter(
         .filter(F.col(value_col) > F.col("_thr"))
         .drop("_thr")
     )
+
+
+def decontaminate(
+    documents: DataFrame, n: int = 5, holdout_mod: int = 10
+) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    token ``n``-gram with a holdout set (here: docs where
+    doc_id % ``holdout_mod`` == 0 stand in for the eval benchmark),
+    returning (doc_id, n_shared) distinct-shared-gram counts — the
+    contamination scan every LLM training corpus runs against its eval
+    suites.
+
+    One tokenize pass feeds both sides: grams materialize map-side
+    (sequence → slice → array_join, all JVM HOFs), the holdout
+    distinct-gram set is tiny relative to the corpus (eval benchmarks
+    are ~10⁴-10⁶ grams at production scale — it broadcasts; here we
+    leave join selection to AQE since the stand-in holdout is 10% of
+    the corpus), and the hit count is one partial-agg shuffle. n-grams
+    join as strings for oracle parity; at 100 TB hash them first
+    (``xxhash64``) to shrink the exchange.
+    """
+    from page_rank_hadoop_spark.functions.text import tokens
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = ensure_parallel(documents).select("doc_id", tokens("text").alias("_t"))
+    grams = toks.filter(F.size("_t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
+            )
+        ).alias("gram"),
+    )
+    holdout = (
+        grams.filter(F.col("doc_id") % holdout_mod == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % holdout_mod != 0)
+        .join(holdout, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .orderBy("doc_id")
+    )

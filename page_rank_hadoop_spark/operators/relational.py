@@ -413,3 +413,340 @@ def idle_customer_stats(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    discount_mid: float = 0.05,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting scan: revenue delta from dropping
+    small-quantity discounts in one shipping year — a pure
+    filter-and-aggregate with NO join.
+
+    The whole query is a single scan: all three predicates (ship-date
+    range, discount band, quantity cap) push into the parquet reader
+    (row-group pruning on l_shipdate when the table is date-sorted), the
+    projection reads 4 columns, and the aggregate is one partial-agg
+    exchange producing one row. The canonical "is pushdown working"
+    probe — at 100 TB this should read a small fraction of the table.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+            & (F.col("l_discount") >= discount_mid - 0.011)
+            & (F.col("l_discount") <= discount_mid + 0.011)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def nation_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "JAPAN",
+    nation_b: str = "CHINA",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H-Q7-shaped two-nation volume shipping: revenue shipped
+    between ``nation_a`` and ``nation_b`` (both directions kept as
+    separate rows) per supplier-nation/customer-nation/ship-year.
+
+    The nation pair predicate is a disjunction ACROSS the two broadcast
+    dim joins — supplier and customer each pre-join their (2-row
+    filtered, broadcast) nation dim, and the cross-nation XOR-ish filter
+    `(sn=a AND cn=b) OR (sn=b AND cn=a)` runs after both, on already
+    co-located fact rows. Shuffles at scale: lineitem⋈orders on orderkey
+    and ⋈customer on custkey only; both nation sides ride broadcasts.
+    """
+    nat = nation.filter(F.col("n_name").isin([nation_a, nation_b]))
+    supp = supplier.join(
+        F.broadcast(nat), supplier["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    )
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1995-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item ranking: top-k customers by revenue
+    lost to returned items (l_returnflag = 'R') for orders in a quarter.
+
+    Plan shape: date filter pushes into the orders scan and the R-flag
+    filter into lineitem BEFORE their orderkey shuffle join; the
+    customer join shuffles only qualifying rows; nation broadcasts onto
+    the agg output (post-agg, one row per customer — join AFTER the
+    groupBy so the broadcast touches k-ish rows, not the fact table).
+    Top-k compiles to TakeOrderedAndProject.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            per_cust["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H-Q13-shaped customer-order distribution: how many customers
+    placed exactly N orders, including the zero-order bucket — the
+    double-aggregation-over-outer-join histogram.
+
+    LEFT join customer→orders (count(o_orderkey) counts only matches, so
+    no-order customers land in bucket 0), first groupBy on custkey, then
+    the tiny second agg on the count. At scale the first agg can skip
+    the join entirely for matched keys (count orders per custkey, then
+    right-outer fill) — Catalyst's agg-pushdown handles the projection;
+    the orders side is projected to the join key only.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: supplier(s) whose quarter revenue
+    equals the global maximum — Q15's CREATE VIEW + scalar-max subquery
+    collapsed into one plan.
+
+    Per-supplier revenue is one partial-agg shuffle over the date-pruned
+    fact scan; the max is an empty-frame window over that (tiny) agg
+    output, so there's no second scan and no driver round-trip; the
+    supplier dim broadcasts onto the ≤#suppliers-row result.
+    """
+    from pyspark.sql import Window
+
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("_max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
+    return (
+        best.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            best["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1", factor: float = 0.5
+) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity revenue: average yearly revenue
+    lost if tiny orders (quantity < ``factor``·avg for that part) of one
+    brand's parts weren't filled — the correlated-scalar-AVG
+    decorrelation pattern.
+
+    The correlated `(SELECT 0.5*avg(l_quantity) WHERE partkey = outer)`
+    becomes ONE groupBy(partkey) avg over the same brand-pruned fact
+    subset, joined back on partkey — the fact table is scanned once for
+    the avg and once for the probe (both pruned by the broadcast brand
+    filter), never per-row. Output is a single row: sum/7.
+    """
+    bparts = F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey"))
+    li = lineitem.join(bparts, lineitem["l_partkey"] == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * factor).alias("_cut")
+    )
+    return (
+        li.join(F.broadcast(avg_q), li["l_partkey"] == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def disjunctive_brand_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    cases: tuple = (
+        ("Brand#1", 1, 5, 0.0, 20.0),
+        ("Brand#2", 1, 10, 10.0, 30.0),
+        ("Brand#3", 1, 15, 20.0, 50.0),
+    ),
+) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate join: revenue from line
+    items matching ANY of several (brand, size range, quantity range)
+    clause groups — the OR-of-ANDs residual that defeats naive pushdown.
+
+    The part side pre-filters to the UNION of the brand/size clauses
+    (that part IS pushdown-able and broadcasts); the mixed
+    part-AND-lineitem conjuncts evaluate as a post-join residual OR. At
+    scale the win is that the broadcast carries only clause-matching
+    parts, so the fact scan's join selectivity does the heavy pruning.
+    """
+    psel = None
+    for b, slo, shi, _, _ in cases:
+        c = (F.col("p_brand") == b) & F.col("p_size").between(slo, shi)
+        psel = c if psel is None else (psel | c)
+    p = part.filter(psel).select("p_partkey", "p_brand", "p_size")
+    joined = lineitem.join(F.broadcast(p), lineitem["l_partkey"] == p["p_partkey"])
+    resid = None
+    for b, slo, shi, qlo, qhi in cases:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        resid = c if resid is None else (resid | c)
+    return joined.filter(resid).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 90,
+    k: int = 25,
+) -> DataFrame:
+    """TPC-H-Q21-shaped sole-late-supplier ranking: suppliers whose line
+    item was late on a multi-supplier order where NO other supplier was
+    late (lateness = shipped > ``late_days`` after order date, adapting
+    Q21's receipt-vs-commit columns to this schema).
+
+    Q21's EXISTS + NOT-EXISTS self-join pair decorrelates into ONE
+    per-order aggregate: n_supp = distinct suppliers, n_late_supp =
+    distinct late suppliers; a qualifying row is late ∧ n_supp > 1 ∧
+    n_late_supp = 1. The fact table is scanned once and shuffled once on
+    orderkey (the agg and the probe reuse the same exchange under AQE)
+    instead of three times for the three correlated appearances; the
+    oracle states the EXISTS form to prove equivalence.
+    """
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).alias("_late"),
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    culprit = (
+        li.filter(F.col("_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprit.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            culprit["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )

@@ -159,3 +159,30 @@ def ivf_knn_cosine(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+def kmeans_step(
+    embeddings: DataFrame, n_centroids: int = 16, dim: int = 64
+) -> DataFrame:
+    """One Lloyd's k-means update over the embedding corpus: assign each
+    vector to its nearest deterministic centroid (the ``ivf_assign``
+    seed centroids), then emit the updated per-cluster means in long
+    form (centroid, n_vectors, dim, mean_val) — the building block of
+    IVF index training / corpus clustering.
+
+    The mean is computed WITHOUT exploding the fact table: ``dim``
+    element-wise ``avg(embedding[j])`` aggregates run in one
+    partial-agg'd groupBy(centroid) pass (map-side combine reduces each
+    partition to ≤ n_centroids rows before the exchange); only the
+    n_centroids-row result melts to long form. The explode-then-group
+    alternative would shuffle dim× the corpus at 100 TB.
+    """
+    assigned = ivf_assign(embeddings, n_centroids, dim)
+    per_c = assigned.groupBy("centroid").agg(
+        F.count("*").alias("n_vectors"),
+        *[F.round(F.avg(F.col("embedding")[j]), 6).alias(f"_m{j}") for j in range(dim)],
+    )
+    means = F.array(*[F.col(f"_m{j}") for j in range(dim)])
+    return per_c.select(
+        "centroid", "n_vectors", F.posexplode(means).alias("dim", "mean_val")
+    ).orderBy("centroid", "dim")

@@ -194,3 +194,46 @@ def term_cooccurrence(
     return co.select(
         "term_a", "term_b", "n_both", F.round(pmi, 6).alias("pmi")
     ).orderBy(F.desc("pmi"), "term_a", "term_b")
+
+
+def quality_signals(
+    documents: DataFrame, top_share_max: float = 0.2, ttr_min: float = 0.3
+) -> DataFrame:
+    """Gopher-style per-document repetition/quality signals: token count,
+    type-token ratio (distinct/total), top-token share (max tf / total),
+    mean token length, and a deterministic `flagged` verdict
+    (repetitive: top_share > ``top_share_max`` or ttr < ``ttr_min``) —
+    the cheap statistical gate an LLM corpus passes before expensive
+    model-based filtering. Documents with zero tokens emit no row.
+
+    Two partial-agg shuffles: (doc_id, term) term frequencies, then a
+    per-doc rollup; every signal derives from the tf table so the text
+    is tokenized exactly once and nothing returns to the driver.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    tf = (
+        ensure_parallel(documents)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    sig = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("tf").alias("_top_tf"),
+        F.sum(F.col("tf") * F.length("term")).alias("_tok_chars"),
+    )
+    ttr = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    top_share = F.round(F.col("_top_tf") / F.col("n_tokens"), 6)
+    return (
+        sig.select(
+            "doc_id",
+            "n_tokens",
+            ttr.alias("ttr"),
+            top_share.alias("top_share"),
+            F.round(F.col("_tok_chars") / F.col("n_tokens"), 6).alias("mean_token_len"),
+            ((top_share > top_share_max) | (ttr < ttr_min)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -118,6 +118,13 @@ PROX_TERMS, PROX_DIST = ("key", "sort"), 2  # 125/338 both-term docs match
 # in both directions at every SF.
 CHUNK_SIZE, CHUNK_STRIDE = 64, 48
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q19_CASES = (
+    ("Brand#1", 1, 5, 0.0, 20.0),
+    ("Brand#2", 1, 10, 10.0, 30.0),
+    ("Brand#3", 1, 15, 20.0, 50.0),
+)
+DECON_N, DECON_MOD = 5, 10
 COOC_VOCAB, COOC_MIN_DOCS = 50, 5
 PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 SIMHASH_BITS = 60
@@ -196,6 +203,36 @@ def _planes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 N_CENTROIDS = 16
+
+
+def _sql_kmeans_step(n_centroids: int, dim: int) -> str:
+    """Lloyd-step oracle: same centroid literals + first-of-max argmax as
+    operators/similarity.ivf_assign (DuckDB list_position is 1-based, so
+    c − 1 matches Spark's 0-based centroid id); the per-dimension means
+    come from unnest + generate_subscripts."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], {c})" for c in cents
+    ) + "]"
+    return f"""
+      WITH assigned AS (
+        SELECT embedding::DOUBLE[] AS v,
+               list_position({sims}, list_max({sims})) - 1 AS c
+        FROM embeddings
+      ),
+      e AS (
+        SELECT c, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS d
+        FROM assigned
+      )
+      SELECT c::INT AS centroid, count(*)::BIGINT AS n_vectors, d::INT AS dim,
+             round(avg(val), 6) AS mean_val
+      FROM e GROUP BY c, d ORDER BY c, d
+    """
 
 
 def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
@@ -977,6 +1014,99 @@ def q_local_supplier_volume(spark, sf):
         load_table(spark, sf, "nation"),
         load_table(spark, sf, "region"),
     )
+
+
+def q_forecast_revenue(spark, sf):
+    """TPC-H-Q6-shaped forecasting scan: single-table filter-agg, all
+    three predicates pushed into the parquet reader, one output row."""
+    return relational.forecast_revenue(load_table(spark, sf, "lineitem"))
+
+
+def q_nation_volume_shipping(spark, sf):
+    """TPC-H-Q7-shaped two-nation shipping volume: cross-nation pair
+    disjunction over two broadcast nation joins, per direction × year."""
+    return relational.nation_volume_shipping(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        nation_a=Q7_NATIONS[0],
+        nation_b=Q7_NATIONS[1],
+    )
+
+
+def q_returned_items(spark, sf):
+    """TPC-H-Q10-shaped: top-20 customers by revenue on returned items
+    in a half-year, nation broadcast onto the post-agg rows."""
+    return relational.returned_items(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def q_customer_distribution(spark, sf):
+    """TPC-H-Q13-shaped order-count histogram over a LEFT join (zero
+    bucket included), double aggregation."""
+    return relational.customer_distribution(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def q_top_supplier(spark, sf):
+    """TPC-H-Q15-shaped: supplier(s) at the global max quarter revenue —
+    scalar-max subquery as an empty-frame window over the agg output."""
+    return relational.top_supplier_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "supplier")
+    )
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H-Q17-shaped correlated-AVG decorrelation: revenue of
+    below-half-average-quantity line items for one brand, single row."""
+    return relational.small_quantity_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def q_disjunctive_pushdown(spark, sf):
+    """TPC-H-Q19-shaped OR-of-ANDs predicate: brand/size/quantity clause
+    groups as a post-broadcast-join residual, part side union-pruned."""
+    return relational.disjunctive_brand_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part"), Q19_CASES
+    )
+
+
+def q_waiting_suppliers(spark, sf):
+    """TPC-H-Q21-shaped sole-late-supplier: EXISTS + NOT EXISTS pair
+    decorrelated into one per-order distinct-count aggregate."""
+    return relational.waiting_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "supplier"),
+    )
+
+
+def q_quality_signals(spark, sf):
+    """Gopher-style per-doc repetition/quality signals (ttr, top-token
+    share, mean token length) + deterministic flag, from one tf table."""
+    return textstats.quality_signals(_docs(spark, sf))
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing any token 5-gram
+    with the doc_id%10==0 holdout, distinct shared-gram counts."""
+    return pipeline.decontaminate(_docs(spark, sf), DECON_N, DECON_MOD)
+
+
+def q_kmeans_step(spark, sf):
+    """One Lloyd's k-means update over embeddings: nearest-centroid
+    assignment + per-cluster element-wise means (no fact-table explode),
+    long form."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_step(emb, n_centroids=N_CENTROIDS, dim=EMB_DIM)
 
 
 def build_oracles() -> dict[str, str]:
@@ -1919,6 +2049,160 @@ def build_oracles() -> dict[str, str]:
       GROUP BY n_name ORDER BY revenue DESC, n_name
     """
 
+    oracles["q_forecast_revenue"] = """
+      SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+             count(*)::BIGINT AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 - 0.011 AND l_discount <= 0.05 + 0.011
+        AND l_quantity < 24.0
+    """
+
+    na, nb = Q7_NATIONS
+    oracles["q_nation_volume_shipping"] = f"""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate)::INT AS l_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND ((sn.n_name = '{na}' AND cn.n_name = '{nb}')
+          OR (sn.n_name = '{nb}' AND cn.n_name = '{na}'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+    oracles["q_returned_items"] = """
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             c_acctbal, n_name
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-07-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+
+    oracles["q_customer_distribution"] = """
+      WITH pc AS (
+        SELECT c.c_custkey, count(o_orderkey)::BIGINT AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+      )
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+
+    oracles["q_top_supplier"] = """
+      WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey
+    """
+
+    oracles["q_small_qty_revenue"] = """
+      WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+      ),
+      cut AS (
+        SELECT l_partkey AS pk, 0.5::DOUBLE * avg(l_quantity) AS c FROM li GROUP BY 1
+      )
+      SELECT round(sum(l_extendedprice) / 7.0::DOUBLE, 4) AS avg_yearly,
+             count(*)::BIGINT AS n_items
+      FROM li JOIN cut ON l_partkey = pk WHERE l_quantity < c
+    """
+
+    q19_part = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi})"
+        for b, slo, shi, _, _ in Q19_CASES
+    )
+    q19_full = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_CASES
+    )
+    oracles["q_disjunctive_pushdown"] = f"""
+      SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             count(*)::BIGINT AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE ({q19_part}) AND ({q19_full})
+    """
+
+    oracles["q_waiting_suppliers"] = """
+      WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ),
+      culprit AS (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM li l1
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      )
+      SELECT s_name, count(*)::BIGINT AS numwait
+      FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25
+    """
+
+    oracles["q_quality_signals"] = f"""
+      WITH t AS (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      s AS (
+        SELECT doc_id, sum(tf)::BIGINT AS n_tokens, count(*) AS n_distinct,
+               max(tf) AS top_tf, sum(tf * length(term)) AS tok_chars
+        FROM tf GROUP BY 1
+      )
+      SELECT doc_id, n_tokens,
+             round(n_distinct / n_tokens::DOUBLE, 6) AS ttr,
+             round(top_tf / n_tokens::DOUBLE, 6) AS top_share,
+             round(tok_chars / n_tokens::DOUBLE, 6) AS mean_token_len,
+             (round(top_tf / n_tokens::DOUBLE, 6) > 0.2::DOUBLE
+              OR round(n_distinct / n_tokens::DOUBLE, 6) < 0.3::DOUBLE) AS flagged
+      FROM s ORDER BY doc_id
+    """
+
+    oracles["q_decontaminate"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest([array_to_string(l[i + 1 : i + {DECON_N}], ' ')
+                       for i in range(0, len(l) - {DECON_N} + 1)]) AS gram
+        FROM t WHERE len(l) >= {DECON_N}
+      ),
+      h AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0)
+      SELECT doc_id, count(DISTINCT gram)::BIGINT AS n_shared
+      FROM g JOIN h USING (gram)
+      WHERE doc_id % {DECON_MOD} <> 0
+      GROUP BY doc_id ORDER BY doc_id
+    """
+
+    oracles["q_kmeans_step"] = _sql_kmeans_step(N_CENTROIDS, EMB_DIM)
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     return oracles
 
@@ -1971,6 +2255,17 @@ def build_queries() -> dict[str, QueryFn]:
         "q_doc_chunks": q_doc_chunks,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_nation_volume_shipping": q_nation_volume_shipping,
+        "q_returned_items": q_returned_items,
+        "q_customer_distribution": q_customer_distribution,
+        "q_top_supplier": q_top_supplier,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_disjunctive_pushdown": q_disjunctive_pushdown,
+        "q_waiting_suppliers": q_waiting_suppliers,
+        "q_quality_signals": q_quality_signals,
+        "q_decontaminate": q_decontaminate,
+        "q_kmeans_step": q_kmeans_step,
         # --- (2) sole-evidence queries, flagship/custom operators first;
         # generic SQL surfaces (all r1-green) sit nearest the cutoff ---
         "q_asof_join": q_asof_join,

@@ -93,6 +93,29 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
         [("has", r"Window"), ("not", r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)")],
     ),
     ("q_pivot_counts", [("not", r"CartesianProduct"), ("has", r"HashAggregate")]),
+    # round-2 TPC-H shapes: pushdown + broadcast + top-k stay pinned
+    (
+        "q_forecast_revenue",
+        [
+            ("read_cols", "l_discount,l_extendedprice,l_quantity,l_shipdate"),
+            ("has", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+            ("has", r"LessThan\(l_quantity,24\.0\)"),
+            ("not", r"(SortMergeJoin|BroadcastHashJoin)"),
+        ],
+    ),
+    ("q_returned_items", [("has", r"TakeOrderedAndProject"), ("has", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)"), ("has", r"BroadcastHashJoin")]),
+    ("q_nation_volume_shipping", [("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
+    ("q_top_supplier", [("has", r"Window"), ("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
+    ("q_small_qty_revenue", [("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
+    ("q_disjunctive_pushdown", [("has", r"BroadcastHashJoin"), ("has", r"PushedFilters: \[.*Or\(")]),
+    ("q_waiting_suppliers", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct")]),
+    # pipeline ops: chunking/mixture are map-only; kmeans never explodes the
+    # fact table before its aggregation
+    ("q_doc_chunks", [("has", r"Generate"), ("not", r"Exchange.*hashpartitioning")]),
+    ("q_mixture_sample", [("not", r"(SortMergeJoin|BroadcastHashJoin|BatchEvalPython)")]),
+    ("q_kmeans_step", [("not", r"Generate.*explode\(embedding"), ("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_quality_signals", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)"), ("has", r"HashAggregate")]),
+    ("q_decontaminate", [("has", r"Generate"), ("not", r"CartesianProduct")]),
 ]
 
 
