@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "q_bm25_score",
     "q_winnow_fingerprints",
     "q_shipping_priority",
+    "q_forecast_revenue",
+    "q_waiting_suppliers",
+    "q_quality_signals",
+    "q_decontaminate",
+    "q_kmeans_step",
+    "q_doc_chunks",
 ]
 
 

@@ -81,11 +81,21 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decode→embed path: byte-histogram
-    moments. Replace with a real decoder when codec libs are available."""
+    moments (sum of bytes at positions ≡ i mod FEATURE_DIM, normalized).
+    Vectorized with numpy — the integer sums are exact, so the values stay
+    bit-identical to the per-byte Python loop the DuckDB oracle mirrors.
+    Replace with a real decoder when codec libs are available."""
+    import numpy as np
+
     if payload is None:
         return [0.0] * FEATURE_DIM
     n = max(len(payload), 1)
-    return [sum(payload[i::FEATURE_DIM]) / (255.0 * n) for i in range(FEATURE_DIM)]
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    pad = (-len(a)) % FEATURE_DIM
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, np.int64)])
+    sums = a.reshape(-1, FEATURE_DIM).sum(axis=0)
+    return (sums / (255.0 * n)).tolist()
 
 
 def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
