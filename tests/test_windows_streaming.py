@@ -325,3 +325,51 @@ def test_interval_overlap_grid_join(spark):
     # overlap seconds exact
     secs = {(r["user_a"], r["user_b"]): r["overlap_s"] for r in out.collect() if r["session_a"] == 1}
     assert secs[(1, 2)] == 600.0 and secs[(1, 4)] == 300.0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join (click→purchase
+    attribution) replayed to completion equals the batch twin exactly —
+    the third stateful streaming operator (after windowed agg and
+    sessionization) with state bounded by watermark + horizon."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.join import (
+        click_purchase_join_batch,
+        run_join_replay_to_memory,
+    )
+
+    batch = click_purchase_join_batch(load_table(spark, SF0001, "events"))
+    stream = run_join_replay_to_memory(spark, SF0001, query_name="t_join_replay")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert len(b) > 0          # the horizon keeps matches observable
+    assert b == s
+
+
+def test_stream_stream_join_hand_built(spark):
+    """Hand-built attribution semantics on the batch twin: inclusive
+    bounds, same-user requirement, multi-match fanout."""
+    import datetime as dt
+
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, etype, uid, minutes, value=0.0):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, value)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "click", 7, 0),
+            ev(2, "purchase", 7, 30, 9.99),    # exactly at horizon → included
+            ev(3, "purchase", 7, 31, 1.0),     # past horizon → excluded
+            ev(4, "purchase", 8, 10, 2.0),     # other user → excluded
+            ev(5, "click", 9, 100),
+            ev(6, "purchase", 9, 99, 3.0),     # before the click → excluded
+            ev(7, "click", 9, 98),             # second click catches event 6? no: 99>=98 ✓
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    out = click_purchase_join_batch(events, horizon_minutes=30)
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+    assert got == {(1, 2), (7, 6)}
