@@ -334,3 +334,57 @@ def session_window_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def ranking_function_suite(documents: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """The full ranking-window function family in one pass — ntile,
+    percent_rank, cume_dist, dense_rank over n_chars within each
+    language — the analytic-SQL surface a warehouse replacement must
+    expose (reference has only a global sort, SURVEY §2.2).
+
+    ONE window spec serves all four functions: a single shuffle on lang
+    + one within-partition sort; Catalyst evaluates the functions in a
+    single Window node. Deterministic under ties because the order key
+    (n_chars, doc_id) is unique.
+    """
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.ntile(n_tiles).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-type running event-time totals: cumulative sum and count of
+    `value` ordered by (ts, event_id) within each event_type — the
+    frame-based aggregation window shape (rows between unbounded
+    preceding and current).
+
+    One shuffle on event_type, one sort; the cumulative frame is
+    evaluated streamingly within each partition (no per-row rescan).
+    Rounded per row so the oracle's float accumulation matches ours:
+    both engines sum in the same (ts, event_id) order.
+    """
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(F.sum("value").over(w), 6).alias("running_value"),
+            F.count("*").over(w).alias("running_n"),
+        )
+        .orderBy("event_id")
+    )

@@ -1016,6 +1016,18 @@ def q_local_supplier_volume(spark, sf):
     )
 
 
+def q_ranking_suite(spark, sf):
+    """Full ranking-window family (ntile/percent_rank/cume_dist/
+    dense_rank) in ONE Window node over (lang, n_chars)."""
+    return windows.ranking_function_suite(_docs(spark, sf))
+
+
+def q_running_totals(spark, sf):
+    """Frame-based cumulative sum/count per event_type ordered by
+    (ts, event_id) — the running-total window shape."""
+    return windows.running_totals(load_table(spark, sf, "events"))
+
+
 def q_forecast_revenue(spark, sf):
     """TPC-H-Q6-shaped forecasting scan: single-table filter-agg, all
     three predicates pushed into the parquet reader, one output row."""
@@ -2203,6 +2215,27 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_kmeans_step"] = _sql_kmeans_step(N_CENTROIDS, EMB_DIM)
 
+    oracles["q_ranking_suite"] = """
+      SELECT doc_id, lang, n_chars,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             dense_rank() OVER w AS drank
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+      ORDER BY doc_id
+    """
+
+    oracles["q_running_totals"] = """
+      SELECT event_id, event_type, ts,
+             round(sum(value) OVER w, 6) AS running_value,
+             count(*) OVER w AS running_n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     return oracles
 
@@ -2255,6 +2288,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_doc_chunks": q_doc_chunks,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
+        "q_ranking_suite": q_ranking_suite,
+        "q_running_totals": q_running_totals,
         "q_forecast_revenue": q_forecast_revenue,
         "q_nation_volume_shipping": q_nation_volume_shipping,
         "q_returned_items": q_returned_items,

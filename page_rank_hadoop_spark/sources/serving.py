@@ -79,3 +79,24 @@ def read_point(spark: SparkSession, path: str, key: str, values: list) -> DataFr
     ``isin`` predicate Catalyst pushes into the parquet scan — check
     ``PushedFilters: [In(key, ...)]`` in ``.explain``."""
     return spark.read.parquet(path).filter(F.col(key).isin(values))
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Hive-style partitioned layout: one directory per value of
+    ``partition_col`` (`partitionBy` at the writer). The scale
+    complement to ``write_keyed``: keyed/sorted parquet prunes WITHIN
+    files via row-group stats, a partitioned layout prunes WHOLE
+    directories before any file is opened — a predicate on the
+    partition column appears as ``PartitionFilters`` in the scan and
+    the listing itself skips the other partitions. Use for
+    low-cardinality routing columns (lang, date, centroid); high-
+    cardinality keys stay in the keyed/bucketed layouts (a directory
+    per key would melt the metastore/listing at 100 TB)."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_partition(spark: SparkSession, path: str, partition_col: str, value) -> DataFrame:
+    """Partition-pruned read: the equality predicate lands in
+    ``PartitionFilters`` (asserted in tests), so only the matching
+    directory is listed and scanned."""
+    return spark.read.parquet(path).filter(F.col(partition_col) == value)

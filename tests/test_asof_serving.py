@@ -131,3 +131,28 @@ def test_write_compacted_sizes_files(spark, tmp_path, docs):
     n3 = write_compacted(statless, p3, target_mb=1)
     assert 1 <= n3 <= statless.rdd.getNumPartitions()
     assert spark.read.parquet(p3).count() == 10
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """write_partitioned + equality filter => PartitionFilters in the
+    scan (directory pruning), and only the matching partition's rows."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.serving import read_partition, write_partitioned
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, "lang")
+
+    out = read_partition(spark, path, "lang", "en")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = docs.filter("lang = 'en'").count()
+    assert out.count() == expected > 0
+    # non-partition predicates still push down as data filters
+    out2 = read_partition(spark, path, "lang", "en").filter("n_chars > 500")
+    plan2 = spark._jvm.PythonSQLUtils.explainString(
+        out2._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan2 and "n_chars" in plan2

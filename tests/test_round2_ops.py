@@ -317,3 +317,44 @@ def test_local_supplier_volume_hand_built(spark):
         customer, orders, lineitem, supplier, nation, region
     ).collect()
     assert [(r["n_name"], r["revenue"]) for r in rows] == [("JAPAN", 95.0)]
+
+
+# ---------------------------------------------------------------------------
+# ranking window suite + running totals
+# ---------------------------------------------------------------------------
+
+def test_ranking_suite_hand_checked(spark):
+    from page_rank_hadoop_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 20), (4, "en", 40), (5, "fr", 7)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in W.ranking_function_suite(df, n_tiles=2).collect()}
+    # en: order 10,20,20,40 → ntile(2)=[1,1,2,2]; pct_rank=[0,1/3,2/3,1]
+    assert [out[i]["quartile"] for i in (1, 2, 3, 4)] == [1, 1, 2, 2]
+    assert out[2]["pct_rank"] == round(1 / 3, 6) and out[4]["pct_rank"] == 1.0
+    # dense_rank ties on n_chars=20 would share rank only if order key tied;
+    # (n_chars, doc_id) is unique so ranks are 1..4
+    assert [out[i]["drank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert out[5]["cume"] == 1.0  # single row in fr
+
+
+def test_running_totals_cumulative(spark):
+    import datetime as dt
+
+    from page_rank_hadoop_spark.operators import windows as W
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0, "click", 1.0),
+            (2, t0 + dt.timedelta(minutes=1), "click", 2.5),
+            (3, t0, "view", 10.0),
+        ],
+        "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    rows = {r["event_id"]: r for r in W.running_totals(df).collect()}
+    assert (rows[1]["running_value"], rows[1]["running_n"]) == (1.0, 1)
+    assert (rows[2]["running_value"], rows[2]["running_n"]) == (3.5, 2)
+    assert (rows[3]["running_value"], rows[3]["running_n"]) == (10.0, 1)
