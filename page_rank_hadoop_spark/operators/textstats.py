@@ -237,3 +237,39 @@ def quality_signals(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_pair_stats(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """First BPE tokenizer-training iteration over the corpus: frequency
+    of every adjacent character pair within words (the statistic whose
+    argmax becomes the first merge rule). Returns the ``top_k`` most
+    frequent pairs — the corpus-wide reduction a tokenizer-training
+    pipeline runs before any merges.
+
+    All pair extraction is map-side JVM array algebra: tokenize once,
+    explode words, build the character-pair array per word with
+    ``sequence``/``substring`` higher-order expressions (each stage its
+    own projected column — HOF lambdas defeat cross-scope subexpression
+    elimination), explode pairs, ONE partial-agg'd groupBy. Shuffle
+    carries (pair, partial count) rows only; top-k compiles to
+    TakeOrderedAndProject.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    words = ensure_parallel(documents).select(
+        F.explode(tokens("text")).alias("w")
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )

@@ -1016,6 +1016,12 @@ def q_local_supplier_volume(spark, sf):
     )
 
 
+def q_bpe_pair_stats(spark, sf):
+    """First BPE tokenizer-training iteration: top-50 adjacent char-pair
+    frequencies within words, map-side pair explode + one partial agg."""
+    return textstats.bpe_pair_stats(_docs(spark, sf), top_k=50)
+
+
 def q_ranking_suite(spark, sf):
     """Full ranking-window family (ntile/percent_rank/cume_dist/
     dense_rank) in ONE Window node over (lang, n_chars)."""
@@ -2215,6 +2221,16 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_kmeans_step"] = _sql_kmeans_step(N_CENTROIDS, EMB_DIM)
 
+    oracles["q_bpe_pair_stats"] = f"""
+      WITH w AS (SELECT unnest({SQL_TOKENS}) AS w FROM documents),
+      p AS (
+        SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair
+        FROM w WHERE length(w) >= 2
+      )
+      SELECT pair, count(*)::BIGINT AS n
+      FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """
+
     oracles["q_ranking_suite"] = """
       SELECT doc_id, lang, n_chars,
              ntile(4) OVER w AS quartile,
@@ -2288,6 +2304,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_doc_chunks": q_doc_chunks,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
+        "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
         "q_forecast_revenue": q_forecast_revenue,

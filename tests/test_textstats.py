@@ -88,3 +88,15 @@ def test_winnowing_overlap_guarantee(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2]  # overlap detected
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_bpe_pair_stats_hand_checked(spark):
+    from page_rank_hadoop_spark.operators.textstats import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [(1, "abab ab x cd"), (2, "ab")],
+        ["doc_id", "text"],
+    )
+    # words: abab, ab, x, cd, ab → pairs: ab,ba,ab | ab | (x dropped) | cd | ab
+    rows = bpe_pair_stats(df, top_k=10).collect()
+    assert [(r["pair"], r["n"]) for r in rows] == [("ab", 4), ("ba", 1), ("cd", 1)]
