@@ -105,18 +105,31 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
     """
     import math
 
-    sims = F.array(
-        *[
-            cosine(
-                F.col("embedding"),
-                F.array(*[F.lit(math.sin(c * 2971 + j * 7919)) for j in range(dim)]),
-            )
-            for c in range(n_centroids)
-        ]
-    )
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
-    with_sims = ensure_parallel(embeddings).select("vec_id", "embedding", sims.alias("sims"))
+    # Bit-identical rewrite of `cosine(embedding, centroid_lit)` ×C with
+    # 3× fewer interpreted HOF folds per row: the row norm is computed
+    # ONCE (not once per centroid) and each centroid's norm folds to a
+    # Python literal (same left-to-right accumulation, same sqrt, so the
+    # values — and therefore the argmax and every oracle hash — are
+    # unchanged). Folds per row: C dots + 1 norm, vs C·(dot+2 norms).
+    # (Fully unrolling the dots into codegen arithmetic was measured
+    # SLOWER — C·dim getItem/multiply/add nodes overwhelm codegen.)
+    cents = [
+        [math.sin(c * 2971 + j * 7919) for j in range(dim)] for c in range(n_centroids)
+    ]
+    cnorms = [math.sqrt(sum(x * x for x in cv)) for cv in cents]
+    with_norm = ensure_parallel(embeddings).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_vn")
+    )
+    sims = F.array(
+        *[
+            dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
+            / (F.col("_vn") * F.lit(cn))
+            for cv, cn in zip(cents, cnorms)
+        ]
+    )
+    with_sims = with_norm.select("vec_id", "embedding", sims.alias("sims"))
     return with_sims.select(
         "vec_id",
         "embedding",
