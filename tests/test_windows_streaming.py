@@ -1,6 +1,7 @@
 """Window/sessionization semantics + streaming-vs-batch equivalence."""
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -373,3 +374,40 @@ def test_stream_stream_join_hand_built(spark):
     out = click_purchase_join_batch(events, horizon_minutes=30)
     got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
     assert got == {(1, 2), (7, 6)}
+
+
+def test_foreachbatch_stream_upsert(spark, tmp_path):
+    """foreachBatch incremental sink: three microbatches of keyed updates
+    merged into a parquet table equal one batch merge_upsert chain —
+    last-writer-wins per key across batches."""
+    import time as _time
+
+    from page_rank_hadoop_spark.streaming.sink import stream_upsert_to_parquet
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(i, rows):
+        spark.createDataFrame(rows, "k LONG, v STRING").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+
+    # file stream over a growing directory of parquet files
+    write_batch(0, [(1, "a0"), (2, "b0")])
+    stream = spark.readStream.schema("k LONG, v STRING").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    q = stream_upsert_to_parquet(stream, spark, target, key="k", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+        write_batch(1, [(2, "b1"), (3, "c1")])   # update 2, insert 3
+        q.processAllAvailable()
+        write_batch(2, [(1, "a2")])              # update 1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert final == {(1, "a2"), (2, "b1"), (3, "c1")}
