@@ -163,6 +163,33 @@ def cmd_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prepare(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Full training-corpus prep pass as one command: Gopher-style
+    quality gate (drop flagged docs) → exact dedup keep-first →
+    deterministic md5 train/val split → compacted parquet per split.
+    Every stage is the same operator the oracle gate checks; the chain
+    is one Catalyst plan per output (no intermediate materialization)."""
+    from page_rank_hadoop_spark.operators import dedup, textstats
+    from page_rank_hadoop_spark.operators.pipeline import hash_split
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    docs = _load_documents(spark, args.input, args.format)
+    flagged = textstats.quality_signals(docs).filter("flagged").select("doc_id")
+    clean = docs.join(flagged, "doc_id", "left_anti")
+    kept = dedup.dedup_keep_first(clean)
+    split = hash_split(kept, key="doc_id", train_pct=args.train_pct)
+    counts = {}
+    for name in ("train", "val"):
+        part = split.filter(F.col("split") == name).drop("split")
+        write_compacted(part, os.path.join(args.out, name))
+        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+    print(
+        f"prepare: {docs.count()} in → train {counts['train']} "
+        f"val {counts['val']} → {args.out}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -191,6 +218,12 @@ def build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--max-bucket-size", type=int, default=None,
                      help="hot-band cap for minhash at production scale")
     pd_.set_defaults(fn=cmd_dedup)
+
+    pr = sub.add_parser("prepare", parents=[common])
+    pr.add_argument("input")
+    pr.add_argument("out")
+    pr.add_argument("--train-pct", type=int, default=80)
+    pr.set_defaults(fn=cmd_prepare)
 
     pq = sub.add_parser("query", parents=[common])
     pq.add_argument("index_dir")

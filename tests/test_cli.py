@@ -128,3 +128,37 @@ def test_cli_pagerank_converge_flag(spark, tmp_path):
     assert {r["id"] for r in ranks.collect()} == {"A", "B", "NULL"}
     total = sum(r["pr"] for r in ranks.collect())
     assert total > 0
+
+
+def test_cli_prepare_pipeline(spark, tmp_path):
+    """prepare = quality gate → dedup keep-first → hash split: outputs
+    partition the kept set, flagged/duplicate docs are gone, and the
+    split is the deterministic md5 assignment."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.operators import dedup, textstats
+    from page_rank_hadoop_spark.operators.pipeline import hash_split
+
+    src = f"{SF0001}/documents.parquet"
+    out = str(tmp_path / "prep")
+    assert main(["prepare", src, out, "--train-pct", "80"]) == 0
+
+    train = spark.read.parquet(f"{out}/train")
+    val = spark.read.parquet(f"{out}/val")
+    got = {r["doc_id"] for r in train.select("doc_id").collect()} | {
+        r["doc_id"] for r in val.select("doc_id").collect()
+    }
+
+    docs = spark.read.parquet(src)
+    flagged = {r["doc_id"] for r in
+               textstats.quality_signals(docs).filter("flagged").select("doc_id").collect()}
+    clean = docs.filter(~F.col("doc_id").isin(list(flagged)) if flagged else F.lit(True))
+    expected = {r["doc_id"] for r in dedup.dedup_keep_first(clean).select("doc_id").collect()}
+    assert got == expected
+    assert not (flagged & got)
+    # split assignment matches the pure-projection operator
+    want_train = {
+        r["doc_id"]
+        for r in hash_split(docs, "doc_id").filter("split = 'train'").select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in train.select("doc_id").collect()} == got & want_train
