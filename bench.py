@@ -66,6 +66,12 @@ def main() -> None:
 
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1000).count()
+    # ...and the Python/Arrow worker pool, so the first mapInPandas query
+    # isn't charged ~2s of one-time worker spawn (workers are reused
+    # across stages; a long-lived cluster pays this once per executor)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # Build the shared materialized views (graph + 10-iteration PageRank)
     # explicitly and report the build separately, so per-query numbers

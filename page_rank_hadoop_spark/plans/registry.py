@@ -1016,6 +1016,18 @@ def q_local_supplier_volume(spark, sf):
     )
 
 
+def q_click_attribution(spark, sf):
+    """Batch twin of the stream-stream attribution join (streaming/
+    join.py): every (click, purchase) pair per user with the purchase
+    inside [click_ts, click_ts+30min] — oracle-gating the exact
+    semantics the watermarked streaming form replays."""
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_batch
+
+    return click_purchase_join_batch(
+        load_table(spark, sf, "events"), horizon_minutes=30
+    ).orderBy("click_id", "purchase_id")
+
+
 def q_bpe_pair_stats(spark, sf):
     """First BPE tokenizer-training iteration: top-50 adjacent char-pair
     frequencies within words, map-side pair explode + one partial agg."""
@@ -2221,6 +2233,17 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_kmeans_step"] = _sql_kmeans_step(N_CENTROIDS, EMB_DIM)
 
+    oracles["q_click_attribution"] = """
+      SELECT c.user_id AS c_user, c.event_id AS click_id, c.ts AS click_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY click_id, purchase_id
+    """
+
     oracles["q_bpe_pair_stats"] = f"""
       WITH w AS (SELECT unnest({SQL_TOKENS}) AS w FROM documents),
       p AS (
@@ -2304,6 +2327,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_doc_chunks": q_doc_chunks,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
+        "q_click_attribution": q_click_attribution,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
