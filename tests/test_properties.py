@@ -169,3 +169,51 @@ def test_interval_overlap_matches_naive(spark, iv):
         for r in interval_overlap_pairs(df, cell_seconds=1800).collect()
     }
     assert got == expect
+
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=6)
+
+
+@given(
+    words=st.lists(_word, min_size=0, max_size=40),
+    size=st.integers(min_value=1, max_value=8),
+    stride=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_naive(spark, words, size, stride):
+    """Chunking == naive Python windowing: same windows, full token
+    coverage, chunk_id dense from 0."""
+    from page_rank_hadoop_spark.operators.textstats import chunk_documents
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    ]
+    expected = []
+    for ci, start in enumerate(range(0, max(len(words) - 1, 0) + 1, stride)):
+        w = words[start : start + size]
+        if w:
+            expected.append((ci, " ".join(w)))
+    if not words:
+        expected = []
+    assert got == expected
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60, unique=True),
+    rate=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**SETTINGS)
+def test_mixture_sample_rate_monotone_and_stable(spark, keys, rate):
+    """Raising a group's rate only ever ADDS rows (the md5 coin is fixed
+    per key), and rates 0/1 are exact."""
+    from page_rank_hadoop_spark.operators.pipeline import mixture_sample
+
+    df = spark.createDataFrame([(k, "g") for k in keys], ["doc_id", "source"])
+    lo = {r["doc_id"] for r in mixture_sample(df, {"g": rate}).collect()}
+    hi = {r["doc_id"] for r in mixture_sample(df, {"g": min(rate + 0.25, 1.0)}).collect()}
+    assert lo <= hi
+    assert {r["doc_id"] for r in mixture_sample(df, {"g": 1.0}).collect()} == set(keys)
+    assert mixture_sample(df, {"g": 0.0}).count() == 0
