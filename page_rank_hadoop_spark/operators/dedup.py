@@ -226,6 +226,80 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
 
 
+def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round algorithm SCALING.md names as the upgrade path over
+    plain min-label propagation for adversarial long-chain graphs.
+    Same output contract as ``near_dup_components``: (doc_id,
+    component_id = min reachable doc_id), one row per pair participant.
+
+    Per round, two groupBy-explode passes over the edge set:
+    - large-star(u): every larger neighbor w > u re-points to
+      m = min(neighborhood ∪ {u});
+    - small-star(u): with edges oriented larger→smaller, u and its
+      smaller neighbors re-point to their minimum.
+    Each pass is one shuffle on the grouping node; edges only ever
+    re-point DOWNWARD (monotone), and the set contracts toward per-
+    component stars rooted at the minimum — no pointer-chain exists for
+    propagation to crawl, which is why chains converge in O(log n)
+    rounds instead of O(diameter). Fixpoint = edge set unchanged (two
+    anti-join probes per round; cheap once the set is near-star). Each
+    round eagerly checkpoints — same 3×-fanout rationale as
+    near_dup_components.
+
+    Near-dup clusters are shallow, so the default pointer-jumping
+    variant usually wins on constants; this one exists for (and is
+    tested against) deep-chain shapes, and both are driver-gated
+    against the same recursive-CTE oracle.
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    cur = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        sym = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lg = (
+            sym.groupBy("u")
+            .agg(F.collect_set("v").alias("nbrs"))
+            .select(
+                "u",
+                F.least(F.array_min("nbrs"), F.col("u")).alias("m"),
+                F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("w"),
+            )
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = (
+            lg.groupBy("u")
+            .agg(F.collect_set("v").alias("nbrs"))
+            .select(
+                F.array_min("nbrs").alias("m"),
+                F.explode(F.array_union("nbrs", F.array("u"))).alias("w"),
+            )
+            .select(F.col("w").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    return (
+        cur.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
+        .unionByName(cur.select(F.col("v").alias("doc_id"), F.col("v").alias("label")))
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("component_id"))
+    )
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """doc_id → 64-bit (60 effective) simhash over the token stream.
 

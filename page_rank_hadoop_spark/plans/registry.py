@@ -1016,6 +1016,13 @@ def q_local_supplier_volume(spark, sf):
     )
 
 
+def q_dedup_components_star(spark, sf):
+    """Large-star/small-star connected components over the same MinHash
+    pair graph — the O(log n)-round deep-chain variant, gated against
+    the identical recursive-CTE oracle as q_dedup_components."""
+    return dedup.connected_components_star(_minhash_pairs(spark, sf))
+
+
 def q_click_attribution(spark, sf):
     """Batch twin of the stream-stream attribution join (streaming/
     join.py): every (click, purchase) pair per user with the purchase
@@ -2233,6 +2240,8 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_kmeans_step"] = _sql_kmeans_step(N_CENTROIDS, EMB_DIM)
 
+    oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
+
     oracles["q_click_attribution"] = """
       SELECT c.user_id AS c_user, c.event_id AS click_id, c.ts AS click_ts,
              p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -2327,6 +2336,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_doc_chunks": q_doc_chunks,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
+        "q_dedup_components_star": q_dedup_components_star,
         "q_click_attribution": q_click_attribution,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_ranking_suite": q_ranking_suite,

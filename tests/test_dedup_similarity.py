@@ -207,3 +207,61 @@ def test_ivf_full_probe_equals_brute_force(spark):
     }
     assert one <= set(bf) | one  # sanity: single-probe is a subset search
     assert len(one) <= len(full)
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star connected components
+# ---------------------------------------------------------------------------
+
+def _cc_naive(pairs):
+    import itertools
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_components_long_chain(spark):
+    """Adversarial chain 0-1-2-...-30: the shape large-star/small-star
+    exists for — one component labeled 0."""
+    from page_rank_hadoop_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["doc_a", "doc_b"]
+    )
+    rows = connected_components_star(pairs).collect()
+    assert {r["doc_id"] for r in rows} == set(range(31))
+    assert {r["component_id"] for r in rows} == {0}
+
+
+def test_star_components_match_pointer_jumping_and_naive(spark):
+    """Both engine variants equal union-find on a multi-component random
+    graph (rings, chains, a star, singleton pairs)."""
+    from page_rank_hadoop_spark.operators.dedup import (
+        connected_components_star,
+        near_dup_components,
+    )
+
+    raw = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+        + [(20, 21), (21, 22), (22, 20)]           # ring
+        + [(30, 31)]                               # pair
+        + [(40, j) for j in range(41, 46)]         # star rooted 40
+        + [(22, 20), (31, 30)]                     # duplicates/reversed
+    )
+    pairs = spark.createDataFrame(raw, ["doc_a", "doc_b"])
+    expect = _cc_naive(raw)
+    star = {r["doc_id"]: r["component_id"] for r in connected_components_star(pairs).collect()}
+    pj = {r["doc_id"]: r["component_id"] for r in near_dup_components(pairs).collect()}
+    assert star == expect
+    assert pj == expect
