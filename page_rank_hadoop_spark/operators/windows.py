@@ -388,3 +388,29 @@ def running_totals(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def moving_average(events: DataFrame, n_preceding: int = 3) -> DataFrame:
+    """Bounded-frame window shapes in one pass per event_type ordered by
+    (ts, event_id): moving average over the last ``n_preceding``+1 rows,
+    the next value (lead), and the first/last values of the bounded
+    frame — the remaining window-frame vocabulary after running totals
+    (unbounded) and range frames (q_range_count).
+
+    One shuffle + one sort serves all four expressions (same window
+    spec); the bounded frame is O(1) per row (incremental add/evict),
+    never a rescan.
+    """
+    base = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    framed = base.rowsBetween(-n_preceding, 0)
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.round(F.avg("value").over(framed), 6).alias("moving_avg"),
+            F.lead("event_id").over(base).alias("next_event_id"),
+            F.round(F.first("value").over(framed), 6).alias("frame_first"),
+            F.round(F.last("value").over(framed), 6).alias("frame_last"),
+        )
+        .orderBy("event_id")
+    )

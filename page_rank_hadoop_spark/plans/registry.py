@@ -1041,6 +1041,12 @@ def q_bpe_pair_stats(spark, sf):
     return textstats.bpe_pair_stats(_docs(spark, sf), top_k=50)
 
 
+def q_moving_average(spark, sf):
+    """Bounded-frame windows: 4-row moving average + lead + frame
+    first/last per event_type, one Window pass."""
+    return windows.moving_average(load_table(spark, sf, "events"))
+
+
 def q_ranking_suite(spark, sf):
     """Full ranking-window family (ntile/percent_rank/cume_dist/
     dense_rank) in ONE Window node over (lang, n_chars)."""
@@ -2263,6 +2269,19 @@ def build_oracles() -> dict[str, str]:
       FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
     """
 
+    oracles["q_moving_average"] = """
+      SELECT event_id, event_type,
+             round(avg(value) OVER f, 6) AS moving_avg,
+             lead(event_id) OVER b AS next_event_id,
+             round(first_value(value) OVER f, 6) AS frame_first,
+             round(last_value(value) OVER f, 6) AS frame_last
+      FROM events
+      WINDOW b AS (PARTITION BY event_type ORDER BY ts, event_id),
+             f AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id
+    """
+
     oracles["q_ranking_suite"] = """
       SELECT doc_id, lang, n_chars,
              ntile(4) OVER w AS quartile,
@@ -2341,6 +2360,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
+        "q_moving_average": q_moving_average,
         "q_forecast_revenue": q_forecast_revenue,
         "q_nation_volume_shipping": q_nation_volume_shipping,
         "q_returned_items": q_returned_items,

@@ -358,3 +358,23 @@ def test_running_totals_cumulative(spark):
     assert (rows[1]["running_value"], rows[1]["running_n"]) == (1.0, 1)
     assert (rows[2]["running_value"], rows[2]["running_n"]) == (3.5, 2)
     assert (rows[3]["running_value"], rows[3]["running_n"]) == (10.0, 1)
+
+
+def test_moving_average_hand_checked(spark):
+    import datetime as dt
+
+    from page_rank_hadoop_spark.operators import windows as W
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), "click", float(i)) for i in range(1, 7)],
+        "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    rows = {r["event_id"]: r for r in W.moving_average(df, n_preceding=3).collect()}
+    # row 5: frame = values 2,3,4,5 → avg 3.5, first 2, last 5, lead = 6
+    assert rows[5]["moving_avg"] == 3.5
+    assert rows[5]["frame_first"] == 2.0 and rows[5]["frame_last"] == 5.0
+    assert rows[5]["next_event_id"] == 6
+    # row 2: partial frame 1,2 → avg 1.5; final row has no lead
+    assert rows[2]["moving_avg"] == 1.5
+    assert rows[6]["next_event_id"] is None
