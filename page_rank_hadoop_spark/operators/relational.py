@@ -750,3 +750,354 @@ def waiting_suppliers(
         .orderBy(F.desc("numwait"), "s_name")
         .limit(k)
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "PROMO",
+    max_size: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier: for each qualifying part,
+    the region's supplier(s) achieving the minimum unit cost.
+
+    This schema has no partsupp, so the supply relationship derives from
+    the fact table: unit_cost(part, supp) = min(l_extendedprice /
+    l_quantity) over their line items (one partial-agg shuffle on the
+    composite key). Q2's correlated `= (SELECT min(ps_supplycost) ...)`
+    subquery decorrelates into a per-part min window over the (tiny)
+    region-pruned agg output — no second fact scan, no join-back. The
+    supplier/nation/region dim chain and the part filter both broadcast.
+    """
+    from pyspark.sql import Window
+
+    eligible_supp = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    qparts = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    cost = (
+        lineitem.join(
+            F.broadcast(qparts), lineitem["l_partkey"] == F.col("p_partkey")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(F.broadcast(eligible_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_min_cost")
+    )
+    return (
+        best.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: the target nation's share
+    of supplier revenue per order-year, within one part type sold to one
+    customer region.
+
+    The share's numerator and denominator come from ONE pass: sum(when
+    supp_nation = target) / sum(volume) per year — Q8's nested
+    all_nations subquery is just a conditional aggregate. Every dim
+    (part-type filter, customer→nation→region chain, supplier→nation)
+    broadcasts; the only shuffles are the two fact-fact joins on
+    orderkey and the final 7-row year aggregation.
+    """
+    qpart = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    cust_region = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (
+        lineitem.join(F.broadcast(qpart), lineitem["l_partkey"] == qpart["p_partkey"])
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("volume"), 4).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "widget",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit: per supplier-nation × year
+    profit on parts whose name contains a token.
+
+    No partsupp/ps_supplycost in this schema, so cost is proxied as
+    ``cost_factor · p_retailprice · l_quantity`` (the proxy is a
+    broadcast part attribute, preserving Q9's plan shape: fact ⋈
+    broadcast part ⋈ broadcast supplier-nation ⋈ orders for the year,
+    then one nation×year aggregation). The part-name LIKE prunes the
+    broadcast side before the join, so fact selectivity comes free.
+    """
+    qpart = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        lineitem.join(F.broadcast(qpart), lineitem["l_partkey"] == qpart["p_partkey"])
+        .join(F.broadcast(supp_nation), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    factor: float = 2.0,
+) -> DataFrame:
+    """TPC-H-Q11-shaped important stock: parts whose revenue through one
+    nation's suppliers exceeds ``factor`` × that nation's mean part
+    value (Q11 uses a fixed fraction of the total; a mean-relative
+    threshold keeps the filter observably selective at every SF since
+    the part count is fixed while volume grows).
+
+    Q11's HAVING-vs-scalar-subquery shape: ONE groupBy(partkey) agg over
+    the nation-pruned fact subset, then the global mean as an
+    empty-frame window over the agg output (no second scan, no driver
+    round-trip, no cross join) — the same decorrelation used by
+    top_supplier_revenue for Q15.
+    """
+    from pyspark.sql import Window
+
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        lineitem.join(F.broadcast(nat_supp), lineitem["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_val"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("_mean", F.avg("_val").over(w))
+        .filter(F.col("_val") > F.lit(factor) * F.col("_mean"))
+        .select("p_partkey", F.round("_val", 4).alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def late_priority_lines(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H-Q12-shaped priority split of late shipments: per return
+    flag (the schema's shipmode analog), how many late-shipped line
+    items belonged to high- vs low-priority orders.
+
+    Late = shipped more than ``late_days`` after the order date
+    (adapting Q12's commit/receipt columns). The priority CASE is a
+    conditional count inside one partial-agg shuffle; the shipdate range
+    predicates push into the parquet scan, and the orders join carries
+    only (orderkey, orderdate, orderpriority).
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    brand_excl: str = "Brand#1",
+    type_excl: str = "PROMO",
+    max_size: int = 25,
+) -> DataFrame:
+    """TPC-H-Q16-shaped parts/supplier relationship: distinct supplier
+    count per (brand, type, size) bucket, excluding one brand/type and
+    "complaint" suppliers (adapted here as negative account balance).
+
+    The supply relationship is the distinct (partkey, suppkey) pair set
+    from the fact table — one partial-agg dedup shuffle. The complaint
+    exclusion is Q16's NOT IN: a broadcast LEFT ANTI against the (tiny)
+    bad-supplier list, never a shuffle. Part attributes broadcast onto
+    the deduped pairs, then one count-distinct aggregation.
+    """
+    qpart = part.filter(
+        (F.col("p_brand") != brand_excl)
+        & (~F.col("p_type").startswith(type_excl))
+        & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad_supp")
+    )
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("_bad_supp"), "left_anti"
+        )
+    )
+    return (
+        pairs.join(F.broadcast(qpart), pairs["l_partkey"] == qpart["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def promotion_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    share: float = 0.5,
+    min_parts: int = 3,
+) -> DataFrame:
+    """TPC-H-Q20-shaped dominant suppliers: suppliers who shipped more
+    than ``share`` of a contested part's yearly volume for at least
+    ``min_parts`` parts.
+
+    Q20's nested `ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)`
+    becomes: per-(part, supplier) quantity agg over the year-pruned
+    fact scan, per-part totals as a window over that agg (re-using the
+    same shuffle partitioning — no second exchange), filter to dominant
+    rows on contested parts (≥2 suppliers), then a HAVING count per
+    supplier. The supplier/nation dims broadcast onto the final rows.
+    """
+    from pyspark.sql import Window
+
+    sq = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sq.withColumn("_tq", F.sum("_q").over(w))
+        .withColumn("_ns", F.count("*").over(w))
+        .filter((F.col("_ns") >= 2) & (F.col("_q") > F.lit(share) * F.col("_tq")))
+    )
+    qualifying = (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated"))
+        .filter(F.col("n_dominated") >= min_parts)
+    )
+    return (
+        qualifying.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    supplier["s_nationkey"] == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name", "n_name")
+            ),
+            qualifying["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("s_name", "n_name", "n_dominated")
+        .orderBy(F.desc("n_dominated"), "s_name")
+    )

@@ -1152,6 +1152,88 @@ def q_kmeans_step(spark, sf):
     return similarity.kmeans_step(emb, n_centroids=N_CENTROIDS, dim=EMB_DIM)
 
 
+def q_min_cost_supplier(spark, sf):
+    """TPC-H-Q2-shaped minimum-cost supplier: per qualifying part, the
+    EUROPE supplier(s) at the minimum fact-derived unit cost (the
+    correlated-min subquery decorrelated to a per-part window)."""
+    return relational.min_cost_supplier(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def q_market_share(spark, sf):
+    """TPC-H-Q8-shaped market share: one nation's revenue share per
+    order-year within a part type × customer region (numerator and
+    denominator from ONE conditional aggregate)."""
+    return relational.market_share(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "part"),
+    )
+
+
+def q_product_profit(spark, sf):
+    """TPC-H-Q9-shaped profit per supplier-nation × year over parts
+    whose name contains 'widget' (cost proxied via p_retailprice;
+    broadcast part/supplier dims)."""
+    return relational.product_profit(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def q_important_parts(spark, sf):
+    """TPC-H-Q11-shaped important stock: parts whose revenue through
+    one nation's suppliers exceeds 2× that nation's mean part value
+    (HAVING vs scalar subquery as an empty-frame window)."""
+    return relational.important_parts(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def q_late_priority_lines(spark, sf):
+    """TPC-H-Q12-shaped priority split of late shipments per return
+    flag: conditional counts in one partial-agg shuffle."""
+    return relational.late_priority_lines(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+
+
+def q_supplier_part_counts(spark, sf):
+    """TPC-H-Q16-shaped parts/supplier relationship: distinct-supplier
+    counts per (brand, type, size) with NOT-IN complaint exclusion as a
+    broadcast anti-join."""
+    return relational.supplier_part_counts(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+    )
+
+
+def q_promotion_suppliers(spark, sf):
+    """TPC-H-Q20-shaped dominant suppliers: >50% of a contested part's
+    1996 volume on ≥3 parts (nested sum-subquery as a window over the
+    same shuffle)."""
+    return relational.promotion_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
 def build_oracles() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
     lookup_in = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
@@ -2303,6 +2385,132 @@ def build_oracles() -> dict[str, str]:
       ORDER BY event_id
     """
 
+    oracles["q_min_cost_supplier"] = """
+      WITH qparts AS (
+        SELECT p_partkey FROM part WHERE p_type = 'PROMO' AND p_size <= 5
+      ),
+      esupp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+      ),
+      cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem JOIN qparts ON l_partkey = p_partkey
+        GROUP BY 1, 2
+      ),
+      ec AS (SELECT c.*, e.s_name, e.s_acctbal, e.n_name
+             FROM cost c JOIN esupp e ON c.l_suppkey = e.s_suppkey),
+      best AS (SELECT l_partkey AS bpk, min(unit_cost) AS mc FROM ec GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+             round(unit_cost, 4) AS unit_cost
+      FROM ec JOIN best ON l_partkey = bpk AND unit_cost = mc
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """
+
+    oracles["q_market_share"] = """
+      WITH vol AS (
+        SELECT year(o_orderdate)::INT AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+      )
+      SELECT o_year,
+             round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                   / sum(volume), 6) AS mkt_share,
+             round(sum(volume), 4) AS total_volume
+      FROM vol GROUP BY o_year ORDER BY o_year
+    """
+
+    oracles["q_product_profit"] = """
+      SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+             round(sum(l_extendedprice * (1 - l_discount)
+                       - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """
+
+    oracles["q_important_parts"] = """
+      WITH pp AS (
+        SELECT l_partkey AS p_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+      )
+      SELECT p_partkey, round(val, 4) AS part_value
+      FROM pp
+      WHERE val > 2.0 * (SELECT avg(val) FROM pp)
+      ORDER BY part_value DESC, p_partkey
+    """
+
+    oracles["q_late_priority_lines"] = """
+      SELECT l_returnflag,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    oracles["q_supplier_part_counts"] = """
+      WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      )
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      FROM pairs JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%' AND p_size <= 25
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+    oracles["q_promotion_suppliers"] = """
+      WITH sq AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+      ),
+      tot AS (SELECT l_partkey, sum(q) AS tq, count(*) AS ns FROM sq GROUP BY 1),
+      qual AS (
+        SELECT s.l_suppkey, count(*)::BIGINT AS n_dominated
+        FROM sq s JOIN tot t USING (l_partkey)
+        WHERE t.ns >= 2 AND s.q > 0.5 * t.tq
+        GROUP BY 1 HAVING count(*) >= 3
+      )
+      SELECT s_name, n_name, n_dominated
+      FROM qual
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      ORDER BY n_dominated DESC, s_name
+    """
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     return oracles
 
@@ -2372,6 +2580,13 @@ def build_queries() -> dict[str, QueryFn]:
         "q_quality_signals": q_quality_signals,
         "q_decontaminate": q_decontaminate,
         "q_kmeans_step": q_kmeans_step,
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_important_parts": q_important_parts,
+        "q_late_priority_lines": q_late_priority_lines,
+        "q_supplier_part_counts": q_supplier_part_counts,
+        "q_promotion_suppliers": q_promotion_suppliers,
         # --- (2) sole-evidence queries, flagship/custom operators first;
         # generic SQL surfaces (all r1-green) sit nearest the cutoff ---
         "q_asof_join": q_asof_join,

@@ -210,3 +210,179 @@ def test_kmeans_step_matches_numpy(spark):
         assert r["mean_val"] == pytest.approx(
             round(float(members[:, r["dim"]].mean()), 6), abs=1e-9
         )
+
+
+def test_min_cost_supplier_ties_and_region(spark):
+    region = spark.createDataFrame([(1, "EUROPE"), (2, "ASIA")], ["r_regionkey", "r_name"])
+    nation = spark.createDataFrame(
+        [(1, "N_EU", 1), (2, "N_AS", 2)], ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    supplier = spark.createDataFrame(
+        [(10, "sA", 5.0, 1), (11, "sB", 9.0, 1), (12, "sC", 7.0, 2)],
+        ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO", 3), (2, "PROMO", 4), (3, "LARGE", 3)],
+        ["p_partkey", "p_type", "p_size"],
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1: sA unit cost 2.0, sB unit cost 2.0 (tie), sC cheaper but ASIA
+            (1, 10, 4.0, 8.0), (1, 11, 2.0, 4.0), (1, 12, 1.0, 1.0),
+            # part 2: only sB supplies → min trivially
+            (2, 11, 5.0, 15.0),
+            # part 3: wrong type, excluded
+            (3, 10, 1.0, 1.0),
+        ],
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+    rows = relational.min_cost_supplier(
+        li, part, supplier, nation, region, region_name="EUROPE",
+        p_type="PROMO", max_size=5,
+    ).collect()
+    assert [(r["s_name"], r["p_partkey"], r["unit_cost"]) for r in rows] == [
+        ("sB", 1, 2.0), ("sB", 2, 3.0), ("sA", 1, 2.0),
+    ]
+
+
+def test_market_share_conditional_ratio(spark):
+    region = spark.createDataFrame([(1, "ASIA")], ["r_regionkey", "r_name"])
+    nation = spark.createDataFrame(
+        [(1, "N_TARGET", 1), (2, "N_OTHER", 1)], ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    customer = spark.createDataFrame([(20, 1)], ["c_custkey", "c_nationkey"])
+    supplier = spark.createDataFrame(
+        [(10, 1), (11, 2)], ["s_suppkey", "s_nationkey"]
+    )
+    part = spark.createDataFrame([(1, "STANDARD"), (2, "PROMO")], ["p_partkey", "p_type"])
+    orders = spark.createDataFrame(
+        [(30, 20, TS(1995, 3, 1)), (31, 20, TS(1996, 3, 1))],
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = spark.createDataFrame(
+        [
+            (30, 1, 10, 60.0, 0.0),   # 1995 target-nation volume 60
+            (30, 1, 11, 40.0, 0.0),   # 1995 other-nation volume 40
+            (31, 1, 11, 50.0, 0.0),   # 1996 all other → share 0
+            (30, 2, 10, 999.0, 0.0),  # wrong part type
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    rows = relational.market_share(
+        li, orders, customer, supplier, nation, region, part,
+        target_nation="N_TARGET", region_name="ASIA", p_type="STANDARD",
+    ).collect()
+    assert [(r["o_year"], r["mkt_share"], r["total_volume"]) for r in rows] == [
+        (1995, 0.6, 100.0), (1996, 0.0, 50.0),
+    ]
+
+
+def test_product_profit_cost_proxy(spark):
+    part = spark.createDataFrame(
+        [(1, "red widget", 10.0), (2, "blue bolt", 10.0)],
+        ["p_partkey", "p_name", "p_retailprice"],
+    )
+    nation = spark.createDataFrame([(1, "N1")], ["n_nationkey", "n_name"])
+    supplier = spark.createDataFrame([(10, 1)], ["s_suppkey", "s_nationkey"])
+    orders = spark.createDataFrame(
+        [(30, TS(1995, 3, 1))], ["o_orderkey", "o_orderdate"]
+    )
+    li = spark.createDataFrame(
+        [
+            # profit = 100*(1-0.1) - 0.6*10*2 = 90 - 12 = 78
+            (30, 1, 10, 2.0, 100.0, 0.1),
+            (30, 2, 10, 2.0, 999.0, 0.0),  # name doesn't contain 'widget'
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    rows = relational.product_profit(li, orders, part, supplier, nation).collect()
+    assert [(r["nation"], r["o_year"], r["sum_profit"]) for r in rows] == [("N1", 1995, 78.0)]
+
+
+def test_important_parts_mean_threshold(spark):
+    nation = spark.createDataFrame([(1, "NATION_3"), (2, "OTHER")], ["n_nationkey", "n_name"])
+    supplier = spark.createDataFrame([(10, 1), (11, 2)], ["s_suppkey", "s_nationkey"])
+    li = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 0.0),  # part 1 val 100
+            (2, 10, 10.0, 0.0),   # part 2 val 10
+            (3, 10, 10.0, 0.0),   # part 3 val 10
+            (4, 11, 999.0, 0.0),  # other nation, excluded
+        ],
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    # mean = 40; only part 1 (100) > 2*40
+    rows = relational.important_parts(li, supplier, nation, factor=2.0).collect()
+    assert [(r["p_partkey"], r["part_value"]) for r in rows] == [(1, 100.0)]
+
+
+def test_late_priority_lines_split(spark):
+    orders = spark.createDataFrame(
+        [(1, TS(1996, 1, 1), "1-URGENT"), (2, TS(1996, 1, 1), "5-LOW")],
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "A", TS(1996, 6, 1)),   # late, high
+            (2, "A", TS(1996, 6, 1)),   # late, low
+            (1, "A", TS(1996, 1, 15)),  # on time → excluded
+            (2, "R", TS(1999, 6, 1)),   # outside window
+        ],
+        ["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+    rows = relational.late_priority_lines(li, orders, late_days=60).collect()
+    assert [(r["l_returnflag"], r["high_line_count"], r["low_line_count"]) for r in rows] == [
+        ("A", 1, 1),
+    ]
+
+
+def test_supplier_part_counts_exclusions(spark):
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#2", "LARGE", 5),
+            (2, "Brand#1", "LARGE", 5),    # excluded brand
+            (3, "Brand#2", "PROMO", 5),    # excluded type
+            (4, "Brand#2", "LARGE", 30),   # size > 25
+        ],
+        ["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    supplier = spark.createDataFrame(
+        [(10, 5.0), (11, -1.0)], ["s_suppkey", "s_acctbal"]
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 10),  # dup pair → one supplier
+            (1, 11),           # complaint supplier → excluded
+            (2, 10), (3, 10), (4, 10),  # excluded parts
+        ],
+        ["l_partkey", "l_suppkey"],
+    )
+    rows = relational.supplier_part_counts(li, part, supplier).collect()
+    assert [(r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"]) for r in rows] == [
+        ("Brand#2", "LARGE", 5, 1),
+    ]
+
+
+def test_promotion_suppliers_domination(spark):
+    nation = spark.createDataFrame([(1, "N1")], ["n_nationkey", "n_name"])
+    supplier = spark.createDataFrame(
+        [(10, "sA", 1), (11, "sB", 1)], ["s_suppkey", "s_name", "s_nationkey"]
+    )
+    d = TS(1996, 6, 1)
+    li = spark.createDataFrame(
+        [
+            # parts 1-3: sA ships 9 of 10 (dominant, contested)
+            (1, 10, 9.0, d), (1, 11, 1.0, d),
+            (2, 10, 9.0, d), (2, 11, 1.0, d),
+            (3, 10, 9.0, d), (3, 11, 1.0, d),
+            # part 4: sB alone → uncontested, ignored
+            (4, 11, 99.0, d),
+            # part 5: sB dominates but only one dominated part total
+            (5, 11, 9.0, d), (5, 10, 1.0, d),
+        ],
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    rows = relational.promotion_suppliers(
+        li, supplier, nation, share=0.5, min_parts=3
+    ).collect()
+    assert [(r["s_name"], r["n_name"], r["n_dominated"]) for r in rows] == [("sA", "N1", 3)]
