@@ -35,6 +35,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it as long nanos (legacy conf) and convert to a
     microsecond timestamp (same truncation DuckDB applies on its ns→µs
     read), keeping the session conf untouched afterwards.
+
+    Timestamps annotated isAdjustedToUTC=false come back as TIMESTAMP_NTZ;
+    we normalize those to TIMESTAMP (session tz is pinned UTC, so the
+    instant is unchanged) because DuckDB oracles and the time functions
+    (unix_micros, window()) expect the LTZ type.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -52,11 +57,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prev)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer div: float division would lose precision at 1e18 nanos
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _ltz(normalize_ts(df))
+    return _ltz(spark.read.parquet(path))
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-adaptive event-time normalization: long nanos → µs timestamp
+    (integer div — float division loses precision at 1e18 nanos), NTZ →
+    LTZ, plain timestamp untouched. Shared by the batch catalog reader and
+    the streaming replay/join sources so every path sees one ts type
+    regardless of how the parquet writer annotated it."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, df[col].cast("timestamp"))
+    return df
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP. With the UTC session
+    timezone this is a type-level relabel, not a value shift."""
+    ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+    if not ntz:
         return df
-    return spark.read.parquet(path)
+    return df.withColumns({c: df[c].cast("timestamp") for c in ntz})
 
 
 def ensure_parallel(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:

@@ -88,6 +88,7 @@ def run_join_replay_to_memory(
     import shutil
     import tempfile
 
+    from page_rank_hadoop_spark.sources.catalog import normalize_ts
     from page_rank_hadoop_spark.streaming.replay import NANOS_CONF
 
     tmp = tempfile.mkdtemp(prefix="events_join_replay_")
@@ -98,11 +99,7 @@ def run_join_replay_to_memory(
     spark.conf.set(NANOS_CONF, "true")
     try:
         raw_schema = spark.read.parquet(tmp).schema
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .parquet(tmp)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = normalize_ts(spark.readStream.schema(raw_schema).parquet(tmp))
         joined = click_purchase_join_stream(stream, horizon_minutes)
         q = (
             joined.writeStream.outputMode("append")

@@ -62,11 +62,13 @@ def run_replay_to_memory(
     """Replay ``events.parquet`` through the streaming aggregation to
     completion (complete mode → memory sink); returns the batch result.
 
-    events.parquet stores TIMESTAMP(NANOS): the stream reads ts as long
-    nanos (legacy conf held for the query's lifetime) and converts to a
-    microsecond timestamp before the watermark, identically to the batch
-    catalog reader.
+    ts arrives however the parquet writer annotated it (long nanos under
+    the legacy conf, TIMESTAMP_NTZ, or plain timestamp); ``normalize_ts``
+    converts to a microsecond LTZ timestamp before the watermark,
+    identically to the batch catalog reader.
     """
+    from page_rank_hadoop_spark.sources.catalog import normalize_ts
+
     tmp = tempfile.mkdtemp(prefix="events_replay_")
     for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
         shutil.copy(f, tmp)
@@ -75,11 +77,7 @@ def run_replay_to_memory(
     spark.conf.set(NANOS_CONF, "true")
     try:
         raw_schema = spark.read.parquet(tmp).schema
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .parquet(tmp)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = normalize_ts(spark.readStream.schema(raw_schema).parquet(tmp))
         agg = streaming_tumbling_counts(stream, minutes)
         q = (
             agg.writeStream.outputMode("complete")
