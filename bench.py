@@ -50,6 +50,12 @@ BENCH_QUERIES = [
     "q_decontaminate",
     "q_kmeans_step",
     "q_doc_chunks",
+    "q_market_share",
+    "q_product_profit",
+    "q_min_cost_supplier",
+    "q_promotion_suppliers",
+    "q_interval_overlap",
+    "q_click_attribution",
 ]
 
 
@@ -81,8 +87,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     registry._pagerank10(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # simhash signature MV: shared by q_simhash_pairs + q_simhash_multiprobe,
+    # same build-vs-query attribution rationale as the graph views.
+    registry._simhash_sigs(spark, sf_dir).write.format("noop").mode("overwrite").save()
     build_sec = round(time.perf_counter() - t0, 3)
-    print(f"# build (graph + pagerank10 views): {build_sec:.3f}s", file=sys.stderr)
+    print(f"# build (graph + pagerank10 + simhash-sig views): {build_sec:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
