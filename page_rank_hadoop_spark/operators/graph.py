@@ -153,6 +153,61 @@ def shortest_paths(edges: DataFrame, source, max_hops: int = 10) -> DataFrame:
     return settled
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected form of a directed edge list: every node starts with its
+    own id as label; each round it adopts the most frequent label among
+    its neighbors, ties broken by the smallest label. Fixed ``n_iter``
+    synchronous rounds keep the result deterministic (asynchronous LPA is
+    order-dependent), so the query is oracle-checkable — the driver's
+    DuckDB twin unrolls the same rounds as CTEs.
+
+    Completes the iterative-graph family (PageRank = weighted gather,
+    BFS = frontier expansion, components = min-label closure): LPA is the
+    frequency-vote variant, the standard cheap community detector
+    (Raghavan et al. 2007; GraphX ships the same algorithm).
+
+    Physical shape per round: one join on src (edge table pre-partitioned
+    by src, so only the small labels side shuffles — the PageRank loop's
+    partitioning argument, pagerank.py), one groupBy(dst, label) count
+    with map-side partial agg, one ranking window per dst. Loop hygiene:
+    eager localCheckpoint per round (same 3×-fanout rationale as
+    near_dup_components). Isolated vertices never appear (symmetrized
+    edge set ⇒ every node is some row's dst).
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    top1 = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(n_iter):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), "label")
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels
+
+
 def outdegree(adj: DataFrame) -> DataFrame:
     """id → outdeg (the scatter denominator, reference P5)."""
     return adj.select("id", F.size("links").alias("outdeg"))

@@ -92,6 +92,24 @@ def merge_scd2(
     return history.unionByName(closed).unionByName(untouched).unionByName(new_rows)
 
 
+def scd2_asof(scd2: DataFrame, ts) -> DataFrame:
+    """Point-in-time (time-travel) read of an SCD2 history table: the rows
+    valid at ``ts`` under the half-open convention ``valid_from <= ts <
+    valid_to`` (NULL valid_to = still current). The read side of
+    ``merge_scd2`` — what "SELECT ... FOR SYSTEM_TIME AS OF" compiles to
+    over an attribute-history table.
+
+    Pure filter: both predicates push down to the scan (min/max row-group
+    pruning on valid_from/valid_to), so an as-of read over a 100 TB
+    history table touches only row groups whose validity range can
+    overlap ``ts``."""
+    t = F.lit(ts).cast("timestamp")
+    return scd2.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
 def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
     """Deterministic, engine-portable train/val split: bucket =
     md5(key) first-8-hex-digits mod 100, split = 'train' if bucket <

@@ -239,6 +239,104 @@ def quality_signals(
     )
 
 
+def bpe_train_merges(documents: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Train the first ``n_merges`` BPE merge rules over the corpus — the
+    iterative continuation of ``bpe_pair_stats`` (which is iteration 1's
+    statistic only). Returns the merge table (step, left, right, merged,
+    n): the actual tokenizer-training artifact.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the corpus: one
+    tokenize + groupBy collapses the corpus to distinct words (vocab ≪
+    corpus at 100 TB), and every merge iteration then runs on the vocab
+    only. Per iteration: (1) adjacent-pair counts weighted by word freq —
+    explode + one partial-agg shuffle; (2) argmax pair via a 1-row
+    driver action (same scalar-action pattern as PageRank's convergence
+    check); (3) apply the merge with an ``F.aggregate`` left-to-right
+    fold building the new symbol array — true BPE semantics: a pair
+    consumed by a merge can't overlap the next match (s=[a,a,a] with
+    (a,a) → [aa,a]), and a just-merged symbol is never re-matched within
+    the pass (left+right is never equal to left, since right is
+    non-empty). Loop hygiene: eager localCheckpoint per iteration keeps
+    the plan flat (near_dup_components rationale).
+
+    Ties broken by (count desc, left, right) so the rule sequence is
+    deterministic — the property that makes the query oracle-checkable
+    (the DuckDB twin unrolls the same iterations with list_reduce).
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    spark = documents.sparkSession
+    vocab = (
+        ensure_parallel(documents)
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    cur = vocab.select("freq", chars.alias("seq")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        # sequence(1, size-1) would step BACKWARD for 1-symbol words
+        # (Spark infers step=-1 when start > stop) — guard with when().
+        pair_idx = F.when(
+            F.size("seq") >= 2, F.sequence(F.lit(1), F.size("seq") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("seq", i).alias("a"),
+                        F.element_at("seq", i + F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((step, a, b, n))
+        folded = F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select("freq", folded.alias("seq")).localCheckpoint()
+    # literal-frame result via range+lits, not createDataFrame (a literal
+    # list becomes a Python-RDD scan re-spawning workers per action)
+    rows = [
+        spark.range(1).select(
+            F.lit(s).cast("int").alias("step"),
+            F.lit(a).alias("left"),
+            F.lit(b).alias("right"),
+            F.lit(a + b).alias("merged"),
+            F.lit(n).cast("bigint").alias("n"),
+        )
+        for s, a, b, n in merges
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def bpe_pair_stats(documents: DataFrame, top_k: int = 50) -> DataFrame:
     """First BPE tokenizer-training iteration over the corpus: frequency
     of every adjacent character pair within words (the statistic whose

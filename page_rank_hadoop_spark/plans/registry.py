@@ -540,6 +540,14 @@ def q_shortest_paths(spark, sf):
     return graph.shortest_paths(_graph(spark, sf)["kept"], source=0, max_hops=10)
 
 
+def q_label_propagation(spark, sf):
+    """Community detection by synchronous label propagation over the
+    resolved edge graph: 3 fixed frequency-vote rounds, min-label
+    tie-break (deterministic twin of GraphX's LPA). Oracle unrolls the
+    same rounds as CTEs."""
+    return graph.label_propagation(_graph(spark, sf)["kept"], n_iter=3)
+
+
 def q_large_volume_orders(spark, sf):
     """TPC-H Q18: orders exceeding 250 total units, top-100 by value."""
     return relational.large_volume_orders(
@@ -605,10 +613,10 @@ def q_merge_upsert(spark, sf):
     return pipeline.merge_upsert(d, updates, "doc_id")
 
 
-def q_merge_scd2(spark, sf):
-    """SCD2/CDC merge: docs snapshot (valid_from 2024-01-01, open-ended)
-    + updates for doc_id % 10 == 0 effective 2024-06-01 → closed old
-    rows, appended current rows, untouched keys pass through."""
+def _scd2_table(spark, sf):
+    """Shared SCD2 fixture: docs snapshot (valid_from 2024-01-01,
+    open-ended) + updates for doc_id % 10 == 0 effective 2024-06-01,
+    merged through pipeline.merge_scd2."""
     d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
     base = d.select(
         "doc_id",
@@ -622,13 +630,33 @@ def q_merge_scd2(spark, sf):
         .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
         .withColumn("effective_ts", F.lit("2024-06-01 00:00:00").cast("timestamp"))
     )
-    out = pipeline.merge_scd2(base, updates, "doc_id")
+    return pipeline.merge_scd2(base, updates, "doc_id")
+
+
+def q_merge_scd2(spark, sf):
+    """SCD2/CDC merge: closed old rows, appended current rows, untouched
+    keys pass through."""
+    out = _scd2_table(spark, sf)
     return out.select(
         "doc_id",
         "lang",
         "n_chars",
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("OPEN")).alias("valid_to"),
+    )
+
+
+def q_scd2_asof(spark, sf):
+    """Time travel over the SCD2 history: rows valid exactly at the
+    2024-06-01 boundary (updated keys show the NEW row — half-open
+    validity). Oracle reconstructs the same snapshot directly from the
+    update rule, independent of the merge algebra."""
+    out = pipeline.scd2_asof(_scd2_table(spark, sf), "2024-06-01 00:00:00")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
     )
 
 
@@ -1039,6 +1067,13 @@ def q_bpe_pair_stats(spark, sf):
     """First BPE tokenizer-training iteration: top-50 adjacent char-pair
     frequencies within words, map-side pair explode + one partial agg."""
     return textstats.bpe_pair_stats(_docs(spark, sf), top_k=50)
+
+
+def q_bpe_train_merges(spark, sf):
+    """Five BPE training iterations over the word-frequency table: the
+    merge-rule table (step, left, right, merged, n). Oracle unrolls the
+    same iterations with list_reduce folds."""
+    return textstats.bpe_train_merges(_docs(spark, sf), n_merges=5)
 
 
 def q_moving_average(spark, sf):
@@ -1491,6 +1526,29 @@ def build_oracles() -> dict[str, str]:
       SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id
     """
 
+    oracles["q_label_propagation"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      e0 AS (SELECT DISTINCT src, dst FROM kept WHERE src <> dst),
+      sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+      c1 AS (SELECT s.dst, l.label, count(*) AS c
+             FROM sym s JOIN l0 l ON s.src = l.id GROUP BY 1, 2),
+      l1 AS (SELECT dst AS id, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT s.dst, l.label, count(*) AS c
+             FROM sym s JOIN l1 l ON s.src = l.id GROUP BY 1, 2),
+      l2 AS (SELECT dst AS id, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT s.dst, l.label, count(*) AS c
+             FROM sym s JOIN l2 l ON s.src = l.id GROUP BY 1, 2),
+      l3 AS (SELECT dst AS id, label FROM (
+               SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
+               FROM c3) WHERE rn = 1)
+      SELECT id, label FROM l3
+    """
+
     oracles["q_large_volume_orders"] = """
       WITH big AS (
         SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
@@ -1676,6 +1734,13 @@ def build_oracles() -> dict[str, str]:
       UNION ALL
       SELECT doc_id, lang, n_chars, '2024-06-01' AS valid_from, 'OPEN' AS valid_to
       FROM upd
+    """
+
+    oracles["q_scd2_asof"] = """
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+             CASE WHEN doc_id % 10 = 0 THEN '2024-06-01' ELSE '2024-01-01' END AS valid_from
+      FROM documents
     """
 
     oracles["q_hash_split"] = """
@@ -2341,6 +2406,47 @@ def build_oracles() -> dict[str, str]:
       ORDER BY click_id, purchase_id
     """
 
+    # q_bpe_train_merges: the 5 training iterations unrolled — pair
+    # counts on the word-frequency table, argmax via ORDER BY ... LIMIT 1,
+    # merge applied with a list_reduce fold (same left-to-right semantics
+    # as the Spark F.aggregate fold; symbols are space-free so the
+    # space-joined accumulator's suffix check identifies the last symbol
+    # exactly).
+    bpe_stages = [
+        f"v AS (SELECT w, count(*) AS freq FROM (SELECT unnest({SQL_TOKENS}) AS w FROM documents) t GROUP BY w)",
+        "s0 AS (SELECT freq, [substr(w, i, 1) for i in range(1, length(w) + 1)] AS seq FROM v)",
+    ]
+    for k in range(1, 6):
+        bpe_stages.append(
+            f"""p{k} AS (
+        SELECT seq[i] AS a, seq[i + 1] AS b, sum(freq)::BIGINT AS n
+        FROM (SELECT freq, seq, unnest(range(1, len(seq))) AS i FROM s{k - 1}) t
+        GROUP BY 1, 2)"""
+        )
+        bpe_stages.append(
+            f"b{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        if k < 5:
+            bpe_stages.append(
+                f"""s{k} AS (
+        SELECT freq,
+               CASE WHEN len(seq) = 1 THEN seq
+               ELSE string_split(
+                 list_reduce(seq, (acc, x) ->
+                   CASE WHEN x = bb.b AND (acc = bb.a OR ends_with(acc, ' ' || bb.a))
+                        THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.a || bb.b
+                        ELSE acc || ' ' || x END), ' ')
+               END AS seq
+        FROM s{k - 1}, b{k} bb)"""
+            )
+    bpe_union = "\n      UNION ALL ".join(
+        f'SELECT {k}::INT AS step, a AS "left", b AS "right", a || b AS merged, n FROM b{k}'
+        for k in range(1, 6)
+    )
+    oracles["q_bpe_train_merges"] = (
+        "WITH " + ",\n      ".join(bpe_stages) + "\n      " + bpe_union
+    )
+
     oracles["q_bpe_pair_stats"] = f"""
       WITH w AS (SELECT unnest({SQL_TOKENS}) AS w FROM documents),
       p AS (
@@ -2540,6 +2646,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_funnel_stats": q_funnel_stats,
         "q_cohort_retention": q_cohort_retention,
         "q_shortest_paths": q_shortest_paths,
+        "q_label_propagation": q_label_propagation,
         "q_stats_correlation": q_stats_correlation,
         "q_histogram": q_histogram,
         "q_promo_revenue": q_promo_revenue,
@@ -2547,6 +2654,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_media_resize": q_media_resize,
         "q_interval_overlap": q_interval_overlap,
         "q_merge_scd2": q_merge_scd2,
+        "q_scd2_asof": q_scd2_asof,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,
@@ -2566,6 +2674,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_dedup_components_star": q_dedup_components_star,
         "q_click_attribution": q_click_attribution,
         "q_bpe_pair_stats": q_bpe_pair_stats,
+        "q_bpe_train_merges": q_bpe_train_merges,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
         "q_moving_average": q_moving_average,

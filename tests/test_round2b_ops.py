@@ -1,0 +1,139 @@
+"""Late round-2 operators: label propagation, SCD2 as-of reads, and the
+iterative BPE merge-training loop."""
+
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import graph, pipeline, textstats
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+def test_label_propagation_two_communities(spark):
+    # two triangles {0,1,2} and {10,11,12} bridged by one edge 2-10.
+    # Hand-traced synchronous rounds: triangle A settles on 0; triangle B
+    # first votes 10, but node 10's round-1 tie (nbr labels {11,12,2})
+    # resolves to min=2, which then wins B's frequency vote — the classic
+    # sync-LPA label leak across a bridge. Deterministic, so pinned.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r["label"] for r in graph.label_propagation(edges, n_iter=3).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2}
+    # the two communities remain distinct
+    assert len({out[0], out[10]}) == 2
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    # path 0-1-2: node 1 sees labels {0, 2} once each -> tie -> min (0).
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    out = {r["id"]: r["label"] for r in graph.label_propagation(edges, n_iter=1).collect()}
+    assert out[1] == 0
+    # endpoints have a single neighbor; they adopt its label
+    assert out[0] == 1 and out[2] == 1
+
+
+def test_label_propagation_directed_input_symmetrized(spark):
+    # both orientations + a duplicate collapse to ONE undirected edge, and
+    # a 2-cycle oscillates under synchronous updates (each node adopts the
+    # other's previous label every round) — deterministic per round count.
+    edges = spark.createDataFrame([(0, 1), (1, 0), (0, 1)], ["src", "dst"])
+    r1 = {r["id"]: r["label"] for r in graph.label_propagation(edges, n_iter=1).collect()}
+    r2 = {r["id"]: r["label"] for r in graph.label_propagation(edges, n_iter=2).collect()}
+    assert r1 == {0: 1, 1: 0}
+    assert r2 == {0: 0, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of
+# ---------------------------------------------------------------------------
+
+def _scd2_fixture(spark):
+    rows = [
+        # key 1: updated at 06-01 (closed + new current row)
+        (1, "v1", "2024-01-01 00:00:00", "2024-06-01 00:00:00"),
+        (1, "v2", "2024-06-01 00:00:00", None),
+        # key 2: never updated
+        (2, "w1", "2024-01-01 00:00:00", None),
+    ]
+    return spark.createDataFrame(
+        rows, ["id", "val", "valid_from", "valid_to"]
+    ).select(
+        "id",
+        "val",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+
+
+def test_scd2_asof_before_at_after_boundary(spark):
+    hist = _scd2_fixture(spark)
+
+    def snap(ts):
+        return {r["id"]: r["val"] for r in pipeline.scd2_asof(hist, ts).collect()}
+
+    # before the update: original row
+    assert snap("2024-03-01 00:00:00") == {1: "v1", 2: "w1"}
+    # exactly at the boundary: half-open [from, to) -> the NEW row
+    assert snap("2024-06-01 00:00:00") == {1: "v2", 2: "w1"}
+    # after: still the new row
+    assert snap("2024-07-01 00:00:00") == {1: "v2", 2: "w1"}
+    # before history began: nothing
+    assert snap("2023-12-31 00:00:00") == {}
+
+
+def test_scd2_asof_over_merge_output(spark):
+    # merge then read as-of: the round-trip a history table actually serves
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], ["id", "x"]
+    ).select(
+        "id",
+        "x",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame([(1, 11)], ["id", "x"]).withColumn(
+        "effective_ts", F.lit("2024-05-01 00:00:00").cast("timestamp")
+    )
+    hist = pipeline.merge_scd2(base, updates, "id")
+    before = {r["id"]: r["x"] for r in pipeline.scd2_asof(hist, "2024-02-01 00:00:00").collect()}
+    after = {r["id"]: r["x"] for r in pipeline.scd2_asof(hist, "2024-08-01 00:00:00").collect()}
+    assert before == {1: 10, 2: 20}
+    assert after == {1: 11, 2: 20}
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_merges_hand_computed(spark):
+    # vocab collapses to {aaab: 3}; the merge sequence is hand-derivable:
+    #   1. pairs aa:6 ab:3 -> merge (a,a); seq [aa,a,b] (left-to-right:
+    #      the second aa overlap is NOT merged)
+    #   2. pairs (aa,a):3 (a,b):3 -> tie -> lexicographic min (a,b)
+    #   3. (aa,ab):3 -> merge; words fully merged
+    #   4. no pairs left -> loop stops early at 3 rules
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab")], ["doc_id", "text"]
+    )
+    out = [
+        (r["step"], r["left"], r["right"], r["merged"], r["n"])
+        for r in textstats.bpe_train_merges(docs, n_merges=5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert out == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_merge_fold_no_overlap_and_no_remerge(spark):
+    # [b,a,a,b]: merging (a,a) must not let the merged "aa" join a
+    # later match, and [a,a,a] must merge only the leftmost pair.
+    docs = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+    out = textstats.bpe_train_merges(docs, n_merges=1).collect()
+    assert (out[0]["left"], out[0]["right"], out[0]["n"]) == ("a", "a", 2)
