@@ -174,6 +174,86 @@ def ivf_knn_cosine(
     )
 
 
+def kmeans_train(
+    embeddings: DataFrame, n_iter: int = 3, n_centroids: int = 16, dim: int = 64
+) -> DataFrame:
+    """Full Lloyd's k-means over the embedding corpus: ``n_iter``
+    assign-then-update rounds from the deterministic ``ivf_assign`` seed
+    centroids; returns the final centroid table in long form (centroid,
+    n_vectors, dim, mean_val) — ``kmeans_step`` is the ``n_iter=1`` case.
+
+    The driver-coordinated loop is the standard Lloyd's-on-Spark shape:
+    per round, ONE partial-agg'd groupBy computes all C×dim means
+    map-side (never exploding the fact table), the C-row result is
+    collected (a k×d scalar action, like PageRank's convergence count),
+    and the next round's assignment embeds the updated centroids as
+    literals — so every assignment pass stays map-side JVM arithmetic
+    with no join against a centroid table. At 100 TB each round is one
+    scan + one C-row shuffle.
+
+    Determinism for the oracle gate: per-round means are rounded to 6dp
+    BEFORE feeding the next assignment (absorbing cross-partition float
+    accumulation-order noise on both engines), ties argmax to the lowest
+    centroid id, and centroids that lose all vectors drop out of the
+    candidate set (mirroring the oracle's join, which only produces
+    observed centroids).
+    """
+    import math
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    emb = ensure_parallel(embeddings).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_vn")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # (centroid_id, vector) pairs, seeded identically to ivf_assign
+    cands: list[tuple[int, list[float]]] = [
+        (c, [math.sin(c * 2971 + j * 7919) for j in range(dim)])
+        for c in range(n_centroids)
+    ]
+
+    def assign(cands_now):
+        cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in cands_now]
+        sims = F.array(
+            *[
+                dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
+                / (F.col("_vn") * F.lit(cn))
+                for (_, cv), cn in zip(cands_now, cnorms)
+            ]
+        )
+        idx = (F.array_position("sims", F.array_max("sims")) - 1).cast("int")
+        cid = F.element_at(
+            F.array(*[F.lit(c) for c, _ in cands_now]), idx + F.lit(1)
+        )
+        return emb.select("embedding", sims.alias("sims")).select(
+            "embedding", cid.alias("centroid")
+        )
+
+    per_c = None
+    for it in range(n_iter):
+        assigned = assign(cands)
+        per_c = assigned.groupBy("centroid").agg(
+            F.count("*").alias("n_vectors"),
+            *[
+                F.round(F.avg(F.col("embedding")[j]), 6).alias(f"_m{j}")
+                for j in range(dim)
+            ],
+        )
+        if it < n_iter - 1:  # the last round's means ARE the output
+            rows = per_c.orderBy("centroid").collect()
+            cands = [(r["centroid"], [r[f"_m{j}"] for j in range(dim)]) for r in rows]
+
+    means = F.array(*[F.col(f"_m{j}") for j in range(dim)])
+    out = per_c.select(
+        "centroid", "n_vectors", F.posexplode(means).alias("dim", "mean_val")
+    ).orderBy("centroid", "dim")
+    # C×dim rows — eager checkpoint so the input cache can be dropped
+    # before the caller consumes the result
+    out = out.localCheckpoint()
+    emb.unpersist()
+    return out
+
+
 def kmeans_step(
     embeddings: DataFrame, n_centroids: int = 16, dim: int = 64
 ) -> DataFrame:

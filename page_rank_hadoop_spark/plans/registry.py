@@ -235,6 +235,57 @@ def _sql_kmeans_step(n_centroids: int, dim: int) -> str:
     """
 
 
+def _sql_kmeans_train(n_iter: int, n_centroids: int, dim: int) -> str:
+    """Lloyd's-loop oracle, iterations unrolled: round 1 assigns against
+    the literal seed centroids (as _sql_kmeans_step); every later round
+    derives its centroid lists IN SQL (round(avg,6) per dim — the same
+    rounding the Spark loop applies before re-embedding centroids as
+    literals) and re-assigns via a vectors × centroids join with
+    (sim DESC, c) ranking — the first-of-max tie-break of the Spark
+    argmax over c-sorted candidates. Centroids that lose all vectors
+    drop out of the join on both engines."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], {c})" for c in cents
+    ) + "]"
+    parts = [
+        f"""a0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims}, list_max({sims})) - 1 AS c
+        FROM embeddings)"""
+    ]
+    prev = "a0"
+    for k in range(1, n_iter):
+        parts.append(
+            f"""e{k} AS (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM {prev}),
+      m{k} AS (SELECT c, d, round(avg(val), 6) AS mv FROM e{k} GROUP BY c, d),
+      cent{k} AS (SELECT c, list(mv ORDER BY d) AS l FROM m{k} GROUP BY c),
+      s{k} AS (SELECT e.vec_id, e.v, ct.c, list_cosine_similarity(e.v, ct.l) AS sim
+               FROM {prev} e, cent{k} ct),
+      a{k} AS (SELECT vec_id, v, c FROM (
+                 SELECT vec_id, v, c,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+                 FROM s{k}) t WHERE rn = 1)"""
+        )
+        prev = f"a{k}"
+    return (
+        "WITH "
+        + ",\n      ".join(parts)
+        + f""",
+      ef AS (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS d FROM {prev}),
+      nf AS (SELECT c, count(*) AS n FROM {prev} GROUP BY c)
+      SELECT e.c::INT AS centroid, nf.n::BIGINT AS n_vectors, e.d::INT AS dim,
+             round(avg(e.val), 6) AS mean_val
+      FROM ef e JOIN nf ON e.c = nf.c
+      GROUP BY e.c, nf.n, e.d ORDER BY centroid, dim"""
+    )
+
+
 def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
     """IVF oracle: centroid literals match operators/similarity.ivf_assign;
     first-occurrence-of-max (list_position of list_max) mirrors the Spark
@@ -1185,6 +1236,14 @@ def q_kmeans_step(spark, sf):
     long form."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.kmeans_step(emb, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+
+
+def q_kmeans_train(spark, sf):
+    """Full Lloyd's loop: 3 assign/update rounds from the deterministic
+    seeds, final centroid table long-form. Oracle unrolls the rounds —
+    round 1 on literal seeds, later rounds re-derive centroids in SQL."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_train(emb, n_iter=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
 
 
 def q_min_cost_supplier(spark, sf):
@@ -2392,6 +2451,7 @@ def build_oracles() -> dict[str, str]:
     """
 
     oracles["q_kmeans_step"] = _sql_kmeans_step(N_CENTROIDS, EMB_DIM)
+    oracles["q_kmeans_train"] = _sql_kmeans_train(3, N_CENTROIDS, EMB_DIM)
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
 
@@ -2689,6 +2749,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_quality_signals": q_quality_signals,
         "q_decontaminate": q_decontaminate,
         "q_kmeans_step": q_kmeans_step,
+        "q_kmeans_train": q_kmeans_train,
         "q_min_cost_supplier": q_min_cost_supplier,
         "q_market_share": q_market_share,
         "q_product_profit": q_product_profit,

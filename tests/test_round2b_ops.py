@@ -131,6 +131,34 @@ def test_bpe_train_merges_hand_computed(spark):
     ]
 
 
+# ---------------------------------------------------------------------------
+# k-means training loop
+# ---------------------------------------------------------------------------
+
+def test_kmeans_train_one_iter_equals_step(spark):
+    from page_rank_hadoop_spark.operators import similarity
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    step = similarity.kmeans_step(emb, n_centroids=4, dim=64).collect()
+    train1 = similarity.kmeans_train(emb, n_iter=1, n_centroids=4, dim=64).collect()
+    assert sorted(map(tuple, step)) == sorted(map(tuple, train1))
+
+
+def test_kmeans_train_deterministic_and_partitions_corpus(spark):
+    from page_rank_hadoop_spark.operators import similarity
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_vec = emb.count()
+    a = similarity.kmeans_train(emb, n_iter=3, n_centroids=4, dim=64).collect()
+    b = similarity.kmeans_train(emb, n_iter=3, n_centroids=4, dim=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every vector lands in exactly one cluster (each cluster contributes
+    # one n_vectors per dim row; divide by dim)
+    assert sum(r["n_vectors"] for r in a) // 64 == n_vec
+
+
 def test_bpe_merge_fold_no_overlap_and_no_remerge(spark):
     # [b,a,a,b]: merging (a,a) must not let the merged "aa" join a
     # later match, and [a,a,a] must merge only the leftmost pair.
