@@ -409,6 +409,87 @@ def simhash_near_pairs_multiprobe(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard via PREFIX FILTERING (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07; the PPJoin family)
+    — same output as ``ngram_jaccard_pairs``, LOSSLESSLY, with the
+    candidate fanout the full inverted-index self-join can't control.
+
+    Order every doc's shingle set by global rarity (df asc, shingle asc)
+    and index only the first ``|S| − ⌈τ·|S|⌉ + 1`` shingles: any pair
+    with J ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ elements, which cannot all
+    hide in the suffixes, so it shares a shingle lying in BOTH prefixes.
+    Survivors are verified EXACTLY with ``array_intersect`` on the full
+    per-doc arrays — no undercounting, unlike the ``max_shingle_df``
+    df-cap heuristic.
+
+    Why this is the 100 TB answer to the hot-key problem: boilerplate
+    shingles are by definition high-df, so the rarity order puts them
+    LAST — they fall out of almost every prefix and the quadratic
+    hot-bucket fanout never forms, with zero recall loss. Cost: one df
+    agg shuffle + one per-doc sort (window) on top of the (much smaller)
+    prefix self-join; the verify step touches only surviving pairs.
+
+    Measured honestly (sf0.1, local[32]): candidates drop 2.9× on the
+    clean corpus but wall-clock is ~3× SLOWER — the extra shuffles
+    dominate while the plain join's 1.3M candidates are trivial. The
+    crossover is asymptotic: plain candidate count is Σ_s C(df_s, 2)
+    (quadratic in every hot shingle's df — 5M docs sharing one
+    boilerplate phrase is 1.2e13 pairs), prefix is bounded by rarity
+    order regardless of df skew. Use plain below ~10⁶ docs, prefix —
+    or its ``max_shingle_df`` lossy sibling — above.
+    """
+    from pyspark.sql import Window
+
+    base = ensure_parallel(documents).select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = base.select("doc_id", F.size("arr").alias("sz"), F.explode("arr").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # round before ceil: ceil(0.8*5) must be 4, not ceil(4.0000000000000002)
+    prefix_len = (
+        F.col("sz") - F.ceil(F.round(F.lit(min_jaccard) * F.col("sz"), 6)) + 1
+    )
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = base.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    fb = base.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter / (F.size("arr_a") + F.size("arr_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -775,6 +775,13 @@ def q_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3, min_jaccard=MIN_JACCARD)
 
 
+def q_ngram_jaccard_prefix(spark, sf):
+    """Prefix-filtered (PPJoin-style) exact n-gram Jaccard: lossless, so
+    it shares q_ngram_jaccard's oracle — rarity-ordered prefixes bound
+    the candidate fanout that hot shingles would otherwise square."""
+    return dedup.ngram_jaccard_pairs_prefix(_docs(spark, sf), n=3, min_jaccard=MIN_JACCARD)
+
+
 def q_simhash_pairs(spark, sf):
     return dedup.simhash_near_pairs(
         _docs(spark, sf),
@@ -2678,6 +2685,8 @@ def build_oracles() -> dict[str, str]:
     """
 
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
+    # prefix filtering is lossless: identical result set to the plain join
+    oracles["q_ngram_jaccard_prefix"] = oracles["q_ngram_jaccard"]
     return oracles
 
 
@@ -2776,6 +2785,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_anti_join_vertices": q_anti_join_vertices,
         "q_near_dedup_minhash": q_near_dedup_minhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "q_simhash_pairs": q_simhash_pairs,
         "q_simhash_multiprobe": q_simhash_multiprobe,
         "q_knn_cosine": q_knn_cosine,

@@ -1,9 +1,9 @@
-"""Late round-2 operators: label propagation, SCD2 as-of reads, and the
-iterative BPE merge-training loop."""
+"""Late round-2 operators: label propagation, SCD2 as-of reads, the
+iterative BPE merge-training loop, and prefix-filtered similarity join."""
 
 from pyspark.sql import functions as F
 
-from page_rank_hadoop_spark.operators import graph, pipeline, textstats
+from page_rank_hadoop_spark.operators import dedup, graph, pipeline, textstats
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +129,38 @@ def test_bpe_train_merges_hand_computed(spark):
         (2, "a", "b", "ab", 3),
         (3, "aa", "ab", "aaab", 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered n-gram Jaccard (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+def test_prefix_jaccard_equals_plain_on_corpus(spark, docs):
+    plain = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.5).collect()}
+    pref = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_prefix(docs, n=3, min_jaccard=0.5).collect()}
+    assert pref == plain
+
+
+def test_prefix_jaccard_hot_shingle_bounded_fanout(spark):
+    # 60 docs all sharing one viral boilerplate prefix ("click here to
+    # subscribe ...") but pairwise-distinct bodies, plus one true near-dup
+    # pair. The plain inverted-index join forms ~60^2/2 candidates from
+    # the hot shingles alone; the rarity-ordered prefix drops them while
+    # still finding the real pair losslessly.
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [(i, f"{boiler} unique body {i} alpha beta gamma delta value{i}")
+            for i in range(60)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog tonight friends"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs_prefix(df, n=3, min_jaccard=0.7).collect()}
+    plain = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, n=3, min_jaccard=0.7).collect()}
+    assert out == plain
+    assert (100, 101) in out
 
 
 # ---------------------------------------------------------------------------
