@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q_promotion_suppliers",
     "q_interval_overlap",
     "q_click_attribution",
+    "q_label_propagation",
+    "q_bpe_train_merges",
+    "q_kmeans_train",
 ]
 
 

@@ -116,6 +116,18 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_kmeans_step", [("not", r"Generate.*explode\(embedding"), ("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_quality_signals", [("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)"), ("has", r"HashAggregate")]),
     ("q_decontaminate", [("has", r"Generate"), ("not", r"CartesianProduct")]),
+    # late round-2 additions: iterative + similarity ops keep their shape
+    # (LPA result is checkpointed; the pinned surface is the final plan —
+    # no cartesian, no Python eval anywhere in the loop's output)
+    ("q_label_propagation", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # kmeans_train: like kmeans_step, the fact table is never exploded
+    # before aggregation and the whole loop stays JVM-side
+    ("q_kmeans_train", [("not", r"Generate.*explode\(embedding"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_bpe_train_merges", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # prefix-filtered jaccard: equi-joins only (the whole point is that no
+    # pair enumeration ever degrades past the prefix equi-join)
+    ("q_ngram_jaccard_prefix", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"BroadcastNestedLoopJoin")]),
+    ("q_scd2_asof", [("has", r"PushedFilters: \[.*valid_from|Filter"), ("not", r"(SortMergeJoin.*valid|CartesianProduct)")]),
 ]
 
 
