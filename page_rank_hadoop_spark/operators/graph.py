@@ -208,6 +208,50 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     return labels
 
 
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
+    """K-core of the undirected graph: the maximal subgraph where every
+    vertex keeps degree ≥ k — the classic link-spam / low-quality-page
+    peel (a page in no 2-core is a leaf chain; web-quality pipelines cut
+    at small k before ranking). Returns the surviving (id, degree) rows.
+
+    Iterative peeling: drop all vertices with current degree < k, then
+    recompute degrees on the induced subgraph; repeat to fixpoint (or
+    ``max_iter`` — peeling monotonically shrinks the vertex set, so a
+    fixpoint is guaranteed; each round is one partial-agg degree count +
+    two semi-joins on the surviving set). Same eager-checkpoint loop
+    hygiene as the other iterative operators; early exit costs one count
+    action per round on the already-materialized survivor set.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur = sym
+    n_prev = -1
+    for _ in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src").localCheckpoint()
+        n_keep = keep.count()
+        if n_keep == n_prev:
+            break
+        n_prev = n_keep
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    out = cur.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    out = out.filter(F.col("degree") >= k).localCheckpoint()
+    sym.unpersist()
+    return out
+
+
 def outdegree(adj: DataFrame) -> DataFrame:
     """id → outdeg (the scatter denominator, reference P5)."""
     return adj.select("id", F.size("links").alias("outdeg"))

@@ -92,6 +92,52 @@ def merge_scd2(
     return history.unionByName(closed).unionByName(untouched).unionByName(new_rows)
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str] | None = None
+) -> DataFrame:
+    """Derive a change feed from two table snapshots: one row per key that
+    was INSERTed, DELETEd, or UPDATEd between ``old`` and ``new`` (the
+    reverse of applying CDC — what you run when the upstream can't emit
+    change events and ships full dumps). Output: (key, op, old/new value
+    columns suffixed _old/_new).
+
+    ONE full-outer equi-join on the key; change detection is a null-safe
+    column comparison (``eqNullSafe`` per compared column), so the diff
+    never hashes or serializes rows Python-side. At 100 TB both snapshots
+    bucket by the key and the join is shuffle-free; unchanged keys are
+    filtered before the result materializes, so the output is
+    proportional to the churn, not the table.
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c != key]
+    # presence is keyed on the join side, not attribute nullability:
+    # explicit markers keep all-NULL attribute rows diffing correctly
+    o = old.select(
+        key, *[F.col(c).alias(f"{c}_old") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(True))
+    n = new.select(
+        key, *[F.col(c).alias(f"{c}_new") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(True))
+    joined = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            key,
+            "op",
+            *[F.col(f"{c}_old") for c in compare_cols],
+            *[F.col(f"{c}_new") for c in compare_cols],
+        )
+    )
+
+
 def scd2_asof(scd2: DataFrame, ts) -> DataFrame:
     """Point-in-time (time-travel) read of an SCD2 history table: the rows
     valid at ``ts`` under the half-open convention ``valid_from <= ts <

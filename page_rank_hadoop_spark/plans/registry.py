@@ -599,6 +599,15 @@ def q_label_propagation(spark, sf):
     return graph.label_propagation(_graph(spark, sf)["kept"], n_iter=3)
 
 
+def q_kcore(spark, sf):
+    """30-core of the resolved link graph: iterative degree peeling to
+    fixpoint (the link-spam / leaf-chain cut web-quality pipelines run
+    before ranking). Oracle unrolls 8 peel rounds — both engines reach
+    the same fixpoint, so the unroll depth only needs to exceed the
+    actual round count (≤4 at the declared SFs)."""
+    return graph.k_core(_graph(spark, sf)["kept"], k=30, max_iter=20)
+
+
 def q_large_volume_orders(spark, sf):
     """TPC-H Q18: orders exceeding 250 total units, top-100 by value."""
     return relational.large_volume_orders(
@@ -695,6 +704,29 @@ def q_merge_scd2(spark, sf):
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"), F.lit("OPEN")).alias("valid_to"),
     )
+
+
+def q_snapshot_diff(spark, sf):
+    """CDC derivation from two full dumps: deterministic churn rules
+    (delete doc_id%97==0, update doc_id%10==0, insert 25 new keys) ->
+    one full-outer join emitting (key, op, old/new columns). Oracle
+    reconstructs the same change feed from the rules directly."""
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    new = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 10 == 0, F.col("n_chars") + 1000).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "lang", "n_chars"
+            )
+        )
+    )
+    return pipeline.snapshot_diff(d, new, "doc_id")
 
 
 def q_scd2_asof(spark, sf):
@@ -1613,6 +1645,62 @@ def build_oracles() -> dict[str, str]:
                SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
                FROM c3) WHERE rn = 1)
       SELECT id, label FROM l3
+    """
+
+    # k-core: 8 unrolled peel rounds (fixpoint reached in <=4 at the
+    # declared SFs; extra rounds are no-ops once stable)
+    oracles["q_kcore"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      ke0 AS (SELECT DISTINCT src, dst FROM kept WHERE src <> dst),
+      c0 AS MATERIALIZED (SELECT src, dst FROM ke0 UNION SELECT dst AS src, src AS dst FROM ke0),
+      k1 AS MATERIALIZED (SELECT src FROM c0 GROUP BY src HAVING count(*) >= 30),
+      c1 AS MATERIALIZED (SELECT src, dst FROM c0
+               WHERE src IN (SELECT src FROM k1) AND dst IN (SELECT src FROM k1)),
+      k2 AS MATERIALIZED (SELECT src FROM c1 GROUP BY src HAVING count(*) >= 30),
+      c2 AS MATERIALIZED (SELECT src, dst FROM c1
+               WHERE src IN (SELECT src FROM k2) AND dst IN (SELECT src FROM k2)),
+      k3 AS MATERIALIZED (SELECT src FROM c2 GROUP BY src HAVING count(*) >= 30),
+      c3 AS MATERIALIZED (SELECT src, dst FROM c2
+               WHERE src IN (SELECT src FROM k3) AND dst IN (SELECT src FROM k3)),
+      k4 AS MATERIALIZED (SELECT src FROM c3 GROUP BY src HAVING count(*) >= 30),
+      c4 AS MATERIALIZED (SELECT src, dst FROM c3
+               WHERE src IN (SELECT src FROM k4) AND dst IN (SELECT src FROM k4)),
+      k5 AS MATERIALIZED (SELECT src FROM c4 GROUP BY src HAVING count(*) >= 30),
+      c5 AS MATERIALIZED (SELECT src, dst FROM c4
+               WHERE src IN (SELECT src FROM k5) AND dst IN (SELECT src FROM k5)),
+      k6 AS MATERIALIZED (SELECT src FROM c5 GROUP BY src HAVING count(*) >= 30),
+      c6 AS MATERIALIZED (SELECT src, dst FROM c5
+               WHERE src IN (SELECT src FROM k6) AND dst IN (SELECT src FROM k6)),
+      k7 AS MATERIALIZED (SELECT src FROM c6 GROUP BY src HAVING count(*) >= 30),
+      c7 AS MATERIALIZED (SELECT src, dst FROM c6
+               WHERE src IN (SELECT src FROM k7) AND dst IN (SELECT src FROM k7)),
+      k8 AS MATERIALIZED (SELECT src FROM c7 GROUP BY src HAVING count(*) >= 30),
+      c8 AS MATERIALIZED (SELECT src, dst FROM c7
+               WHERE src IN (SELECT src FROM k8) AND dst IN (SELECT src FROM k8))
+      SELECT src AS id, count(*)::BIGINT AS degree
+      FROM c8 GROUP BY src HAVING count(*) >= 30
+    """
+
+    oracles["q_snapshot_diff"] = """
+      WITH oldt AS (SELECT doc_id, lang, n_chars FROM documents),
+      newt AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, lang, n_chars FROM documents WHERE doc_id < 25
+      )
+      SELECT doc_id, op, lang_old, n_chars_old, lang_new, n_chars_new FROM (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'insert'
+                    WHEN n.doc_id IS NULL THEN 'delete'
+                    WHEN NOT (o.lang IS NOT DISTINCT FROM n.lang
+                              AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                    THEN 'update' END AS op,
+               o.lang AS lang_old, o.n_chars AS n_chars_old,
+               n.lang AS lang_new, n.n_chars AS n_chars_new
+        FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+      ) WHERE op IS NOT NULL
     """
 
     oracles["q_large_volume_orders"] = """
@@ -2716,6 +2804,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_cohort_retention": q_cohort_retention,
         "q_shortest_paths": q_shortest_paths,
         "q_label_propagation": q_label_propagation,
+        "q_kcore": q_kcore,
         "q_stats_correlation": q_stats_correlation,
         "q_histogram": q_histogram,
         "q_promo_revenue": q_promo_revenue,
@@ -2724,6 +2813,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_interval_overlap": q_interval_overlap,
         "q_merge_scd2": q_merge_scd2,
         "q_scd2_asof": q_scd2_asof,
+        "q_snapshot_diff": q_snapshot_diff,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

@@ -132,6 +132,55 @@ def test_bpe_train_merges_hand_computed(spark):
 
 
 # ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+def test_kcore_triangle_survives_tail_peeled(spark):
+    # triangle {0,1,2} with a tail 2-3: node 3 (deg 1) peels first, then
+    # the triangle is stable at degree 2.
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"])
+    out = {r["id"]: r["degree"] for r in graph.k_core(edges, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_cascading_collapse(spark):
+    # path graph: peeling the endpoints cascades until nothing is left
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    assert graph.k_core(edges, k=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC derivation)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_all_ops(spark):
+    from page_rank_hadoop_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        ["id", "lang", "n"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 25), (4, None, 40), (5, "e", 50)],
+        ["id", "lang", "n"],
+    )
+    rows = {r["id"]: r["op"] for r in snapshot_diff(old, new, "id").collect()}
+    # 1 unchanged (absent), 2 updated, 3 deleted, 4 unchanged despite the
+    # NULL attribute (eqNullSafe), 5 inserted
+    assert rows == {2: "update", 3: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_null_transitions(spark):
+    from page_rank_hadoop_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, v string")
+    new = spark.createDataFrame([(1, "x")], ["id", "v"])
+    out = snapshot_diff(old, new, "id").collect()
+    assert len(out) == 1 and out[0]["op"] == "update"
+    assert out[0]["v_old"] is None and out[0]["v_new"] == "x"
+
+
+# ---------------------------------------------------------------------------
 # prefix-filtered n-gram Jaccard (PPJoin-style)
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,8 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # pair enumeration ever degrades past the prefix equi-join)
     ("q_ngram_jaccard_prefix", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"BroadcastNestedLoopJoin")]),
     ("q_scd2_asof", [("has", r"PushedFilters: \[.*valid_from|Filter"), ("not", r"(SortMergeJoin.*valid|CartesianProduct)")]),
+    ("q_kcore", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_snapshot_diff", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
