@@ -15,6 +15,10 @@ Usage:
   python -m page_rank_hadoop_spark.cli query    <index_dir> <ranks_dir> <input> <term> [term ...]
   python -m page_rank_hadoop_spark.cli dedup    <input> <out_dir> [--strategy exact|minhash]
                                                 [--max-bucket-size N]
+  python -m page_rank_hadoop_spark.cli train-tokenizer <input> <out_dir> [--n-merges N]
+  python -m page_rank_hadoop_spark.cli communities <input> <out_dir>
+                                                [--algorithm lpa|components] [--iterations N]
+  python -m page_rank_hadoop_spark.cli diff     <old_parquet> <new_parquet> <out_dir> [--key K]
 
 ``--format corpus`` reads the reference's line-oriented wiki dump
 (<title>…</title>, [[link]], <text>…</text>) via sources/corpus.py;
@@ -190,6 +194,76 @@ def cmd_prepare(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train_tokenizer(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Train the first N BPE merge rules over the corpus and write the
+    merge table as TSV (step, left, right, merged, count) — the artifact
+    a tokenizer-training pipeline hands to the encoder. One line per
+    rule, rank order = merge order, the same format the BPE literature
+    uses for merges.txt."""
+    from page_rank_hadoop_spark.operators.textstats import bpe_train_merges
+
+    docs = _load_documents(spark, args.input, args.format)
+    merges = bpe_train_merges(docs, n_merges=args.n_merges)
+    rows = merges.orderBy("step").collect()  # ≤ n_merges rows by contract
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "merges.tsv")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['step']}\t{r['left']}\t{r['right']}\t{r['merged']}\t{r['n']}\n")
+    print(f"train-tokenizer: {len(rows)} merge rules → {path}")
+    return 0
+
+
+def cmd_communities(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Community detection over the link graph: LPA (n fixed synchronous
+    rounds) or connected components; writes (id, label) keyed parquet
+    plus a community-size summary to stdout."""
+    from page_rank_hadoop_spark.operators import dedup as dedup_ops
+    from page_rank_hadoop_spark.operators import graph as graph_ops
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    docs = _load_documents(spark, args.input, args.format)
+    verts = graph_ops.vertices(docs)
+    kept = graph_ops.resolve_edges(graph_ops.extract_edges(docs), verts)
+    if args.algorithm == "lpa":
+        labels = graph_ops.label_propagation(kept, n_iter=args.iterations)
+    else:
+        pairs = kept.select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        )
+        labels = dedup_ops.near_dup_components(pairs).select(
+            F.col("doc_id").alias("id"), F.col("component_id").alias("label")
+        )
+    write_compacted(labels, args.out)
+    top = (
+        labels.groupBy("label").count().orderBy(F.desc("count"), "label").limit(5).collect()
+    )
+    n_comm = labels.select("label").distinct().count()
+    print(f"communities[{args.algorithm}]: {n_comm} communities → {args.out}")
+    for r in top:
+        print(f"  label {r['label']}: {r['count']} members")
+    return 0
+
+
+def cmd_diff(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Derive a change feed between two table snapshots (CDC from full
+    dumps): writes (key, op, *_old, *_new) parquet and prints op counts."""
+    from page_rank_hadoop_spark.operators.pipeline import snapshot_diff
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    feed = snapshot_diff(old, new, args.key)
+    write_compacted(feed, args.out)
+    counts = {r["op"]: r["n"] for r in feed.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    print(
+        "diff: "
+        + " ".join(f"{op}={counts.get(op, 0)}" for op in ("insert", "update", "delete"))
+        + f" → {args.out}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -232,6 +306,26 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("terms", nargs="+")
     pq.add_argument("--top-k", type=int, default=10)
     pq.set_defaults(fn=cmd_query)
+
+    pt = sub.add_parser("train-tokenizer", parents=[common])
+    pt.add_argument("input")
+    pt.add_argument("out")
+    pt.add_argument("--n-merges", type=int, default=50)
+    pt.set_defaults(fn=cmd_train_tokenizer)
+
+    pc = sub.add_parser("communities", parents=[common])
+    pc.add_argument("input")
+    pc.add_argument("out")
+    pc.add_argument("--algorithm", choices=("lpa", "components"), default="lpa")
+    pc.add_argument("--iterations", type=int, default=3)
+    pc.set_defaults(fn=cmd_communities)
+
+    pdf = sub.add_parser("diff")
+    pdf.add_argument("old")
+    pdf.add_argument("new")
+    pdf.add_argument("out")
+    pdf.add_argument("--key", default="doc_id")
+    pdf.set_defaults(fn=cmd_diff)
     return p
 
 

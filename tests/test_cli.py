@@ -162,3 +162,47 @@ def test_cli_prepare_pipeline(spark, tmp_path):
         for r in hash_split(docs, "doc_id").filter("split = 'train'").select("doc_id").collect()
     }
     assert {r["doc_id"] for r in train.select("doc_id").collect()} == got & want_train
+
+
+def test_cli_train_tokenizer(spark, tmp_path, capsys):
+    out = str(tmp_path / "tok")
+    assert main(["train-tokenizer", f"{SF0001}/documents.parquet", out, "--n-merges", "3"]) == 0
+    lines = open(f"{out}/merges.tsv").read().splitlines()
+    assert len(lines) == 3
+    step, left, right, merged, n = lines[0].split("\t")
+    assert step == "1" and merged == left + right and int(n) > 0
+    # rank order = merge order
+    assert [l.split("\t")[0] for l in lines] == ["1", "2", "3"]
+
+
+def test_cli_communities_both_algorithms(spark, tmp_path, capsys):
+    for algo in ("lpa", "components"):
+        out = str(tmp_path / f"comm_{algo}")
+        assert main([
+            "communities", f"{SF0001}/documents.parquet", out, "--algorithm", algo,
+        ]) == 0
+        labels = spark.read.parquet(out)
+        assert labels.columns == ["id", "label"]
+        assert labels.count() > 0
+        printed = capsys.readouterr().out
+        assert f"communities[{algo}]" in printed
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.write.parquet(old_p)
+    docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "n_chars", F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars"))
+    ).write.parquet(new_p)
+    out = str(tmp_path / "feed")
+    assert main(["diff", old_p, new_p, out]) == 0
+    feed = spark.read.parquet(out)
+    ops = {r["op"] for r in feed.select("op").distinct().collect()}
+    assert ops == {"update", "delete"}
+    printed = capsys.readouterr().out
+    assert "insert=0" in printed and "delete=" in printed
