@@ -138,6 +138,29 @@ def snapshot_diff(
     )
 
 
+def apply_changes(base: DataFrame, feed: DataFrame, key: str) -> DataFrame:
+    """Apply a ``snapshot_diff`` change feed to a base snapshot — the CDC
+    APPLY side (what MERGE INTO ... WHEN MATCHED/NOT MATCHED compiles to):
+    delete the deletes, upsert the updates+inserts. Inverse property (the
+    round-trip the tests pin): ``apply_changes(old, snapshot_diff(old,
+    new), key)`` reproduces ``new`` exactly.
+
+    Plan: one anti-join removing touched keys + one union of the feed's
+    new-side rows — both on the key, shuffle-free when base and feed are
+    bucketed by it (same argument as merge_upsert)."""
+    touched = feed.select(key)
+    new_rows = feed.filter(F.col("op") != "delete").select(
+        key,
+        *[
+            F.col(f"{c}_new").alias(c)
+            for c in base.columns
+            if c != key
+        ],
+    )
+    untouched = base.join(touched, key, "left_anti")
+    return untouched.unionByName(new_rows)
+
+
 def scd2_asof(scd2: DataFrame, ts) -> DataFrame:
     """Point-in-time (time-travel) read of an SCD2 history table: the rows
     valid at ``ts`` under the half-open convention ``valid_from <= ts <

@@ -706,11 +706,9 @@ def q_merge_scd2(spark, sf):
     )
 
 
-def q_snapshot_diff(spark, sf):
-    """CDC derivation from two full dumps: deterministic churn rules
-    (delete doc_id%97==0, update doc_id%10==0, insert 25 new keys) ->
-    one full-outer join emitting (key, op, old/new columns). Oracle
-    reconstructs the same change feed from the rules directly."""
+def _churned_docs(spark, sf):
+    """(old, new) snapshot pair under deterministic churn rules: delete
+    doc_id%97==0, update doc_id%10==0 (+1000 chars), insert 25 new keys."""
     d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
     new = (
         d.filter(F.col("doc_id") % 97 != 0)
@@ -726,7 +724,25 @@ def q_snapshot_diff(spark, sf):
             )
         )
     )
+    return d, new
+
+
+def q_snapshot_diff(spark, sf):
+    """CDC derivation from two full dumps: one full-outer join emitting
+    (key, op, old/new columns). Oracle reconstructs the same change feed
+    from the churn rules directly."""
+    d, new = _churned_docs(spark, sf)
     return pipeline.snapshot_diff(d, new, "doc_id")
+
+
+def q_apply_changes(spark, sf):
+    """CDC apply (MERGE INTO analog): replays the derived change feed
+    onto the old snapshot; must reproduce the new snapshot exactly —
+    the oracle IS the new-snapshot definition, so the gate checks the
+    diff/apply round-trip algebraically."""
+    d, new = _churned_docs(spark, sf)
+    feed = pipeline.snapshot_diff(d, new, "doc_id")
+    return pipeline.apply_changes(d, feed, "doc_id")
 
 
 def q_scd2_asof(spark, sf):
@@ -1679,6 +1695,14 @@ def build_oracles() -> dict[str, str]:
                WHERE src IN (SELECT src FROM k8) AND dst IN (SELECT src FROM k8))
       SELECT src AS id, count(*)::BIGINT AS degree
       FROM c8 GROUP BY src HAVING count(*) >= 30
+    """
+
+    oracles["q_apply_changes"] = """
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, lang, n_chars FROM documents WHERE doc_id < 25
     """
 
     oracles["q_snapshot_diff"] = """
@@ -2814,6 +2838,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_merge_scd2": q_merge_scd2,
         "q_scd2_asof": q_scd2_asof,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_apply_changes": q_apply_changes,
         "q_merge_upsert": q_merge_upsert,
         "q_hash_split": q_hash_split,
         "q_quantile_filter": q_quantile_filter,

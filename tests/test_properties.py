@@ -217,3 +217,42 @@ def test_mixture_sample_rate_monotone_and_stable(spark, keys, rate):
     assert lo <= hi
     assert {r["doc_id"] for r in mixture_sample(df, {"g": 1.0}).collect()} == set(keys)
     assert mixture_sample(df, {"g": 0.0}).count() == 0
+
+
+@st.composite
+def _snapshot_pair(draw):
+    """Two snapshots over a small key space with arbitrary churn,
+    including NULL attribute values and all-op mixtures."""
+    keys = st.integers(min_value=0, max_value=15)
+    val = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+    old = draw(st.dictionaries(keys, val, max_size=10))
+    new = draw(st.dictionaries(keys, val, max_size=10))
+    return old, new
+
+
+@given(pair=_snapshot_pair())
+@settings(**SETTINGS)
+def test_snapshot_diff_apply_round_trip(spark, pair):
+    """apply_changes(old, snapshot_diff(old, new)) must reproduce new
+    EXACTLY, for any churn pattern including NULL transitions."""
+    from page_rank_hadoop_spark.operators.pipeline import apply_changes, snapshot_diff
+
+    old, new = pair
+    old_df = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(999, None)], "id long, v long"
+    )
+    new_df = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(999, None)], "id long, v long"
+    )
+    if not old:
+        old_df = old_df.filter("id < 0")
+    if not new:
+        new_df = new_df.filter("id < 0")
+    feed = snapshot_diff(old_df, new_df, "id")
+    rebuilt = {r["id"]: r["v"] for r in apply_changes(old_df, feed, "id").collect()}
+    assert rebuilt == new
+    # and the feed is minimal: only genuinely changed keys appear
+    feed_keys = {r["id"] for r in feed.collect()}
+    expected = {k for k in set(old) | set(new)
+                if (k in old) != (k in new) or old.get(k) != new.get(k)}
+    assert feed_keys == expected
