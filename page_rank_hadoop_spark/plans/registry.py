@@ -727,6 +727,43 @@ def _churned_docs(spark, sf):
     return d, new
 
 
+def q_approx_quantiles(spark, sf):
+    """Sketch-based percentiles per return flag (approx_percentile, the
+    mergeable KLL/GK-family aggregate): the 100 TB answer to
+    q_percentiles' exact form — exact interpolation needs the full value
+    multiset per group; the sketch is fixed-size, partial-agg'd
+    map-side, and merges associatively across 1000 executors. Rows-only
+    check (approximate by construction); the pytest pins the error
+    envelope against the exact result."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)).alias("approx_pcts"),
+    ).select("l_returnflag", F.to_json("approx_pcts").alias("approx_pcts_json"))
+
+
+def q_salted_join(spark, sf):
+    """Skew-resistant salted join in the declared surface: events (the
+    skewed fact — one hot event_type dominates) x a tiny per-type dim,
+    salted 8 ways on event_id so no single (key, salt) partition carries
+    a whole hot key. Salting is lossless: the oracle is the PLAIN join's
+    aggregate, so the gate proves the rewrite preserves semantics."""
+    ev = load_table(spark, sf, "events")
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn("weight", F.length("event_type").cast("int"))
+    )
+    joined = relational.salted_join(
+        ev, dim, on="event_type", n_salts=8, salt_cols=["event_id"]
+    )
+    return (
+        joined.groupBy("event_type", "weight")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted_value"),
+        )
+    )
+
+
 def q_snapshot_diff(spark, sf):
     """CDC derivation from two full dumps: one full-outer join emitting
     (key, op, old/new columns). Oracle reconstructs the same change feed
@@ -1703,6 +1740,14 @@ def build_oracles() -> dict[str, str]:
       FROM documents WHERE doc_id % 97 <> 0
       UNION ALL
       SELECT doc_id + 10000 AS doc_id, lang, n_chars FROM documents WHERE doc_id < 25
+    """
+
+    oracles["q_salted_join"] = """
+      SELECT e.event_type, length(e.event_type)::INT AS weight,
+             count(*)::BIGINT AS n,
+             round(sum(e.value * length(e.event_type)), 6) AS weighted_value
+      FROM events e
+      GROUP BY e.event_type
     """
 
     oracles["q_snapshot_diff"] = """
@@ -2837,6 +2882,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_interval_overlap": q_interval_overlap,
         "q_merge_scd2": q_merge_scd2,
         "q_scd2_asof": q_scd2_asof,
+        "q_approx_quantiles": q_approx_quantiles,
+        "q_salted_join": q_salted_join,
         "q_snapshot_diff": q_snapshot_diff,
         "q_apply_changes": q_apply_changes,
         "q_merge_upsert": q_merge_upsert,

@@ -246,3 +246,44 @@ def test_bpe_merge_fold_no_overlap_and_no_remerge(spark):
     docs = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
     out = textstats.bpe_train_merges(docs, n_merges=1).collect()
     assert (out[0]["left"], out[0]["right"], out[0]["n"]) == ("a", "a", 2)
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles + salted join
+# ---------------------------------------------------------------------------
+
+def test_approx_quantiles_error_envelope(spark):
+    # the sketch must land within 1% relative error of the exact
+    # percentile at accuracy=10000 on this data size
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = {
+        r["l_returnflag"]: r["p"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("p"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["p"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").alias("p"))
+        .collect()
+    }
+    for flag, ps in exact.items():
+        for e, a in zip(ps, approx[flag]):
+            assert abs(a - e) / e < 0.01, (flag, e, a)
+
+
+def test_salted_join_query_matches_plain(spark, events):
+    from page_rank_hadoop_spark.operators.relational import salted_join
+
+    dim = events.select("event_type").distinct().withColumn(
+        "weight", F.length("event_type").cast("int")
+    )
+    salted = salted_join(events, dim, on="event_type", n_salts=8, salt_cols=["event_id"])
+    plain = events.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    s = {tuple(r) for r in salted.groupBy("event_type").count().collect()}
+    p = {tuple(r) for r in plain.groupBy("event_type").count().collect()}
+    assert s == p
