@@ -56,6 +56,90 @@ def streaming_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_session_stats(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows on a STREAM: the same ``F.session_window``
+    expression as the batch twin (operators/windows.session_window_stats)
+    under a watermark — Spark merges a key's sessions across microbatches
+    in the state store and finalizes a session once the watermark passes
+    its gap, so state is bounded and no custom
+    ``applyInPandasWithState`` handler is needed for plain gap
+    sessionization. Output contract matches the batch twin exactly."""
+    g = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return g.select(
+        "user_id",
+        F.round(F.col("session_window.start").cast("double"), 6).alias("session_start_s"),
+        F.round(F.col("session_window.end").cast("double"), 6).alias("session_end_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def run_session_replay_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    query_name: str = "session_replay_out",
+) -> DataFrame:
+    """Replay events through the streaming session aggregation (append
+    mode → memory sink). Append mode only emits sessions the watermark
+    has finalized, so a far-future sentinel event (user_id −1) is added
+    in a SECOND microbatch to flush every real session — the standard
+    replay-drain trick; the sentinel's own session is filtered from the
+    returned result."""
+    from page_rank_hadoop_spark.sources.catalog import load_table, normalize_ts
+
+    tmp = tempfile.mkdtemp(prefix="events_session_replay_")
+    for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
+        shutil.copy(f, tmp)
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).first()["m"]
+    raw_schema = spark.read.parquet(os.path.join(tmp, "events.parquet")).schema
+    stream = normalize_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    agg = streaming_session_stats(stream, gap_minutes)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second microbatch: the sentinel advances the watermark past
+        # every real event, flushing all open sessions. Written with the
+        # RAW file schema (name order + ts type, possibly NTZ) so the
+        # file source accepts the appended file.
+        ts_type = next(f.dataType.simpleString() for f in raw_schema.fields if f.name == "ts")
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 365 DAYS")).cast(ts_type).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).select(*[f.name for f in raw_schema.fields])
+        sentinel.write.mode("append").parquet(tmp)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(query_name).filter(F.col("user_id") != -1)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def run_replay_to_memory(
     spark: SparkSession, sf_dir: str, minutes: int = 15, query_name: str = "replay_out"
 ) -> DataFrame:

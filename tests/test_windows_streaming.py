@@ -411,3 +411,20 @@ def test_foreachbatch_stream_upsert(spark, tmp_path):
 
     final = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert final == {(1, "a2"), (2, "b1"), (3, "c1")}
+
+
+def test_streaming_session_window_matches_batch_twin(spark):
+    """Native session_window on a stream (watermark + append mode, drained
+    by a far-future sentinel) must reproduce the batch twin exactly —
+    the oracle-gated q_session_window contract."""
+    from page_rank_hadoop_spark.operators.windows import session_window_stats
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.replay import run_session_replay_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_session_replay_to_memory(spark, sf, query_name="sess_twin_test")
+    batch = session_window_stats(load_table(spark, sf, "events"))
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert len(s) > 0
