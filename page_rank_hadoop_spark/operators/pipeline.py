@@ -195,6 +195,34 @@ def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
     )
 
 
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: str, k: int = 20
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row gets priority u^(1/w) for u uniform — the
+    top-k priorities are a weighted sample. The uniform comes from md5 of
+    the key (not an RNG), so the sample is reproducible across runs,
+    engines, and repartitioning — the same portability argument as
+    hash_split/balanced_sample, now for WEIGHTED mixture construction
+    (e.g. longer docs proportionally more likely).
+
+    Ranked by ln(u)/w (monotone in u^(1/w), numerically tamer), rounded
+    to 6dp with a key tie-break so both engines order identically; the
+    top-k is TakeOrderedAndProject — per-partition heaps, no global
+    sort. Map-side otherwise: no shuffle before the top-k merge.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h + 1.0) / F.lit(float(2**32 + 1))
+    priority = F.round(F.log(u) / F.col(weight_col), 6)
+    return (
+        df.select(key, weight_col, priority.alias("priority"))
+        .orderBy(F.desc("priority"), key)
+        .limit(k)
+    )
+
+
 def balanced_sample(
     df: DataFrame, group_col: str = "lang", n_per_group: int = 50, key: str = "doc_id"
 ) -> DataFrame:

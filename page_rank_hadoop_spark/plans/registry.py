@@ -741,6 +741,16 @@ def q_approx_quantiles(spark, sf):
     ).select("l_returnflag", F.to_json("approx_pcts").alias("approx_pcts_json"))
 
 
+def q_weighted_sample(spark, sf):
+    """Weighted sample without replacement (deterministic A-ES): top-20
+    docs by md5-derived priority ln(u)/n_chars — longer docs
+    proportionally likelier, reproducible across engines/partitionings.
+    Oracle computes the identical arithmetic."""
+    return pipeline.weighted_sample(
+        _docs(spark, sf), key="doc_id", weight_col="n_chars", k=20
+    )
+
+
 def q_salted_join(spark, sf):
     """Skew-resistant salted join in the declared surface: events (the
     skewed fact — one hot event_type dominates) x a tiny per-type dim,
@@ -1740,6 +1750,14 @@ def build_oracles() -> dict[str, str]:
       FROM documents WHERE doc_id % 97 <> 0
       UNION ALL
       SELECT doc_id + 10000 AS doc_id, lang, n_chars FROM documents WHERE doc_id < 25
+    """
+
+    oracles["q_weighted_sample"] = """
+      SELECT doc_id, n_chars,
+             round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+                      / 4294967297.0) / n_chars, 6) AS priority
+      FROM documents
+      ORDER BY priority DESC, doc_id LIMIT 20
     """
 
     oracles["q_salted_join"] = """
@@ -2883,6 +2901,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_merge_scd2": q_merge_scd2,
         "q_scd2_asof": q_scd2_asof,
         "q_approx_quantiles": q_approx_quantiles,
+        "q_weighted_sample": q_weighted_sample,
         "q_salted_join": q_salted_join,
         "q_snapshot_diff": q_snapshot_diff,
         "q_apply_changes": q_apply_changes,

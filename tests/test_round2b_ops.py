@@ -287,3 +287,17 @@ def test_salted_join_query_matches_plain(spark, events):
     s = {tuple(r) for r in salted.groupBy("event_type").count().collect()}
     p = {tuple(r) for r in plain.groupBy("event_type").count().collect()}
     assert s == p
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    # 100 light rows (w=1) + 10 heavy rows (w=500): the weighted sample
+    # must over-represent heavy rows far beyond their 9% population share
+    rows = [(i, 1) for i in range(100)] + [(1000 + i, 500) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    out = pipeline.weighted_sample(df, key="id", weight_col="w", k=10)
+    ids = [r["id"] for r in out.collect()]
+    heavy = sum(1 for i in ids if i >= 1000)
+    assert heavy >= 5, ids
+    # deterministic: same top-k on a second run
+    ids2 = [r["id"] for r in pipeline.weighted_sample(df, "id", "w", k=10).collect()]
+    assert ids == ids2

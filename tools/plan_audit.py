@@ -129,6 +129,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_ngram_jaccard_prefix", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"BroadcastNestedLoopJoin")]),
     ("q_scd2_asof", [("has", r"PushedFilters: \[.*valid_from|Filter"), ("not", r"(SortMergeJoin.*valid|CartesianProduct)")]),
     ("q_kcore", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_weighted_sample", [("has", r"TakeOrderedAndProject"), ("not", r"Exchange.*hashpartitioning")]),
     ("q_snapshot_diff", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
