@@ -337,6 +337,59 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 5) -> DataFrame:
     return out
 
 
+def bpe_encode_stats(
+    documents: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """APPLY side of BPE: encode every word with a merge-rule table
+    (rank order, the artifact ``bpe_train_merges`` produces) and report
+    per-doc piece counts — the real token count a trained tokenizer
+    would bill, vs the heuristic estimates in ``token_budget``.
+
+    Each rule is one more chained left-to-right fold over the symbol
+    array (same ``F.aggregate`` lambda as training, rule literals baked
+    into the plan) — all JVM-side column algebra, no Python, no shuffle
+    until the final per-doc count agg. Rule count is the loop bound, so
+    cost is rules × corpus scan work, never corpus².
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    merges = merges or [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n")]
+    w = ensure_parallel(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    )
+    seq = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
+    )
+    stage = w.select("doc_id", seq.alias("seq"))
+    for a, b in merges:
+        # plain closure over (a, b) is safe: PySpark invokes the lambda
+        # immediately at plan construction, and extra default args would
+        # change the arity PySpark inspects
+        folded = F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        # materialize each fold stage as its own projected column —
+        # HOF lambdas defeat cross-scope subexpression elimination
+        stage = stage.select("doc_id", folded.alias("seq"))
+    return (
+        stage.groupBy("doc_id")
+        .agg(
+            F.sum(F.size("seq")).alias("n_pieces"),
+            F.count("*").alias("n_words"),
+        )
+        .select("doc_id", "n_pieces", "n_words")
+    )
+
+
 def bpe_pair_stats(documents: DataFrame, top_k: int = 50) -> DataFrame:
     """First BPE tokenizer-training iteration over the corpus: frequency
     of every adjacent character pair within words (the statistic whose

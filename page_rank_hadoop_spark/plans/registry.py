@@ -1222,6 +1222,13 @@ def q_bpe_pair_stats(spark, sf):
     return textstats.bpe_pair_stats(_docs(spark, sf), top_k=50)
 
 
+def q_bpe_encode(spark, sf):
+    """BPE APPLY: encode the corpus with a fixed 5-rule merge table,
+    per-doc piece/word counts. Oracle chains the same list_reduce folds
+    with the same rule literals."""
+    return textstats.bpe_encode_stats(_docs(spark, sf))
+
+
 def q_bpe_train_merges(spark, sf):
     """Five BPE training iterations over the word-frequency table: the
     merge-rule table (step, left, right, merged, n). Oracle unrolls the
@@ -2689,6 +2696,62 @@ def build_oracles() -> dict[str, str]:
         "WITH " + ",\n      ".join(bpe_stages) + "\n      " + bpe_union
     )
 
+    oracles["q_bpe_encode"] = f"""
+      WITH w0 AS (SELECT doc_id, [substr(w, i, 1) for i in range(1, length(w)+1)] AS seq FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS w FROM documents) t),
+      w1 AS (
+        SELECT doc_id,
+               CASE WHEN len(seq) = 1 THEN seq
+               ELSE string_split(
+                 list_reduce(seq, (acc, x) ->
+                   CASE WHEN x = 'h' AND (acc = 't' OR ends_with(acc, ' t'))
+                        THEN substr(acc, 1, length(acc) - 1) || 'th'
+                        ELSE acc || ' ' || x END), ' ')
+               END AS seq
+        FROM w0),
+      w2 AS (
+        SELECT doc_id,
+               CASE WHEN len(seq) = 1 THEN seq
+               ELSE string_split(
+                 list_reduce(seq, (acc, x) ->
+                   CASE WHEN x = 'e' AND (acc = 'th' OR ends_with(acc, ' th'))
+                        THEN substr(acc, 1, length(acc) - 2) || 'the'
+                        ELSE acc || ' ' || x END), ' ')
+               END AS seq
+        FROM w1),
+      w3 AS (
+        SELECT doc_id,
+               CASE WHEN len(seq) = 1 THEN seq
+               ELSE string_split(
+                 list_reduce(seq, (acc, x) ->
+                   CASE WHEN x = 'n' AND (acc = 'i' OR ends_with(acc, ' i'))
+                        THEN substr(acc, 1, length(acc) - 1) || 'in'
+                        ELSE acc || ' ' || x END), ' ')
+               END AS seq
+        FROM w2),
+      w4 AS (
+        SELECT doc_id,
+               CASE WHEN len(seq) = 1 THEN seq
+               ELSE string_split(
+                 list_reduce(seq, (acc, x) ->
+                   CASE WHEN x = 'r' AND (acc = 'e' OR ends_with(acc, ' e'))
+                        THEN substr(acc, 1, length(acc) - 1) || 'er'
+                        ELSE acc || ' ' || x END), ' ')
+               END AS seq
+        FROM w3),
+      w5 AS (
+        SELECT doc_id,
+               CASE WHEN len(seq) = 1 THEN seq
+               ELSE string_split(
+                 list_reduce(seq, (acc, x) ->
+                   CASE WHEN x = 'n' AND (acc = 'a' OR ends_with(acc, ' a'))
+                        THEN substr(acc, 1, length(acc) - 1) || 'an'
+                        ELSE acc || ' ' || x END), ' ')
+               END AS seq
+        FROM w4)
+      SELECT doc_id, sum(len(seq))::BIGINT AS n_pieces, count(*)::BIGINT AS n_words
+      FROM w5 GROUP BY doc_id
+    """
+
     oracles["q_bpe_pair_stats"] = f"""
       WITH w AS (SELECT unnest({SQL_TOKENS}) AS w FROM documents),
       p AS (
@@ -2925,6 +2988,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_click_attribution": q_click_attribution,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_train_merges": q_bpe_train_merges,
+        "q_bpe_encode": q_bpe_encode,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
         "q_moving_average": q_moving_average,

@@ -301,3 +301,12 @@ def test_weighted_sample_favors_heavy_weights(spark):
     # deterministic: same top-k on a second run
     ids2 = [r["id"] for r in pipeline.weighted_sample(df, "id", "w", k=10).collect()]
     assert ids == ids2
+
+
+def test_bpe_encode_hand_computed(spark):
+    # rules (t,h)(th,e)(i,n)(e,r)(a,n): "the"->[the]=1 piece,
+    # "other"->[o,the,r]=3, "in"->[in]=1, "and"->[an,d]=2
+    docs = spark.createDataFrame([(1, "the other"), (2, "in and")], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_pieces"], r["n_words"])
+           for r in textstats.bpe_encode_stats(docs).collect()}
+    assert out == {1: (4, 2), 2: (3, 2)}
