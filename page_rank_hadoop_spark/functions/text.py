@@ -103,6 +103,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return word_shingles_of(tokens(col), n)
 
 
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text cleanup for ingest: strip C0 control chars (except
+    tab/newline, which become spaces), collapse whitespace runs to one
+    space, trim, lowercase. Expressed as a regexp_replace chain using
+    explicit character classes (no \\s shorthand) so the RE2-based
+    DuckDB oracle applies byte-identical rules. Pure projection — the
+    normalize pass over a 100 TB crawl is map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctrl = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    one_ws = F.regexp_replace(no_ctrl, "[ \\t\\r\\n]+", " ")
+    return F.lower(F.trim(one_ws))
+
+
 def language_id(col: Column | str) -> Column:
     """Heuristic language-ID: argmax of per-language marker-token hits.
 

@@ -195,6 +195,27 @@ def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
     )
 
 
+def zorder_key(xcol: str, ycol: str, bits: int = 16) -> "F.Column":
+    """Morton/Z-order curve key: interleave the low ``bits`` of two int
+    columns (x gets odd bit positions, y even). Sorting or range-
+    partitioning by this key clusters BOTH dimensions at once, so
+    parquet min/max row-group pruning works for predicates on either
+    column — the engine-neutral form of Delta's OPTIMIZE ZORDER BY. The
+    key is a linear 2·bits-term integer expression: map-side, exactly
+    reproducible in any engine (the oracle computes the same sum).
+
+    Layout use at 100 TB: ``repartitionByRange(zorder_key(...))`` +
+    sortWithinPartitions before the write — same serving pattern as
+    write_bucketed, but for two-dimensional point/range probes."""
+    x = F.col(xcol).cast("long")
+    y = F.col(ycol).cast("long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key + F.shiftleft(F.shiftright(x, b) % 2, 2 * b + 1)
+        key = key + F.shiftleft(F.shiftright(y, b) % 2, 2 * b)
+    return key
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight_col: str, k: int = 20
 ) -> DataFrame:

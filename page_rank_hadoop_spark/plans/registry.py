@@ -1222,6 +1222,32 @@ def q_bpe_pair_stats(spark, sf):
     return textstats.bpe_pair_stats(_docs(spark, sf), top_k=50)
 
 
+def q_zorder_key(spark, sf):
+    """Morton/Z-order clustering key over (user_id, event-minute): the
+    2-D layout key whose range-partitioned sort makes row-group pruning
+    work for either dimension. Oracle computes the identical bit
+    interleave."""
+    ev = load_table(spark, sf, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long") % (1 << 16)
+    return ev.select("event_id", "user_id", minute.alias("_m")).select(
+        "event_id", pipeline.zorder_key("user_id", "_m").alias("zkey")
+    )
+
+
+def q_normalize_text(spark, sf):
+    """Ingest-time text normalization: control-char strip, whitespace
+    collapse, trim, lowercase — map-only; output fingerprinted by md5 so
+    the oracle hashes the full cleaned text without megabyte rows."""
+    from page_rank_hadoop_spark.functions.text import normalize_text
+
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("norm_md5"),
+        F.length(normalize_text("text")).alias("norm_len"),
+    )
+
+
 def q_bpe_encode(spark, sf):
     """BPE APPLY: encode the corpus with a fixed 5-rule merge table,
     per-doc piece/word counts. Oracle chains the same list_reduce folds
@@ -2752,6 +2778,50 @@ def build_oracles() -> dict[str, str]:
       FROM w5 GROUP BY doc_id
     """
 
+    oracles["q_zorder_key"] = """
+      SELECT event_id,
+             ((((user_id >> 0) & 1) << 1) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 0 & 1) << 0) +
+               (((user_id >> 1) & 1) << 3) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 1 & 1) << 2) +
+               (((user_id >> 2) & 1) << 5) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 2 & 1) << 4) +
+               (((user_id >> 3) & 1) << 7) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 3 & 1) << 6) +
+               (((user_id >> 4) & 1) << 9) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 4 & 1) << 8) +
+               (((user_id >> 5) & 1) << 11) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 5 & 1) << 10) +
+               (((user_id >> 6) & 1) << 13) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 6 & 1) << 12) +
+               (((user_id >> 7) & 1) << 15) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 7 & 1) << 14) +
+               (((user_id >> 8) & 1) << 17) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 8 & 1) << 16) +
+               (((user_id >> 9) & 1) << 19) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 9 & 1) << 18) +
+               (((user_id >> 10) & 1) << 21) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 10 & 1) << 20) +
+               (((user_id >> 11) & 1) << 23) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 11 & 1) << 22) +
+               (((user_id >> 12) & 1) << 25) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 12 & 1) << 24) +
+               (((user_id >> 13) & 1) << 27) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 13 & 1) << 26) +
+               (((user_id >> 14) & 1) << 29) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 14 & 1) << 28) +
+               (((user_id >> 15) & 1) << 31) +
+               ((((floor(epoch(ts))::BIGINT // 60) % 65536) >> 15 & 1) << 30))::BIGINT AS zkey
+      FROM events
+    """
+
+    oracles["q_normalize_text"] = """
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')))) AS norm_md5,
+             length(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g'))))::INT AS norm_len
+      FROM documents
+    """
+
     oracles["q_bpe_pair_stats"] = f"""
       WITH w AS (SELECT unnest({SQL_TOKENS}) AS w FROM documents),
       p AS (
@@ -2989,6 +3059,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_train_merges": q_bpe_train_merges,
         "q_bpe_encode": q_bpe_encode,
+        "q_normalize_text": q_normalize_text,
+        "q_zorder_key": q_zorder_key,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
         "q_moving_average": q_moving_average,

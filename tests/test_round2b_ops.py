@@ -310,3 +310,33 @@ def test_bpe_encode_hand_computed(spark):
     out = {r["doc_id"]: (r["n_pieces"], r["n_words"])
            for r in textstats.bpe_encode_stats(docs).collect()}
     assert out == {1: (4, 2), 2: (3, 2)}
+
+
+def test_normalize_text_hand_cases(spark):
+    from page_rank_hadoop_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello\x00\x01 WORLD\t\t x \r\n y  "), (2, "already clean")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", normalize_text("text").alias("t")).collect()}
+    assert out[1] == "hello world x y"
+    assert out[2] == "already clean"
+
+
+def test_zorder_key_bit_interleave(spark):
+    # zkey(x=0,y=0)=0; zkey(1,0)=0b10=2; zkey(0,1)=0b01=1; zkey(3,1)=0b1011=11
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 1)], ["x", "y"])
+    out = [r["z"] for r in df.select(pipeline.zorder_key("x", "y").alias("z"))
+           .orderBy("x", "y").collect()]
+    # ordered by (x,y): (0,0)->0 (0,1)->1 (1,0)->2 (3,1)->11
+    assert out == [0, 1, 2, 11]
+
+
+def test_zorder_key_locality(spark):
+    # points in the same 2x2 cell share all but the lowest 2 interleaved
+    # bits: |zkey(a)-zkey(b)| small for neighbors, large across cells
+    df = spark.createDataFrame([(4, 4), (5, 5), (4, 100)], ["x", "y"])
+    z = {(r["x"], r["y"]): r["z"] for r in
+         df.select("x", "y", pipeline.zorder_key("x", "y").alias("z")).collect()}
+    assert abs(z[(4, 4)] - z[(5, 5)]) < abs(z[(4, 4)] - z[(4, 100)])
