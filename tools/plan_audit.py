@@ -130,6 +130,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_scd2_asof", [("has", r"PushedFilters: \[.*valid_from|Filter"), ("not", r"(SortMergeJoin.*valid|CartesianProduct)")]),
     ("q_kcore", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_weighted_sample", [("has", r"TakeOrderedAndProject"), ("not", r"Exchange.*hashpartitioning")]),
+    # map-only projections stay shuffle-free and JVM-side
+    ("q_normalize_text", [("not", r"Exchange"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_zorder_key", [("not", r"Exchange"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_snapshot_diff", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
