@@ -807,7 +807,12 @@ def min_cost_supplier(
             "s_name",
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # portable 4dp rounding: floor(x*1e4 + 0.5)/1e4 runs the same
+            # IEEE ops in every engine. F.round would go through Java's
+            # shortest-decimal string (10500.67875 -> .6788) while DuckDB
+            # rounds the raw double (…74999 -> .6787) — measured drift at
+            # sf0.1 on exactly one boundary value.
+            (F.floor(F.col("unit_cost") * 10000 + F.lit(0.5)) / 10000).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(k)

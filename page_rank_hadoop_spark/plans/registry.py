@@ -2887,7 +2887,7 @@ def build_oracles() -> dict[str, str]:
              FROM cost c JOIN esupp e ON c.l_suppkey = e.s_suppkey),
       best AS (SELECT l_partkey AS bpk, min(unit_cost) AS mc FROM ec GROUP BY 1)
       SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
-             round(unit_cost, 4) AS unit_cost
+             floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
       FROM ec JOIN best ON l_partkey = bpk AND unit_cost = mc
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
     """
