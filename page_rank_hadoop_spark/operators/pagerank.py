@@ -56,6 +56,7 @@ def run_pagerank(
     tol: float = 0.2,
     fixed_iterations: int | None = None,
     checkpoint_every: int = 3,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterate PageRank over an adjacency DataFrame ``(id, links)``.
 
@@ -63,6 +64,15 @@ def run_pagerank(
     oracle query runs exactly 10 for determinism). With the policy active,
     each iteration costs one extra tiny agg action for avgChange — the
     Spark analog of the reference's counter read (pageRank.scala:366-371).
+
+    ``teleport`` switches to PERSONALIZED PageRank: a DataFrame of source
+    ``id`` rows; the restart distribution becomes uniform over that set
+    (t(v) = 1/|S| for v∈S, else 0) instead of 1/N, and ranks initialize
+    to t — random-walk-with-restart relevance to the source set, the
+    standard seed-biased ranking (Haveliwala, "Topic-Sensitive
+    PageRank"). The teleport table is tiny: it broadcasts into the
+    update join, so the loop's physical shape (ONE Exchange per
+    iteration) is unchanged.
     """
     # Pre-partition the adjacency by id ONCE and persist our own copy:
     # every per-iteration join then reshuffles only the small ranks side
@@ -73,7 +83,18 @@ def run_pagerank(
     # graph cache (the 'already cached' warning in round-1 bench logs).
     adj = adj.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
     n = adj.count()  # action; also materializes the persist
-    ranks = adj.select("id", F.lit(1.0).alias("pr")).persist(StorageLevel.MEMORY_AND_DISK)
+    if teleport is not None:
+        n_src = teleport.count()
+        tel = teleport.select("id", F.lit(1.0 / n_src).alias("t"))
+        ranks = (
+            adj.select("id")
+            .join(F.broadcast(tel), "id", "left")
+            .select("id", F.coalesce("t", F.lit(0.0)).alias("pr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        tel = None
+        ranks = adj.select("id", F.lit(1.0).alias("pr")).persist(StorageLevel.MEMORY_AND_DISK)
 
     avg_changes: list[float] = []
     lazy_persisted: list[DataFrame] = []  # fixed mode: materialized at the end
@@ -90,17 +111,23 @@ def run_pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        new_ranks = (
-            adj.select("id")
-            .join(contribs, "id", "left")
-            .select(
+        base = adj.select("id").join(contribs, "id", "left")
+        if tel is not None:
+            new_ranks = base.join(F.broadcast(tel), "id", "left").select(
+                "id",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("t"), F.lit(0.0))
+                    + F.lit(1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        else:
+            new_ranks = base.select(
                 "id",
                 (
                     F.lit(alpha) * (1.0 / n)
                     + F.lit(1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("pr"),
             )
-        )
         if i % checkpoint_every == 0:
             new_ranks = new_ranks.localCheckpoint(eager=False)
         new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)

@@ -84,6 +84,36 @@ SQL_GRAPH_CTES = f"""
 """
 
 
+def _sql_ppr_iters(n_iter: int = 10, alpha: float = 0.15) -> str:
+    """Unrolled personalized-PageRank chain: teleport uniform over the
+    deterministic source set (id >= 0 AND id % 50 = 0), init = teleport,
+    update alpha*t + (1-alpha)*contribs. Ends at ``pit{n}``."""
+    parts = ["""  src AS (SELECT id FROM verts2 WHERE id >= 0 AND id % 50 = 0),
+  nsrc AS (SELECT count(*) AS k FROM src),
+  pit0 AS (
+    SELECT v.id,
+           CASE WHEN s.id IS NOT NULL THEN 1.0 / nk.k ELSE 0.0 END::DOUBLE AS pr
+    FROM verts2 v CROSS JOIN nsrc nk LEFT JOIN src s ON v.id = s.id
+  )"""]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""  pcontrib{k} AS (
+    SELECT e.dst AS id, sum(p.pr / dg.outdeg) AS c
+    FROM fedges e JOIN pit{k-1} p ON e.src = p.id JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ),
+  pit{k} AS (
+    SELECT v.id,
+           {alpha}::DOUBLE * (CASE WHEN s.id IS NOT NULL THEN 1.0 / nk.k ELSE 0.0 END)
+           + {1.0 - alpha}::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+    FROM verts2 v CROSS JOIN nsrc nk
+    LEFT JOIN src s ON v.id = s.id
+    LEFT JOIN pcontrib{k} c ON v.id = c.id
+  )"""
+        )
+    return ",\n".join(parts)
+
+
 def _sql_pagerank_iters(n_iter: int = 10, alpha: float = 0.15) -> str:
     """Unrolled fixed-iteration PageRank CTE chain ending at ``it{n}``."""
     parts = ["  it0 AS (SELECT id, 1.0::DOUBLE AS pr FROM verts2)"]
@@ -597,6 +627,18 @@ def q_label_propagation(spark, sf):
     tie-break (deterministic twin of GraphX's LPA). Oracle unrolls the
     same rounds as CTEs."""
     return graph.label_propagation(_graph(spark, sf)["kept"], n_iter=3)
+
+
+def q_pagerank_personalized(spark, sf):
+    """Personalized PageRank: 10 fixed iterations with the restart
+    distribution uniform over the deterministic seed set (id % 50 == 0)
+    — random-walk-with-restart relevance to the seeds. Same loop
+    physique as q_pagerank_iterate (ONE Exchange per iteration; the
+    teleport table broadcasts)."""
+    adj = _adjacency(spark, sf)
+    sources = adj.select("id").filter((F.col("id") >= 0) & (F.col("id") % 50 == 0))
+    res = pagerank.run_pagerank(adj, fixed_iterations=10, teleport=sources)
+    return res.ranks.select("id", F.round("pr", 6).alias("pr"))
 
 
 def q_kcore(spark, sf):
@@ -1718,6 +1760,13 @@ def build_oracles() -> dict[str, str]:
         WHERE w.dist < 10
       )
       SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id
+    """
+
+    ppr_iters = _sql_ppr_iters(10)
+    oracles["q_pagerank_personalized"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      {ppr_iters}
+      SELECT id, round(pr, 6) AS pr FROM pit10
     """
 
     oracles["q_label_propagation"] = f"""
@@ -3025,6 +3074,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_shortest_paths": q_shortest_paths,
         "q_label_propagation": q_label_propagation,
         "q_kcore": q_kcore,
+        "q_pagerank_personalized": q_pagerank_personalized,
         "q_stats_correlation": q_stats_correlation,
         "q_histogram": q_histogram,
         "q_promo_revenue": q_promo_revenue,

@@ -130,3 +130,23 @@ def test_shortest_paths_bfs(spark):
     assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # 3 via direct edge, not the chain
     capped = {r["id"]: r["dist"] for r in graph.shortest_paths(edges, source=1, max_hops=1).collect()}
     assert capped == {1: 0, 2: 1, 3: 1}
+
+
+def test_personalized_pagerank_mass_and_seed_bias(spark):
+    from page_rank_hadoop_spark.plans import registry
+    from page_rank_hadoop_spark.operators import pagerank
+    import pyspark.sql.functions as F
+
+    adj = registry._graph(spark, "/root/testdata/sf0.001")["adj"]
+    seeds = adj.select("id").filter((F.col("id") >= 0) & (F.col("id") % 50 == 0))
+    res = pagerank.run_pagerank(adj, fixed_iterations=10, teleport=seeds)
+    rows = res.ranks.collect()
+    total = sum(r["pr"] for r in rows)
+    # restart mass is conserved: ranks sum to 1 (init is a distribution,
+    # NULL-node augmentation keeps the walk stochastic)
+    assert abs(total - 1.0) < 1e-6
+    seed_ids = {r["id"] for r in seeds.collect()}
+    pr = {r["id"]: r["pr"] for r in rows}
+    avg_seed = sum(pr[i] for i in seed_ids) / len(seed_ids)
+    avg_rest = sum(v for i, v in pr.items() if i not in seed_ids) / (len(pr) - len(seed_ids))
+    assert avg_seed > avg_rest * 2
