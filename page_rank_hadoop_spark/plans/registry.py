@@ -424,6 +424,14 @@ def q_point_lookup_term(spark, sf):
     return index.point_lookup(inv, list(LOOKUP_TERMS))
 
 
+def q_prefix_lookup(spark, sf):
+    """Wildcard term search (`spa*`): prefix predicate over the term
+    dictionary — the serving path is read_prefix's StringStartsWith
+    pushdown into the range-partitioned index (HBase Scan analog)."""
+    inv = index.document_frequencies(_docs(spark, sf), cutoff=10**9)
+    return inv.filter(F.col("term").startswith("spa")).select("term", "df")
+
+
 def q_snippet_window(spark, sf):
     return index.snippet_window(_docs(spark, sf), "spark")
 
@@ -1850,6 +1858,13 @@ def build_oracles() -> dict[str, str]:
       GROUP BY e.event_type
     """
 
+    oracles["q_prefix_lookup"] = f"""
+      SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents) t
+      WHERE tok LIKE 'spa%'
+      GROUP BY tok
+    """
+
     oracles["q_snapshot_diff"] = """
       WITH oldt AS (SELECT doc_id, lang, n_chars FROM documents),
       newt AS (
@@ -3147,6 +3162,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_inverted_index_df": q_inverted_index_df,
         "q_postings_collect": q_postings_collect,
         "q_point_lookup_term": q_point_lookup_term,
+        "q_prefix_lookup": q_prefix_lookup,
         "q_snippet_window": q_snippet_window,
         "q_semi_join_vertices": q_semi_join_vertices,
         "q_anti_join_vertices": q_anti_join_vertices,

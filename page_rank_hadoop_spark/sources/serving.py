@@ -81,6 +81,17 @@ def read_point(spark: SparkSession, path: str, key: str, values: list) -> DataFr
     return spark.read.parquet(path).filter(F.col(key).isin(values))
 
 
+def read_prefix(spark: SparkSession, path: str, key: str, prefix: str) -> DataFrame:
+    """Prefix range scan on a keyed table — the HBase rowkey-range-scan
+    analog (``Scan(startRow, stopRow)``): ``startswith`` pushes down as
+    ``StringStartsWith``, and because ``write_keyed`` range-partitions
+    and sorts by the key, the matching rows live in a contiguous run of
+    row groups whose min/max stats exclude everything else. A wildcard
+    term query (`spar*`) on a 100 TB index touches only the files whose
+    key range intersects the prefix interval."""
+    return spark.read.parquet(path).filter(F.col(key).startswith(prefix))
+
+
 def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
     """Hive-style partitioned layout: one directory per value of
     ``partition_col`` (`partitionBy` at the writer). The scale

@@ -156,3 +156,21 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
         out2._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan2 and "n_chars" in plan2
+
+
+def test_read_prefix_pushdown_and_results(spark, tmp_path):
+    from page_rank_hadoop_spark.operators.index import document_frequencies
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.serving import read_prefix, write_keyed
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    inv = document_frequencies(docs, cutoff=10**9)
+    path = str(tmp_path / "terms_keyed")
+    write_keyed(inv.select("term", "df"), path, key="term", n_files=4)
+
+    out = read_prefix(spark, path, "term", "spa")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(term,spa)" in plan, plan[:500]
+    got = {r["term"] for r in out.collect()}
+    expect = {r["term"] for r in inv.filter(inv["term"].startswith("spa")).collect()}
+    assert got == expect and got
