@@ -208,6 +208,71 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     return labels
 
 
+def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over a directed edge list:
+    ``n_iter`` synchronous rounds of  a(v) = Σ_{w→v} h(w),
+    h(v) = Σ_{v→w} a(w),  each L1-normalized — the other classic
+    link-analysis fixpoint beside PageRank (authority = pointed-to by
+    good hubs; hub = points at good authorities). Returns (id, hub,
+    authority) for every vertex incident to an edge.
+
+    Physical shape per round: two partial-agg'd groupBy joins over the
+    same pre-partitioned edge table (one per direction) + two scalar
+    L1-mass actions for the normalization (the same counter-read pattern
+    as PageRank's convergence mode). Same eager loop hygiene as the
+    other iterative operators. L1 (not L2) normalization keeps the
+    arithmetic division-by-a-sum only — no sqrt — so the DuckDB oracle
+    reproduces it exactly at 6dp.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    scores = nodes.select(
+        "id", (F.lit(1.0) / n).alias("hub"), (F.lit(1.0) / n).alias("authority")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        auth = (
+            e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        hub = (
+            e.join(scores.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        joined = (
+            nodes.join(auth, "id", "left")
+            .join(hub, "id", "left")
+            .select(
+                "id",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+            )
+            .localCheckpoint()
+        )
+        mass = joined.agg(
+            F.sum("h_raw").alias("hm"), F.sum("a_raw").alias("am")
+        ).first()
+        scores = joined.select(
+            "id",
+            (F.col("h_raw") / F.lit(mass["hm"])).alias("hub"),
+            (F.col("a_raw") / F.lit(mass["am"])).alias("authority"),
+        ).localCheckpoint()
+    e.unpersist()
+    return scores.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
     """K-core of the undirected graph: the maximal subgraph where every
     vertex keeps degree ≥ k — the classic link-spam / low-quality-page

@@ -649,6 +649,13 @@ def q_pagerank_personalized(spark, sf):
     return res.ranks.select("id", F.round("pr", 6).alias("pr"))
 
 
+def q_hits(spark, sf):
+    """HITS hubs & authorities over the resolved link graph: 8 L1-
+    normalized synchronous rounds. Oracle unrolls the same rounds with
+    MATERIALIZED CTEs."""
+    return graph.hits(_graph(spark, sf)["kept"], n_iter=8)
+
+
 def q_kcore(spark, sf):
     """30-core of the resolved link graph: iterative degree peeling to
     fixpoint (the link-spam / leaf-chain cut web-quality pipelines run
@@ -1775,6 +1782,79 @@ def build_oracles() -> dict[str, str]:
       WITH {SQL_GRAPH_CTES},
       {ppr_iters}
       SELECT id, round(pr, 6) AS pr FROM pit10
+    """
+
+    oracles["q_hits"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      he AS MATERIALIZED (SELECT DISTINCT src, dst FROM kept WHERE src <> dst),
+      hnodes AS MATERIALIZED (SELECT src AS id FROM he UNION SELECT dst FROM he),
+      hn AS (SELECT count(*)::DOUBLE AS n FROM hnodes),
+      h0 AS MATERIALIZED (SELECT id, 1.0/hn.n AS hub, 1.0/hn.n AS auth FROM hnodes CROSS JOIN hn),
+      ar1 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h0 s ON e.src = s.id GROUP BY 1),
+      hr1 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h0 s ON e.dst = s.id GROUP BY 1),
+      j1 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr1 hr ON n.id = hr.id LEFT JOIN ar1 ar ON n.id = ar.id),
+      m1 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j1),
+      h1 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j1 CROSS JOIN m1 m),
+      ar2 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h1 s ON e.src = s.id GROUP BY 1),
+      hr2 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h1 s ON e.dst = s.id GROUP BY 1),
+      j2 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr2 hr ON n.id = hr.id LEFT JOIN ar2 ar ON n.id = ar.id),
+      m2 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j2),
+      h2 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j2 CROSS JOIN m2 m),
+      ar3 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h2 s ON e.src = s.id GROUP BY 1),
+      hr3 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h2 s ON e.dst = s.id GROUP BY 1),
+      j3 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr3 hr ON n.id = hr.id LEFT JOIN ar3 ar ON n.id = ar.id),
+      m3 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j3),
+      h3 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j3 CROSS JOIN m3 m),
+      ar4 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h3 s ON e.src = s.id GROUP BY 1),
+      hr4 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h3 s ON e.dst = s.id GROUP BY 1),
+      j4 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr4 hr ON n.id = hr.id LEFT JOIN ar4 ar ON n.id = ar.id),
+      m4 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j4),
+      h4 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j4 CROSS JOIN m4 m),
+      ar5 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h4 s ON e.src = s.id GROUP BY 1),
+      hr5 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h4 s ON e.dst = s.id GROUP BY 1),
+      j5 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr5 hr ON n.id = hr.id LEFT JOIN ar5 ar ON n.id = ar.id),
+      m5 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j5),
+      h5 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j5 CROSS JOIN m5 m),
+      ar6 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h5 s ON e.src = s.id GROUP BY 1),
+      hr6 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h5 s ON e.dst = s.id GROUP BY 1),
+      j6 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr6 hr ON n.id = hr.id LEFT JOIN ar6 ar ON n.id = ar.id),
+      m6 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j6),
+      h6 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j6 CROSS JOIN m6 m),
+      ar7 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h6 s ON e.src = s.id GROUP BY 1),
+      hr7 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h6 s ON e.dst = s.id GROUP BY 1),
+      j7 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr7 hr ON n.id = hr.id LEFT JOIN ar7 ar ON n.id = ar.id),
+      m7 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j7),
+      h7 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j7 CROSS JOIN m7 m),
+      ar8 AS (SELECT e.dst AS id, sum(s.hub) AS a_raw FROM he e JOIN h7 s ON e.src = s.id GROUP BY 1),
+      hr8 AS (SELECT e.src AS id, sum(s.auth) AS h_raw FROM he e JOIN h7 s ON e.dst = s.id GROUP BY 1),
+      j8 AS MATERIALIZED (
+        SELECT n.id, coalesce(hr.h_raw, 0.0) AS h_raw, coalesce(ar.a_raw, 0.0) AS a_raw
+        FROM hnodes n LEFT JOIN hr8 hr ON n.id = hr.id LEFT JOIN ar8 ar ON n.id = ar.id),
+      m8 AS (SELECT sum(h_raw) AS hm, sum(a_raw) AS am FROM j8),
+      h8 AS MATERIALIZED (
+        SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j8 CROSS JOIN m8 m)
+      SELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority FROM h8
     """
 
     oracles["q_label_propagation"] = f"""
@@ -3089,6 +3169,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_shortest_paths": q_shortest_paths,
         "q_label_propagation": q_label_propagation,
         "q_kcore": q_kcore,
+        "q_hits": q_hits,
         "q_pagerank_personalized": q_pagerank_personalized,
         "q_stats_correlation": q_stats_correlation,
         "q_histogram": q_histogram,

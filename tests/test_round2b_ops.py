@@ -340,3 +340,13 @@ def test_zorder_key_locality(spark):
     z = {(r["x"], r["y"]): r["z"] for r in
          df.select("x", "y", pipeline.zorder_key("x", "y").alias("z")).collect()}
     assert abs(z[(4, 4)] - z[(5, 5)]) < abs(z[(4, 4)] - z[(4, 100)])
+
+
+def test_hits_star_graph(spark):
+    # 1,2,3 -> 0: node 0 is the only authority; 1-3 are equal pure hubs
+    edges = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], ["src", "dst"])
+    out = {r["id"]: (r["hub"], r["authority"]) for r in graph.hits(edges, n_iter=4).collect()}
+    assert out[0] == (0.0, 1.0)
+    for i in (1, 2, 3):
+        assert out[i][1] == 0.0
+        assert abs(out[i][0] - 1 / 3) < 1e-6
