@@ -208,6 +208,63 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     return labels
 
 
+def deterministic_walks(
+    edges: DataFrame, verts: DataFrame, walk_len: int = 5
+) -> DataFrame:
+    """One graph random walk per vertex — the corpus generator for
+    DeepWalk/node2vec-style graph embeddings — with every neighbor
+    choice derived from md5(start, step, cur) instead of an RNG, so the
+    walk corpus is reproducible across runs, engines, and partitionings
+    (the same portability rule as hash_split / weighted_sample). A
+    vertex with no out-edges stalls in place (self-transition), keeping
+    every walk exactly ``walk_len`` steps. Returns (start_id,
+    walk_json: the [start, v1, …] path as JSON).
+
+    Physical shape: adjacency (sorted out-neighbor list per src) built
+    once with ONE groupBy and broadcast-joined per step — each step is a
+    map-side pick ``links[hash % degree]``; ``walk_len`` chained steps,
+    no shuffle of the walk table (it stays partitioned by start)."""
+    adj = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("links"))
+    )
+    walk = verts.select(
+        F.col("id").alias("start"), F.col("id").alias("cur"), F.array("id").alias("path")
+    )
+    for step in range(1, walk_len + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("start").cast("string"),
+                        F.lit(str(step)),
+                        F.col("cur").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = F.when(
+            F.col("links").isNull(), F.col("cur")
+        ).otherwise(F.element_at("links", (h % F.size("links") + 1).cast("int")))
+        walk = (
+            walk.join(adj.withColumnRenamed("src", "cur"), "cur", "left")
+            .select(
+                "start",
+                nxt.alias("cur"),
+                F.concat("path", F.array(nxt)).alias("path"),
+            )
+        )
+    return walk.select("start", F.to_json("path").alias("walk_json"))
+
+
 def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) over a directed edge list:
     ``n_iter`` synchronous rounds of  a(v) = Σ_{w→v} h(w),

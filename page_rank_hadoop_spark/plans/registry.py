@@ -649,6 +649,15 @@ def q_pagerank_personalized(spark, sf):
     return res.ranks.select("id", F.round("pr", 6).alias("pr"))
 
 
+def q_graph_walks(spark, sf):
+    """Deterministic random-walk corpus (DeepWalk/node2vec input): one
+    5-step walk per vertex, every choice md5-derived — reproducible
+    across engines. Oracle unrolls the same steps over the same sorted
+    adjacency."""
+    g = _graph(spark, sf)
+    return graph.deterministic_walks(g["kept"], g["verts"], walk_len=5)
+
+
 def q_hits(spark, sf):
     """HITS hubs & authorities over the resolved link graph: 8 L1-
     normalized synchronous rounds. Oracle unrolls the same rounds with
@@ -1855,6 +1864,55 @@ def build_oracles() -> dict[str, str]:
       h8 AS MATERIALIZED (
         SELECT id, h_raw/m.hm AS hub, a_raw/m.am AS auth FROM j8 CROSS JOIN m8 m)
       SELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority FROM h8
+    """
+
+    oracles["q_graph_walks"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      wadj AS MATERIALIZED (
+        SELECT src, list(DISTINCT dst ORDER BY dst) AS links
+        FROM (SELECT DISTINCT src, dst FROM kept WHERE src <> dst) t GROUP BY src),
+      w0 AS (SELECT id AS start, id AS cur, [id] AS path FROM verts),
+      w1 AS MATERIALIZED (
+        SELECT w.start,
+               CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-1-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT]
+               END AS cur,
+               w.path || [CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-1-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT] END] AS path
+        FROM w0 w LEFT JOIN wadj a ON w.cur = a.src),
+      w2 AS MATERIALIZED (
+        SELECT w.start,
+               CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-2-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT]
+               END AS cur,
+               w.path || [CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-2-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT] END] AS path
+        FROM w1 w LEFT JOIN wadj a ON w.cur = a.src),
+      w3 AS MATERIALIZED (
+        SELECT w.start,
+               CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-3-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT]
+               END AS cur,
+               w.path || [CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-3-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT] END] AS path
+        FROM w2 w LEFT JOIN wadj a ON w.cur = a.src),
+      w4 AS MATERIALIZED (
+        SELECT w.start,
+               CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-4-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT]
+               END AS cur,
+               w.path || [CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-4-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT] END] AS path
+        FROM w3 w LEFT JOIN wadj a ON w.cur = a.src),
+      w5 AS MATERIALIZED (
+        SELECT w.start,
+               CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-5-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT]
+               END AS cur,
+               w.path || [CASE WHEN a.links IS NULL THEN w.cur
+                    ELSE a.links[((('0x' || substr(md5(w.start::VARCHAR || '-5-' || w.cur::VARCHAR), 1, 8))::BIGINT % len(a.links)) + 1)::INT] END] AS path
+        FROM w4 w LEFT JOIN wadj a ON w.cur = a.src)
+      SELECT start, to_json(path) AS walk_json FROM w5
     """
 
     oracles["q_label_propagation"] = f"""
@@ -3170,6 +3228,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_label_propagation": q_label_propagation,
         "q_kcore": q_kcore,
         "q_hits": q_hits,
+        "q_graph_walks": q_graph_walks,
         "q_pagerank_personalized": q_pagerank_personalized,
         "q_stats_correlation": q_stats_correlation,
         "q_histogram": q_histogram,

@@ -350,3 +350,18 @@ def test_hits_star_graph(spark):
     for i in (1, 2, 3):
         assert out[i][1] == 0.0
         assert abs(out[i][0] - 1 / 3) < 1e-6
+
+
+def test_deterministic_walks_path_graph(spark):
+    # 0 -> 1 -> 2: single-neighbor hops are forced; dead end 2 stalls
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    verts = spark.createDataFrame([(0,), (1,), (2,)], ["id"])
+    out = {r["start"]: r["walk_json"] for r in
+           graph.deterministic_walks(edges, verts, walk_len=4).collect()}
+    assert out[0] == "[0,1,2,2,2]"
+    assert out[1] == "[1,2,2,2,2]"
+    assert out[2] == "[2,2,2,2,2]"
+    # reproducible
+    out2 = {r["start"]: r["walk_json"] for r in
+            graph.deterministic_walks(edges, verts, walk_len=4).collect()}
+    assert out == out2
