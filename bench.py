@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     "q_label_propagation",
     "q_bpe_train_merges",
     "q_kmeans_train",
+    "q_pagerank_personalized",
+    "q_hits",
+    "q_kcore",
+    "q_graph_walks",
+    "q_snapshot_diff",
+    "q_ngram_jaccard_prefix",
 ]
 
 

@@ -45,6 +45,29 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.format("iceberg").load(table)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan. spark-avro is an EXTERNAL module (not bundled in the
+    pip pyspark distribution) — requires
+    ``org.apache.spark:spark-avro_2.13`` on the classpath. Avro is the
+    row-oriented interchange format Kafka pipelines hand us; at rest the
+    engine re-writes it columnar (write_compacted) before analytics."""
+    # pip pyspark ships the Avro *classes* but not the data-source
+    # registration, so Class.forName succeeds while the format lookup
+    # fails — probe the actual DataSource resolution instead.
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception as exc:  # noqa: BLE001 — py4j-wrapped AnalysisException
+        raise ImportError(
+            "spark-avro data source not deployed; add "
+            "org.apache.spark:spark-avro_<scala-version> (external module, "
+            "not bundled with pip pyspark), or land the data as "
+            "parquet/JSONL via the catalog readers."
+        ) from exc
+    return spark.read.format("avro").load(path)
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, driver_class: str, **options: str
 ) -> DataFrame:

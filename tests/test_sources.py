@@ -80,3 +80,5 @@ def test_optional_connectors_fail_actionably(spark):
         connectors.read_iceberg(spark, "cat.db.t")
     with pytest.raises(ImportError, match="driver jar"):
         connectors.read_jdbc(spark, "jdbc:postgresql://x/y", "t", "org.postgresql.Driver")
+    with pytest.raises(ImportError, match="spark-avro"):
+        connectors.read_avro(spark, "/tmp/nope.avro")
