@@ -292,6 +292,11 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty edge set: no scores, and no mass to normalize by
+        e.unpersist()
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
     scores = nodes.select(
         "id", (F.lit(1.0) / n).alias("hub"), (F.lit(1.0) / n).alias("authority")
     ).localCheckpoint()

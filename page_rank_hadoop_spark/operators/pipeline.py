@@ -227,7 +227,8 @@ def weighted_sample(
     hash_split/balanced_sample, now for WEIGHTED mixture construction
     (e.g. longer docs proportionally more likely).
 
-    Ranked by ln(u)/w (monotone in u^(1/w), numerically tamer), rounded
+    Weights must be strictly positive (ln(u) < 0; w ≤ 0 would flip or
+    blow up the priority). Ranked by ln(u)/w (monotone in u^(1/w), numerically tamer), rounded
     to 6dp with a key tie-break so both engines order identically; the
     top-k is TakeOrderedAndProject — per-partition heaps, no global
     sort. Map-side otherwise: no shuffle before the top-k merge.

@@ -331,6 +331,14 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 5) -> DataFrame:
         )
         for s, a, b, n in merges
     ]
+    if not rows:  # corpus with no adjacent pairs (empty / 1-char words)
+        return spark.range(0).select(
+            F.lit(0).cast("int").alias("step"),
+            F.lit("").alias("left"),
+            F.lit("").alias("right"),
+            F.lit("").alias("merged"),
+            F.lit(0).cast("bigint").alias("n"),
+        )
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

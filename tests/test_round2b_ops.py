@@ -365,3 +365,16 @@ def test_deterministic_walks_path_graph(spark):
     out2 = {r["start"]: r["walk_json"] for r in
             graph.deterministic_walks(edges, verts, walk_len=4).collect()}
     assert out == out2
+
+
+def test_hits_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.hits(edges, n_iter=2).count() == 0
+
+
+def test_bpe_train_no_pairs(spark):
+    # 1-char words only: no adjacent pairs, no merges, empty rule table
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    out = textstats.bpe_train_merges(docs, n_merges=3)
+    assert out.count() == 0
+    assert out.columns == ["step", "left", "right", "merged", "n"]
