@@ -1282,6 +1282,40 @@ def q_click_attribution(spark, sf):
     ).orderBy("click_id", "purchase_id")
 
 
+def q_attribution_weights(spark, sf):
+    """Position-based multi-touch attribution: each purchase's value is
+    credited 40% to the FIRST contributing click, 40% to the LAST, and
+    20% split over the middle ones (single-click purchases get 100%) —
+    the standard U-shaped marketing model, one ranking window over the
+    attribution pairs. Output: credited value per click."""
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_batch
+
+    pairs = click_purchase_join_batch(load_table(spark, sf, "events"), horizon_minutes=30)
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    ranked = pairs.select(
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n_clicks"),
+    )
+    weight = (
+        F.when(F.col("n_clicks") == 1, F.lit(1.0))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_clicks"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_clicks") - 2))
+    )
+    return (
+        ranked.select(
+            "click_id",
+            "purchase_id",
+            F.round(weight * F.col("purchase_value"), 6).alias("credit"),
+        )
+    )
+
+
 def q_bpe_pair_stats(spark, sf):
     """First BPE tokenizer-training iteration: top-50 adjacent char-pair
     frequencies within words, map-side pair explode + one partial agg."""
@@ -2872,6 +2906,29 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
 
+    oracles["q_attribution_weights"] = """
+      WITH pairs AS (
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               p.value AS purchase_value, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ),
+      ranked AS (
+        SELECT click_id, purchase_id, purchase_value,
+               row_number() OVER (PARTITION BY purchase_id ORDER BY click_ts, click_id) AS pos,
+               count(*) OVER (PARTITION BY purchase_id) AS n_clicks
+        FROM pairs
+      )
+      SELECT click_id, purchase_id,
+             round(CASE WHEN n_clicks = 1 THEN 1.0::DOUBLE
+                        WHEN pos = 1 THEN 0.4::DOUBLE
+                        WHEN pos = n_clicks THEN 0.4::DOUBLE
+                        ELSE 0.2::DOUBLE / (n_clicks - 2) END * purchase_value, 6) AS credit
+      FROM ranked
+    """
+
     oracles["q_click_attribution"] = """
       SELECT c.user_id AS c_user, c.event_id AS click_id, c.ts AS click_ts,
              p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -3261,6 +3318,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_dedup_components_star": q_dedup_components_star,
         "q_click_attribution": q_click_attribution,
+        "q_attribution_weights": q_attribution_weights,
         "q_bpe_pair_stats": q_bpe_pair_stats,
         "q_bpe_train_merges": q_bpe_train_merges,
         "q_bpe_encode": q_bpe_encode,

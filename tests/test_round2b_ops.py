@@ -378,3 +378,45 @@ def test_bpe_train_no_pairs(spark):
     out = textstats.bpe_train_merges(docs, n_merges=3)
     assert out.count() == 0
     assert out.columns == ["step", "left", "right", "merged", "n"]
+
+
+def test_attribution_weights_u_shape(spark):
+    # purchase credited 40/20/40 across 3 clicks; single click gets 100%
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__  # noqa: F401 — ensures registry import side effects
+    from page_rank_hadoop_spark.plans.registry import q_attribution_weights
+
+    # build a tiny events table shaped like the testdata and run the same
+    # logic via the operator path (window over attribution pairs)
+    from pyspark.sql import Window
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_batch
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 0.0, None),
+        (2, "2024-01-01 10:05:00", 7, "click", 0.0, None),
+        (3, "2024-01-01 10:10:00", 7, "click", 0.0, None),
+        (4, "2024-01-01 10:20:00", 7, "purchase", 100.0, None),
+        (5, "2024-01-01 11:00:00", 8, "click", 0.0, None),
+        (6, "2024-01-01 11:10:00", 8, "purchase", 50.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pairs = click_purchase_join_batch(ev, horizon_minutes=30)
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    ranked = pairs.select(
+        "click_id", "purchase_id", "purchase_value",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n_clicks"),
+    )
+    weight = (
+        F.when(F.col("n_clicks") == 1, F.lit(1.0))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_clicks"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_clicks") - 2))
+    )
+    out = {(r["click_id"], r["purchase_id"]): r["credit"] for r in ranked.select(
+        "click_id", "purchase_id", F.round(weight * F.col("purchase_value"), 6).alias("credit")
+    ).collect()}
+    assert out == {(1, 4): 40.0, (2, 4): 20.0, (3, 4): 40.0, (5, 6): 50.0}
