@@ -428,3 +428,37 @@ def test_streaming_session_window_matches_batch_twin(spark):
     b = {tuple(r) for r in batch.collect()}
     assert s == b
     assert len(s) > 0
+
+
+def test_streaming_ingest_pipeline(spark, tmp_path):
+    """Continuous-ingest twin of `prepare`: normalize + quality gate +
+    watermark-bounded content dedup, across TWO microbatches (the second
+    redelivers a duplicate and adds a new doc)."""
+    from page_rank_hadoop_spark.functions.text import normalize_text, quality_score
+    from page_rank_hadoop_spark.streaming.ingest import run_ingest_to_parquet
+
+    good = ("the quick brown fox jumps with data and the system of record "
+            "keeps every stream aligned for the merge of a good corpus ") * 3
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [(1, good), (2, good + " extra tail"), (3, "!!! ### $$$ %%%")],
+        "doc_id long, text string",
+    )
+    b1.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    run_ingest_to_parquet(spark, in_dir, out_dir, ck, schema)
+    # second batch: doc 4 duplicates doc 1's content (different id), doc 5 new
+    spark.createDataFrame(
+        [(4, good), (5, good + " another distinct ending")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(in_dir)
+    run_ingest_to_parquet(spark, in_dir, out_dir, ck, schema)
+
+    out = spark.read.parquet(out_dir)
+    texts = {r["content_md5"] for r in out.collect()}
+    # low-quality doc 3 gated out; doc 4's content deduped against doc 1
+    assert out.count() == 3
+    assert len(texts) == 3
+    kept_ids = {r["doc_id"] for r in out.collect()}
+    assert 3 not in kept_ids and 4 not in kept_ids
+    assert {1, 2, 5} == kept_ids
