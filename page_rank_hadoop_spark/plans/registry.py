@@ -1334,6 +1334,26 @@ def q_zorder_key(spark, sf):
     )
 
 
+def q_ingest_batch(spark, sf):
+    """Batch twin of the streaming ingest pipeline: normalize -> map-side
+    quality gate (score >= 0.3) -> exact content dedup keeping the min
+    doc_id. The oracle restates the same normalize/score/dedup algebra,
+    putting the ingest semantics themselves under the gate."""
+    from page_rank_hadoop_spark.functions.text import normalize_text, quality_score
+
+    d = _docs(spark, sf)
+    cleaned = (
+        d.select("doc_id", normalize_text("text").alias("text"))
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.3)
+        .withColumn("content_md5", F.md5("text"))
+    )
+    keep = cleaned.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    return keep.join(cleaned, ["content_md5", "doc_id"]).select(
+        "doc_id", "content_md5", "quality"
+    )
+
+
 def q_normalize_text(spark, sf):
     """Ingest-time text normalization: control-char strip, whitespace
     collapse, trim, lowercase — map-only; output fingerprinted by md5 so
@@ -3074,6 +3094,27 @@ def build_oracles() -> dict[str, str]:
       FROM events
     """
 
+    oracles["q_ingest_batch"] = f"""
+      WITH nrm AS (
+        SELECT doc_id, lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g'))) AS ntext FROM documents
+      ),
+      scored AS (
+        SELECT doc_id, md5(ntext) AS content_md5,
+               round(0.4::DOUBLE * least(length(ntext) / 2000.0::DOUBLE, 1.0::DOUBLE)
+                 + 0.3::DOUBLE * greatest(0.0::DOUBLE,
+                     1.0::DOUBLE - (length(regexp_replace(ntext, '[a-zA-Z0-9\\s]', '', 'g'))
+                                    / greatest(length(ntext), 1)) * 5)
+                 + 0.3::DOUBLE * (len(list_intersect(regexp_extract_all(ntext, '{TOKEN_RE}'),
+                                                     {_STOPWORDS_SQL})) / 8.0::DOUBLE),
+                 6) AS quality
+        FROM nrm
+      ),
+      gated AS (SELECT * FROM scored WHERE quality >= 0.3),
+      keep AS (SELECT content_md5, min(doc_id) AS doc_id FROM gated GROUP BY 1)
+      SELECT g.doc_id, g.content_md5, g.quality
+      FROM gated g JOIN keep k ON g.content_md5 = k.content_md5 AND g.doc_id = k.doc_id
+    """
+
     oracles["q_normalize_text"] = """
       SELECT doc_id,
              md5(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')))) AS norm_md5,
@@ -3323,6 +3364,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_bpe_train_merges": q_bpe_train_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_normalize_text": q_normalize_text,
+        "q_ingest_batch": q_ingest_batch,
         "q_zorder_key": q_zorder_key,
         "q_ranking_suite": q_ranking_suite,
         "q_running_totals": q_running_totals,
