@@ -168,6 +168,10 @@ MIN_JACCARD = 0.5
 MINHASH_PRIME = 4294967311  # keep in sync with functions/hashing.py
 
 
+def _lookup_terms_sql() -> str:
+    return "[" + ", ".join(f"'{t}'" for t in LOOKUP_TERMS) + "]"
+
+
 def _sql_minhash_ctes() -> str:
     mins = ",\n      ".join(
         f"min((a + {i}*b) % {MINHASH_PRIME}) AS h{i}" for i in range(N_HASHES)
@@ -930,6 +934,69 @@ def q_dedup_components(spark, sf):
     keep/drop grouping step of a near-dup pipeline. Oracle = recursive CTE
     computing min-reachable-doc_id over the same pair graph."""
     return dedup.near_dup_components(_minhash_pairs(spark, sf))
+
+
+def q_dedup_cluster_sizes(spark, sf):
+    """Near-dup cluster-size histogram: how many dup groups of each size
+    the corpus contains — the summary a dedup run reports before
+    dropping. Two more partial-agg shuffles over the components
+    output."""
+    comp = dedup.near_dup_components(_minhash_pairs(spark, sf))
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def q_ranker_agreement(spark, sf):
+    """Retrieval-evaluation query: per query term, the overlap between
+    the BM25 top-10 and the plain tf*ln(N/df) top-10 (Jaccard@10) — the
+    ranker-comparison harness an IR stack runs on every scoring change.
+    ONE tokenize feeds both rankers; ranking uses the 6dp-rounded score
+    with doc_id tie-break so both engines order identically."""
+    from page_rank_hadoop_spark.functions.text import tokens as _tokens
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+    from pyspark.sql import Window
+
+    terms_arr = F.array(*[F.lit(t) for t in LOOKUP_TERMS])
+    base = ensure_parallel(_docs(spark, sf)).select(
+        "doc_id",
+        F.size(_tokens("text")).alias("dl"),
+        F.filter(_tokens("text"), lambda t: F.array_contains(terms_arr, t)).alias("hits"),
+    )
+    row = base.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = row["n"], row["avgdl"] or 1.0
+    tf = (
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("int").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "term",
+        "doc_id",
+        F.round(
+            F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avgdl)))),
+            6,
+        ).alias("bm25"),
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    wb = Window.partitionBy("term").orderBy(F.desc("bm25"), "doc_id")
+    wt = Window.partitionBy("term").orderBy(F.desc("tfidf"), "doc_id")
+    top_b = scored.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") <= 10)
+    top_t = scored.withColumn("rn", F.row_number().over(wt)).filter(F.col("rn") <= 10)
+    inter = top_b.select("term", "doc_id").join(
+        top_t.select("term", "doc_id"), ["term", "doc_id"]
+    ).groupBy("term").agg(F.count("*").cast("int").alias("n_overlap"))
+    return inter.select(
+        "term",
+        "n_overlap",
+        F.round(F.col("n_overlap") / (20 - F.col("n_overlap")), 6).alias("jaccard10"),
+    )
 
 
 def q_ngram_jaccard(spark, sf):
@@ -2925,6 +2992,47 @@ def build_oracles() -> dict[str, str]:
     oracles["q_kmeans_train"] = _sql_kmeans_train(3, N_CENTROIDS, EMB_DIM)
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
+    oracles["q_dedup_cluster_sizes"] = (
+        oracles["q_dedup_components"].replace(
+            "SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id",
+            """, comp AS (SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id),
+      sizes AS (SELECT component_id, count(*)::BIGINT AS cluster_size FROM comp GROUP BY 1)
+      SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1""",
+        )
+    )
+
+    oracles["q_ranker_agreement"] = f"""
+      WITH base AS (
+        SELECT doc_id, len({SQL_TOKENS}) AS dl,
+               [t for t in {SQL_TOKENS} if list_contains({_lookup_terms_sql()}, t)] AS hits
+        FROM documents
+      ),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM base),
+      tf AS (
+        SELECT term, doc_id, dl, count(*)::INT AS tf
+        FROM (SELECT doc_id, dl, unnest(hits) AS term FROM base) t
+        GROUP BY 1, 2, 3
+      ),
+      dfreq AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.term, tf.doc_id,
+               round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)), 6) AS bm25,
+               round(tf.tf * ln(s.n / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats s
+      ),
+      top_b AS (SELECT term, doc_id FROM (
+        SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) rn
+        FROM scored) WHERE rn <= 10),
+      top_t AS (SELECT term, doc_id FROM (
+        SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY tfidf DESC, doc_id) rn
+        FROM scored) WHERE rn <= 10)
+      SELECT b.term, count(*)::INT AS n_overlap,
+             round(count(*) / (20.0::DOUBLE - count(*)), 6) AS jaccard10
+      FROM top_b b JOIN top_t t ON b.term = t.term AND b.doc_id = t.doc_id
+      GROUP BY b.term
+    """
 
     oracles["q_attribution_weights"] = """
       WITH pairs AS (
@@ -3315,6 +3423,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_media_stats": q_media_stats,
         "q_ivf_knn": q_ivf_knn,
         "q_dedup_components": q_dedup_components,
+        "q_dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "q_ranker_agreement": q_ranker_agreement,
         "q_postings_offsets": q_postings_offsets,
         "q_bm25_score": q_bm25_score,
         "q_winnow_fingerprints": q_winnow_fingerprints,
