@@ -929,11 +929,18 @@ def _simhash_sigs(spark, sf) -> DataFrame:
     return _mv(spark, sf, "simhash_sigs", lambda: dedup.simhash_signatures(_docs(spark, sf)))
 
 
+def _components(spark, sf) -> DataFrame:
+    return _mv(
+        spark, sf, "components",
+        lambda: dedup.near_dup_components(_minhash_pairs(spark, sf)),
+    )
+
+
 def q_dedup_components(spark, sf):
     """MinHash pairs → connected components (doc_id, component_id): the
     keep/drop grouping step of a near-dup pipeline. Oracle = recursive CTE
     computing min-reachable-doc_id over the same pair graph."""
-    return dedup.near_dup_components(_minhash_pairs(spark, sf))
+    return _components(spark, sf)
 
 
 def q_dedup_cluster_sizes(spark, sf):
@@ -941,7 +948,7 @@ def q_dedup_cluster_sizes(spark, sf):
     the corpus contains — the summary a dedup run reports before
     dropping. Two more partial-agg shuffles over the components
     output."""
-    comp = dedup.near_dup_components(_minhash_pairs(spark, sf))
+    comp = _components(spark, sf)
     return (
         comp.groupBy("component_id")
         .agg(F.count("*").alias("cluster_size"))
