@@ -1311,6 +1311,35 @@ def q_proximity_search(spark, sf):
     return index.proximity_matches(_docs(spark, sf), *PROX_TERMS, PROX_DIST)
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing for LLM training batches: concatenate docs in
+    doc_id order and cut at a fixed token budget — each doc's bin is
+    floor(tokens_before / budget), one running-sum window pass (the
+    standard streaming-concat packing; deterministic, no bin-packing
+    heuristics to disagree on). Output also carries the doc's offset
+    inside its bin, which is what the batch assembler actually needs.
+
+    Scale note: the global doc_id order forces a single-partition window
+    here (fine at gate scale, wrong at 100 TB). The production form
+    packs per shard — partitionBy(shard = hash(doc_id) % n_shards) with
+    the same within-shard running sum — giving n_shards independent
+    streams of full bins at perfect parallelism; only bin NUMBERING
+    becomes shard-local, which training dataloaders don't care about."""
+    from page_rank_hadoop_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    BUDGET = 2048
+    d = _docs(spark, sf).select("doc_id", token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(before / BUDGET).cast("int").alias("bin_id"),
+        (before % BUDGET).cast("int").alias("bin_offset"),
+    )
+
+
 def q_doc_chunks(spark, sf):
     """RAG-prep chunking: overlapping 64-token windows every 48 tokens,
     map-only explode (no shuffle)."""
@@ -3230,6 +3259,22 @@ def build_oracles() -> dict[str, str]:
       FROM gated g JOIN keep k ON g.content_md5 = k.content_md5 AND g.doc_id = k.doc_id
     """
 
+    oracles["q_pack_sequences"] = f"""
+      WITH t AS (
+        SELECT doc_id, len({SQL_TOKENS})::INT AS n_tokens FROM documents
+      ),
+      c AS (
+        SELECT doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM t
+      )
+      SELECT doc_id, n_tokens,
+             (before // 2048)::INT AS bin_id,
+             (before % 2048)::INT AS bin_offset
+      FROM c
+    """
+
     oracles["q_normalize_text"] = """
       SELECT doc_id,
              md5(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')))) AS norm_md5,
@@ -3472,6 +3517,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_triangle_count": q_triangle_count,
         "q_proximity_search": q_proximity_search,
         "q_doc_chunks": q_doc_chunks,
+        "q_pack_sequences": q_pack_sequences,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_dedup_components_star": q_dedup_components_star,

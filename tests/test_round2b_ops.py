@@ -420,3 +420,17 @@ def test_attribution_weights_u_shape(spark):
         "click_id", "purchase_id", F.round(weight * F.col("purchase_value"), 6).alias("credit")
     ).collect()}
     assert out == {(1, 4): 40.0, (2, 4): 20.0, (3, 4): 40.0, (5, 6): 50.0}
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    import __spark_entry__ as m
+
+    out = {r["doc_id"]: (r["bin_id"], r["bin_offset"], r["n_tokens"]) for r in
+           m.queries()["q_pack_sequences"](spark, "/root/testdata/sf0.001").collect()}
+    # contiguity: each doc starts where the previous ended (mod budget)
+    ids = sorted(out)
+    run = 0
+    for i in ids:
+        b, off, n = out[i]
+        assert b == run // 2048 and off == run % 2048
+        run += n
