@@ -116,6 +116,23 @@ def normalize_text(col: Column | str) -> Column:
     return F.lower(F.trim(one_ws))
 
 
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+LONG_NUM_RE = "[0-9][0-9 .-]{6,}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Ingest-time PII-style redaction: replace email addresses with
+    ``<EMAIL>`` and long digit runs (phone/account-shaped, ≥8 chars of
+    digits with separators) with ``<NUM>``. Pure map-side
+    regexp_replace chain; the patterns use RE2-compatible classes so the
+    DuckDB oracle applies byte-identical rules. This is the cheap
+    regex tier of a PII pipeline — a production stack layers NER after
+    it; the Spark-side plumbing is identical either way."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, LONG_NUM_RE, "<NUM>")
+
+
 def language_id(col: Column | str) -> Column:
     """Heuristic language-ID: argmax of per-language marker-token hits.
 

@@ -1457,6 +1457,48 @@ def q_ingest_batch(spark, sf):
     )
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-balanced corpus mixture (tau = 0.7, the multilingual-
+    balancing rule): per-LANGUAGE keep rate (n_s/min_n)^(tau-1) — the
+    smallest language keeps everything, larger ones downsample toward
+    equal share — applied with the deterministic md5 coin (no RNG).
+    Rates are 6dp-rounded before the comparison so cross-engine pow()
+    drift cannot flip a keep decision (coin granularity ~1e-10 vs the
+    1e-6 rate grid)."""
+    d = _docs(spark, sf).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    min_n = counts.agg(F.min("n_s").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.round(F.pow(F.col("n_s") / F.col("min_n"), F.lit(-0.3)), 6).alias("rate"),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(2**32))
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(coin < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+    )
+
+
+def q_redact_pii(spark, sf):
+    """Regex-tier PII redaction: emails -> <EMAIL>, long digit runs ->
+    <NUM>; md5-fingerprinted output plus per-doc replacement counts so
+    the oracle checks the rules without megabyte rows."""
+    from page_rank_hadoop_spark.functions.text import EMAIL_RE, LONG_NUM_RE, redact_pii
+
+    d = _docs(spark, sf)
+    red = redact_pii("text")
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(LONG_NUM_RE), F.lit(0))).alias("n_nums"),
+    )
+
+
 def q_normalize_text(spark, sf):
     """Ingest-time text normalization: control-char strip, whitespace
     collapse, trim, lowercase — map-only; output fingerprinted by md5 so
@@ -3275,6 +3317,26 @@ def build_oracles() -> dict[str, str]:
       FROM c
     """
 
+    oracles["q_temperature_mixture"] = """
+      WITH counts AS (SELECT lang, count(*)::DOUBLE AS n_s FROM documents GROUP BY lang),
+      m AS (SELECT min(n_s) AS min_n FROM counts),
+      rates AS (SELECT lang, round(pow(n_s / m.min_n, -0.3), 6) AS rate
+                FROM counts CROSS JOIN m)
+      SELECT d.doc_id, d.lang, r.rate
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 < r.rate
+    """
+
+    oracles["q_redact_pii"] = """
+      SELECT doc_id,
+             md5(regexp_replace(
+                   regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9][0-9 .-]{6,}[0-9]', '<NUM>', 'g')) AS redacted_md5,
+             len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}'))::INT AS n_emails,
+             len(regexp_extract_all(text, '[0-9][0-9 .-]{6,}[0-9]'))::INT AS n_nums
+      FROM documents
+    """
+
     oracles["q_normalize_text"] = """
       SELECT doc_id,
              md5(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')))) AS norm_md5,
@@ -3527,6 +3589,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_bpe_train_merges": q_bpe_train_merges,
         "q_bpe_encode": q_bpe_encode,
         "q_normalize_text": q_normalize_text,
+        "q_redact_pii": q_redact_pii,
+        "q_temperature_mixture": q_temperature_mixture,
         "q_ingest_batch": q_ingest_batch,
         "q_zorder_key": q_zorder_key,
         "q_ranking_suite": q_ranking_suite,

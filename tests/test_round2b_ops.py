@@ -434,3 +434,34 @@ def test_pack_sequences_bin_boundaries(spark):
         b, off, n = out[i]
         assert b == run // 2048 and off == run % 2048
         run += n
+
+
+def test_redact_pii_hand_cases(spark):
+    from page_rank_hadoop_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.co.uk or call 555-123-4567 now"),
+         (2, "no pii here, just 42 and v2.0")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", redact_pii("text").alias("t")).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <NUM> now"
+    assert out[2] == "no pii here, just 42 and v2.0"
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    kept = m.queries()["q_temperature_mixture"](spark, sf).groupBy("lang").count()
+    kept = {r["lang"]: r["count"] for r in kept.collect()}
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    orig = {r["lang"]: r["count"] for r in
+            load_table(spark, sf, "documents").groupBy("lang").count().collect()}
+    # the dominant language is downsampled hardest; the smallest keeps ~all
+    big = max(orig, key=orig.get)
+    small = min(orig, key=orig.get)
+    assert kept[big] / orig[big] < kept[small] / orig[small]
+    assert kept[small] >= orig[small] * 0.9
+    # post-mixture ratio between biggest and smallest shrinks
+    assert kept[big] / kept[small] < orig[big] / orig[small]
