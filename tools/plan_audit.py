@@ -133,6 +133,13 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # map-only projections stay shuffle-free and JVM-side
     ("q_normalize_text", [("not", r"Exchange"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_zorder_key", [("not", r"Exchange"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_redact_pii", [("not", r"Exchange"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # mixture: rates broadcast, fact side never shuffles
+    ("q_temperature_mixture", [("has", r"BroadcastHashJoin"), ("not", r"SortMergeJoin")]),
+    ("q_attribution_weights", [("has", r"Window"), ("not", r"CartesianProduct")]),
+    ("q_ranker_agreement", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_hits", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_graph_walks", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_snapshot_diff", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
