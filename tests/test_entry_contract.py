@@ -61,12 +61,26 @@ def _hash(cols, rows):
     return h.hexdigest()
 
 
+# queries deliberately shipped without an oracle — every other declared
+# query MUST have one (this list is the gate's weaker-check budget; any
+# unintended addition fails the suite)
+ROWS_ONLY = {
+    "q_pagerank_converged",  # adaptive control flow
+    "q_approx_distinct",     # HLL, approximate by construction
+    "q_approx_quantiles",    # sketch, approximate by construction
+}
+
+
 def test_contract_shape():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
     # every key is a callable
     assert all(callable(f) for f in qs.values())
+    # the no-oracle set is exactly the declared rows-only allowlist
+    assert set(qs) - set(oracles) == ROWS_ONLY
+    # no orphaned oracles, no empty SQL
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
 
 
 def test_entry_smoke(spark):
