@@ -172,6 +172,10 @@ def _lookup_terms_sql() -> str:
     return "[" + ", ".join(f"'{t}'" for t in LOOKUP_TERMS) + "]"
 
 
+def _sql_sig_list() -> str:
+    return ", ".join(f"h{i}" for i in range(N_HASHES))
+
+
 def _sql_minhash_ctes() -> str:
     mins = ",\n      ".join(
         f"min((a + {i}*b) % {MINHASH_PRIME}) AS h{i}" for i in range(N_HASHES)
@@ -943,6 +947,49 @@ def q_dedup_components(spark, sf):
     return _components(spark, sf)
 
 
+def q_minhash_estimate(spark, sf):
+    """Sketch-quality evaluation: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching signature slots / 12) against the
+    exact char-shingle Jaccard, with the absolute error — the estimator
+    bias report a dedup pipeline audits before trusting thresholds."""
+    from page_rank_hadoop_spark.functions.hashing import minhash_signature
+    from page_rank_hadoop_spark.functions.text import char_shingles
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    base = ensure_parallel(_docs(spark, sf)).select(
+        "doc_id", F.array_distinct(char_shingles("text", 8)).alias("arr")
+    )
+    sig = base.select(
+        "doc_id", "arr", minhash_signature(F.col("arr"), N_HASHES).alias("sig")
+    ).persist()
+    pairs = _minhash_pairs(spark, sf).select("doc_a", "doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("sig").alias("sig_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    exact = inter / (F.size("arr_a") + F.size("arr_b") - inter)
+    est = matches / F.lit(float(N_HASHES))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
 def q_dedup_cluster_sizes(spark, sf):
     """Near-dup cluster-size histogram: how many dup groups of each size
     the corpus contains — the summary a dedup run reports before
@@ -1334,6 +1381,30 @@ def q_pack_sequences(spark, sf):
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return d.select(
         "doc_id",
+        "n_tokens",
+        F.floor(before / BUDGET).cast("int").alias("bin_id"),
+        (before % BUDGET).cast("int").alias("bin_offset"),
+    )
+
+
+def q_pack_sequences_sharded(spark, sf):
+    """The production form of sequence packing: per-shard (here:
+    per-language) running sums — n independent window streams at full
+    parallelism, bin ids shard-local. This is the scale path the global
+    q_pack_sequences documents; declaring it gates the partitioned
+    window arithmetic too."""
+    from page_rank_hadoop_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    BUDGET = 2048
+    d = _docs(spark, sf).select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
         "n_tokens",
         F.floor(before / BUDGET).cast("int").alias("bin_id"),
         (before % BUDGET).cast("int").alias("bin_offset"),
@@ -3112,6 +3183,30 @@ def build_oracles() -> dict[str, str]:
       GROUP BY b.term
     """
 
+    oracles["q_minhash_estimate"] = f"""
+      WITH {_sql_minhash_ctes()},
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ),
+      arrs AS (SELECT doc_id, {SQL_CHAR_SHINGLES} AS arr FROM documents),
+      sigl AS (SELECT doc_id, [{_sql_sig_list()}] AS sig FROM mh)
+      SELECT p.doc_a, p.doc_b,
+             round(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]]) / 12.0, 6) AS est_jaccard,
+             round(len(list_intersect(aa.arr, ab2.arr))::DOUBLE
+                   / (len(aa.arr) + len(ab2.arr) - len(list_intersect(aa.arr, ab2.arr))), 6) AS exact_jaccard,
+             round(abs(len([i for i in range(1, 13) if sa.sig[i] = sb.sig[i]]) / 12.0
+                   - len(list_intersect(aa.arr, ab2.arr))::DOUBLE
+                     / (len(aa.arr) + len(ab2.arr) - len(list_intersect(aa.arr, ab2.arr)))), 6) AS abs_err
+      FROM pairs p
+      JOIN sigl sa ON p.doc_a = sa.doc_id
+      JOIN sigl sb ON p.doc_b = sb.doc_id
+      JOIN arrs aa ON p.doc_a = aa.doc_id
+      JOIN arrs ab2 ON p.doc_b = ab2.doc_id
+    """
+
     oracles["q_attribution_weights"] = """
       WITH pairs AS (
         SELECT c.event_id AS click_id, p.event_id AS purchase_id,
@@ -3337,6 +3432,22 @@ def build_oracles() -> dict[str, str]:
       FROM documents
     """
 
+    oracles["q_pack_sequences_sharded"] = f"""
+      WITH t AS (
+        SELECT doc_id, lang, len({SQL_TOKENS})::INT AS n_tokens FROM documents
+      ),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM t
+      )
+      SELECT doc_id, lang, n_tokens,
+             (before // 2048)::INT AS bin_id,
+             (before % 2048)::INT AS bin_offset
+      FROM c
+    """
+
     oracles["q_normalize_text"] = """
       SELECT doc_id,
              md5(lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')))) AS norm_md5,
@@ -3538,6 +3649,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_ivf_knn": q_ivf_knn,
         "q_dedup_components": q_dedup_components,
         "q_dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "q_minhash_estimate": q_minhash_estimate,
         "q_ranker_agreement": q_ranker_agreement,
         "q_postings_offsets": q_postings_offsets,
         "q_bm25_score": q_bm25_score,
@@ -3580,6 +3692,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_proximity_search": q_proximity_search,
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,
+        "q_pack_sequences_sharded": q_pack_sequences_sharded,
         "q_mixture_sample": q_mixture_sample,
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_dedup_components_star": q_dedup_components_star,
