@@ -947,6 +947,28 @@ def q_dedup_components(spark, sf):
     return _components(spark, sf)
 
 
+def q_dedup_report(spark, sf):
+    """End-to-end near-dup pipeline report, one row: corpus size,
+    candidate pairs, duplicate clusters, docs to drop (cluster members
+    minus the kept minimum), and the dedup rate — the summary line every
+    dedup run logs. Pure composition over the shared pair/components
+    materialized views; scalar aggregates only."""
+    n_docs = _docs(spark, sf).count()
+    pairs = _minhash_pairs(spark, sf)
+    comp = _components(spark, sf)
+    n_pairs = pairs.count()
+    n_members = comp.count()
+    n_clusters = comp.select("component_id").distinct().count()
+    n_dropped = n_members - n_clusters
+    return spark.range(1).select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.lit(n_pairs).cast("bigint").alias("n_candidate_pairs"),
+        F.lit(n_clusters).cast("bigint").alias("n_clusters"),
+        F.lit(n_dropped).cast("bigint").alias("n_dropped"),
+        F.round(F.lit(n_dropped) / F.lit(float(n_docs)), 6).alias("dedup_rate"),
+    )
+
+
 def q_minhash_estimate(spark, sf):
     """Sketch-quality evaluation: for every LSH candidate pair, the
     MinHash Jaccard ESTIMATE (matching signature slots / 12) against the
@@ -3183,6 +3205,21 @@ def build_oracles() -> dict[str, str]:
       GROUP BY b.term
     """
 
+    oracles["q_dedup_report"] = (
+        oracles["q_dedup_components"].replace(
+            "SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id",
+            """, comp AS (SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id),
+      p2 AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+      c2 AS (SELECT count(*)::BIGINT AS n_members,
+                    count(DISTINCT component_id)::BIGINT AS n_clusters FROM comp),
+      d2 AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+      SELECT d2.n_docs, p2.n_pairs AS n_candidate_pairs, c2.n_clusters,
+             (c2.n_members - c2.n_clusters) AS n_dropped,
+             round((c2.n_members - c2.n_clusters) / d2.n_docs::DOUBLE, 6) AS dedup_rate
+      FROM d2, p2, c2""",
+        )
+    )
+
     oracles["q_minhash_estimate"] = f"""
       WITH {_sql_minhash_ctes()},
       pairs AS (
@@ -3650,6 +3687,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_dedup_components": q_dedup_components,
         "q_dedup_cluster_sizes": q_dedup_cluster_sizes,
         "q_minhash_estimate": q_minhash_estimate,
+        "q_dedup_report": q_dedup_report,
         "q_ranker_agreement": q_ranker_agreement,
         "q_postings_offsets": q_postings_offsets,
         "q_bm25_score": q_bm25_score,

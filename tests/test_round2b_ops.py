@@ -465,3 +465,14 @@ def test_temperature_mixture_flattens_distribution(spark):
     assert kept[small] >= orig[small] * 0.9
     # post-mixture ratio between biggest and smallest shrinks
     assert kept[big] / kept[small] < orig[big] / orig[small]
+
+
+def test_dedup_report_consistency(spark):
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    row = m.queries()["q_dedup_report"](spark, sf).collect()[0]
+    comp = m.queries()["q_dedup_components"](spark, sf)
+    assert row["n_dropped"] == comp.count() - comp.select("component_id").distinct().count()
+    assert 0 <= row["dedup_rate"] < 1
+    assert row["n_candidate_pairs"] >= row["n_dropped"]
