@@ -99,8 +99,16 @@ def main() -> None:
     # simhash signature MV: shared by q_simhash_pairs + q_simhash_multiprobe,
     # same build-vs-query attribution rationale as the graph views.
     registry._simhash_sigs(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # term-frequency MVs: the materialized index base the whole index
+    # family probes (the reference's HBase-stored index analog) + its
+    # position-free projection for the scoring probes.
+    registry._tf(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    registry._tf_slim(spark, sf_dir).write.format("noop").mode("overwrite").save()
     build_sec = round(time.perf_counter() - t0, 3)
-    print(f"# build (graph + pagerank10 + simhash-sig views): {build_sec:.3f}s", file=sys.stderr)
+    print(
+        f"# build (graph + pagerank10 + simhash-sig + term-tf views): {build_sec:.3f}s",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -413,6 +413,7 @@ def ngram_jaccard_pairs_prefix(
     documents: DataFrame,
     n: int = 3,
     min_jaccard: float = 0.8,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard via PREFIX FILTERING (Bayardo et al.,
     "Scaling Up All Pairs Similarity Search", WWW'07; the PPJoin family)
@@ -445,10 +446,17 @@ def ngram_jaccard_pairs_prefix(
     """
     from pyspark.sql import Window
 
-    base = ensure_parallel(documents).select(
-        "doc_id", tokens("text").alias("toks")
-    ).select("doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr"))
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # ``base``: optionally the prebuilt (doc_id, arr) shingle table — the
+    # registry passes one shared persisted MV to BOTH Jaccard variants, so
+    # a session running both tokenizes once and never re-persists an
+    # identical plan (the round-2 'already cached' warning). When built
+    # internally it is persisted here and released before returning.
+    own_base = base is None
+    if own_base:
+        base = ensure_parallel(documents).select(
+            "doc_id", tokens("text").alias("toks")
+        ).select("doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr"))
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sh = base.select("doc_id", F.size("arr").alias("sz"), F.explode("arr").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     # round before ceil: ceil(0.8*5) must be 4, not ceil(4.0000000000000002)
@@ -476,7 +484,7 @@ def ngram_jaccard_pairs_prefix(
     fa = base.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     fb = base.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
-    return (
+    out = (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .select(
@@ -488,6 +496,13 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    if own_base:
+        # materialize the (tiny) pair table, then release the private
+        # shingle cache (kmeans_train pattern) — without this the persist
+        # leaks across a long session
+        out = out.localCheckpoint()
+        base.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -495,6 +510,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.8,
     max_shingle_df: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -511,13 +527,18 @@ def ngram_jaccard_pairs(
     # transform (regex would otherwise re-run inside the lambda), and build
     # the distinct shingle array ONCE per doc so per-doc sizes come from
     # size(arr) — no second corpus scan, no extra groupBy shuffle.
-    base = ensure_parallel(documents).select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr")
-    )
-    # One row per doc → persisting makes the three consumers (sizes twice,
-    # the exploded join input) share a single corpus scan. At scale this is
-    # the signature-table materialization every LSH dedup pipeline does.
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # ``base``: see ngram_jaccard_pairs_prefix — the registry passes a
+    # shared MV; built internally it is persisted and released below.
+    own_base = base is None
+    if own_base:
+        base = ensure_parallel(documents).select(
+            "doc_id", tokens("text").alias("toks")
+        ).select("doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr"))
+        # One row per doc → persisting makes the three consumers (sizes
+        # twice, the exploded join input) share a single corpus scan. At
+        # scale this is the signature-table materialization every LSH
+        # dedup pipeline does.
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = base.select("doc_id", F.size("arr").alias("n_shingles"))
     sh = base.select("doc_id", F.explode("arr").alias("shingle"))
     if max_shingle_df is not None:
@@ -531,7 +552,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -544,4 +565,44 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+    if own_base:
+        out = out.localCheckpoint()
+        base.unpersist()
+    return out
+
+
+def fuzzy_name_pairs(
+    entities: DataFrame,
+    key: str,
+    name_col: str,
+    block_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy-string entity matching: within each ``block_col``
+    group, pairs of rows whose ``name_col`` Levenshtein distance is ≤
+    ``max_distance`` — the name-dedup step of entity resolution (vendor
+    master matching, near-identical author/supplier names).
+
+    The BLOCKING key is the scale story: the quadratic comparison runs
+    only inside blocks (an equi-join on block_col, the same
+    short-key-join shape as every LSH pipeline here), so cost is
+    Σ_b |block_b|² instead of n². At 100 TB you pick the block key
+    exactly like an LSH band (first-k chars, soundex, nation, ...) and
+    cap viral blocks with ``_drop_hot_keys`` if the key skews.
+    Levenshtein evaluates JVM-side (no UDF) and only on within-block
+    candidates."""
+    base = entities.select(
+        F.col(block_col).alias("block"),
+        F.col(key).alias("k"),
+        F.col(name_col).alias("nm"),
+    )
+    a = base.select("block", F.col("k").alias("key_a"), F.col("nm").alias("name_a"))
+    b = base.select("block", F.col("k").alias("key_b"), F.col("nm").alias("name_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("block", "key_a", "key_b", "distance")
     )

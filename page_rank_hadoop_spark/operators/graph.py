@@ -209,7 +209,10 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
 
 
 def deterministic_walks(
-    edges: DataFrame, verts: DataFrame, walk_len: int = 5
+    edges: DataFrame,
+    verts: DataFrame,
+    walk_len: int = 5,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """One graph random walk per vertex — the corpus generator for
     DeepWalk/node2vec-style graph embeddings — with every neighbor
@@ -221,16 +224,29 @@ def deterministic_walks(
     walk_json: the [start, v1, …] path as JSON).
 
     Physical shape: adjacency (sorted out-neighbor list per src) built
-    once with ONE groupBy and broadcast-joined per step — each step is a
-    map-side pick ``links[hash % degree]``; ``walk_len`` chained steps,
-    no shuffle of the walk table (it stays partitioned by start)."""
+    once with ONE groupBy, persisted, and SIZE-GATED per step: when the
+    adjacency has ≤ ``broadcast_max_rows`` vertices it is explicitly
+    ``F.broadcast`` into every step join — each step is then a map-side
+    pick ``links[hash % degree]`` and the walk table never shuffles.
+    Above the gate (a 100 TB graph's adjacency is vertex-scale and
+    cannot ship to every executor) the steps degrade to ``walk_len``
+    chained shuffle joins on ``cur`` — unavoidable for an arbitrary-
+    topology walk, since the join key changes every step so no static
+    co-partitioning can hold; the persisted adjacency at least keeps
+    its scan/exchange reused across steps. The chosen plan is pinned in
+    tools/plan_audit.py (q_graph_walks: BroadcastHashJoin, no
+    SortMergeJoin at test scale)."""
+    from pyspark.storagelevel import StorageLevel
+
     adj = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .groupBy("src")
         .agg(F.sort_array(F.collect_set("dst")).alias("links"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    small_adj = adj.count() <= broadcast_max_rows  # one action; materializes the persist
     walk = verts.select(
         F.col("id").alias("start"), F.col("id").alias("cur"), F.array("id").alias("path")
     )
@@ -254,15 +270,20 @@ def deterministic_walks(
         nxt = F.when(
             F.col("links").isNull(), F.col("cur")
         ).otherwise(F.element_at("links", (h % F.size("links") + 1).cast("int")))
+        step_adj = adj.withColumnRenamed("src", "cur")
+        if small_adj:
+            step_adj = F.broadcast(step_adj)
         walk = (
-            walk.join(adj.withColumnRenamed("src", "cur"), "cur", "left")
+            walk.join(step_adj, "cur", "left")
             .select(
                 "start",
                 nxt.alias("cur"),
                 F.concat("path", F.array(nxt)).alias("path"),
             )
         )
-    return walk.select("start", F.to_json("path").alias("walk_json"))
+    out = walk.select("start", F.to_json("path").alias("walk_json")).localCheckpoint()
+    adj.unpersist()
+    return out
 
 
 def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
@@ -274,12 +295,14 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     authority) for every vertex incident to an edge.
 
     Physical shape per round: two partial-agg'd groupBy joins over the
-    same pre-partitioned edge table (one per direction) + two scalar
-    L1-mass actions for the normalization (the same counter-read pattern
-    as PageRank's convergence mode). Same eager loop hygiene as the
-    other iterative operators. L1 (not L2) normalization keeps the
-    arithmetic division-by-a-sum only — no sqrt — so the DuckDB oracle
-    reproduces it exactly at 6dp.
+    same pre-partitioned edge table (one per direction) + ONE scalar
+    action — the L1-mass ``first()`` (hub and authority mass come out of
+    the same agg) — which also materializes the round's lazy
+    localCheckpoint, so the plan lineage still resets every round
+    without paying a second job (round-2 review item: the eager
+    checkpoint before the mass read doubled per-round job count). L1
+    (not L2) normalization keeps the arithmetic division-by-a-sum only —
+    no sqrt — so the DuckDB oracle reproduces it exactly at 6dp.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -319,8 +342,10 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
                 F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
                 F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # the ONE action per round: reads both masses AND materializes
+        # joined's checkpoint (lineage reset without an extra job)
         mass = joined.agg(
             F.sum("h_raw").alias("hm"), F.sum("a_raw").alias("am")
         ).first()
@@ -328,7 +353,7 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             "id",
             (F.col("h_raw") / F.lit(mass["hm"])).alias("hub"),
             (F.col("a_raw") / F.lit(mass["am"])).alias("authority"),
-        ).localCheckpoint()
+        )
     e.unpersist()
     return scores.select(
         "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
@@ -342,12 +367,18 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
     at small k before ranking). Returns the surviving (id, degree) rows.
 
     Iterative peeling: drop all vertices with current degree < k, then
-    recompute degrees on the induced subgraph; repeat to fixpoint (or
-    ``max_iter`` — peeling monotonically shrinks the vertex set, so a
-    fixpoint is guaranteed; each round is one partial-agg degree count +
-    two semi-joins on the surviving set). Same eager-checkpoint loop
-    hygiene as the other iterative operators; early exit costs one count
-    action per round on the already-materialized survivor set.
+    recompute degrees on the induced subgraph; repeat to FIXPOINT —
+    peeling monotonically shrinks the vertex set, so one is guaranteed.
+    ``max_iter`` is a safety valve only: exhausting it RAISES instead of
+    returning a set that is not a k-core (a round-2 review item — the
+    old code filtered degree ≥ k once more without re-peeling, which can
+    both drop vertices wrongly and report degrees counting edges to
+    dropped vertices). Each round is one partial-agg degree count + two
+    semi-joins on the surviving set; early exit costs one count action
+    per round on the already-materialized survivor set. NOTE the q_kcore
+    oracle unrolls a fixed number of peel rounds — the coupling is
+    pinned by a pytest asserting convergence within the oracle's depth
+    at test SFs.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -360,11 +391,13 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
     )
     cur = sym
     n_prev = -1
+    converged = False
     for _ in range(max_iter):
         deg = cur.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src").localCheckpoint()
         n_keep = keep.count()
         if n_keep == n_prev:
+            converged = True
             break
         n_prev = n_keep
         cur = (
@@ -373,8 +406,16 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint()
         )
+    if not converged:
+        sym.unpersist()
+        raise RuntimeError(
+            f"k_core: no fixpoint within max_iter={max_iter} rounds "
+            f"(survivors still shrinking at {n_prev}); raise max_iter"
+        )
+    # at fixpoint every survivor has degree >= k in the induced subgraph,
+    # so this is a plain degree report, not a filter that changes the set
     out = cur.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
-    out = out.filter(F.col("degree") >= k).localCheckpoint()
+    out = out.localCheckpoint()
     sym.unpersist()
     return out
 

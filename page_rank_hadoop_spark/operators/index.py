@@ -136,14 +136,21 @@ def df_from_tf(tf: DataFrame, cutoff: int = DF_CUTOFF) -> DataFrame:
     )
 
 
-def inverted_index(documents: DataFrame, cutoff: int = DF_CUTOFF) -> DataFrame:
+def inverted_index(
+    documents: DataFrame, cutoff: int = DF_CUTOFF, tf: DataFrame | None = None
+) -> DataFrame:
     """term → (df, postings array<struct<doc_id, tf, positions>>).
 
     Postings are sorted by doc_id (reference SH5 secondary sort delivered
     titles in order; ``sort_array`` on the struct array gives the same
     determinism without a custom shuffle comparator).
+
+    ``tf``: optionally a prebuilt ``term_frequencies`` table (the shared
+    MV in plans/registry) so the corpus is tokenized once per session,
+    not once per index consumer.
     """
-    tf = term_frequencies(documents)
+    if tf is None:
+        tf = term_frequencies(documents)
     return (
         tf.groupBy("term")
         .agg(
@@ -163,6 +170,7 @@ def tfidf_scores(
     cutoff: int = DF_CUTOFF,
     w_tfidf: float = 0.5,
     w_pr: float = 0.5,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Reference Q3: for each query term, score every posting's page by
     ``w_tfidf·tf·ln(N/df) + w_pr·pr`` and rank (the reference printed
@@ -170,11 +178,21 @@ def tfidf_scores(
 
     ``ranks`` must have (doc_id, pr). N = document count (reference read it
     from a Hadoop counter, pageRank.scala:355; here it is a count() action).
+
+    ``tf``: optionally a prebuilt ``term_frequencies`` table — the
+    registry passes its shared tf MV so scoring is an isin probe of an
+    already-materialized index (the reference likewise served Q3 from
+    the HBase-materialized index, not by re-tokenizing the corpus).
+    Without it, the corpus is tokenized in-line; the isin filter pushes
+    below the tf aggregate either way, so the shuffle carries only the
+    query terms' rows.
     """
     n_docs = documents.count()
-    tf = term_frequencies(documents).filter(F.col("term").isin(query_terms))
-    # df derived from tf — avoids a second full tokenization pass; with the
-    # isin filter applied first, both aggs touch only the query terms
+    if tf is None:
+        tf = term_frequencies(documents)
+    tf = tf.filter(F.col("term").isin(query_terms))
+    # df derived from tf — avoids a second full tokenization pass; both
+    # aggs touch only the query terms
     df_ = df_from_tf(tf, cutoff)
     scored = (
         tf.join(df_, "term")

@@ -65,6 +65,20 @@ def run_pagerank(
     each iteration costs one extra tiny agg action for avgChange — the
     Spark analog of the reference's counter read (pageRank.scala:366-371).
 
+    DELIBERATE METRIC DEVIATION from the reference: our avg_change is the
+    true mean |Δpr| between consecutive iterations. The reference's
+    counter is NOT — its mapper accumulates |contribution − prevPageRank|
+    where prevPageRank is always 0.0 (Writables default,
+    pageRank.scala:277-281), so the reference actually averages the
+    PRE-DAMPING contribution mass of the new iteration, a quantity that
+    does not go to 0 at the fixpoint. We keep the same stopping POLICY
+    surface (min 10 iterations, threshold 0.2, cap 50) but drive it with
+    the honest delta. Since true mean |Δpr| is ≤ the pre-damping
+    contribution mass once ranks stabilize, the honest metric can only
+    stop at the same iteration or earlier, never later. Policy
+    invariants (floor, cap, threshold) are pinned in
+    tests/test_pagerank.py.
+
     ``teleport`` switches to PERSONALIZED PageRank: a DataFrame of source
     ``id`` rows; the restart distribution becomes uniform over that set
     (t(v) = 1/|S| for v∈S, else 0) instead of 1/N, and ranks initialize
@@ -84,8 +98,20 @@ def run_pagerank(
     adj = adj.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
     n = adj.count()  # action; also materializes the persist
     if teleport is not None:
-        n_src = teleport.count()
-        tel = teleport.select("id", F.lit(1.0 / n_src).alias("t"))
+        # Restart mass is spread over teleport ids PRESENT in the graph:
+        # normalizing by the raw teleport count would silently lose the
+        # 1/n share of any id absent from adj (ranks would sum < 1).
+        # Broadcast the tiny teleport set into the big side's semi-join.
+        tel_present = (
+            adj.select("id")
+            .join(F.broadcast(teleport.select("id").distinct()), "id", "left_semi")
+        )
+        n_src = tel_present.count()
+        if n_src == 0:
+            raise ValueError(
+                "personalized PageRank: teleport set is empty or disjoint from the graph"
+            )
+        tel = tel_present.select("id", F.lit(1.0 / n_src).alias("t"))
         ranks = (
             adj.select("id")
             .join(F.broadcast(tel), "id", "left")

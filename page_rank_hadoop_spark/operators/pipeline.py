@@ -210,9 +210,12 @@ def zorder_key(xcol: str, ycol: str, bits: int = 16) -> "F.Column":
     x = F.col(xcol).cast("long")
     y = F.col(ycol).cast("long")
     key = F.lit(0).cast("long")
+    # bitwiseAND(1), not % 2: Spark % keeps the dividend sign, so negative
+    # inputs would yield -1 "bits" and a corrupt key (engine-portable for
+    # any int input this way)
     for b in range(bits):
-        key = key + F.shiftleft(F.shiftright(x, b) % 2, 2 * b + 1)
-        key = key + F.shiftleft(F.shiftright(y, b) % 2, 2 * b)
+        key = key + F.shiftleft(F.shiftright(x, b).bitwiseAND(1), 2 * b + 1)
+        key = key + F.shiftleft(F.shiftright(y, b).bitwiseAND(1), 2 * b)
     return key
 
 

@@ -1106,3 +1106,63 @@ def promotion_suppliers(
         .select("s_name", "n_name", "n_dominated")
         .orderBy(F.desc("n_dominated"), "s_name")
     )
+
+
+def skyline_parts(part: DataFrame) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) over parts, minimizing
+    (p_retailprice, p_size): a part survives iff no other part is ≤ on
+    both dimensions and < on at least one (Börzsönyi et al., "The
+    Skyline Operator", ICDE'01). The cheap-AND-small frontier is the
+    classic multi-criteria pick an optimizer or buyer query wants.
+
+    Distributed formulation — NOT the O(n²) dominance self-join: collapse
+    to one row per distinct price with the group's min size (one partial-
+    agg shuffle), take the running min of size over strictly-cheaper
+    prices with a window over DISTINCT prices (tiny), broadcast that
+    frontier back onto the parts. A row is dominated iff a strictly
+    cheaper price reached its size (prev_min ≤ size) or a same-price
+    part is strictly smaller (group min < size). Cost: one agg shuffle
+    over distinct prices + a broadcast probe of the fact table — no
+    pairwise join anywhere, so it scales to any row count (the frontier
+    table is bounded by |distinct prices|).
+    """
+    from pyspark.sql import Window
+
+    by_price = (
+        part.groupBy("p_retailprice")
+        .agg(F.min("p_size").alias("grp_min_size"))
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = by_price.select(
+        "p_retailprice",
+        "grp_min_size",
+        F.min("grp_min_size").over(w).alias("prev_min_size"),
+    )
+    return (
+        part.join(F.broadcast(frontier), "p_retailprice")
+        .filter(
+            (F.col("prev_min_size").isNull() | (F.col("prev_min_size") > F.col("p_size")))
+            & (F.col("grp_min_size") >= F.col("p_size"))
+        )
+        .select("p_partkey", "p_name", F.col("p_retailprice"), "p_size")
+    )
+
+
+def dispersion_stats(lineitem: DataFrame) -> DataFrame:
+    """Central-tendency/dispersion function surface per return flag:
+    interpolated median (the SQL percentile_cont 0.5 both engines
+    implement identically), sample stddev, avg, min, max of
+    extendedprice — one partial-agg pass; percentile is the only
+    full-sort-per-group member and Spark evaluates it with a
+    per-partition digest merge, not a global sort."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("stddev_price"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -432,3 +432,33 @@ def bpe_pair_stats(documents: DataFrame, top_k: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(top_k)
     )
+
+
+def char_entropy_by_lang(documents: DataFrame) -> DataFrame:
+    """Shannon character entropy per language — the distribution-shape
+    quality signal (boilerplate/spam corpora have anomalously low char
+    entropy; it also separates scripts, the cheap cousin of n-gram
+    language ID). H = −Σ p·log2(p) over the language's character
+    distribution.
+
+    Plan: explode text to single chars (generate, map-side), ONE
+    partial-agg'd count per (lang, char) — the only shuffle, carrying at
+    most |langs|·|alphabet| groups — then the per-lang entropy rollup on
+    that tiny table. No UDFs; log2 via log(2, x).
+    """
+    from pyspark.sql import functions as F
+
+    chars = documents.select(
+        "lang", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("lang", "ch").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("lang")
+    p = F.col("n") / F.sum("n").over(tot)
+    return (
+        counts.select("lang", "n", p.alias("p"))
+        .groupBy("lang")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("char_entropy"),
+            F.count("*").alias("n_distinct_chars"),
+        )
+    )

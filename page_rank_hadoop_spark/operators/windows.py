@@ -37,13 +37,13 @@ def sessionize(
     ``carry`` columns ride along through the window pass so downstream
     rollups never need to join back to the source (one shuffle total)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
-    # exact epoch seconds (with microseconds): unix_timestamp would truncate
-    # and disagree with sub-second gap boundaries
-    epoch = F.col("ts").cast("double")
+    # exact integer microseconds: double epoch has ~0.5µs representation
+    # error at 2026 magnitudes, enough to flip a gap==threshold boundary
+    gap_us = gap_minutes * 60 * 1_000_000
+    epoch = F.unix_micros("ts")
     prev_epoch = F.lag(epoch).over(w)
     new_sess = F.when(
-        prev_epoch.isNull() | ((epoch - prev_epoch) > gap_s),
+        prev_epoch.isNull() | ((epoch - prev_epoch) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     return events.select(
@@ -106,11 +106,12 @@ def interval_overlap_pairs(
     iv = intervals.select(
         "user_id",
         "session_id",
-        F.col("t0").cast("double").alias("e0"),
-        F.col("t1").cast("double").alias("e1"),
+        F.unix_micros("t0").alias("e0"),
+        F.unix_micros("t1").alias("e1"),
     )
+    cell_us = cell_seconds * 1_000_000
     cells = F.sequence(
-        (F.col("e0") / cell_seconds).cast("long"), (F.col("e1") / cell_seconds).cast("long")
+        (F.col("e0") / cell_us).cast("long"), (F.col("e1") / cell_us).cast("long")
     )
     g = iv.withColumn("cell", F.explode(cells))
     if max_cell_size is not None:
@@ -129,7 +130,11 @@ def interval_overlap_pairs(
             F.col("b.user_id").alias("user_b"),
             F.col("b.session_id").alias("session_b"),
             F.round(
-                F.least(F.col("a.e1"), F.col("b.e1")) - F.greatest(F.col("a.e0"), F.col("b.e0")),
+                (
+                    F.least(F.col("a.e1"), F.col("b.e1"))
+                    - F.greatest(F.col("a.e0"), F.col("b.e0"))
+                )
+                / 1_000_000.0,
                 6,
             ).alias("overlap_s"),
         )
@@ -413,4 +418,58 @@ def moving_average(events: DataFrame, n_preceding: int = 3) -> DataFrame:
             F.round(F.last("value").over(framed), 6).alias("frame_last"),
         )
         .orderBy("event_id")
+    )
+
+
+def merge_event_intervals(events: DataFrame, cover_seconds: int = 600) -> DataFrame:
+    """Gaps-and-islands interval merge: each event covers
+    [ts, ts + cover_seconds]; overlapping/touching covers per user merge
+    into maximal activity spans. Output (user_id, span_start_us,
+    span_end_us, n_events) — the classic coverage/uptime consolidation
+    shape (and the batch twin of compacting a session-window state
+    store).
+
+    One window pass: an event opens a new island iff its start lies
+    strictly after the running max end of all PRIOR events (exact
+    integer µs — see sessionize); island id is the running sum of those
+    flags; one groupBy merges each island. Single shuffle on user_id,
+    no self-join, no interval pair blowup.
+    """
+    cover_us = cover_seconds * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    start = F.unix_micros("ts")
+    prev_max_end = F.max(start + cover_us).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (start > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = events.select(
+        "user_id",
+        start.alias("s_us"),
+        (start + cover_us).alias("e_us"),
+        F.sum(new_island)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("span_start_us"),
+        F.max("e_us").alias("span_end_us"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "island", "span_start_us", "span_end_us", "n_events")
+
+
+def event_type_bigrams(events: DataFrame) -> DataFrame:
+    """Sequential-pattern surface: counts of consecutive event-type
+    transitions (prev_type → event_type) per user ordered by (ts,
+    event_id), aggregated corpus-wide — the first-order Markov
+    transition table behavioral/funnel analytics start from.
+
+    One shuffle on user_id for the lag window, then a tiny partial-agg'd
+    count on the (25-ish) transition pairs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
     )

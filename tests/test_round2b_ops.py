@@ -1,6 +1,7 @@
 """Late round-2 operators: label propagation, SCD2 as-of reads, the
 iterative BPE merge-training loop, and prefix-filtered similarity join."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from page_rank_hadoop_spark.operators import dedup, graph, pipeline, textstats
@@ -147,6 +148,27 @@ def test_kcore_cascading_collapse(spark):
     # path graph: peeling the endpoints cascades until nothing is left
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
     assert graph.k_core(edges, k=2).count() == 0
+
+
+def test_kcore_raises_when_not_converged(spark):
+    # max_iter=1 on the cascading path cannot reach a fixpoint: the old
+    # code silently returned a non-k-core; now it must raise (ADVICE r2)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        graph.k_core(edges, k=2, max_iter=1)
+
+
+def test_kcore_converges_within_oracle_unroll_depth(spark):
+    """The q_kcore oracle unrolls 8 peel rounds; the Spark side runs to
+    fixpoint with max_iter=20. Pin the coupling: at the gate SF the
+    fixpoint must be reachable within the oracle's depth (so both
+    engines agree), i.e. max_iter=8 neither raises nor differs."""
+    from page_rank_hadoop_spark.plans import registry
+
+    g = registry._graph(spark, "/root/testdata/sf0.001")["kept"]
+    deep = {(r["id"], r["degree"]) for r in graph.k_core(g, k=30, max_iter=20).collect()}
+    shallow = {(r["id"], r["degree"]) for r in graph.k_core(g, k=30, max_iter=8).collect()}
+    assert deep == shallow
 
 
 # ---------------------------------------------------------------------------
