@@ -1159,8 +1159,10 @@ def dispersion_stats(lineitem: DataFrame) -> DataFrame:
         lineitem.groupBy("l_returnflag")
         .agg(
             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 6).alias("stddev_price"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            # 4dp, not 6: stddev/avg accumulate over the whole group and the
+            # two engines' summation orders differ at the ~1e-5 level
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.min("l_extendedprice"), 6).alias("min_price"),
             F.round(F.max("l_extendedprice"), 6).alias("max_price"),
             F.count("*").alias("n"),

@@ -446,7 +446,7 @@ def char_entropy_by_lang(documents: DataFrame) -> DataFrame:
     most |langs|·|alphabet| groups — then the per-lang entropy rollup on
     that tiny table. No UDFs; log2 via log(2, x).
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window
 
     chars = documents.select(
         "lang", F.explode(F.split("text", "")).alias("ch")

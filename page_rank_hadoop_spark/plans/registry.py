@@ -1877,6 +1877,55 @@ def q_promotion_suppliers(spark, sf):
     )
 
 
+# --- round 3: skyline, gaps-and-islands, sequential patterns, fuzzy
+# entity match, dispersion functions, char entropy ---
+
+
+def q_skyline_parts(spark, sf):
+    """2-D Pareto frontier (skyline operator) over parts minimizing
+    (retailprice, size) — computed via the distinct-price frontier +
+    broadcast probe, never a pairwise dominance join (relational.
+    skyline_parts). Oracle is the textbook NOT EXISTS dominance test."""
+    return relational.skyline_parts(load_table(spark, sf, "part"))
+
+
+def q_dispersion_stats(spark, sf):
+    """Median (percentile_cont 0.5), sample stddev, avg/min/max of
+    extendedprice per return flag — the dispersion-function surface."""
+    return relational.dispersion_stats(load_table(spark, sf, "lineitem"))
+
+
+def q_interval_merge(spark, sf):
+    """Gaps-and-islands: merge each user's overlapping 10-minute event
+    covers into maximal activity spans (windows.merge_event_intervals)."""
+    return windows.merge_event_intervals(load_table(spark, sf, "events"))
+
+
+def q_event_bigrams(spark, sf):
+    """First-order event-type transition counts (sequential-pattern
+    surface): consecutive (prev → next) pairs per user, corpus-wide."""
+    return windows.event_type_bigrams(load_table(spark, sf, "events"))
+
+
+def q_fuzzy_supplier_match(spark, sf):
+    """Blocked fuzzy entity matching: supplier-name pairs within a
+    nation block at Levenshtein distance ≤ 2 (dedup.fuzzy_name_pairs) —
+    entity-resolution surface with the LSH-style blocking scale story."""
+    return dedup.fuzzy_name_pairs(
+        load_table(spark, sf, "supplier"),
+        key="s_suppkey",
+        name_col="s_name",
+        block_col="s_nationkey",
+        max_distance=2,
+    )
+
+
+def q_char_entropy(spark, sf):
+    """Shannon char entropy per language (textstats.char_entropy_by_lang)
+    — the distribution-shape text-quality signal."""
+    return textstats.char_entropy_by_lang(_docs(spark, sf))
+
+
 def build_oracles() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
     lookup_in = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
@@ -3720,6 +3769,89 @@ def build_oracles() -> dict[str, str]:
       ORDER BY n_dominated DESC, s_name
     """
 
+    # --- round 3 ---
+
+    oracles["q_skyline_parts"] = """
+      SELECT p_partkey, p_name, p_retailprice, p_size
+      FROM part a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+      )
+    """
+
+    oracles["q_dispersion_stats"] = """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+             round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(min(l_extendedprice), 6) AS min_price,
+             round(max(l_extendedprice), 6) AS max_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """
+
+    oracles["q_interval_merge"] = """
+      WITH s AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + 600000000 AS e_us
+        FROM events
+      ),
+      m AS (
+        SELECT user_id, s_us, e_us,
+               CASE WHEN max(e_us) OVER wp IS NULL OR s_us > max(e_us) OVER wp
+                    THEN 1 ELSE 0 END AS new_island
+        FROM s
+        WINDOW wp AS (PARTITION BY user_id ORDER BY s_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ),
+      i AS (
+        SELECT user_id, s_us, e_us,
+               (sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                      ROWS UNBOUNDED PRECEDING))::BIGINT AS island
+        FROM m
+      )
+      SELECT user_id, island, min(s_us) AS span_start_us, max(e_us) AS span_end_us,
+             count(*) AS n_events
+      FROM i GROUP BY user_id, island
+    """
+
+    oracles["q_event_bigrams"] = """
+      WITH l AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+      )
+      SELECT prev_type, event_type, count(*) AS n
+      FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+    """
+
+    oracles["q_fuzzy_supplier_match"] = """
+      SELECT a.s_nationkey AS block, a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+             levenshtein(a.s_name, b.s_name)::INT AS distance
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+      WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """
+
+    oracles["q_char_entropy"] = """
+      WITH ch AS (
+        SELECT lang, substr(text, i, 1) AS ch
+        FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+      ),
+      c AS (
+        SELECT lang, ch, count(*) AS n FROM ch WHERE ch != '' GROUP BY lang, ch
+      ),
+      p AS (
+        SELECT lang, n / sum(n) OVER (PARTITION BY lang) AS p FROM c
+      )
+      SELECT lang, round(-sum(p * log2(p)), 6) AS char_entropy,
+             count(*) AS n_distinct_chars
+      FROM p GROUP BY lang
+    """
+
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     # prefix filtering is lossless: identical result set to the plain join
     oracles["q_ngram_jaccard_prefix"] = oracles["q_ngram_jaccard"]
@@ -3778,6 +3910,12 @@ def build_queries() -> dict[str, QueryFn]:
         "q_ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "q_funnel_stats": q_funnel_stats,
         # --- tier 1b: new queries this round go here (within first 50) ---
+        "q_skyline_parts": q_skyline_parts,
+        "q_dispersion_stats": q_dispersion_stats,
+        "q_interval_merge": q_interval_merge,
+        "q_event_bigrams": q_event_bigrams,
+        "q_fuzzy_supplier_match": q_fuzzy_supplier_match,
+        "q_char_entropy": q_char_entropy,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,
