@@ -487,3 +487,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return wedges.join(orient.select("u", "v"), ["u", "v"]).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame, min_common: int = 2, max_dst_fanout: int = 64
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: vertex pairs (u, v) that
+    point at ≥ ``min_common`` shared targets, scored with common-neighbor
+    count and out-neighborhood Jaccard
+    ``n_common / (outdeg_u + outdeg_v - n_common)``.
+
+    Wedge generation self-joins the edge list on dst, so a viral target
+    with d in-links fans out d² pairs — the same hot-key blowup as LSH
+    banding. The guard is DETERMINISTIC (targets with in-degree >
+    ``max_dst_fanout`` are dropped before the join, a plain HAVING the
+    oracle replicates verbatim), which keeps the candidate count
+    Σ min(d, cap)² and the query hash-checkable — unlike a sampling cap.
+    Degrees come from a separate partial-agg'd count broadcast onto the
+    (much larger) pair table. Degree tables are vertex-scale, so they
+    are NOT force-broadcast — the joins are keyed equi-joins that AQE
+    broadcasts when the degree side fits and shuffle-joins otherwise.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    indeg = e.groupBy("dst").agg(F.count("*").alias("d_in"))
+    cold = e.join(indeg.filter(F.col("d_in") <= max_dst_fanout).select("dst"), "dst")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("d_out"))
+    return (
+        pairs.join(outdeg.select(F.col("src").alias("u"), F.col("d_out").alias("deg_u")), "u")
+        .join(outdeg.select(F.col("src").alias("v"), F.col("d_out").alias("deg_v")), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -357,3 +357,63 @@ def decontaminate(
         .agg(F.countDistinct("gram").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+def training_shards(
+    documents: DataFrame, n_shards: int = 8, n_buckets: int = 32
+) -> DataFrame:
+    """Deterministic size-balanced shard assignment for training-data
+    export, plus the per-shard manifest (doc count, token totals, skew
+    vs the ideal even split).
+
+    A single global size-sorted round-robin would balance perfectly but
+    serializes into one sort partition; instead docs are salted into
+    ``n_buckets`` md5 hash buckets, ranked by token count WITHIN each
+    bucket (bounded window partitions), and dealt
+    ``(rank * n_buckets + bucket) % n_shards`` — every shard receives
+    the k-th largest doc of every bucket in rotation, so shard token
+    totals concentrate tightly around the mean (law of large numbers
+    across buckets) while every stage stays fully distributed and
+    deterministic (md5 salt, doc_id tie-breaks, no RNG).
+    """
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.functions.text import token_count
+
+    base = documents.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % n_buckets
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_tokens"), "doc_id")
+    dealt = base.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        F.pmod(
+            (F.row_number().over(w) - 1) * F.lit(n_buckets) + F.col("bucket"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+    total = dealt.agg(F.sum("n_tokens").alias("all_tokens"))
+    return (
+        dealt.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            "max_doc_tokens",
+            F.round(
+                F.col("shard_tokens") / (F.col("all_tokens") / F.lit(n_shards)), 6
+            ).alias("balance_ratio"),
+        )
+    )

@@ -1168,3 +1168,143 @@ def dispersion_stats(lineitem: DataFrame) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+def mad_outliers(events: DataFrame, cutoff: float = 3.5) -> DataFrame:
+    """Robust anomaly detection: per event_type median + MAD (median
+    absolute deviation), then the modified z-score
+    ``0.6745 * (value - med) / mad`` flags events with |score| > cutoff.
+
+    Two aggregation passes over the stream, each a partial-agg'd groupBy
+    on the tiny event_type key (exact interpolated ``percentile`` — the
+    robust-statistics analog of q_percentiles), and the per-event scoring
+    join broadcasts the 5-row stats frame, so the fact table is scanned
+    twice and never shuffled on a data-sized key. Groups with mad == 0
+    (constant-valued types) are excluded rather than dividing by zero.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    score = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.col("mad") > 0)
+        .filter(F.abs(score) > cutoff)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(score, 6).alias("mz_score"),
+        )
+    )
+
+
+def market_basket(
+    lineitem: DataFrame, min_pair_orders: int = 3, top_k: int = 100
+) -> DataFrame:
+    """Frequent-itemset pairs (market basket): parts co-ordered in the
+    same order, with pair support and Jaccard affinity
+    ``n_both / (n_a + n_b - n_both)``.
+
+    The within-order self-join's fan-out is bounded by order SIZE
+    (≤ lines²/order, ~50 rows per order), not table size — the shuffle
+    key is l_orderkey on both sides, so the pair generation is a single
+    co-partitioned join. Per-part supports come from a separate
+    partial-agg'd count; the support table is part-dimension-scale, so
+    the enrichment joins are left to AQE (broadcast when it fits,
+    shuffle otherwise) rather than force-broadcast. Top-k with full
+    deterministic tie-break (support desc, part_a, part_b) →
+    TakeOrderedAndProject.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_orders)
+    )
+    support = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    return (
+        pairs.join(
+            support.withColumnRenamed("l_partkey", "part_a")
+            .withColumnRenamed("n_orders", "n_a"),
+            "part_a",
+        )
+        .join(
+            support.withColumnRenamed("l_partkey", "part_b")
+            .withColumnRenamed("n_orders", "n_b"),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(top_k)
+    )
+
+
+def rfm_scores(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """Customer RFM segmentation: per-customer recency (days since last
+    order, vs the corpus max date), frequency (order count) and monetary
+    (total spend) are each quartiled with ``ntile`` (deterministic
+    custkey tie-breaks), and the result is the segment-level rollup
+    (count + average spend per (r, f, m) cell, ≤ n_tiles³ rows).
+
+    One shuffle builds the per-customer aggregate; the ntile windows
+    run over the CUSTOMER table (dimension-sized, not fact-sized). At
+    100 TB the global ntile sort would become approx-quantile bucket
+    boundaries (percentile_approx + broadcast range lookup) — same
+    contract, documented swap.
+    """
+    from pyspark.sql import Window
+
+    maxd = orders.agg(F.max("o_orderdate").alias("max_d"))
+    cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("max_d"), F.max("o_orderdate")).alias("rec_days"),
+            F.count("*").alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "rec_days",
+        "freq",
+        "monetary",
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("rec_days").asc(), F.col("o_custkey")))
+        .alias("r_tile"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+        .alias("f_tile"),
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_tile"),
+    )
+    return scored.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+    )

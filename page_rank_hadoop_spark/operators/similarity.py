@@ -279,3 +279,49 @@ def kmeans_step(
     return per_c.select(
         "centroid", "n_vectors", F.posexplode(means).alias("dim", "mean_val")
     ).orderBy("centroid", "dim")
+
+
+def gram_matrix(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Distributed Gram matrix Xᵀ X over the embedding column — the
+    building block of PCA / covariance / linear-probe training at corpus
+    scale. Returns the upper triangle as (i, j, gram) rows, i ≤ j.
+
+    The map-side-combine pattern that makes this 100 TB-safe: each Arrow
+    batch collapses to a dim×dim partial via ONE vectorized numpy matmul
+    inside ``mapInPandas``, so the shuffle moves dim²·n_partitions floats
+    (a few MB) instead of n·dim row data — the reduction is a plain
+    (i, j)-keyed sum. Float32 inputs are widened to float64 before the
+    multiply; with |x| ≤ ~1 and n ≤ 10⁹ rows the partial sums stay well
+    inside double precision, and the output is rounded to 4 dp so
+    partition-order association drift cannot leak into the hash.
+    """
+    import pandas as pd
+
+    def partial_gram(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc += X.T @ X
+            seen = True
+        if not seen:
+            return
+        ii, jj = [], []
+        for i in range(dim):
+            for j in range(i, dim):
+                ii.append(i)
+                jj.append(j)
+        yield pd.DataFrame(
+            {"i": ii, "j": jj, "partial": [acc[a, b] for a, b in zip(ii, jj)]}
+        )
+
+    parts = embeddings.select("embedding").mapInPandas(
+        partial_gram, "i int, j int, partial double"
+    )
+    return parts.groupBy("i", "j").agg(F.round(F.sum("partial"), 4).alias("gram"))

@@ -462,3 +462,53 @@ def char_entropy_by_lang(documents: DataFrame) -> DataFrame:
             F.count("*").alias("n_distinct_chars"),
         )
     )
+
+
+def vocab_coverage(
+    documents: DataFrame, sizes: tuple[int, ...] = (100, 300, 1000, 3000, 10000)
+) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: for each candidate vocab size V,
+    the fraction of all corpus token OCCURRENCES covered by the V most
+    frequent terms — the number that decides how large a trained
+    tokenizer's vocabulary needs to be.
+
+    Corpus term counts are one partial-agg'd explode+groupBy over the
+    corpus; the ranking window then runs over the VOCABULARY (terms), not
+    the corpus — ~10⁶ rows at 100 TB, three orders of magnitude smaller
+    than the token stream, which keeps the single-partition rank sort
+    acceptable (the documented scale swap is a two-level rank like
+    training_shards if the vocabulary itself ever explodes). Coverage at
+    every V comes from ONE conditional aggregation over the ranked vocab
+    (no per-V scans).
+    """
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.functions.text import tokens
+
+    counts = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.select(
+        "term",
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), "term")).alias("rank"),
+    )
+    sz = F.explode(F.array(*[F.lit(s) for s in sizes])).alias("vocab_size")
+    sizes_df = documents.sparkSession.range(1).select(sz)
+    return (
+        ranked.select("n", "rank")
+        .crossJoin(F.broadcast(sizes_df))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("vocab_size"), F.col("n")).otherwise(F.lit(0))).alias("covered"),
+            F.sum("n").alias("total"),
+        )
+        .select(
+            "vocab_size",
+            F.col("covered").cast("bigint").alias("covered_tokens"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        )
+    )

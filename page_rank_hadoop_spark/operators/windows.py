@@ -473,3 +473,45 @@ def event_type_bigrams(events: DataFrame) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Time-series resample + forward fill: per user, an hourly grid from
+    the user's first to last active hour; observed hours carry the hourly
+    event count and value sum, gap hours are forward-filled from the most
+    recent observed hour (``last(..., ignorenulls)`` running window).
+
+    The classic gap-fill/interpolation operator of a time-series engine,
+    expressed shuffle-minimally: one groupBy to the hourly rollup, a
+    per-user ``sequence()`` explode for the grid (fan-out bounded by the
+    time SPAN, never by event count), a left join back on the same
+    (user_id, hour) key, and one per-user window for the fill — every
+    stage partitions on user_id, so at 100 TB the whole pipeline is a
+    single exchange reused end to end.
+    """
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.round(F.sum("value"), 6).alias("hour_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    return joined.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_obs").isNull().cast("int").alias("is_gap"),
+    )

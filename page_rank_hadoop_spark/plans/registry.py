@@ -1364,6 +1364,68 @@ def q_ivf_knn(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: time series, robust stats, itemsets, link prediction,
+# training-shard export, vocab sizing, distributed Gram matrix, RFM
+# ---------------------------------------------------------------------------
+
+
+def q_gap_fill(spark, sf):
+    """Hourly resample + forward fill per user (time-series gap fill):
+    sequence()-generated grid, left join on the reused (user, hour)
+    partitioning, last-ignorenulls fill window."""
+    return windows.gap_fill_hourly(load_table(spark, sf, "events"))
+
+
+def q_mad_outliers(spark, sf):
+    """Median/MAD robust anomaly detection over events.value — modified
+    z-score > 3.5 flags, exact interpolated percentiles, stats frame
+    broadcast back onto the stream."""
+    return relational.mad_outliers(load_table(spark, sf, "events"))
+
+
+def q_market_basket(spark, sf):
+    """Frequent part pairs (market basket): within-order self-join with
+    order-size-bounded fan-out, pair support + Jaccard affinity, top-100
+    with deterministic tie-breaks."""
+    return relational.market_basket(load_table(spark, sf, "lineitem"))
+
+
+def q_link_prediction(spark, sf):
+    """Common-neighbor / Jaccard link prediction over the resolved link
+    graph, with the deterministic hot-target cap (in-degree ≤ 64) the
+    oracle replicates as a HAVING."""
+    return graph.common_neighbor_pairs(_graph(spark, sf)["kept"])
+
+
+def q_training_shards(spark, sf):
+    """Size-balanced deterministic shard manifest: md5-salted two-level
+    rank round-robin (no global sort), per-shard token totals + balance
+    ratio vs the ideal split."""
+    return pipeline.training_shards(_docs(spark, sf))
+
+
+def q_vocab_coverage(spark, sf):
+    """Tokenizer vocab sizing: cumulative token-occurrence coverage of
+    the top-V terms for V in {100..10000} — one corpus count pass, one
+    vocabulary-sized ranking window."""
+    return textstats.vocab_coverage(_docs(spark, sf))
+
+
+def q_gram_matrix(spark, sf):
+    """Distributed Gram matrix XᵀX over the embedding table via
+    mapInPandas partial matmuls (dim² floats per partition shuffled, not
+    row data) — the PCA/covariance building block."""
+    return similarity.gram_matrix(load_table(spark, sf, "embeddings"), dim=EMB_DIM)
+
+
+def q_rfm_segments(spark, sf):
+    """Customer RFM segmentation: per-customer recency/frequency/monetary
+    → deterministic ntile quartiles on the dimension table → segment
+    rollup (≤ 64 rows)."""
+    return relational.rfm_scores(load_table(spark, sf, "orders"))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -3855,6 +3917,166 @@ def build_oracles() -> dict[str, str]:
     # q_approx_distinct: HLL sketch — approximate by design, rows-only check.
     # prefix filtering is lossless: identical result set to the plain join
     oracles["q_ngram_jaccard_prefix"] = oracles["q_ngram_jaccard"]
+
+    # ---- round-3 additions ----
+
+    oracles["q_gap_fill"] = """
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS hour_ts,
+               count(*)::BIGINT AS n_obs, round(sum(value)::DOUBLE, 6) AS hour_value
+        FROM events GROUP BY 1, 2
+      ),
+      spans AS (SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1 FROM hourly GROUP BY 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        FROM spans
+      )
+      SELECT g.user_id, strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+             coalesce(h.n_obs, 0)::BIGINT AS n_events,
+             last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled_value,
+             (CASE WHEN h.n_obs IS NULL THEN 1 ELSE 0 END)::INT AS is_gap
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """
+
+    oracles["q_mad_outliers"] = """
+      WITH med AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM events GROUP BY event_type
+      ),
+      mstats AS (
+        SELECT e.event_type, m.med,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med
+      )
+      SELECT e.event_id, e.event_type,
+             round(e.value, 6) AS value, round(m.med, 6) AS med,
+             round(m.mad, 6) AS mad,
+             round(0.6745::DOUBLE * (e.value - m.med) / m.mad, 6) AS mz_score
+      FROM events e JOIN mstats m USING (event_type)
+      WHERE m.mad > 0
+        AND abs(0.6745::DOUBLE * (e.value - m.med) / m.mad) > 3.5::DOUBLE
+    """
+
+    oracles["q_market_basket"] = """
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+      ),
+      sup AS (SELECT l_partkey, count(*)::BIGINT AS n FROM op GROUP BY 1)
+      SELECT p.part_a, p.part_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+             round(p.n_both / (sa.n + sb.n - p.n_both), 6) AS jaccard
+      FROM pairs p
+      JOIN sup sa ON p.part_a = sa.l_partkey
+      JOIN sup sb ON p.part_b = sb.l_partkey
+      ORDER BY p.n_both DESC, p.part_a, p.part_b LIMIT 100
+    """
+
+    oracles["q_link_prediction"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      e AS (SELECT DISTINCT src, dst FROM kept WHERE src <> dst),
+      indeg AS (SELECT dst, count(*) AS d_in FROM e GROUP BY dst),
+      cold AS (
+        SELECT e.src, e.dst FROM e JOIN indeg i ON e.dst = i.dst AND i.d_in <= 64
+      ),
+      pairs AS (
+        SELECT a.src AS u, b.src AS v, count(*)::BIGINT AS n_common
+        FROM cold a JOIN cold b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ),
+      outdeg AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src)
+      SELECT p.u, p.v, p.n_common,
+             round(p.n_common / (du.d + dv.d - p.n_common), 6) AS jaccard
+      FROM pairs p
+      JOIN outdeg du ON p.u = du.src
+      JOIN outdeg dv ON p.v = dv.src
+    """
+
+    oracles["q_training_shards"] = f"""
+      WITH base AS (
+        SELECT doc_id, (len({SQL_TOKENS}))::INT AS n_tokens,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 32 AS bucket
+        FROM documents
+      ),
+      dealt AS (
+        SELECT doc_id, n_tokens, bucket,
+               ((row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens DESC, doc_id) - 1) * 32
+                + bucket) % 8 AS shard
+        FROM base
+      ),
+      tot AS (SELECT sum(n_tokens)::BIGINT AS all_tokens FROM base)
+      SELECT shard::INT AS shard, count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS shard_tokens,
+             max(n_tokens)::INT AS max_doc_tokens,
+             round(sum(n_tokens)::BIGINT / (t.all_tokens / 8.0::DOUBLE), 6)
+               AS balance_ratio
+      FROM dealt CROSS JOIN tot t GROUP BY shard, t.all_tokens
+    """
+
+    oracles["q_vocab_coverage"] = f"""
+      WITH counts AS (
+        SELECT term, count(*)::BIGINT AS n
+        FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+        GROUP BY term
+      ),
+      ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank FROM counts
+      ),
+      sizes AS (SELECT unnest([100, 300, 1000, 3000, 10000]) AS vocab_size)
+      SELECT s.vocab_size,
+             sum(CASE WHEN r.rank <= s.vocab_size THEN r.n ELSE 0 END)::BIGINT
+               AS covered_tokens,
+             sum(r.n)::BIGINT AS total_tokens,
+             round(sum(CASE WHEN r.rank <= s.vocab_size THEN r.n ELSE 0 END)::BIGINT
+                   / sum(r.n)::BIGINT, 6) AS coverage
+      FROM ranked r CROSS JOIN sizes s GROUP BY s.vocab_size
+    """
+
+    oracles["q_gram_matrix"] = """
+      WITH ex AS (
+        SELECT vec_id, (u.s.i)::INT AS i, (u.s.x)::DOUBLE AS x
+        FROM (
+          SELECT vec_id,
+                 [{'i': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      )
+      SELECT a.i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    """
+
+    oracles["q_rfm_segments"] = """
+      WITH maxd AS (SELECT max(o_orderdate) AS max_d FROM orders),
+      cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate)::DATE,
+                         (SELECT max_d FROM maxd)::DATE) AS rec_days,
+               count(*)::BIGINT AS freq,
+               sum(o_totalprice)::DOUBLE AS monetary
+        FROM orders GROUP BY o_custkey
+      ),
+      scored AS (
+        SELECT monetary,
+               ntile(4) OVER (ORDER BY rec_days ASC, o_custkey) AS r_tile,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_tile,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+        FROM cust
+      )
+      SELECT r_tile::INT AS r_tile, f_tile::INT AS f_tile, m_tile::INT AS m_tile,
+             count(*)::BIGINT AS n_customers,
+             round(avg(monetary), 6) AS avg_monetary
+      FROM scored GROUP BY 1, 2, 3
+    """
+
     return oracles
 
 
@@ -3916,6 +4138,15 @@ def build_queries() -> dict[str, QueryFn]:
         "q_event_bigrams": q_event_bigrams,
         "q_fuzzy_supplier_match": q_fuzzy_supplier_match,
         "q_char_entropy": q_char_entropy,
+        "q_gap_fill": q_gap_fill,
+        "q_mad_outliers": q_mad_outliers,
+        "q_market_basket": q_market_basket,
+        # --- tier 1c: past the 50-sample horizon; lead round 4's sample ---
+        "q_link_prediction": q_link_prediction,
+        "q_training_shards": q_training_shards,
+        "q_vocab_coverage": q_vocab_coverage,
+        "q_gram_matrix": q_gram_matrix,
+        "q_rfm_segments": q_rfm_segments,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

@@ -141,6 +141,15 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_hits", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_graph_walks", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_snapshot_diff", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # round-3b additions
+    ("q_gap_fill", [("has", r"Generate"), ("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_mad_outliers", [("has", r"BroadcastHashJoin"), ("not", r"SortMergeJoin"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_market_basket", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_link_prediction", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_training_shards", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_vocab_coverage", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_gram_matrix", [("has", r"MapInPandas"), ("has", r"HashAggregate"), ("not", r"BatchEvalPython")]),
+    ("q_rfm_segments", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"SortMergeJoin")]),
 ]
 
 

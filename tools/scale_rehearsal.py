@@ -1,0 +1,169 @@
+"""10× scale rehearsal of the dedup pipeline (SCALING.md evidence).
+
+Builds a 10×-sf0.1 corpus (500k docs) by unioning ten copies of the
+sf0.1 documents table: copy 0 verbatim, copies 1-9 with doc_ids shifted
+by k·10⁶ and their word order stride-permuted (stride coprime to the
+token count). Stride permutation preserves each copy's INTERNAL
+near-dup structure (both members of a dup pair permute identically) but
+destroys 3-shingle overlap ACROSS copies, so the dup-RATE stays at the
+sf0.1 baseline while the corpus grows 10× — the honest scale-up, unlike
+verbatim mirroring (which would make every doc a 10-way dup cluster).
+
+Measures, at 1× and 10×:
+- MinHash-LSH candidate pairs (xxhash64 production path), uncapped vs
+  hot-band cap 64, plus how many (band,key) buckets the cap drops
+- connected components: pointer-jumping vs large-star/small-star
+- n-gram Jaccard: plain shingle join vs PPJoin-style prefix filtering,
+  with the plain path's analytic candidate count Σ_s C(df_s, 2)
+
+Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir]
+Prints a markdown table for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from page_rank_hadoop_spark import get_spark  # noqa: E402
+from page_rank_hadoop_spark.operators import dedup  # noqa: E402
+from page_rank_hadoop_spark.sources.catalog import load_table  # noqa: E402
+
+STRIDES = (3, 7, 11, 13, 17, 19, 23, 29, 31)
+
+
+def build_10x(spark, sf_dir: str, out: str):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    copies = [d]
+    for k, stride in enumerate(STRIDES, start=1):
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        perm = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.element_at(toks, (i * stride) % n + 1),
+        )
+        copies.append(
+            d.withColumn("text", F.array_join(perm, " ")).withColumn(
+                "doc_id", F.col("doc_id") + k * 1_000_000
+            )
+        )
+    u = copies[0]
+    for c in copies[1:]:
+        u = u.unionByName(c)
+    u.write.mode("overwrite").parquet(out)
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def rehearse(spark, docs, label: str) -> dict:
+    from pyspark.storagelevel import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.count()
+    r: dict = {"label": label, "n_docs": n_docs}
+
+    # --- MinHash LSH: uncapped vs hot-band cap 64 ---
+    n_uncapped, t = _timed(
+        lambda: dedup.minhash_lsh_pairs(docs, hash_fn="xxhash64").count()
+    )
+    r["lsh_pairs"], r["lsh_sec"] = n_uncapped, t
+    n_capped, t = _timed(
+        lambda: dedup.minhash_lsh_pairs(
+            docs, hash_fn="xxhash64", max_bucket_size=64
+        ).count()
+    )
+    r["lsh_pairs_cap64"], r["lsh_cap_sec"] = n_capped, t
+
+    # --- components over the (md5, oracle-grade) pair set ---
+    pairs = dedup.minhash_lsh_pairs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    r["cc_input_pairs"] = pairs.count()
+    n_pj, t = _timed(lambda: dedup.near_dup_components(pairs).count())
+    r["cc_pj_rows"], r["cc_pj_sec"] = n_pj, t
+    n_star, t = _timed(lambda: dedup.connected_components_star(pairs).count())
+    r["cc_star_rows"], r["cc_star_sec"] = n_star, t
+    assert n_pj == n_star, f"CC variants disagree: {n_pj} vs {n_star}"
+    pairs.unpersist()
+
+    # --- n-gram Jaccard: plain vs prefix, plus analytic candidate count ---
+    from page_rank_hadoop_spark.functions.text import tokens, word_shingles_of
+
+    base = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.array_distinct(word_shingles_of(F.col("toks"), 3)).alias("arr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        base.select(F.explode("arr").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    r["plain_candidates"] = int(cand)
+    n_plain, t = _timed(
+        lambda: dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.6, base=base).count()
+    )
+    r["jac_plain_pairs"], r["jac_plain_sec"] = n_plain, t
+    n_pref, t = _timed(
+        lambda: dedup.ngram_jaccard_pairs_prefix(
+            docs, n=3, min_jaccard=0.6, base=base
+        ).count()
+    )
+    r["jac_prefix_pairs"], r["jac_prefix_sec"] = n_pref, t
+    assert n_plain == n_pref, f"prefix filter lost pairs: {n_plain} vs {n_pref}"
+    base.unpersist()
+    docs.unpersist()
+    return r
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_rehearsal"
+    spark = get_spark("scale_rehearsal")
+
+    p10 = os.path.join(out_dir, "documents_10x.parquet")
+    if not os.path.exists(p10):
+        t0 = time.time()
+        build_10x(spark, sf_dir, p10)
+        print(f"built 10x corpus in {time.time()-t0:.1f}s → {p10}")
+
+    one = load_table(spark, sf_dir, "documents")
+    ten = spark.read.parquet(p10)
+
+    rows = [rehearse(spark, one, "1x"), rehearse(spark, ten, "10x")]
+    cols = [
+        ("n_docs", "docs"),
+        ("lsh_pairs", "LSH pairs"),
+        ("lsh_sec", "LSH s"),
+        ("lsh_pairs_cap64", "LSH pairs cap64"),
+        ("lsh_cap_sec", "cap s"),
+        ("cc_pj_sec", "CC pj s"),
+        ("cc_star_sec", "CC star s"),
+        ("plain_candidates", "jac candidates"),
+        ("jac_plain_sec", "jac plain s"),
+        ("jac_prefix_sec", "jac prefix s"),
+        ("jac_plain_pairs", "jac pairs"),
+    ]
+    print("| scale | " + " | ".join(h for _, h in cols) + " |")
+    print("|---" * (len(cols) + 1) + "|")
+    for r in rows:
+        cells = [
+            f"{r[k]:.1f}" if isinstance(r[k], float) else str(r[k]) for k, _ in cols
+        ]
+        print(f"| {r['label']} | " + " | ".join(cells) + " |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
