@@ -65,6 +65,18 @@ BENCH_QUERIES = [
     "q_graph_walks",
     "q_snapshot_diff",
     "q_ngram_jaccard_prefix",
+    "q_gap_fill",
+    "q_mad_outliers",
+    "q_market_basket",
+    "q_link_prediction",
+    "q_training_shards",
+    "q_vocab_coverage",
+    "q_gram_matrix",
+    "q_rfm_segments",
+    "q_repeated_chunks",
+    "q_sorted_neighborhood",
+    "q_cusum_changepoints",
+    "q_equidepth_histogram",
 ]
 
 

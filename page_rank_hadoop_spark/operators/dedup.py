@@ -438,11 +438,17 @@ def ngram_jaccard_pairs_prefix(
     Measured honestly (sf0.1, local[32]): candidates drop 2.9× on the
     clean corpus but wall-clock is ~3× SLOWER — the extra shuffles
     dominate while the plain join's 1.3M candidates are trivial. The
-    crossover is asymptotic: plain candidate count is Σ_s C(df_s, 2)
-    (quadratic in every hot shingle's df — 5M docs sharing one
-    boilerplate phrase is 1.2e13 pairs), prefix is bounded by rarity
-    order regardless of df skew. Use plain below ~10⁶ docs, prefix —
-    or its ``max_shingle_df`` lossy sibling — above.
+    10× rehearsal (tools/scale_rehearsal.py, SCALING.md) sharpened the
+    picture: prefix filtering wins when the Σ_s C(df_s, 2) blowup comes
+    from a FEW hot shingles in an otherwise large (Zipfian) vocabulary —
+    its rarity-order prefix drops exactly those. When the WHOLE
+    vocabulary is hot (boilerplate-heavy or tiny-vocab corpora — the
+    rehearsal's synthetic 10× corpus), the prefix is still ~40% of each
+    doc's shingles, hits the same quadratic buckets, and additionally
+    pays its df-join + per-doc sort: there the lossy ``max_shingle_df``
+    cap or LSH banding is the right guard. Rule: prefix for natural
+    corpora above ~10⁶ docs (lossless); caps for adversarial df
+    distributions; plain below ~10⁶ docs.
     """
     from pyspark.sql import Window
 
@@ -605,4 +611,69 @@ def fuzzy_name_pairs(
         .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("distance") <= max_distance)
         .select("block", "key_a", "key_b", "distance")
+    )
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame, w: int = 4, min_jaccard: float = 0.5, key_chars: int = 24
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM, Hernández/Stolfo SIGMOD'95):
+    sort docs by a normalized blocking key (first ``key_chars`` of the
+    lower-cased alphanumeric text) and compare each doc only to its next
+    ``w`` neighbors in sort order — LINEAR candidate count (n·w) instead
+    of the quadratic blocking-bucket join, the classic third member of
+    the dedup-family alongside LSH banding and prefix filtering.
+
+    The neighbor pairs come from ``lead(…, d)`` columns over the sort —
+    no self-join at all; similarity is exact token Jaccard computed
+    JVM-side on the carried token arrays. Note the declared form uses a
+    single global sort window (fine at dimension scale); the 100 TB swap
+    is a range-partitioned sort plus a w-row boundary exchange per
+    partition — same candidates, documented, not a semantic change.
+    """
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.functions.text import tokens
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    key = F.substring(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, key_chars
+    )
+    base = ensure_parallel(documents).select(
+        "doc_id", key.alias("k"), F.array_distinct(tokens("text")).alias("arr")
+    )
+    ww = Window.orderBy("k", "doc_id")
+    led = base.select(
+        "doc_id",
+        "arr",
+        *[F.lead("doc_id", d).over(ww).alias(f"_b{d}") for d in range(1, w + 1)],
+        *[F.lead("arr", d).over(ww).alias(f"_a{d}") for d in range(1, w + 1)],
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"_b{d}").alias("doc_b"), F.col(f"_a{d}").alias("arr_b")
+            )
+            for d in range(1, w + 1)
+        ]
+    )
+    pairs = (
+        led.select("doc_id", "arr", F.explode(nbrs).alias("nb"))
+        .filter(F.col("nb.doc_b").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("nb.doc_b").alias("doc_b"),
+            F.size(F.array_intersect("arr", "nb.arr_b")).alias("inter"),
+            (F.size("arr") + F.size("nb.arr_b")).alias("szsum"),
+        )
+    )
+    jac = F.col("inter") / (F.col("szsum") - F.col("inter"))
+    return (
+        pairs.filter(F.col("szsum") > F.col("inter"))
+        .filter(jac >= min_jaccard)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
     )

@@ -1308,3 +1308,73 @@ def rfm_scores(orders: DataFrame, n_tiles: int = 4) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("monetary"), 6).alias("avg_monetary"),
     )
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnostic: one summary row over the per-key count
+    distribution — key cardinality, mean/median/p99/max counts, the
+    heaviest key, and the max/mean skew ratio that predicts whether a
+    shuffle on this key needs salting or AQE skew handling.
+
+    Two aggregations: the per-key count (partial-agg'd on the key being
+    diagnosed — the same shuffle the real join would do) and a single-row
+    rollup over the count distribution (exact interpolated percentiles;
+    keys-space-sized input, scale-independent output). The heaviest key
+    is a deterministic argmax — max(struct(count, −key)) breaks count
+    ties toward the smallest key.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count("*").alias("c"))
+    top = F.max(F.struct(F.col("c").alias("c"), (-F.col("k")).alias("negk")))
+    return counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.round(F.avg("c"), 6).alias("mean_cnt"),
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_cnt"),
+        F.max("c").alias("max_cnt"),
+        top.alias("_t"),
+    ).select(
+        "n_keys",
+        "mean_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        "max_cnt",
+        (-F.col("_t.negk")).alias("top_key"),
+        F.round(F.col("max_cnt") / F.col("mean_cnt"), 6).alias("skew_ratio"),
+    )
+
+
+def equidepth_histogram(
+    lineitem: DataFrame, col: str = "l_extendedprice", n_buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bucket boundaries from ONE exact
+    interpolated percentile aggregate, then a second pass assigns each
+    row by counting boundaries below its value (an ``F.aggregate`` fold
+    over the broadcast boundary array — pure JVM arithmetic).
+
+    This is the scale-correct alternative to ``ntile`` over the fact
+    table: ntile needs a GLOBAL sort window (one partition holds
+    everything); boundaries + fold is two partial-agg'd scans with a
+    9-element broadcast in between — same result bucketing, no global
+    sort anywhere.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = lineitem.agg(
+        F.percentile(col, F.lit(qs)).alias("bs")
+    )
+    v = F.col(col)
+    bucket = F.aggregate(
+        F.col("bs"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+    )
+    return (
+        lineitem.select(col)
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min(v), 4).alias("lo"),
+            F.round(F.max(v), 4).alias("hi"),
+            F.round(F.sum(v), 4).alias("total"),
+        )
+    )

@@ -512,3 +512,64 @@ def vocab_coverage(
             F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
         )
     )
+
+
+def remove_repeated_chunks(
+    documents: DataFrame, chunk_words: int = 8, max_doc_freq: int = 2
+) -> DataFrame:
+    """Boilerplate removal at chunk granularity (the CCNet/RefinedWeb
+    repeated-paragraph filter, adapted to word-stream text): split each
+    doc into non-overlapping ``chunk_words``-token chunks, count how
+    many DISTINCT docs each chunk text occurs in corpus-wide, drop
+    chunks appearing in more than ``max_doc_freq`` docs, and fingerprint
+    the rebuilt document. Returns per doc: total/kept chunk counts and
+    the md5 of the cleaned text (NULL when everything was boilerplate).
+
+    Two shuffles: the chunk-text doc-frequency aggregate (map-side
+    combined; the chunk text is a short string key) and the per-doc
+    rebuild groupBy. The rebuild keeps order via sort_array over
+    (position, chunk) structs — no window, no second scan of the corpus.
+    At 100 TB the df table is chunk-vocabulary-sized; the join is a
+    plain equi-join AQE can size (the same shape as the shingle df join
+    in the Jaccard family).
+    """
+    from page_rank_hadoop_spark.functions.text import tokens
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = ensure_parallel(documents).select("doc_id", tokens("text").alias("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(chunk_words)
+    )
+    chunk = F.slice(F.col("_t"), F.col("_start") + 1, chunk_words)
+    chunks = (
+        toks.select("doc_id", F.explode(starts).alias("_start"), "_t")
+        .select(
+            "doc_id",
+            "_start",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .drop("_n")
+    )
+    dfreq = chunks.groupBy("chunk_text").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tagged = chunks.join(dfreq, "chunk_text")
+    kept_struct = F.when(
+        F.col("df") <= max_doc_freq, F.struct("_start", "chunk_text")
+    )
+    agg = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("df") <= max_doc_freq, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sort_array(F.collect_list(kept_struct)).alias("_kept"),
+    )
+    cleaned = F.array_join(F.transform("_kept", lambda s: s["chunk_text"]), " ")
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.when(F.size("_kept") > 0, F.md5(cleaned)).alias("fingerprint"),
+    )

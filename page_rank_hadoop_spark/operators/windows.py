@@ -515,3 +515,74 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n_obs").isNull().cast("int").alias("is_gap"),
     )
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Seasonality matrix: event count and value stats per (day-of-week,
+    hour-of-day) cell — the load-shape rollup behind capacity planning
+    and anomaly baselines. One partial-agg'd groupBy on a ≤168-row key;
+    dow is Spark's 1-based-from-Sunday convention (the oracle shifts
+    DuckDB's 0-based dayofweek to match)."""
+    return (
+        events.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def cusum_changepoints(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Changepoint screening per user via CUSUM: the running sum of
+    (value − user mean) in event order; a large |CUSUM| excursion marks
+    a sustained level shift. Returns per user the peak |CUSUM|, when it
+    occurred (earliest event on ties), and whether it exceeds
+    ``z · stddev`` — the classic two-pass screen (one stats pass, one
+    ordered window pass), both partitioned on user_id so the exchange
+    is reused; no driver-side loop, no UDF.
+
+    The peak row is selected with max(struct(abs, −µs, cusum)) — a
+    deterministic argmax (ties break to the earliest event) that both
+    engines evaluate identically because the running sums accumulate in
+    the same frame order.
+    """
+    # the mean/std are ROUNDED to 6dp before the cumsum: partial-agg
+    # summation order differs between engines by ~1 ulp, and a raw mean
+    # leaks that ulp into every (value − mean) term — with the rounded
+    # mean both engines accumulate bit-identical doubles in the same
+    # frame order, so the 6dp output rounding can never straddle a
+    # boundary (hit once at sf0.1: 332.322188 vs …87)
+    stats = events.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("_mean"),
+        F.round(F.stddev_samp("value"), 6).alias("_std"),
+        F.count("*").alias("n_events"),
+    ).filter(F.col("n_events") >= 2)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = events.join(stats, "user_id").withColumn(
+        "_cusum", F.sum(F.col("value") - F.col("_mean")).over(w)
+    )
+    peak = F.max(
+        F.struct(
+            F.abs("_cusum").alias("a"),
+            (-F.unix_micros("ts")).alias("negus"),
+            F.col("_cusum").alias("c"),
+        )
+    ).alias("_pk")
+    out = dev.groupBy("user_id", "_mean", "_std", "n_events").agg(peak)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("_mean", 6).alias("mean_value"),
+        F.round(F.col("_pk.a"), 6).alias("max_abs_cusum"),
+        F.date_format(
+            F.timestamp_micros(-F.col("_pk.negus")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("peak_ts"),
+        (F.col("_pk.a") > z * F.col("_std")).cast("int").alias("flagged"),
+    )

@@ -1425,6 +1425,44 @@ def q_rfm_segments(spark, sf):
     return relational.rfm_scores(load_table(spark, sf, "orders"))
 
 
+def q_repeated_chunks(spark, sf):
+    """CCNet-style boilerplate removal: drop 8-word chunks occurring in
+    >2 distinct docs, fingerprint the rebuilt text — chunk-df join +
+    ordered in-group rebuild, no window."""
+    return textstats.remove_repeated_chunks(_docs(spark, sf))
+
+
+def q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood dedup (SNM): normalized-key sort, lead-window
+    neighbor pairs (linear n·w candidates, NO self-join), exact token
+    Jaccard ≥ 0.6."""
+    return dedup.sorted_neighborhood_pairs(_docs(spark, sf), w=4, min_jaccard=0.6)
+
+
+def q_seasonal_profile(spark, sf):
+    """Seasonality matrix per (day-of-week, hour): one partial-agg'd
+    groupBy on a ≤168-cell key."""
+    return windows.seasonal_profile(load_table(spark, sf, "events"))
+
+
+def q_cusum_changepoints(spark, sf):
+    """CUSUM changepoint screen per user: two-pass (stats + ordered
+    cumsum window), deterministic struct-argmax peak selection."""
+    return windows.cusum_changepoints(load_table(spark, sf, "events"))
+
+
+def q_skew_report(spark, sf):
+    """Join-key skew diagnostic over lineitem.l_partkey: per-key counts →
+    one-row distribution summary (p50/p99/max/top-key/skew ratio)."""
+    return relational.skew_report(load_table(spark, sf, "lineitem"), "l_partkey")
+
+
+def q_equidepth_histogram(spark, sf):
+    """Equi-depth decile histogram of l_extendedprice: percentile
+    boundaries + broadcast fold assignment — no ntile global sort."""
+    return relational.equidepth_histogram(load_table(spark, sf, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -4054,6 +4092,118 @@ def build_oracles() -> dict[str, str]:
       GROUP BY a.i, b.i
     """
 
+    oracles["q_repeated_chunks"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      s AS (
+        SELECT doc_id, l, unnest(range(0, greatest(len(l), 1), 8)) AS st FROM t
+      ),
+      c AS (
+        SELECT doc_id, st, array_to_string(l[st + 1 : st + 8], ' ') AS chunk_text
+        FROM s WHERE len(l[st + 1 : st + 8]) > 0
+      ),
+      dfreq AS (
+        SELECT chunk_text, count(DISTINCT doc_id)::BIGINT AS df FROM c GROUP BY 1
+      )
+      SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+             sum(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             md5(string_agg(chunk_text, ' ' ORDER BY c.st)
+                 FILTER (WHERE d.df <= 2)) AS fingerprint
+      FROM c JOIN dfreq d USING (chunk_text)
+      GROUP BY c.doc_id
+    """
+
+    _snm_leg = """
+      SELECT doc_id AS da, b{d} AS db,
+             len(list_intersect(arr, a{d}))::BIGINT AS inter,
+             (len(arr) + len(a{d}))::BIGINT AS szsum
+      FROM led WHERE b{d} IS NOT NULL"""
+    oracles["q_sorted_neighborhood"] = f"""
+      WITH base AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k,
+               list_distinct({SQL_TOKENS}) AS arr
+        FROM documents
+      ),
+      led AS (
+        SELECT doc_id, arr,
+               {', '.join(f'lead(doc_id, {d}) OVER w AS b{d}, lead(arr, {d}) OVER w AS a{d}' for d in range(1, 5))}
+        FROM base WINDOW w AS (ORDER BY k, doc_id)
+      ),
+      pairs AS ({' UNION ALL '.join(_snm_leg.format(d=d) for d in range(1, 5))})
+      SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+             round(inter / (szsum - inter), 6) AS jaccard
+      FROM pairs
+      WHERE szsum > inter AND inter / (szsum - inter) >= 0.6::DOUBLE
+    """
+
+    oracles["q_seasonal_profile"] = """
+      SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
+             count(*)::BIGINT AS n_events,
+             round(avg(value), 6) AS avg_value,
+             round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2
+    """
+
+    oracles["q_cusum_changepoints"] = """
+      WITH stats AS (
+        -- mean/std rounded 6dp BEFORE the cumsum: keeps the window
+        -- accumulation bit-identical to Spark (see cusum_changepoints)
+        SELECT user_id, round(avg(value), 6) AS m,
+               round(stddev_samp(value), 6) AS sd,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY user_id HAVING count(*) >= 2
+      ),
+      dev AS (
+        SELECT e.user_id, e.ts, s.m, s.sd, s.n,
+               sum(e.value - s.m) OVER (
+                 PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM events e JOIN stats s USING (user_id)
+      ),
+      pk AS (
+        SELECT user_id, n, m, sd, cusum, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(cusum) DESC, ts ASC) AS rn
+        FROM dev
+      )
+      SELECT user_id, n AS n_events, round(m, 6) AS mean_value,
+             round(abs(cusum), 6) AS max_abs_cusum,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_ts,
+             (CASE WHEN abs(cusum) > 3.0::DOUBLE * sd THEN 1 ELSE 0 END)::INT
+               AS flagged
+      FROM pk WHERE rn = 1
+    """
+
+    oracles["q_skew_report"] = """
+      WITH counts AS (
+        SELECT l_partkey AS k, count(*)::BIGINT AS c FROM lineitem GROUP BY 1
+      ),
+      top AS (SELECT k AS top_key FROM counts ORDER BY c DESC, k ASC LIMIT 1)
+      SELECT count(*)::BIGINT AS n_keys,
+             round(avg(c), 6) AS mean_cnt,
+             round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+             round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+             max(c)::BIGINT AS max_cnt,
+             t.top_key,
+             round(max(c) / round(avg(c), 6), 6) AS skew_ratio
+      FROM counts CROSS JOIN top t GROUP BY t.top_key
+    """
+
+    oracles["q_equidepth_histogram"] = """
+      WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM lineitem
+      )
+      SELECT len(list_filter(b.bs, x -> li.l_extendedprice > x))::INT AS bucket,
+             count(*)::BIGINT AS n_rows,
+             round(min(li.l_extendedprice), 4) AS lo,
+             round(max(li.l_extendedprice), 4) AS hi,
+             round(sum(li.l_extendedprice), 4) AS total
+      FROM lineitem li CROSS JOIN bounds b
+      GROUP BY 1
+    """
+
     oracles["q_rfm_segments"] = """
       WITH maxd AS (SELECT max(o_orderdate) AS max_d FROM orders),
       cust AS (
@@ -4147,6 +4297,12 @@ def build_queries() -> dict[str, QueryFn]:
         "q_vocab_coverage": q_vocab_coverage,
         "q_gram_matrix": q_gram_matrix,
         "q_rfm_segments": q_rfm_segments,
+        "q_repeated_chunks": q_repeated_chunks,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_seasonal_profile": q_seasonal_profile,
+        "q_cusum_changepoints": q_cusum_changepoints,
+        "q_skew_report": q_skew_report,
+        "q_equidepth_histogram": q_equidepth_histogram,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

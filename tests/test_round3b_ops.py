@@ -7,8 +7,8 @@ import math
 
 from pyspark.sql import functions as F
 
-from page_rank_hadoop_spark.operators import graph, pipeline, relational, similarity
-from page_rank_hadoop_spark.operators import textstats, windows
+from page_rank_hadoop_spark.operators import dedup, graph, pipeline, relational
+from page_rank_hadoop_spark.operators import similarity, textstats, windows
 
 
 def _ev(spark, rows):
@@ -229,3 +229,121 @@ def test_rfm_scores_cover_all_customers(spark):
     # the highest-spend, most-frequent customer lands in f=1, m=1
     top = [r for r in out if r["f_tile"] == 1 and r["m_tile"] == 1]
     assert top
+
+
+# ---------------------------------------------------------------------------
+# repeated-chunk boilerplate removal
+# ---------------------------------------------------------------------------
+
+def test_remove_repeated_chunks_drops_cross_doc_boilerplate(spark):
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    d = spark.createDataFrame(
+        [
+            (1, boiler + " one two three four five six seven eight"),
+            (2, boiler + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (3, boiler + " a b c d e f g h"),
+            (4, "unique words entirely different content here now ok"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.remove_repeated_chunks(d, chunk_words=8, max_doc_freq=2).collect()}
+    # boilerplate chunk occurs in 3 docs > max_df 2 → dropped from each
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[4]["n_chunks"] == 1 and out[4]["n_kept"] == 1
+    assert out[4]["fingerprint"] is not None
+
+
+def test_remove_repeated_chunks_all_boilerplate_doc_null_fingerprint(spark):
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    d = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 5)], "doc_id LONG, text STRING"
+    )
+    out = textstats.remove_repeated_chunks(d, chunk_words=8, max_doc_freq=2).collect()
+    assert all(r["n_kept"] == 0 and r["fingerprint"] is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# sorted neighborhood
+# ---------------------------------------------------------------------------
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "apple banana cherry date fig grape"),
+            (2, "apple banana cherry date fig plum"),      # 5/7 with doc 1
+            (3, "zebra yak xylophone wombat vulture tiger"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = dedup.sorted_neighborhood_pairs(d, w=2, min_jaccard=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(1, 2)}
+    assert abs(out[0]["jaccard"] - 5 / 7) < 1e-6
+
+
+def test_sorted_neighborhood_window_limits_candidates(spark):
+    # identical docs sorted >w apart are missed — SNM's documented tradeoff
+    rows = [(i, f"{chr(97 + i)} filler words here") for i in range(6)]
+    rows.append((100, "a filler words here"))  # sorts adjacent to doc 0
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = dedup.sorted_neighborhood_pairs(d, w=1, min_jaccard=0.9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(0, 100)}
+
+
+# ---------------------------------------------------------------------------
+# seasonal profile / cusum
+# ---------------------------------------------------------------------------
+
+def test_seasonal_profile_cells(spark):
+    # 2024-06-01 is a Saturday → Spark dow 7
+    df = _ev(spark, [(0, 1, 0, 1.0), (1, 1, 30, 3.0), (2, 1, 90, 10.0)])
+    out = {(r["dow"], r["hour"]): r for r in windows.seasonal_profile(df).collect()}
+    assert out[(7, 0)]["n_events"] == 2
+    assert abs(out[(7, 0)]["sum_value"] - 4.0) < 1e-9
+    assert out[(7, 1)]["n_events"] == 1
+
+
+def test_cusum_flags_level_shift(spark):
+    # 10 events at 0, then 10 at 10 → cusum peaks at the shift point
+    vals = [0.0] * 10 + [10.0] * 10
+    df = _ev(spark, [(i, 1, i, v) for i, v in enumerate(vals)])
+    out = windows.cusum_changepoints(df, z=1.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["flagged"] == 1
+    # peak |cusum| = 10·|0−5| = 50 at the 10th event (minute 9)
+    assert abs(r["max_abs_cusum"] - 50.0) < 1e-6
+    assert r["peak_ts"].endswith("00:09:00")
+
+
+def test_cusum_requires_two_events(spark):
+    df = _ev(spark, [(0, 1, 0, 1.0), (1, 2, 0, 1.0), (2, 2, 5, 2.0)])
+    out = windows.cusum_changepoints(df).collect()
+    assert {r["user_id"] for r in out} == {2}
+
+
+# ---------------------------------------------------------------------------
+# skew report / equi-depth histogram
+# ---------------------------------------------------------------------------
+
+def test_skew_report_identifies_heavy_key(spark):
+    rows = [(1,)] * 50 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "l_partkey LONG")
+    r = relational.skew_report(df, "l_partkey").collect()[0]
+    assert r["n_keys"] == 3
+    assert r["max_cnt"] == 50
+    assert r["top_key"] == 1
+    assert abs(r["skew_ratio"] - 50 / 20.0) < 1e-6
+
+
+def test_equidepth_histogram_balanced_buckets(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "l_extendedprice DOUBLE"
+    )
+    out = sorted(relational.equidepth_histogram(df, n_buckets=10).collect(),
+                 key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in out] == list(range(10))
+    assert sum(r["n_rows"] for r in out) == 100
+    # equi-depth: every bucket within ±1 of 10 rows
+    assert all(9 <= r["n_rows"] <= 11 for r in out)
+    assert out[0]["lo"] == 1.0 and out[-1]["hi"] == 100.0

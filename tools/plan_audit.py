@@ -150,6 +150,12 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_vocab_coverage", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_gram_matrix", [("has", r"MapInPandas"), ("has", r"HashAggregate"), ("not", r"BatchEvalPython")]),
     ("q_rfm_segments", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"SortMergeJoin")]),
+    ("q_repeated_chunks", [("has", r"Generate"), ("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_sorted_neighborhood", [("has", r"Window"), ("not", r"(SortMergeJoin|BroadcastHashJoin)"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_seasonal_profile", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_cusum_changepoints", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_skew_report", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_equidepth_histogram", [("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
