@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "q_sorted_neighborhood",
     "q_cusum_changepoints",
     "q_equidepth_histogram",
+    "q_linreg",
+    "q_ab_ttest",
+    "q_label_centroids",
+    "q_sql_report",
 ]
 
 
@@ -116,6 +120,9 @@ def main() -> None:
     # position-free projection for the scoring probes.
     registry._tf(spark, sf_dir).write.format("noop").mode("overwrite").save()
     registry._tf_slim(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # shared ngram-shingle MV (both Jaccard variants probe it) — same
+    # build-vs-query attribution policy as the other shared views.
+    registry._ngram_base(spark, sf_dir).write.format("noop").mode("overwrite").save()
     build_sec = round(time.perf_counter() - t0, 3)
     print(
         f"# build (graph + pagerank10 + simhash-sig + term-tf views): {build_sec:.3f}s",

@@ -1378,3 +1378,46 @@ def equidepth_histogram(
             F.round(F.sum(v), 4).alias("total"),
         )
     )
+
+
+def ab_ttest(
+    events: DataFrame, type_a: str = "click", type_b: str = "view"
+) -> DataFrame:
+    """Welch's two-sample t-test between two event types on ``value``:
+    one conditional-aggregation pass computes both groups' n/mean/var,
+    then the t statistic and Welch–Satterthwaite degrees of freedom are
+    closed-form scalar arithmetic — the A/B-readout operator, one
+    partial-agg'd scan, single-row output at any scale.
+
+    Means and variances are ROUNDED to 6dp before entering the t
+    formula (the cusum lesson: partial-agg summation order differs
+    between engines by ~1 ulp; rounding the inputs makes the derived
+    statistic bit-identical rather than hoping the output rounding
+    doesn't straddle a boundary).
+    """
+    a = F.col("event_type") == type_a
+    b = F.col("event_type") == type_b
+    agg = events.filter(a | b).agg(
+        F.sum(a.cast("int")).cast("bigint").alias("n_a"),
+        F.sum(b.cast("int")).cast("bigint").alias("n_b"),
+        F.round(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
+        F.round(F.avg(F.when(b, F.col("value"))), 6).alias("mean_b"),
+        F.round(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),
+        F.round(F.var_samp(F.when(b, F.col("value"))), 6).alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)
+    df_w = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 6).alias("welch_df"),
+    )

@@ -325,3 +325,47 @@ def gram_matrix(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         partial_gram, "i int, j int, partial double"
     )
     return parts.groupBy("i", "j").agg(F.round(F.sum("partial"), 4).alias("gram"))
+
+
+def label_centroids_cosine(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-label centroid embeddings and the pairwise centroid cosine
+    matrix — the class-separation diagnostic run before training a
+    linear probe (collapsed classes ⇒ near-1 off-diagonal cosines).
+
+    The centroid is a (label, dim)-keyed partial-agg'd mean over the
+    posexploded vectors (≤ labels·dim keys in flight — the shuffle
+    carries centroids, not vectors); per-dim means are ROUNDED to 6dp
+    before the cosine so both engines derive the statistic from
+    identical doubles. The pairwise stage is label² rows — tiny by
+    construction.
+    """
+    per_dim = (
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s")
+    ).select(
+        "label", F.transform("_s", lambda s: s["m"]).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("c").alias("cb"))
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform("ca", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform("cb", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(dot / (na * nb), 6).alias("centroid_cosine"),
+        )
+    )

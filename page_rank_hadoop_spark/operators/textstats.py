@@ -573,3 +573,24 @@ def remove_repeated_chunks(
         "n_kept",
         F.when(F.size("_kept") > 0, F.md5(cleaned)).alias("fingerprint"),
     )
+
+
+def linreg_by_lang(documents: DataFrame) -> DataFrame:
+    """Per-language OLS fit of token count on character count via the
+    built-in regression aggregates (regr_slope/intercept/r2) — closed-
+    form, single-pass, partial-aggregable: the same shuffle shape as any
+    groupBy, no iteration, no ML library. The linear-model surface of
+    the stats family (corr/covar are in stats_correlation)."""
+    from page_rank_hadoop_spark.functions.text import token_count
+
+    base = documents.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        token_count("text").cast("double").alias("y"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )

@@ -1463,6 +1463,57 @@ def q_equidepth_histogram(spark, sf):
     return relational.equidepth_histogram(load_table(spark, sf, "lineitem"))
 
 
+def q_linreg(spark, sf):
+    """Per-language OLS (regr_slope/intercept/r2) of token count on
+    char count — single-pass closed-form regression aggregates."""
+    return textstats.linreg_by_lang(_docs(spark, sf))
+
+
+def q_ab_ttest(spark, sf):
+    """Welch's t-test click-vs-view on events.value: one conditional-agg
+    scan, closed-form t + Welch df, 6dp-prerounded moments."""
+    return relational.ab_ttest(load_table(spark, sf, "events"))
+
+
+def q_label_centroids(spark, sf):
+    """Per-label centroid embeddings → pairwise centroid cosine matrix
+    (class-separation diagnostic); (label, dim)-keyed partial-agg mean,
+    6dp-prerounded."""
+    return similarity.label_centroids_cosine(load_table(spark, sf, "embeddings"))
+
+
+_SQL_REPORT = """
+  WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+  )
+  SELECT region, nation, revenue,
+         rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+           AS rnk,
+         round(revenue / round(sum(revenue) OVER (PARTITION BY region), 4), 6)
+           AS region_share
+  FROM rev
+"""
+
+
+def q_sql_report(spark, sf):
+    """The SQL-API surface: the same engine driven through
+    ``spark.sql`` text (ANSI CTE + window over a star join) instead of
+    the DataFrame DSL — the dialect is close enough to DuckDB's that
+    the ORACLE IS THE QUERY, verbatim. Catalyst plans it identically to
+    the DSL twin (dims broadcast, one fact shuffle, rank window on the
+    25-row rollup)."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_REPORT)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -4204,6 +4255,64 @@ def build_oracles() -> dict[str, str]:
       GROUP BY 1
     """
 
+    oracles["q_linreg"] = f"""
+      WITH base AS (
+        SELECT lang, n_chars::DOUBLE AS x, (len({SQL_TOKENS}))::DOUBLE AS y
+        FROM documents
+      )
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             round(regr_slope(y, x), 6) AS slope,
+             round(regr_intercept(y, x), 6) AS intercept,
+             round(regr_r2(y, x), 6) AS r2
+      FROM base GROUP BY lang
+    """
+
+    oracles["q_ab_ttest"] = """
+      WITH agg AS (
+        SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS mean_a,
+               round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS mean_b,
+               round(var_samp(CASE WHEN event_type = 'click' THEN value END), 6) AS var_a,
+               round(var_samp(CASE WHEN event_type = 'view' THEN value END), 6) AS var_b
+        FROM events WHERE event_type IN ('click', 'view')
+      )
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+             round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+               AS t_stat,
+             -- x*x, not pow(x,2): libm pow is not guaranteed bit-equal
+             round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+                   ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
+      FROM agg
+    """
+
+    oracles["q_label_centroids"] = """
+      WITH ex AS (
+        SELECT label, (u.s.i)::INT AS dim, (u.s.x)::DOUBLE AS x
+        FROM (
+          SELECT label,
+                 [{'i': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      ),
+      cent AS (
+        SELECT label, dim, round(avg(x), 6) AS m FROM ex GROUP BY label, dim
+      ),
+      pair AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.m * b.m) AS dot,
+               sqrt(sum(a.m * a.m)) AS na, sqrt(sum(b.m * b.m)) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+      )
+      SELECT label_a, label_b, round(dot / (na * nb), 6) AS centroid_cosine
+      FROM pair
+    """
+
+    # the SQL-API query IS its own oracle (same ANSI text, both engines)
+    oracles["q_sql_report"] = _SQL_REPORT
+
     oracles["q_rfm_segments"] = """
       WITH maxd AS (SELECT max(o_orderdate) AS max_d FROM orders),
       cust AS (
@@ -4303,6 +4412,10 @@ def build_queries() -> dict[str, QueryFn]:
         "q_cusum_changepoints": q_cusum_changepoints,
         "q_skew_report": q_skew_report,
         "q_equidepth_histogram": q_equidepth_histogram,
+        "q_linreg": q_linreg,
+        "q_ab_ttest": q_ab_ttest,
+        "q_label_centroids": q_label_centroids,
+        "q_sql_report": q_sql_report,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

@@ -347,3 +347,62 @@ def test_equidepth_histogram_balanced_buckets(spark):
     # equi-depth: every bucket within ±1 of 10 rows
     assert all(9 <= r["n_rows"] <= 11 for r in out)
     assert out[0]["lo"] == 1.0 and out[-1]["hi"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# linreg / t-test / label centroids / SQL API
+# ---------------------------------------------------------------------------
+
+def test_linreg_recovers_exact_linear_relation(spark):
+    # y tokens = exactly x/5 words of 4 chars + spaces ⇒ near-perfect fit
+    rows = [(i, "en", "word " * (10 * (i + 1)), 50 * (i + 1)) for i in range(5)]
+    d = spark.createDataFrame(
+        [(i, t.strip(), lang, n) for i, (i2, lang, t, n) in enumerate(rows)],
+        "doc_id LONG, text STRING, lang STRING, n_chars INT",
+    )
+    r = textstats.linreg_by_lang(d).collect()[0]
+    assert r["n_docs"] == 5
+    assert abs(r["slope"] - 0.2) < 1e-6  # 10 tokens per 50 chars
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_ab_ttest_detects_mean_shift(spark):
+    rows = [(i, 1, i, 10.0 + (i % 3) * 0.1) for i in range(20)]
+    df_a = _ev(spark, rows)  # all "view"
+    clicks = _ev(spark, [(100 + i, 2, i, 20.0 + (i % 3) * 0.1) for i in range(20)])
+    clicks = clicks.withColumn("event_type", F.lit("click"))
+    r = relational.ab_ttest(df_a.unionByName(clicks)).collect()[0]
+    assert r["n_a"] == 20 and r["n_b"] == 20
+    assert abs(r["mean_a"] - r["mean_b"] - 10.0) < 1e-6
+    assert r["t_stat"] > 50  # tiny variance, huge shift
+    assert 30 <= r["welch_df"] <= 38
+
+
+def test_label_centroids_cosine_separates_orthogonal_classes(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0], "a"))
+        rows.append((100 + i, [0.0, 1.0, 0.0, 0.0], "b"))
+        rows.append((200 + i, [1.0, 1.0, 0.0, 0.0], "c"))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label STRING")
+    out = {(r["label_a"], r["label_b"]): r["centroid_cosine"]
+           for r in similarity.label_centroids_cosine(df, dim=4).collect()}
+    assert abs(out[("a", "b")]) < 1e-6            # orthogonal
+    assert abs(out[("a", "c")] - 2 ** -0.5) < 1e-5  # 45°
+    assert abs(out[("b", "c")] - 2 ** -0.5) < 1e-5
+
+
+def test_sql_report_matches_dsl_star_join(spark):
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    out = m.queries()["q_sql_report"](spark, sf)
+    rows = out.collect()
+    assert rows
+    # shares within each region sum to ~1, ranks start at 1
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    for region, rs in by_region.items():
+        assert min(x["rnk"] for x in rs) == 1
+        assert abs(sum(x["region_share"] for x in rs) - 1.0) < 1e-3

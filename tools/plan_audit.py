@@ -156,6 +156,10 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_cusum_changepoints", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_skew_report", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_equidepth_histogram", [("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_linreg", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_ab_ttest", [("has", r"HashAggregate"), ("not", r"Window"), ("has", r"PushedFilters: \[.*In\(event_type|Filter")]),
+    ("q_label_centroids", [("has", r"Generate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_sql_report", [("has", r"BroadcastHashJoin"), ("has", r"Window"), ("not", r"CartesianProduct")]),
 ]
 
 
