@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_ab_ttest",
     "q_label_centroids",
     "q_sql_report",
+    "q_expanding_zscore",
 ]
 
 

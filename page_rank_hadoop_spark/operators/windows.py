@@ -586,3 +586,50 @@ def cusum_changepoints(events: DataFrame, z: float = 3.0) -> DataFrame:
         ).alias("peak_ts"),
         (F.col("_pk.a") > z * F.col("_std")).cast("int").alias("flagged"),
     )
+
+
+def expanding_zscore_flags(
+    events: DataFrame, z: float = 3.0, min_history: int = 5
+) -> DataFrame:
+    """Online anomaly detection, batch form: each event is scored against
+    the running mean/std of the user's PRIOR events (expanding window,
+    current row excluded) and flagged when |z| exceeds the threshold
+    after ≥ ``min_history`` observations. This is exactly what the
+    streaming twin (streaming/stateful.streaming_zscore_monitor) computes
+    from carried (n, Σv, Σv²) state — the batch/stream pair share the
+    formula var = (Σv² − (Σv)²/n)/(n−1) on sequentially-accumulated sums,
+    so replay equality is bit-exact, not approximate.
+
+    One user_id window pass (the cumulative sums reuse one exchange);
+    degenerate windows (n < min_history, zero variance) are excluded on
+    both sides.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.count("value").over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    zscore = (F.col("value") - mean) / F.sqrt(var)
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n.alias("_n"),
+        var.alias("_var"),
+        zscore.alias("_z"),
+    )
+    return base.filter(
+        (F.col("_n") >= min_history) & (F.col("_var") > 0) & (F.abs("_z") > z)
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round("_z", 6).alias("z_score"),
+    )

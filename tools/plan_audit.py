@@ -160,6 +160,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_ab_ttest", [("has", r"HashAggregate"), ("not", r"Window"), ("has", r"PushedFilters: \[.*In\(event_type|Filter")]),
     ("q_label_centroids", [("has", r"Generate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_sql_report", [("has", r"BroadcastHashJoin"), ("has", r"Window"), ("not", r"CartesianProduct")]),
+    ("q_expanding_zscore", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
 ]
 
 
