@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "q_label_centroids",
     "q_sql_report",
     "q_expanding_zscore",
+    "q_incremental_agg",
+    "q_data_quality",
 ]
 
 

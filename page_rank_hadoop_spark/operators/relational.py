@@ -1421,3 +1421,59 @@ def ab_ttest(
         F.round(t, 6).alias("t_stat"),
         F.round(df_w, 6).alias("welch_df"),
     )
+
+
+def data_quality_checks(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Declarative data-quality validation (the Deequ/expectations
+    surface): a fixed suite of constraint checks — range, not-null,
+    referential integrity, key uniqueness — each evaluated as a
+    violation COUNT so one report row per check comes back regardless
+    of table size.
+
+    Plan shape per check class: range/not-null checks share ONE
+    conditional-aggregation scan of the fact table (no per-check
+    passes); the FK check is a left-anti join (violations ∝ orphans);
+    uniqueness is a keyed partial-agg count HAVING >1. The union is a
+    five-row frame — scale-independent output, and every check's scan
+    prunes to just the columns it validates.
+    """
+    spark = lineitem.sparkSession
+
+    def one(name: str, cnt):
+        return F.struct(F.lit(name).alias("check_name"), cnt.alias("n_violations"))
+
+    scans = lineitem.agg(
+        one(
+            "l_quantity_in_1_45",
+            F.sum(
+                (~F.col("l_quantity").between(1.0, 45.0)).cast("int")
+            ).cast("bigint"),
+        ).alias("c1"),
+        one(
+            "l_discount_le_0.08",
+            F.sum((F.col("l_discount") > 0.08).cast("int")).cast("bigint"),
+        ).alias("c2"),
+        one(
+            "l_shipdate_not_null",
+            F.sum(F.col("l_shipdate").isNull().cast("int")).cast("bigint"),
+        ).alias("c3"),
+    ).select(F.explode(F.array("c1", "c2", "c3")).alias("r")).select("r.*")
+    fk = (
+        lineitem.select("l_orderkey")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(F.lit("l_orderkey_fk_orders").alias("check_name"), "n_violations")
+    )
+    uniq = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .select(F.lit("pk_orderkey_linenumber_unique").alias("check_name"), "n_violations")
+    )
+    report = scans.unionByName(fk).unionByName(uniq)
+    return report.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

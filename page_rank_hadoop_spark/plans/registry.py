@@ -1510,6 +1510,25 @@ def q_expanding_zscore(spark, sf):
     return windows.expanding_zscore_flags(load_table(spark, sf, "events"))
 
 
+def q_incremental_agg(spark, sf):
+    """Incremental MV maintenance: the (lang → count, Σchars) aggregate
+    updated from the CDC feed alone (O(churn+groups), base untouched);
+    the oracle recomputes from the NEW snapshot — an independent
+    derivation, so the hash match proves the delta algebra."""
+    d, new = _churned_docs(spark, sf)
+    feed = pipeline.snapshot_diff(d, new, "doc_id")
+    return pipeline.incremental_agg_maintain(d, feed, "doc_id", "lang", "n_chars")
+
+
+def q_data_quality(spark, sf):
+    """Declarative data-quality suite over lineitem/orders: three range/
+    null checks in ONE conditional-agg scan + FK anti-join + PK
+    uniqueness agg → five report rows."""
+    return relational.data_quality_checks(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+
+
 def q_sql_report(spark, sf):
     """The SQL-API surface: the same engine driven through
     ``spark.sql`` text (ANSI CTE + window over a star join) instead of
@@ -4321,6 +4340,48 @@ def build_oracles() -> dict[str, str]:
     # the SQL-API query IS its own oracle (same ANSI text, both engines)
     oracles["q_sql_report"] = _SQL_REPORT
 
+    oracles["q_incremental_agg"] = """
+      WITH newsnap AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+                 AS n_chars
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 10000, lang, n_chars FROM documents WHERE doc_id < 25
+      )
+      SELECT lang, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS total
+      FROM newsnap GROUP BY lang
+    """
+
+    oracles["q_data_quality"] = """
+      WITH s AS (
+        SELECT 'l_quantity_in_1_45' AS check_name,
+               sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 45.0)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount_le_0.08',
+               sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate_not_null',
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey_fk_orders', count(*)::BIGINT
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'pk_orderkey_linenumber_unique', count(*)::BIGINT FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING count(*) > 1
+        )
+      )
+      SELECT check_name, n_violations,
+             (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::INT AS passed
+      FROM s
+    """
+
     oracles["q_expanding_zscore"] = """
       WITH base AS (
         SELECT event_id, user_id, ts, value,
@@ -4445,6 +4506,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_label_centroids": q_label_centroids,
         "q_sql_report": q_sql_report,
         "q_expanding_zscore": q_expanding_zscore,
+        "q_incremental_agg": q_incremental_agg,
+        "q_data_quality": q_data_quality,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

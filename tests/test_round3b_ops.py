@@ -406,3 +406,75 @@ def test_sql_report_matches_dsl_star_join(spark):
     for region, rs in by_region.items():
         assert min(x["rnk"] for x in rs) == 1
         assert abs(sum(x["region_share"] for x in rs) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# incremental MV maintenance / data quality
+# ---------------------------------------------------------------------------
+
+def test_incremental_agg_matches_recompute_with_group_moves(spark):
+    old = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 200), (3, "de", 300), (4, "fr", 400)],
+        "doc_id LONG, lang STRING, n_chars INT",
+    )
+    # delete 4 (fr group vanishes), update 3 MOVES de→en, insert 5 (es)
+    new = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 250), (3, "en", 300), (5, "es", 50)],
+        "doc_id LONG, lang STRING, n_chars INT",
+    )
+    feed = pipeline.snapshot_diff(old, new, "doc_id")
+    got = {
+        r["lang"]: (r["n_rows"], r["total"])
+        for r in pipeline.incremental_agg_maintain(
+            old, feed, "doc_id", "lang", "n_chars"
+        ).collect()
+    }
+    want = {
+        r["lang"]: (r["n"], r["s"])
+        for r in new.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert got == want          # incremental == full recompute
+    assert "fr" not in got      # zero-count group dropped
+    assert got["en"] == (3, 650)  # absorbed the group-moving update
+
+
+def test_incremental_agg_empty_feed_is_identity(spark):
+    old = spark.createDataFrame(
+        [(1, "en", 100), (2, "de", 200)], "doc_id LONG, lang STRING, n_chars INT"
+    )
+    feed = pipeline.snapshot_diff(old, old, "doc_id")
+    got = pipeline.incremental_agg_maintain(old, feed, "doc_id", "lang", "n_chars")
+    assert {tuple(r) for r in got.collect()} == {("en", 1, 100), ("de", 1, 200)}
+
+
+def test_data_quality_checks_report(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10.0, 0.05, dt.datetime(2024, 1, 1)),
+            (1, 1, 48.0, 0.05, dt.datetime(2024, 1, 1)),  # dup PK + qty>45
+            (2, 1, 20.0, 0.09, dt.datetime(2024, 1, 1)),  # discount > 0.08
+            (9, 1, 20.0, 0.05, None),                     # orphan FK + null date
+        ],
+        "l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_discount DOUBLE, l_shipdate TIMESTAMP",
+    )
+    orders = spark.createDataFrame([(1,), (2,)], "o_orderkey LONG")
+    got = {r["check_name"]: (r["n_violations"], r["passed"])
+           for r in relational.data_quality_checks(li, orders).collect()}
+    assert got["l_quantity_in_1_45"] == (1, 0)
+    assert got["l_discount_le_0.08"] == (1, 0)
+    assert got["l_shipdate_not_null"] == (1, 0)
+    assert got["l_orderkey_fk_orders"] == (1, 0)
+    assert got["pk_orderkey_linenumber_unique"] == (1, 0)
+
+
+def test_data_quality_all_pass_on_clean_data(spark):
+    li = spark.createDataFrame(
+        [(1, 1, 10.0, 0.05, dt.datetime(2024, 1, 1))],
+        "l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_discount DOUBLE, l_shipdate TIMESTAMP",
+    )
+    orders = spark.createDataFrame([(1,)], "o_orderkey LONG")
+    out = relational.data_quality_checks(li, orders).collect()
+    assert all(r["passed"] == 1 and r["n_violations"] == 0 for r in out)
+    assert len(out) == 5

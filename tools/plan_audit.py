@@ -161,6 +161,8 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_label_centroids", [("has", r"Generate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_sql_report", [("has", r"BroadcastHashJoin"), ("has", r"Window"), ("not", r"CartesianProduct")]),
     ("q_expanding_zscore", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_incremental_agg", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_data_quality", [("has", r"(LeftAnti|left_anti)"), ("has", r"HashAggregate"), ("not", r"CartesianProduct")]),
 ]
 
 
