@@ -47,6 +47,10 @@ def _load_documents(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         return parsed.select(
             F.col("title").alias("doc_id"), F.col("links"), F.col("text")
         )
+    if fmt == "jsonl":
+        from page_rank_hadoop_spark.sources.connectors import read_jsonl
+
+        return read_jsonl(spark, path)
     return spark.read.parquet(path)
 
 
@@ -269,7 +273,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--format", choices=("parquet", "corpus"), default="parquet")
+    common.add_argument("--format", choices=("parquet", "corpus", "jsonl"), default="parquet")
 
     pi = sub.add_parser("index", parents=[common])
     pi.add_argument("input")

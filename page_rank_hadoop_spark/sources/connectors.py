@@ -83,3 +83,43 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT"
+)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Newline-delimited JSON reader — the lingua-franca interchange
+    format of LLM training corpora (one document object per line).
+
+    ``schema`` is REQUIRED thinking at scale even though it's optional
+    here: without it Spark runs a full inference pass over the input
+    before the real job (2× the 100 TB scan). Pass the DDL string; the
+    default is the engine's documents shape. JSONL is splittable by
+    line, so the scan parallelizes like text — but prefer converting to
+    parquet (``write_compacted``) after first read: JSON re-parses every
+    field on every query and prunes nothing.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(DOCUMENTS_JSONL_SCHEMA)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compress: bool = True) -> None:
+    """Write newline-delimited JSON (one object per row) — the export
+    format downstream tokenizer/training jobs consume. Gzip by default:
+    JSONL is ~4× larger than parquet uncompressed, and training-data
+    handoffs are bandwidth-bound. NOTE gzip is NOT splittable — at
+    100 TB either write many files (the default: one per partition,
+    which preserves read parallelism file-wise) or use zstd."""
+    w = df.write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)

@@ -82,3 +82,40 @@ def test_optional_connectors_fail_actionably(spark):
         connectors.read_jdbc(spark, "jdbc:postgresql://x/y", "t", "org.postgresql.Driver")
     with pytest.raises(ImportError, match="spark-avro"):
         connectors.read_avro(spark, "/tmp/nope.avro")
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    """JSONL write → read roundtrip preserves the documents shape (the
+    LLM-corpus interchange path), with the explicit no-inference schema."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.connectors import read_jsonl, write_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p, compress=False)
+    back = read_jsonl(spark, p)
+    assert back.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:int>"
+    )
+    a = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+
+
+def test_cli_dedup_reads_jsonl(spark, tmp_path):
+    """cli dedup --format jsonl runs the exact-dedup pass off a JSONL
+    input end to end."""
+    from page_rank_hadoop_spark import cli
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.connectors import write_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "in_jsonl")
+    write_jsonl(docs, src, compress=False)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["dedup", src, out, "--format", "jsonl", "--strategy", "exact"]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out + "/kept")
+    assert 0 < kept.count() <= docs.count()
