@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "q_expanding_zscore",
     "q_incremental_agg",
     "q_data_quality",
+    "q_path_mining",
+    "q_cohort_ltv",
+    "q_benford",
 ]
 
 

@@ -1477,3 +1477,82 @@ def data_quality_checks(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+def cohort_ltv(orders: DataFrame, max_offset: int = 3) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month;
+    for each (cohort month, month offset ≤ max_offset) the number of
+    active customers and their revenue — the revenue-sided sibling of
+    cohort retention.
+
+    Two keyed aggregations (per-customer cohort min; per (cohort,
+    offset) rollup) + one join back on o_custkey — the fact table's
+    natural partitioning, reused. Output is O(months × offsets),
+    scale-independent. Month arithmetic is integer (yyyy·12 + mm), no
+    date subtraction ambiguity between engines.
+    """
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("om")
+    base = orders.select("o_custkey", "o_totalprice", om)
+    first = base.groupBy("o_custkey").agg(F.min("om").alias("cohort_m"))
+    j = base.join(first, "o_custkey").withColumn(
+        "offset", F.col("om") - F.col("cohort_m")
+    )
+    return (
+        j.filter(F.col("offset") <= max_offset)
+        .groupBy("cohort_m", "offset")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                (F.col("cohort_m") / 12).cast("int").cast("string"),
+                F.lpad((F.col("cohort_m") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("offset").cast("int").alias("month_offset"),
+            "n_customers",
+            "revenue",
+        )
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), precomputed as
+# literals so NEITHER engine's libm log is in the compared output.
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_screen(orders: DataFrame, col: str = "o_totalprice") -> DataFrame:
+    """Benford's-law screen over a monetary column (the classic fraud /
+    synthetic-data detector): observed first-significant-digit shares
+    vs the log10(1+1/d) expectation, with each digit's absolute
+    deviation. One map-side digit extraction (string head of the
+    absolute value — no float log in the hot path or the output) + one
+    9-key partial-agg count.
+    """
+    d = F.substring(F.regexp_replace(F.abs(F.col(col)).cast("string"), "[.0]*", ""), 1, 1)
+    counts = (
+        orders.filter(F.col(col) != 0)
+        .select(d.cast("int").alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    expected = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _BENFORD.items() for x in kv]),
+        F.col("digit"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("observed"),
+            expected.alias("expected"),
+            F.round(F.abs(F.col("n") / F.col("t") - expected), 6).alias("abs_dev"),
+        )
+    )

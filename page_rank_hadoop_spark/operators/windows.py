@@ -633,3 +633,42 @@ def expanding_zscore_flags(
         F.round("value", 6).alias("value"),
         F.round("_z", 6).alias("z_score"),
     )
+
+
+def session_path_mining(
+    events: DataFrame, gap_minutes: int = 30, top_k: int = 20, max_len: int = 8
+) -> DataFrame:
+    """Sequential-pattern mining one level up from bigrams: the top-k
+    full event-type PATHS users take within a session (view→click→
+    purchase…), truncated to ``max_len`` steps so a pathological
+    session cannot blow up the key space.
+
+    Rides the sessionize window pass (one user_id shuffle), builds each
+    session's ordered path with sort_array over (ts, event_id, type)
+    structs — deterministic under concurrent timestamps — then one
+    partial-agg'd count on the path string and a TakeOrderedAndProject
+    top-k. Path cardinality is bounded by |types|^max_len in theory but
+    Zipfian in practice; the count agg's map-side combine absorbs it.
+    """
+    s = sessionize(events, gap_minutes, carry=["event_type"])
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    max_len,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_k)
+    )

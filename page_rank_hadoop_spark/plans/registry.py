@@ -1510,6 +1510,27 @@ def q_expanding_zscore(spark, sf):
     return windows.expanding_zscore_flags(load_table(spark, sf, "events"))
 
 
+def q_path_mining(spark, sf):
+    """Top-20 session event-type paths (sequential patterns above
+    bigrams): sessionize pass + ordered struct-sort path build + one
+    path-string count + TakeOrderedAndProject."""
+    return windows.session_path_mining(load_table(spark, sf, "events"))
+
+
+def q_cohort_ltv(spark, sf):
+    """Cohort lifetime value: first-order-month cohorts × month offset
+    → active customers + revenue. Integer month arithmetic, two keyed
+    aggs + one custkey join-back."""
+    return relational.cohort_ltv(load_table(spark, sf, "orders"))
+
+
+def q_benford(spark, sf):
+    """Benford first-digit screen of o_totalprice: observed vs
+    log10(1+1/d) literal expectations (no libm log in the compared
+    output), map-side digit extract + 9-key agg."""
+    return relational.benford_screen(load_table(spark, sf, "orders"))
+
+
 def q_incremental_agg(spark, sf):
     """Incremental MV maintenance: the (lang → count, Σchars) aggregate
     updated from the CDC feed alone (O(churn+groups), base untouched);
@@ -4340,6 +4361,69 @@ def build_oracles() -> dict[str, str]:
     # the SQL-API query IS its own oracle (same ANSI text, both engines)
     oracles["q_sql_report"] = _SQL_REPORT
 
+    oracles["q_path_mining"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      ),
+      paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                 (array_agg(event_type ORDER BY ts, event_id))[1:8], '>')
+                 AS path
+        FROM sess GROUP BY user_id, session_id
+      )
+      SELECT path, count(*)::BIGINT AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 20
+    """
+
+    oracles["q_cohort_ltv"] = """
+      WITH base AS (
+        SELECT o_custkey, o_totalprice,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om
+        FROM orders
+      ),
+      first AS (SELECT o_custkey, min(om) AS cohort_m FROM base GROUP BY 1)
+      SELECT (cohort_m // 12)::VARCHAR || '-' ||
+               lpad(((cohort_m % 12) + 1)::VARCHAR, 2, '0') AS cohort_month,
+             (b.om - f.cohort_m)::INT AS month_offset,
+             count(DISTINCT b.o_custkey)::BIGINT AS n_customers,
+             round(sum(b.o_totalprice), 4) AS revenue
+      FROM base b JOIN first f USING (o_custkey)
+      WHERE b.om - f.cohort_m <= 3
+      GROUP BY f.cohort_m, month_offset
+    """
+
+    benford_case = " ".join(
+        f"WHEN {d} THEN {p}::DOUBLE" for d, p in relational._BENFORD.items()
+    )
+    oracles["q_benford"] = f"""
+      WITH digits AS (
+        SELECT substr(regexp_replace(abs(o_totalprice)::VARCHAR,
+                                     '[.0]*', '', 'g'), 1, 1)::INT AS digit
+        FROM orders WHERE o_totalprice <> 0
+      ),
+      counts AS (
+        SELECT digit, count(*)::BIGINT AS n FROM digits
+        WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+      ),
+      tot AS (SELECT sum(n)::BIGINT AS t FROM counts)
+      SELECT digit, n, round(n / t.t, 6) AS observed,
+             (CASE digit {benford_case} END) AS expected,
+             round(abs(n / t.t - (CASE digit {benford_case} END)), 6) AS abs_dev
+      FROM counts CROSS JOIN tot t
+    """
+
     oracles["q_incremental_agg"] = """
       WITH newsnap AS (
         SELECT doc_id, lang,
@@ -4508,6 +4592,9 @@ def build_queries() -> dict[str, QueryFn]:
         "q_expanding_zscore": q_expanding_zscore,
         "q_incremental_agg": q_incremental_agg,
         "q_data_quality": q_data_quality,
+        "q_path_mining": q_path_mining,
+        "q_cohort_ltv": q_cohort_ltv,
+        "q_benford": q_benford,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

@@ -478,3 +478,84 @@ def test_data_quality_all_pass_on_clean_data(spark):
     out = relational.data_quality_checks(li, orders).collect()
     assert all(r["passed"] == 1 and r["n_violations"] == 0 for r in out)
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# path mining / cohort LTV / Benford
+# ---------------------------------------------------------------------------
+
+def test_path_mining_orders_within_session(spark):
+    rows = [
+        (0, dt.datetime(2024, 6, 1, 10, 0), 1, "view", 0.0),
+        (1, dt.datetime(2024, 6, 1, 10, 5), 1, "click", 0.0),
+        (2, dt.datetime(2024, 6, 1, 10, 9), 1, "purchase", 0.0),
+        # > 30 min gap → new session with a single view
+        (3, dt.datetime(2024, 6, 1, 12, 0), 1, "view", 0.0),
+        (4, dt.datetime(2024, 6, 1, 10, 0), 2, "view", 0.0),
+        (5, dt.datetime(2024, 6, 1, 10, 1), 2, "click", 0.0),
+        (6, dt.datetime(2024, 6, 1, 10, 2), 2, "purchase", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    out = {r["path"]: r["n_sessions"] for r in windows.session_path_mining(ev).collect()}
+    assert out["view>click>purchase"] == 2
+    assert out["view"] == 1
+
+
+def test_path_mining_truncates_long_sessions(spark):
+    rows = [
+        (i, dt.datetime(2024, 6, 1, 10, i), 1, "view", 0.0) for i in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    out = windows.session_path_mining(ev, max_len=8).collect()
+    assert len(out) == 1
+    assert out[0]["path"].count("view") == 8  # truncated, not 12
+
+
+def test_cohort_ltv_offsets_and_revenue(spark):
+    rows = [
+        (1, 1, "O", 100.0, dt.datetime(2024, 1, 10)),
+        (2, 1, "O", 50.0, dt.datetime(2024, 2, 20)),   # offset 1
+        (3, 2, "O", 70.0, dt.datetime(2024, 2, 5)),    # cohort 2024-02
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP",
+    )
+    out = {(r["cohort_month"], r["month_offset"]): r for r in
+           relational.cohort_ltv(orders).collect()}
+    assert out[("2024-01", 0)]["revenue"] == 100.0
+    assert out[("2024-01", 1)]["revenue"] == 50.0
+    assert out[("2024-02", 0)]["n_customers"] == 1
+
+
+def test_benford_shares_sum_to_one(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, 1, "O", float(rng.randint(1, 99999)) + 0.5, dt.datetime(2024, 1, 1))
+            for i in range(500)]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP",
+    )
+    out = relational.benford_screen(orders).collect()
+    assert abs(sum(r["observed"] for r in out) - 1.0) < 1e-4
+    assert sum(r["n"] for r in out) == 500
+    for r in out:
+        assert 0 < r["expected"] < 0.31
+
+
+def test_benford_first_significant_digit_below_one(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 0.057, dt.datetime(2024, 1, 1))],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP",
+    )
+    out = relational.benford_screen(orders).collect()
+    assert len(out) == 1 and out[0]["digit"] == 5

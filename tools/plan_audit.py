@@ -163,6 +163,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_expanding_zscore", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_incremental_agg", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_data_quality", [("has", r"(LeftAnti|left_anti)"), ("has", r"HashAggregate"), ("not", r"CartesianProduct")]),
+    ("q_path_mining", [("has", r"Window"), ("has", r"TakeOrderedAndProject"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_cohort_ltv", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_benford", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
