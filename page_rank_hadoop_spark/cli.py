@@ -268,6 +268,36 @@ def cmd_diff(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_list_queries(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Print the declared query inventory (one name per line, with its
+    one-line docstring) — the engine's discoverability surface."""
+    from page_rank_hadoop_spark.plans.registry import build_queries
+
+    for name, fn in build_queries().items():
+        doc = (fn.__doc__ or "").strip().splitlines()
+        print(f"{name:32s} {doc[0] if doc else ''}")
+    return 0
+
+
+def cmd_explain(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Print a declared query's optimized physical plan at the given SF
+    — what `EXPLAIN (FORMATTED)` is to a SQL engine. The plan is how a
+    user checks pushdown/broadcast/shuffle behavior before running at
+    scale; tools/plan_audit.py asserts the same surface in CI."""
+    from page_rank_hadoop_spark.plans.registry import build_queries
+
+    qs = build_queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see list-queries", file=sys.stderr)
+        return 2
+    df = qs[args.query](spark, args.sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), args.mode
+    )
+    print(plan)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -330,6 +360,16 @@ def build_parser() -> argparse.ArgumentParser:
     pdf.add_argument("out")
     pdf.add_argument("--key", default="doc_id")
     pdf.set_defaults(fn=cmd_diff)
+
+    pl = sub.add_parser("list-queries")
+    pl.set_defaults(fn=cmd_list_queries)
+
+    pe = sub.add_parser("explain")
+    pe.add_argument("query")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pe.add_argument("--mode", default="formatted",
+                    choices=("simple", "extended", "formatted", "cost"))
+    pe.set_defaults(fn=cmd_explain)
     return p
 
 

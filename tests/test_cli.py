@@ -206,3 +206,26 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert ops == {"update", "delete"}
     printed = capsys.readouterr().out
     assert "insert=0" in printed and "delete=" in printed
+
+
+def test_cli_list_queries(capsys):
+    from page_rank_hadoop_spark import cli
+
+    assert cli.main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q_pricing_summary" in out and "q_pagerank_iterate" in out
+    assert len(out.strip().splitlines()) >= 170
+
+
+def test_cli_explain_formatted(capsys):
+    from page_rank_hadoop_spark import cli
+
+    assert cli.main(["explain", "q_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "HashAggregate" in out and "ReadSchema" in out
+
+
+def test_cli_explain_unknown_query():
+    from page_rank_hadoop_spark import cli
+
+    assert cli.main(["explain", "q_no_such_thing"]) == 2
