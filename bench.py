@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "q_path_mining",
     "q_cohort_ltv",
     "q_benford",
+    "q_k_anonymity",
+    "q_pseudonymize",
+    "q_forget_users",
 ]
 
 

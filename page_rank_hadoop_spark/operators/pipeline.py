@@ -469,3 +469,89 @@ def incremental_agg_maintain(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def k_anonymity_report(
+    documents: DataFrame, k: int = 5, bucket_width: int = 500
+) -> DataFrame:
+    """Privacy risk report for a quasi-identifier tuple (lang, source,
+    n_chars bucket): every equivalence class with its size and an
+    at-risk flag for classes smaller than ``k`` — the k-anonymity check
+    run before releasing a dataset whose attribute combination could
+    re-identify contributors.
+
+    One partial-agg'd groupBy on the (coarse, bounded-cardinality) QI
+    key; output is O(|lang|·|source|·buckets), scale-independent. The
+    remediation (suppress or generalize the at-risk classes) composes
+    from existing operators: anti-join the flagged classes or widen
+    ``bucket_width`` and re-check.
+    """
+    bucket = (F.col("n_chars") / bucket_width).cast("long") * bucket_width
+    return (
+        documents.groupBy("lang", "source", bucket.alias("chars_bucket"))
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+        .select(
+            "lang",
+            "source",
+            "chars_bucket",
+            "class_size",
+            (F.col("class_size") < k).cast("int").alias("at_risk"),
+        )
+    )
+
+
+def pseudonymize(
+    events: DataFrame, key_col: str = "user_id", salt: str = "spark-graft-v1"
+) -> DataFrame:
+    """Deterministic pseudonymization of an identifier column: the id is
+    replaced by a 16-hex-char token md5(salt ‖ id) — stable across runs
+    and tables (joins on the pseudonym still work), irreversible without
+    the salt, engine-portable (the oracle computes the identical token).
+
+    Pure projection, no shuffle. This is pseudonymization, NOT
+    anonymization — linkage structure is preserved by design (that is
+    what keeps sessionization/attribution working on the pseudonymized
+    stream); combine with k_anonymity_report before release.
+    """
+    token = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))), 1, 16
+    )
+    return events.select(
+        "event_id",
+        token.alias("pseudo_id"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def forget_keys(
+    tables: list[tuple[str, DataFrame, str]], predicate_mod: int = 37
+) -> DataFrame:
+    """Right-to-be-forgotten cascade: delete every row whose key matches
+    the deletion predicate across ALL keyed tables, returning the audit
+    report (table, rows_before, rows_deleted, rows_after) compliance
+    requires. ``tables`` is [(name, df, key_col)].
+
+    The deletion set here is the deterministic ``key % predicate_mod ==
+    0`` (the gate needs reproducibility); production passes an explicit
+    key list and the per-table delete becomes a broadcast anti-join.
+    Each table contributes one conditional-aggregation scan — counts
+    derive from ONE pass per table, not three.
+    """
+    reports = []
+    for name, df, key_col in tables:
+        hit = (F.col(key_col) % predicate_mod == 0).cast("int")
+        rep = df.agg(
+            F.count("*").cast("bigint").alias("rows_before"),
+            F.sum(hit).cast("bigint").alias("rows_deleted"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted")).alias("rows_after"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1510,6 +1510,30 @@ def q_expanding_zscore(spark, sf):
     return windows.expanding_zscore_flags(load_table(spark, sf, "events"))
 
 
+def q_k_anonymity(spark, sf):
+    """k-anonymity risk report over the (lang, source, chars-bucket)
+    quasi-identifier: every equivalence class + at-risk flag (<5)."""
+    return pipeline.k_anonymity_report(_docs(spark, sf))
+
+
+def q_pseudonymize(spark, sf):
+    """Deterministic salted-md5 pseudonymization of events.user_id —
+    stable, linkage-preserving, engine-portable tokens; map-only."""
+    return pipeline.pseudonymize(load_table(spark, sf, "events"))
+
+
+def q_forget_users(spark, sf):
+    """Right-to-be-forgotten cascade audit across events(user_id) and
+    orders(o_custkey): per-table before/deleted/after counts from one
+    conditional-agg scan each."""
+    return pipeline.forget_keys(
+        [
+            ("events", load_table(spark, sf, "events"), "user_id"),
+            ("orders", load_table(spark, sf, "orders"), "o_custkey"),
+        ]
+    )
+
+
 def q_path_mining(spark, sf):
     """Top-20 session event-type paths (sequential patterns above
     bigrams): sessionize pass + ordered struct-sort path build + one
@@ -4361,6 +4385,35 @@ def build_oracles() -> dict[str, str]:
     # the SQL-API query IS its own oracle (same ANSI text, both engines)
     oracles["q_sql_report"] = _SQL_REPORT
 
+    oracles["q_k_anonymity"] = """
+      SELECT lang, source, (n_chars // 500) * 500 AS chars_bucket,
+             count(*)::BIGINT AS class_size,
+             (CASE WHEN count(*) < 5 THEN 1 ELSE 0 END)::INT AS at_risk
+      FROM documents GROUP BY 1, 2, 3
+    """
+
+    oracles["q_pseudonymize"] = """
+      SELECT event_id,
+             substr(md5('spark-graft-v1' || '|' || user_id::VARCHAR), 1, 16)
+               AS pseudo_id,
+             event_type, round(value, 6) AS value
+      FROM events
+    """
+
+    oracles["q_forget_users"] = """
+      SELECT 'events' AS table_name, count(*)::BIGINT AS rows_before,
+             sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS rows_deleted,
+             (count(*) - sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END))::BIGINT
+               AS rows_after
+      FROM events
+      UNION ALL
+      SELECT 'orders', count(*)::BIGINT,
+             sum(CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END)::BIGINT,
+             (count(*) - sum(CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END))::BIGINT
+      FROM orders
+    """
+
     oracles["q_path_mining"] = """
       WITH s AS (
         SELECT event_id, user_id, ts, event_type,
@@ -4595,6 +4648,9 @@ def build_queries() -> dict[str, QueryFn]:
         "q_path_mining": q_path_mining,
         "q_cohort_ltv": q_cohort_ltv,
         "q_benford": q_benford,
+        "q_k_anonymity": q_k_anonymity,
+        "q_pseudonymize": q_pseudonymize,
+        "q_forget_users": q_forget_users,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

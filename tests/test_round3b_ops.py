@@ -559,3 +559,47 @@ def test_benford_first_significant_digit_below_one(spark):
     )
     out = relational.benford_screen(orders).collect()
     assert len(out) == 1 and out[0]["digit"] == 5
+
+
+# ---------------------------------------------------------------------------
+# privacy / governance
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_flags_small_classes(spark):
+    rows = [(i, "t", "en", "web", 100) for i in range(10)]
+    rows += [(100, "t", "de", "web", 100)]  # singleton class → at risk
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"
+    )
+    out = {(r["lang"], r["source"]): r for r in
+           pipeline.k_anonymity_report(d, k=5).collect()}
+    assert out[("en", "web")]["at_risk"] == 0
+    assert out[("de", "web")]["at_risk"] == 1
+    assert out[("de", "web")]["class_size"] == 1
+
+
+def test_pseudonymize_stable_and_linkage_preserving(spark):
+    ev = _ev(spark, [(0, 1, 0, 1.0), (1, 1, 5, 2.0), (2, 2, 0, 3.0)])
+    out = pipeline.pseudonymize(ev).collect()
+    tokens = {}
+    for r in out:
+        tokens.setdefault(r["pseudo_id"], set()).add(r["event_id"])
+    # two distinct users → two distinct tokens; same user → same token
+    assert len(tokens) == 2
+    assert {0, 1} in tokens.values()
+    # deterministic across invocations
+    again = {r["event_id"]: r["pseudo_id"] for r in pipeline.pseudonymize(ev).collect()}
+    first = {r["event_id"]: r["pseudo_id"] for r in out}
+    assert first == again
+    # salt changes every token
+    other = {r["event_id"]: r["pseudo_id"]
+             for r in pipeline.pseudonymize(ev, salt="other").collect()}
+    assert all(other[k] != first[k] for k in first)
+
+
+def test_forget_keys_audit_counts(spark):
+    ev = _ev(spark, [(i, uid, i, 1.0) for i, uid in enumerate([37, 74, 5, 6])])
+    rep = {r["table_name"]: r for r in
+           pipeline.forget_keys([("events", ev, "user_id")]).collect()}
+    r = rep["events"]
+    assert (r["rows_before"], r["rows_deleted"], r["rows_after"]) == (4, 2, 2)

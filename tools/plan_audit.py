@@ -166,6 +166,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_path_mining", [("has", r"Window"), ("has", r"TakeOrderedAndProject"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_cohort_ltv", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_benford", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_k_anonymity", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_pseudonymize", [("not", r"Exchange"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_forget_users", [("has", r"HashAggregate"), ("not", r"(SortMergeJoin|BroadcastHashJoin)"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
