@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_pseudonymize",
     "q_forget_users",
+    "q_quantize_embeddings",
+    "q_time_to_convert",
 ]
 
 

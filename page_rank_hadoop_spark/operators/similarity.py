@@ -369,3 +369,43 @@ def label_centroids_cosine(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             F.round(dot / (na * nb), 6).alias("centroid_cosine"),
         )
     )
+
+
+def quantize_embeddings_report(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Scalar int8 quantization of the embedding column with a per-dim
+    reconstruction-error report — the compression step every production
+    vector index applies (4× smaller, ~1% recall cost), evaluated
+    before committing to it.
+
+    Per-dim min/max come from ONE posexplode partial agg ((dim)-keyed,
+    so the shuffle carries 2·dim floats per partition); the quantize →
+    reconstruct → error round-trip is pure JVM array arithmetic against
+    the broadcast bounds; the report aggregates |x − dequant(quant(x))|
+    per dimension. Scale: two passes over the vectors, nothing
+    driver-side, output is dim rows.
+    """
+    per_dim = (
+        embeddings.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    ex = embeddings.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).join(F.broadcast(per_dim), "dim")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = F.round((F.col("x").cast("double") - F.col("mn")) / scale)
+    recon = F.col("mn") + q * scale
+    err = F.abs(F.col("x").cast("double") - recon)
+    return (
+        ex.filter(F.col("mx") > F.col("mn"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.first("mn"), 6).alias("mn"),
+            F.round(F.first("mx"), 6).alias("mx"),
+            F.round(F.avg(err), 6).alias("avg_abs_err"),
+            F.round(F.max(err), 6).alias("max_abs_err"),
+        )
+    )

@@ -672,3 +672,36 @@ def session_path_mining(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(top_k)
     )
+
+
+def time_to_convert(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Conversion-latency distribution: per session with a strict
+    view→purchase order, the seconds from first view to first purchase;
+    rolled up to one row of count + exact interpolated p50/p90 and mean
+    — the funnel's "how fast" companion (funnel_stats is the "how
+    many").
+
+    Rides the same sessionize pass (one user_id shuffle); latencies are
+    exact integer microseconds converted to seconds at the end, and the
+    output is a single scale-independent row.
+    """
+    s = sessionize(events, gap_minutes, carry=["event_type"])
+    stage = s.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("v_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("p_us"),
+    )
+    lat = stage.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("v_us") < F.col("p_us"))
+    ).select(((F.col("p_us") - F.col("v_us")) / 1_000_000.0).alias("lat_s"))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.avg("lat_s"), 6).alias("mean_s"),
+    )

@@ -1510,6 +1510,21 @@ def q_expanding_zscore(spark, sf):
     return windows.expanding_zscore_flags(load_table(spark, sf, "events"))
 
 
+def q_quantize_embeddings(spark, sf):
+    """Scalar int8 quantization report: per-dim bounds + reconstruction
+    error after the quantize→dequant round-trip (vector-index
+    compression evaluation). One posexplode bounds agg + broadcast
+    round-trip arithmetic."""
+    return similarity.quantize_embeddings_report(load_table(spark, sf, "embeddings"))
+
+
+def q_time_to_convert(spark, sf):
+    """Conversion-latency rollup: seconds from first view to first
+    purchase within strict-order sessions — count + exact p50/p90 +
+    mean, one row."""
+    return windows.time_to_convert(load_table(spark, sf, "events"))
+
+
 def q_k_anonymity(spark, sf):
     """k-anonymity risk report over the (lang, source, chars-bucket)
     quasi-identifier: every equivalence class + at-risk flag (<5)."""
@@ -4385,6 +4400,55 @@ def build_oracles() -> dict[str, str]:
     # the SQL-API query IS its own oracle (same ANSI text, both engines)
     oracles["q_sql_report"] = _SQL_REPORT
 
+    _DEQ = "(b.mn + round((e.x - b.mn) / ((b.mx - b.mn) / 255.0)) * ((b.mx - b.mn) / 255.0))"
+    oracles["q_quantize_embeddings"] = f"""
+      WITH ex AS (
+        SELECT (u.s.i)::INT AS dim, (u.s.x)::DOUBLE AS x
+        FROM (
+          SELECT [{{'i': i - 1, 'x': embedding[i]}} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      ),
+      bounds AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim)
+      SELECT e.dim, round(b.mn, 6) AS mn, round(b.mx, 6) AS mx,
+             round(avg(abs(e.x - {_DEQ})), 6) AS avg_abs_err,
+             round(max(abs(e.x - {_DEQ})), 6) AS max_abs_err
+      FROM ex e JOIN bounds b USING (dim)
+      WHERE b.mx > b.mn
+      GROUP BY e.dim, b.mn, b.mx
+    """
+
+    oracles["q_time_to_convert"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, event_type, ts,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      ),
+      stage AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        FROM sess GROUP BY user_id, session_id
+      ),
+      lat AS (
+        SELECT (p_us - v_us) / 1000000.0 AS lat_s FROM stage
+        WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND v_us < p_us
+      )
+      SELECT count(*)::BIGINT AS n_conversions,
+             round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+             round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+             round(avg(lat_s), 6) AS mean_s
+      FROM lat
+    """
+
     oracles["q_k_anonymity"] = """
       SELECT lang, source, (n_chars // 500) * 500 AS chars_bucket,
              count(*)::BIGINT AS class_size,
@@ -4651,6 +4715,8 @@ def build_queries() -> dict[str, QueryFn]:
         "q_k_anonymity": q_k_anonymity,
         "q_pseudonymize": q_pseudonymize,
         "q_forget_users": q_forget_users,
+        "q_quantize_embeddings": q_quantize_embeddings,
+        "q_time_to_convert": q_time_to_convert,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

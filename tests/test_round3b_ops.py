@@ -603,3 +603,34 @@ def test_forget_keys_audit_counts(spark):
            pipeline.forget_keys([("events", ev, "user_id")]).collect()}
     r = rep["events"]
     assert (r["rows_before"], r["rows_deleted"], r["rows_after"]) == (4, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization / conversion latency
+# ---------------------------------------------------------------------------
+
+def test_quantize_error_bounded_by_half_step(spark):
+    rows = [(i, [float(i), float(i) * 2, 5.0, -1.0 + i * 0.1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r["dim"]: r for r in
+           similarity.quantize_embeddings_report(df, dim=4).collect()}
+    # constant dim 2 is excluded (mx == mn)
+    assert 2 not in out
+    for d, r in out.items():
+        step = (r["mx"] - r["mn"]) / 255.0
+        assert r["max_abs_err"] <= step / 2 + 1e-9, (d, r)
+
+
+def test_time_to_convert_exact_latency(spark):
+    rows = [
+        (0, dt.datetime(2024, 6, 1, 10, 0), 1, "view", 0.0),
+        (1, dt.datetime(2024, 6, 1, 10, 2), 1, "purchase", 0.0),  # 120s
+        (2, dt.datetime(2024, 6, 1, 10, 0), 2, "purchase", 0.0),  # no prior view
+        (3, dt.datetime(2024, 6, 1, 10, 1), 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    r = windows.time_to_convert(ev).collect()[0]
+    assert r["n_conversions"] == 1
+    assert r["p50_s"] == 120.0 and r["mean_s"] == 120.0
