@@ -1111,20 +1111,32 @@ def q_ranker_agreement(spark, sf):
 
 def _ngram_base(spark, sf) -> DataFrame:
     """Shared (doc_id, word-3-shingle array) MV for BOTH Jaccard
-    variants: one tokenization per session, one persisted copy (the
+    variants: one tokenization per session, one materialized copy (the
     per-call persists used to collide — round-2 'already cached'
-    warning — and leak)."""
+    warning — and leak).
+
+    Materialized with ``localCheckpoint`` (RDD row blocks), NOT
+    ``persist``: the columnar in-memory cache is pathological for
+    array<string> columns — deserializing the cached shingle arrays on
+    the prefix variant's three consumers measured ~2× slower than
+    recomputing them from text (6.3s vs 3.9s at sf0.1). Row-block
+    storage reads the arrays back at own-build speed while still
+    tokenizing once per session."""
     from page_rank_hadoop_spark.functions.text import tokens, word_shingles_of
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
-    def build():
-        return (
+    key = f"{spark.sparkContext.applicationId}:{sf}:ngram_base"
+    if key not in _MV_CACHE:
+        _MV_CACHE[key] = (
             ensure_parallel(_docs(spark, sf))
             .select("doc_id", tokens("text").alias("toks"))
-            .select("doc_id", F.array_distinct(word_shingles_of(F.col("toks"), 3)).alias("arr"))
+            .select(
+                "doc_id",
+                F.array_distinct(word_shingles_of(F.col("toks"), 3)).alias("arr"),
+            )
+            .localCheckpoint()
         )
-
-    return _mv(spark, sf, "ngram_base", build)
+    return _MV_CACHE[key]
 
 
 def q_ngram_jaccard(spark, sf):
