@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_forget_users",
     "q_quantize_embeddings",
     "q_time_to_convert",
+    "q_modularity",
 ]
 
 

@@ -535,3 +535,65 @@ def common_neighbor_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def modularity_by_community(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity contributions per community — the quality
+    metric that says whether a community partition (LPA here) is real
+    structure or noise: ``q_contrib = e_c/m − (d_c/2m)²`` per community
+    (sum ≈ 0 for random partitions, → 1 for strong structure).
+
+    Inputs: the directed edge list (undirected-ized internally, each
+    pair once) and a (id, label) community assignment. Everything is
+    keyed partial aggregation — intra-community edge counts from two
+    label joins on the undirected pairs, degree sums from a (node)-keyed
+    count joined to labels, and the single-row edge total broadcast onto
+    the community table. Output is O(communities).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = und.agg(F.count("*").cast("double").alias("m"))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+    e_in = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("e_in"))
+    )
+    d_c = (
+        deg.join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("bigint").alias("d_sum"))
+    )
+    n_c = labels.groupBy("label").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    half = F.col("d_sum") / (F.lit(2.0) * F.col("m"))
+    return (
+        n_c.join(d_c, "label")
+        .join(e_in, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "d_sum",
+            # + 0.0 normalizes IEEE negative zero (a tiny negative
+            # contribution rounds to -0.0 in DuckDB, 0.0 here)
+            (
+                F.round(
+                    F.coalesce("e_in", F.lit(0)) / F.col("m") - half * half, 6
+                )
+                + F.lit(0.0)
+            ).alias("q_contrib"),
+        )
+    )

@@ -641,12 +641,31 @@ def q_shortest_paths(spark, sf):
     return graph.shortest_paths(_graph(spark, sf)["kept"], source=0, max_hops=10)
 
 
+def _lpa_labels(spark, sf) -> DataFrame:
+    """Shared LPA label assignment (already localCheckpoint-materialized
+    inside the loop): q_label_propagation returns it, q_modularity
+    scores it — one 3-round run per session, not two."""
+    key = f"{spark.sparkContext.applicationId}:{sf}:lpa_labels"
+    if key not in _MV_CACHE:
+        _MV_CACHE[key] = graph.label_propagation(_graph(spark, sf)["kept"], n_iter=3)
+    return _MV_CACHE[key]
+
+
 def q_label_propagation(spark, sf):
     """Community detection by synchronous label propagation over the
     resolved edge graph: 3 fixed frequency-vote rounds, min-label
     tie-break (deterministic twin of GraphX's LPA). Oracle unrolls the
     same rounds as CTEs."""
-    return graph.label_propagation(_graph(spark, sf)["kept"], n_iter=3)
+    return _lpa_labels(spark, sf)
+
+
+def q_modularity(spark, sf):
+    """Newman modularity contributions of the LPA partition — the
+    community-quality metric (e_c/m − (d_c/2m)² per community); shares
+    the session's LPA labels MV, O(communities) output."""
+    return graph.modularity_by_community(
+        _graph(spark, sf)["kept"], _lpa_labels(spark, sf)
+    )
 
 
 def q_pagerank_personalized(spark, sf):
@@ -2584,6 +2603,48 @@ def build_oracles() -> dict[str, str]:
                FROM c3) WHERE rn = 1)
       SELECT id, label FROM l3
     """
+
+    # modularity: reuse the LPA oracle's CTE chain (labels = l3), append
+    # the undirected-edge/degree/community aggregates and the Newman
+    # formula — the same label derivation, so a hash match proves both
+    # the partition and the metric
+    _lpa_ctes = oracles["q_label_propagation"].rsplit(
+        "SELECT id, label FROM l3", 1
+    )[0].rstrip()
+    oracles["q_modularity"] = (
+        _lpa_ctes
+        + """,
+      und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM kept WHERE src <> dst
+      ),
+      mm AS (SELECT count(*)::DOUBLE AS m FROM und),
+      degs AS (
+        SELECT id, count(*)::BIGINT AS deg FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+        ) GROUP BY id
+      ),
+      nc AS (SELECT label, count(*)::BIGINT AS n_nodes FROM l3 GROUP BY label),
+      dc AS (
+        SELECT l.label, sum(d.deg)::BIGINT AS d_sum
+        FROM degs d JOIN l3 l ON d.id = l.id GROUP BY l.label
+      ),
+      ein AS (
+        SELECT la.label, count(*)::BIGINT AS e_in
+        FROM und u JOIN l3 la ON u.a = la.id JOIN l3 lb ON u.b = lb.id
+        WHERE la.label = lb.label GROUP BY la.label
+      )
+      SELECT nc.label, nc.n_nodes, coalesce(e.e_in, 0)::BIGINT AS e_in,
+             dc.d_sum,
+             round(coalesce(e.e_in, 0) / mm.m
+                   - (dc.d_sum / (2.0::DOUBLE * mm.m))
+                     * (dc.d_sum / (2.0::DOUBLE * mm.m)), 6) + 0.0::DOUBLE
+               AS q_contrib
+      FROM nc JOIN dc USING (label)
+      LEFT JOIN ein e USING (label)
+      CROSS JOIN mm
+    """
+    )
 
     # k-core: 8 unrolled peel rounds (fixpoint reached in <=4 at the
     # declared SFs; extra rounds are no-ops once stable)
@@ -4729,6 +4790,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_forget_users": q_forget_users,
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_time_to_convert": q_time_to_convert,
+        "q_modularity": q_modularity,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

@@ -634,3 +634,35 @@ def test_time_to_convert_exact_latency(spark):
     r = windows.time_to_convert(ev).collect()[0]
     assert r["n_conversions"] == 1
     assert r["p50_s"] == 120.0 and r["mean_s"] == 120.0
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+def test_modularity_two_clean_communities(spark):
+    # two triangles joined by one bridge edge: strong structure, Q ≈ 0.357
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src LONG, dst LONG",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "id LONG, label LONG"
+    )
+    out = {r["label"]: r for r in
+           graph.modularity_by_community(e, labels).collect()}
+    total = sum(r["q_contrib"] for r in out.values())
+    # Q = 2*(3/7 - (7/14)^2) for the symmetric split
+    assert abs(total - 2 * (3 / 7 - 0.25)) < 1e-6
+    assert out[1]["e_in"] == 3 and out[1]["n_nodes"] == 3
+
+
+def test_modularity_random_partition_near_zero(spark):
+    # everything in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src LONG, dst LONG"
+    )
+    labels = spark.createDataFrame([(i, 9) for i in range(1, 5)], "id LONG, label LONG")
+    out = graph.modularity_by_community(e, labels).collect()
+    assert len(out) == 1
+    assert abs(out[0]["q_contrib"]) < 1e-9

@@ -171,6 +171,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_forget_users", [("has", r"HashAggregate"), ("not", r"(SortMergeJoin|BroadcastHashJoin)"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_quantize_embeddings", [("has", r"Generate"), ("has", r"BroadcastHashJoin"), ("not", r"SortMergeJoin")]),
     ("q_time_to_convert", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_modularity", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
