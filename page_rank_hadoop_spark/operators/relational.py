@@ -1355,7 +1355,11 @@ def equidepth_histogram(
     table: ntile needs a GLOBAL sort window (one partition holds
     everything); boundaries + fold is two partial-agg'd scans with a
     9-element broadcast in between — same result bucketing, no global
-    sort anywhere.
+    sort anywhere. The measured cost is ~all in the exact percentile
+    aggregate (value-multiset merge); at 100 TB swap it for
+    ``percentile_approx`` (fixed-size mergeable sketch) — the bucket
+    depths become approximate but the plan shape is unchanged (the
+    q_percentiles/q_approx_quantiles pairing documents the same dial).
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = lineitem.agg(

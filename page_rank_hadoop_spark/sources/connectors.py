@@ -112,6 +112,38 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_jsonl_quarantined(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingestion with a quarantine lane: returns (good, bad) where
+    ``bad`` carries the raw text of every line Spark could not parse
+    against the schema (PERMISSIVE mode + ``columnNameOfCorruptRecord``)
+    — the production crawl-ingest pattern: never fail the 100 TB job on
+    one mangled line, never silently drop it either. The quarantine
+    lane is written next to the output for replay after a parser fix.
+
+    Both frames come from ONE scan definition (the corrupt column is
+    NULL for good rows); Spark requires selecting the corrupt column
+    from a cached/materialized frame, hence the documented
+    ``.cache()`` on the raw read — size it accordingly or split by a
+    two-pass filter at extreme scale.
+    """
+    base_schema = schema or DOCUMENTS_JSONL_SCHEMA
+    full = base_schema + ", _corrupt STRING"
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(raw["_corrupt"].isNull()).drop("_corrupt")
+    bad = raw.filter(raw["_corrupt"].isNotNull()).select(
+        raw["_corrupt"].alias("raw_line")
+    )
+    return good, bad
+
+
 def write_jsonl(df: DataFrame, path: str, compress: bool = True) -> None:
     """Write newline-delimited JSON (one object per row) — the export
     format downstream tokenizer/training jobs consume. Gzip by default:

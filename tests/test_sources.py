@@ -119,3 +119,22 @@ def test_cli_dedup_reads_jsonl(spark, tmp_path):
     assert rc == 0
     kept = spark.read.parquet(out + "/kept")
     assert 0 < kept.count() <= docs.count()
+
+
+def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingestion: good rows parse, mangled lines land in
+    the quarantine lane verbatim — nothing fails, nothing silently drops."""
+    from page_rank_hadoop_spark.sources.connectors import read_jsonl_quarantined
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "de", "source": "web", "n_chars": 7}\n'
+        '{"doc_id": 3, "text": "unterminated...\n'
+    )
+    good, bad = read_jsonl_quarantined(spark, str(p))
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "this is not json at all" in bad_lines
