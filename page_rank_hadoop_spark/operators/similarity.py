@@ -80,7 +80,7 @@ def embedding_near_dup_pairs(
     # run twice).
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sig.alias("a"), sig.alias("b")
-    return (
+    out = (
         a.join(b, "bucket")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -90,6 +90,12 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
+    # materialize the (small) pair table, then release the signature
+    # cache — the kmeans_train/minhash_estimate pattern; a bare persist
+    # here accumulates one signature table per call across a session
+    out = out.localCheckpoint()
+    sig.unpersist()
+    return out
 
 
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> DataFrame:
