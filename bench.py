@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_quantize_embeddings",
     "q_time_to_convert",
     "q_modularity",
+    "q_monthly_churn",
 ]
 
 

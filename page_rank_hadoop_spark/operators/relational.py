@@ -1560,3 +1560,46 @@ def benford_screen(orders: DataFrame, col: str = "o_totalprice") -> DataFrame:
             F.round(F.abs(F.col("n") / F.col("t") - expected), 6).alias("abs_dev"),
         )
     )
+
+
+def monthly_churn(orders: DataFrame) -> DataFrame:
+    """Monthly customer churn: for every month m (except the last, which
+    has no lookahead), the active customers, how many came back in m+1,
+    and the churn rate 1 − retained/active — the subscription-health
+    counterpart of cohort retention (which tracks a fixed cohort; churn
+    re-bases every month).
+
+    Distinct (customer, month) pairs → ONE self-join keyed on
+    (customer, month+1) → month rollup. Integer month index arithmetic
+    (yyyy·12+mm) keeps the join key exact; the last-month cutoff is a
+    single-row max broadcast. Everything partial-aggregates; output is
+    O(months).
+    """
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("om")
+    cm = orders.select("o_custkey", om).distinct()
+    nxt = cm.select("o_custkey", (F.col("om") - 1).alias("om"))
+    maxm = cm.agg(F.max("om").alias("mx"))
+    joined = cm.join(
+        nxt.withColumn("_next", F.lit(1)), ["o_custkey", "om"], "left"
+    )
+    return (
+        joined.crossJoin(F.broadcast(maxm))
+        .filter(F.col("om") < F.col("mx"))
+        .groupBy("om")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.sum(F.coalesce("_next", F.lit(0))).cast("bigint").alias("n_retained"),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                (F.col("om") / 12).cast("int").cast("string"),
+                F.lpad((F.col("om") % 12 + 1).cast("string"), 2, "0"),
+            ).alias("month"),
+            "n_active",
+            "n_retained",
+            F.round(F.lit(1.0) - F.col("n_retained") / F.col("n_active"), 6).alias(
+                "churn_rate"
+            ),
+        )
+    )

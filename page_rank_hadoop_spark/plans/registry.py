@@ -659,6 +659,13 @@ def q_label_propagation(spark, sf):
     return _lpa_labels(spark, sf)
 
 
+def q_monthly_churn(spark, sf):
+    """Monthly customer churn over orders: active vs retained-in-m+1
+    per month, churn rate; distinct pair self-join on (cust, month+1),
+    integer month keys."""
+    return relational.monthly_churn(load_table(spark, sf, "orders"))
+
+
 def q_modularity(spark, sf):
     """Newman modularity contributions of the LPA partition — the
     community-quality metric (e_c/m − (d_c/2m)² per community); shares
@@ -2602,6 +2609,28 @@ def build_oracles() -> dict[str, str]:
                SELECT dst, label, row_number() OVER (PARTITION BY dst ORDER BY c DESC, label) AS rn
                FROM c3) WHERE rn = 1)
       SELECT id, label FROM l3
+    """
+
+    oracles["q_monthly_churn"] = """
+      WITH cm AS (
+        SELECT DISTINCT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om
+        FROM orders
+      ),
+      mx AS (SELECT max(om) AS mx FROM cm),
+      j AS (
+        SELECT a.om,
+               CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS nxt
+        FROM cm a LEFT JOIN cm b
+          ON a.o_custkey = b.o_custkey AND b.om = a.om + 1
+      )
+      SELECT (om // 12)::VARCHAR || '-' ||
+               lpad(((om % 12) + 1)::VARCHAR, 2, '0') AS month,
+             count(*)::BIGINT AS n_active,
+             sum(nxt)::BIGINT AS n_retained,
+             round(1.0::DOUBLE - sum(nxt)::BIGINT / count(*), 6) AS churn_rate
+      FROM j CROSS JOIN mx WHERE om < mx.mx
+      GROUP BY om
     """
 
     # modularity: reuse the LPA oracle's CTE chain (labels = l3), append
@@ -4791,6 +4820,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_quantize_embeddings": q_quantize_embeddings,
         "q_time_to_convert": q_time_to_convert,
         "q_modularity": q_modularity,
+        "q_monthly_churn": q_monthly_churn,
         # --- tier 2: driver-green r1/r2; relative order preserved ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,

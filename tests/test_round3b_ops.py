@@ -666,3 +666,27 @@ def test_modularity_random_partition_near_zero(spark):
     out = graph.modularity_by_community(e, labels).collect()
     assert len(out) == 1
     assert abs(out[0]["q_contrib"]) < 1e-9
+
+
+def test_monthly_churn_rates(spark):
+    rows = [
+        # Jan: custs 1,2 — cust 1 returns in Feb, cust 2 does not
+        (1, 1, "O", 10.0, dt.datetime(2024, 1, 5)),
+        (2, 2, "O", 10.0, dt.datetime(2024, 1, 9)),
+        (3, 1, "O", 10.0, dt.datetime(2024, 2, 2)),
+        # Feb extra: cust 3; Mar (last month) is lookahead only
+        (4, 3, "O", 10.0, dt.datetime(2024, 2, 20)),
+        (5, 3, "O", 10.0, dt.datetime(2024, 3, 1)),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP",
+    )
+    out = {r["month"]: r for r in relational.monthly_churn(orders).collect()}
+    assert set(out) == {"2024-01", "2024-02"}  # last month excluded
+    jan = out["2024-01"]
+    assert (jan["n_active"], jan["n_retained"]) == (2, 1)
+    assert abs(jan["churn_rate"] - 0.5) < 1e-9
+    feb = out["2024-02"]
+    assert (feb["n_active"], feb["n_retained"]) == (2, 1)  # cust 3 retained

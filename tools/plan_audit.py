@@ -172,6 +172,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_quantize_embeddings", [("has", r"Generate"), ("has", r"BroadcastHashJoin"), ("not", r"SortMergeJoin")]),
     ("q_time_to_convert", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_modularity", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_monthly_churn", [("has", r"HashAggregate"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
