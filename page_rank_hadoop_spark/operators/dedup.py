@@ -624,47 +624,86 @@ def sorted_neighborhood_pairs(
     of the quadratic blocking-bucket join, the classic third member of
     the dedup-family alongside LSH banding and prefix filtering.
 
-    The neighbor pairs come from ``lead(…, d)`` columns over the sort —
-    no self-join at all; similarity is exact token Jaccard computed
-    JVM-side on the carried token arrays. Note the declared form uses a
-    single global sort window (fine at dimension scale); the 100 TB swap
-    is a range-partitioned sort plus a w-row boundary exchange per
-    partition — same candidates, documented, not a semantic change.
+    Round-4 100 TB form (was: one global ``Window.orderBy`` — every row
+    through a single task, the bench's corpus-scale `WindowExec: No
+    Partition Defined` warning). Now the global sort-order rank ``g`` is
+    computed DISTRIBUTED:
+
+    1. ``repartitionByRange(k, doc_id)`` + ``sortWithinPartitions`` —
+       range-contiguous sorted partitions (the concatenation of
+       partitions in pid order IS the global sort order);
+    2. ``monotonically_increasing_id`` — partition id in the upper 31
+       bits, within-partition record number in the lower 33 — yields
+       (pid, pos) map-side, no window; an EAGER ``localCheckpoint`` pins
+       the snapshot (RangePartitioner re-samples its bounds per
+       execution, so the offsets action and the pair join below must
+       read the same materialization);
+    3. per-partition row counts (bounded ≤ num_partitions-row collect)
+       prefix-sum into offsets; a broadcast join adds ``g = off + pos``.
+
+    Neighbor pairs (g, g+d), d ∈ [1, w], then come from a BLOCK
+    EQUI-JOIN: block = g div w, so a row's forward neighbors lie in its
+    own block or the next; joining left.block against the right side
+    exploded to {block, block−1} and keeping 1 ≤ Δg ≤ w enumerates
+    exactly the ``lead()`` candidates of the global-window form — every
+    stage partitioned, no WindowExec anywhere. Similarity is exact token
+    Jaccard computed JVM-side on the carried token arrays.
     """
-    from pyspark.sql import Window
-
     from page_rank_hadoop_spark.functions.text import tokens
-    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
+    sess = documents.sparkSession
     key = F.substring(
         F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, key_chars
     )
-    base = ensure_parallel(documents).select(
+    base = documents.select(
         "doc_id", key.alias("k"), F.array_distinct(tokens("text")).alias("arr")
     )
-    ww = Window.orderBy("k", "doc_id")
-    led = base.select(
-        "doc_id",
-        "arr",
-        *[F.lead("doc_id", d).over(ww).alias(f"_b{d}") for d in range(1, w + 1)],
-        *[F.lead("arr", d).over(ww).alias(f"_a{d}") for d in range(1, w + 1)],
+    tagged = (
+        base.repartitionByRange(
+            sess.sparkContext.defaultParallelism, "k", "doc_id"
+        )
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .select(
+            "doc_id",
+            "arr",
+            F.shiftright("_mid", 33).alias("pid"),
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("pos"),
+        )
+        .localCheckpoint()
     )
-    nbrs = F.array(
-        *[
-            F.struct(
-                F.col(f"_b{d}").alias("doc_b"), F.col(f"_a{d}").alias("arr_b")
-            )
-            for d in range(1, w + 1)
-        ]
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in tagged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = sess.createDataFrame(offs, "pid BIGINT, off BIGINT")
+    ranked = tagged.join(F.broadcast(off_df), "pid").select(
+        "doc_id", "arr", (F.col("off") + F.col("pos")).alias("g")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_l"),
+        F.col("arr").alias("arr_l"),
+        F.col("g").alias("g_l"),
+        F.expr(f"g DIV {w}").alias("blk"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_r"),
+        F.col("arr").alias("arr_r"),
+        F.col("g").alias("g_r"),
+        F.explode(F.expr(f"array(g DIV {w}, g DIV {w} - 1)")).alias("blk"),
     )
     pairs = (
-        led.select("doc_id", "arr", F.explode(nbrs).alias("nb"))
-        .filter(F.col("nb.doc_b").isNotNull())
+        a.join(b, "blk")
+        .filter((F.col("g_r") - F.col("g_l")).between(1, w))
         .select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("nb.doc_b").alias("doc_b"),
-            F.size(F.array_intersect("arr", "nb.arr_b")).alias("inter"),
-            (F.size("arr") + F.size("nb.arr_b")).alias("szsum"),
+            F.col("doc_l").alias("doc_a"),
+            F.col("doc_r").alias("doc_b"),
+            F.size(F.array_intersect("arr_l", "arr_r")).alias("inter"),
+            (F.size("arr_l") + F.size("arr_r")).alias("szsum"),
         )
     )
     jac = F.col("inter") / (F.col("szsum") - F.col("inter"))

@@ -1320,11 +1320,13 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
     diagnosed — the same shuffle the real join would do) and a single-row
     rollup over the count distribution (exact interpolated percentiles;
     keys-space-sized input, scale-independent output). The heaviest key
-    is a deterministic argmax — max(struct(count, −key)) breaks count
-    ties toward the smallest key.
+    is a deterministic argmax — min(struct(−count, key)) breaks count
+    ties toward the smallest key, and only negates the COUNT (always
+    numeric), so the key column may be any orderable type (string join
+    keys are the common skew-diagnostic target).
     """
     counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count("*").alias("c"))
-    top = F.max(F.struct(F.col("c").alias("c"), (-F.col("k")).alias("negk")))
+    top = F.min(F.struct((-F.col("c")).alias("negc"), F.col("k").alias("k")))
     return counts.agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.round(F.avg("c"), 6).alias("mean_cnt"),
@@ -1338,7 +1340,7 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
         "p50_cnt",
         "p99_cnt",
         "max_cnt",
-        (-F.col("_t.negk")).alias("top_key"),
+        F.col("_t.k").alias("top_key"),
         F.round(F.col("max_cnt") / F.col("mean_cnt"), 6).alias("skew_ratio"),
     )
 
@@ -1401,9 +1403,12 @@ def ab_ttest(
     """
     a = F.col("event_type") == type_a
     b = F.col("event_type") == type_b
+    # n_a/n_b count NON-NULL observations (F.count over the same
+    # conditional column the moments use) so t and the Welch df stay
+    # consistent with mean/var if `value` is ever nullable
     agg = events.filter(a | b).agg(
-        F.sum(a.cast("int")).cast("bigint").alias("n_a"),
-        F.sum(b.cast("int")).cast("bigint").alias("n_b"),
+        F.count(F.when(a, F.col("value"))).cast("bigint").alias("n_a"),
+        F.count(F.when(b, F.col("value"))).cast("bigint").alias("n_b"),
         F.round(F.avg(F.when(a, F.col("value"))), 6).alias("mean_a"),
         F.round(F.avg(F.when(b, F.col("value"))), 6).alias("mean_b"),
         F.round(F.var_samp(F.when(a, F.col("value"))), 6).alias("var_a"),

@@ -580,7 +580,14 @@ def linreg_by_lang(documents: DataFrame) -> DataFrame:
     built-in regression aggregates (regr_slope/intercept/r2) — closed-
     form, single-pass, partial-aggregable: the same shuffle shape as any
     groupBy, no iteration, no ML library. The linear-model surface of
-    the stats family (corr/covar are in stats_correlation)."""
+    the stats family (corr/covar are in stats_correlation).
+
+    slope/intercept/r2 are DERIVED from 6dp-prerounded moment aggregates
+    (mean/var_pop/covar_pop) rather than rounding raw regr_* outputs —
+    the cusum/ab_ttest lesson: partial-agg summation order differs
+    between engines by ~1 ulp, and rounding the INPUT moments makes the
+    derived statistics bit-identical instead of hoping the output
+    rounding doesn't straddle a 6dp boundary."""
     from page_rank_hadoop_spark.functions.text import token_count
 
     base = documents.select(
@@ -588,9 +595,21 @@ def linreg_by_lang(documents: DataFrame) -> DataFrame:
         F.col("n_chars").cast("double").alias("x"),
         token_count("text").cast("double").alias("y"),
     )
-    return base.groupBy("lang").agg(
+    mom = base.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
-        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
-        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        F.round(F.avg("x"), 6).alias("mx"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.var_pop("x"), 6).alias("vx"),
+        F.round(F.var_pop("y"), 6).alias("vy"),
+        F.round(F.covar_pop("y", "x"), 6).alias("cxy"),
+    )
+    slope = F.col("cxy") / F.col("vx")
+    return mom.select(
+        "lang",
+        "n_docs",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round(
+            F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")), 6
+        ).alias("r2"),
     )

@@ -124,9 +124,11 @@ def read_jsonl_quarantined(
 
     Both frames come from ONE scan definition (the corrupt column is
     NULL for good rows); Spark requires selecting the corrupt column
-    from a cached/materialized frame, hence the documented
-    ``.cache()`` on the raw read — size it accordingly or split by a
-    two-pass filter at extreme scale.
+    from a materialized frame, so the raw read is pinned with an EAGER
+    ``localCheckpoint`` — unlike the earlier ``.cache()``, it needs no
+    caller-side unpersist (the checkpoint is reclaimed when the returned
+    frames are garbage-collected, not held for the session lifetime).
+    At extreme scale split by a two-pass filter instead.
     """
     base_schema = schema or DOCUMENTS_JSONL_SCHEMA
     full = base_schema + ", _corrupt STRING"
@@ -135,7 +137,7 @@ def read_jsonl_quarantined(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
-        .cache()
+        .localCheckpoint()
     )
     good = raw.filter(raw["_corrupt"].isNull()).drop("_corrupt")
     bad = raw.filter(raw["_corrupt"].isNotNull()).select(

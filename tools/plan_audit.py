@@ -151,13 +151,16 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_gram_matrix", [("has", r"MapInPandas"), ("has", r"HashAggregate"), ("not", r"BatchEvalPython")]),
     ("q_rfm_segments", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"SortMergeJoin")]),
     ("q_repeated_chunks", [("has", r"Generate"), ("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
-    ("q_sorted_neighborhood", [("has", r"Window"), ("not", r"(SortMergeJoin|BroadcastHashJoin)"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # SNM is now window-free: distributed global rank (range partitions +
+    # per-partition ids + broadcast offsets) and a block equi-join — the
+    # "not Window" pin is the point (the old form was one global WindowExec)
+    ("q_sorted_neighborhood", [("not", r"Window"), ("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_seasonal_profile", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_cusum_changepoints", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_skew_report", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_equidepth_histogram", [("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_linreg", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
-    ("q_ab_ttest", [("has", r"HashAggregate"), ("not", r"Window"), ("has", r"PushedFilters: \[.*In\(event_type|Filter")]),
+    ("q_ab_ttest", [("has", r"HashAggregate"), ("not", r"Window"), ("has", r"PushedFilters: \[.*\(event_type,(click|view)\)")]),
     ("q_label_centroids", [("has", r"Generate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_sql_report", [("has", r"BroadcastHashJoin"), ("has", r"Window"), ("not", r"CartesianProduct")]),
     ("q_expanding_zscore", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
