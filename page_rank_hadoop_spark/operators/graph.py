@@ -213,6 +213,7 @@ def deterministic_walks(
     verts: DataFrame,
     walk_len: int = 5,
     broadcast_max_rows: int = 2_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """One graph random walk per vertex — the corpus generator for
     DeepWalk/node2vec-style graph embeddings — with every neighbor
@@ -235,7 +236,10 @@ def deterministic_walks(
     co-partitioning can hold; the persisted adjacency at least keeps
     its scan/exchange reused across steps. The chosen plan is pinned in
     tools/plan_audit.py (q_graph_walks: BroadcastHashJoin, no
-    SortMergeJoin at test scale)."""
+    SortMergeJoin at test scale); BOTH sides of the gate are exercised
+    by tests/test_round2b_ops.py::test_walks_broadcast_gate (pass
+    ``materialize=False`` to inspect the pre-checkpoint plan — the
+    eager localCheckpoint otherwise collapses it to an RDD scan)."""
     from pyspark.storagelevel import StorageLevel
 
     adj = (
@@ -281,8 +285,10 @@ def deterministic_walks(
                 F.concat("path", F.array(nxt)).alias("path"),
             )
         )
-    out = walk.select("start", F.to_json("path").alias("walk_json")).localCheckpoint()
-    adj.unpersist()
+    out = walk.select("start", F.to_json("path").alias("walk_json"))
+    if materialize:
+        out = out.localCheckpoint()
+        adj.unpersist()
     return out
 
 
@@ -360,7 +366,9 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
+def k_core(
+    edges: DataFrame, k: int = 2, max_iter: int = 10, stats: dict | None = None
+) -> DataFrame:
     """K-core of the undirected graph: the maximal subgraph where every
     vertex keeps degree ≥ k — the classic link-spam / low-quality-page
     peel (a page in no 2-core is a leaf chain; web-quality pipelines cut
@@ -392,10 +400,12 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
     cur = sym
     n_prev = -1
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         deg = cur.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src").localCheckpoint()
         n_keep = keep.count()
+        if stats is not None:  # rounds-to-fixpoint, for the scale rehearsal
+            stats["rounds"] = rnd + 1
         if n_keep == n_prev:
             converged = True
             break

@@ -389,6 +389,45 @@ def test_deterministic_walks_path_graph(spark):
     assert out == out2
 
 
+def test_walks_broadcast_gate(spark):
+    """Both sides of the size gate (graph.py broadcast_max_rows): above
+    the vertex count the adjacency is explicitly broadcast into every
+    step join; below it the plan degrades to the documented shuffle join
+    rather than an OOM-prone forced broadcast — with Catalyst's own
+    auto-broadcast disabled so the gate, not the optimizer, decides."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(200).select(
+        (F.col("id") % 50).alias("src"), ((F.col("id") * 7 + 1) % 50).alias("dst")
+    )
+    verts = spark.range(50).select("id")
+
+    def fmt(d):
+        return spark._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        on = graph.deterministic_walks(
+            edges, verts, walk_len=2, broadcast_max_rows=10**6, materialize=False
+        )
+        assert "BroadcastHashJoin" in fmt(on)
+        off = graph.deterministic_walks(
+            edges, verts, walk_len=2, broadcast_max_rows=10, materialize=False
+        )
+        plan = fmt(off)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the degraded plan computes the identical walk corpus
+        assert sorted(r["walk_json"] for r in on.collect()) == sorted(
+            r["walk_json"] for r in off.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_hits_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert graph.hits(edges, n_iter=2).count() == 0

@@ -105,7 +105,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ),
     ("q_returned_items", [("has", r"TakeOrderedAndProject"), ("has", r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)"), ("has", r"BroadcastHashJoin")]),
     ("q_nation_volume_shipping", [("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
-    ("q_top_supplier", [("has", r"Window"), ("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
+    ("q_top_supplier", [("has", r"Window"), ("window_over_agg", "scalar max window input = per-supplier revenue aggregate"), ("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
+    ("q_skyline_parts", [("has", r"Window"), ("window_over_agg", "cumulative-min window input = DISTINCT (aggregated) price-size pairs")]),
+    ("q_important_parts", [("has", r"Window"), ("window_over_agg", "share-of-total scalar window input = per-part aggregate")]),
     ("q_small_qty_revenue", [("has", r"BroadcastHashJoin"), ("not", r"CartesianProduct")]),
     ("q_disjunctive_pushdown", [("has", r"BroadcastHashJoin"), ("has", r"PushedFilters: \[.*Or\(")]),
     ("q_waiting_suppliers", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct")]),
@@ -147,9 +149,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_market_basket", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_link_prediction", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_training_shards", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
-    ("q_vocab_coverage", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_vocab_coverage", [("has", r"Window"), ("window_over_agg", "vocab rank window input = term-df aggregate (vocabulary-sized)"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_gram_matrix", [("has", r"MapInPandas"), ("has", r"HashAggregate"), ("not", r"BatchEvalPython")]),
-    ("q_rfm_segments", [("has", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"SortMergeJoin")]),
+    ("q_rfm_segments", [("has", r"Window"), ("window_over_agg", "ntile input = per-customer RFM aggregate (customer-dimension-sized; approx-quantile swap documented)"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"SortMergeJoin")]),
     ("q_repeated_chunks", [("has", r"Generate"), ("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     # SNM is now window-free: distributed global rank (range partitions +
     # per-partition ids + broadcast offsets) and a block equi-join — the
@@ -179,6 +181,44 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
 ]
 
 
+def windows_over_aggregates(plan: str) -> bool:
+    """True iff EVERY Window node in the formatted plan's tree sketch has
+    an Aggregate (or Generate over an Aggregate's output — the exploded-
+    array case) somewhere in its input subtree.
+
+    This is the whitelist pin for the benign unpartitioned windows
+    (vocab rank, skyline cumulative-min over DISTINCT, scalar windows
+    over agg output, RFM ntiles over the customer dimension): their
+    input is post-aggregation, i.e. bounded by key cardinality, not
+    corpus-scale. A future corpus-scale global window — a Window whose
+    subtree is a raw scan — fails this check instead of warning into the
+    bench stderr (the round-3 q_sorted_neighborhood lesson).
+    """
+    lines = plan.splitlines()
+    sketch_end = next(
+        (i for i, ln in enumerate(lines) if re.match(r"^\(1\) ", ln)), len(lines)
+    )
+    sketch = lines[:sketch_end]
+    for i, ln in enumerate(sketch):
+        m = re.search(r"\bWindow \(\d+\)", ln)
+        if not m:
+            continue
+        depth = m.start()
+        subtree_has_agg = False
+        for below in sketch[i + 1 :]:
+            m2 = re.search(r"\b\w+ \(\d+\)", below)
+            if not m2:
+                continue
+            if m2.start() <= depth:
+                break  # left the Window's subtree
+            if re.search(r"(Hash|Sort|ObjectHash)Aggregate", below):
+                subtree_has_agg = True
+                break
+        if not subtree_has_agg:
+            return False
+    return True
+
+
 def first_read_schema(plan: str, table_hint: str = "") -> str | None:
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     if not m:
@@ -205,6 +245,8 @@ def main(sf_dir: str | None = None) -> int:
                 ok = re.search(pat, plan) is None
             elif kind == "read_cols":
                 ok = first_read_schema(plan) == pat
+            elif kind == "window_over_agg":
+                ok = windows_over_aggregates(plan)
             else:
                 raise ValueError(kind)
             status = "ok  " if ok else "FAIL"

@@ -1,4 +1,5 @@
-"""10× scale rehearsal of the dedup pipeline (SCALING.md evidence).
+"""10× scale rehearsal of the dedup pipeline and the graph-loop family
+(SCALING.md evidence).
 
 Builds a 10×-sf0.1 corpus (500k docs) by unioning ten copies of the
 sf0.1 documents table: copy 0 verbatim, copies 1-9 with doc_ids shifted
@@ -16,8 +17,15 @@ Measures, at 1× and 10×:
 - n-gram Jaccard: plain shingle join vs PPJoin-style prefix filtering,
   with the plain path's analytic candidate count Σ_s C(df_s, 2)
 
-Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir]
-Prints a markdown table for SCALING.md.
+Graph loops (LPA / HITS / k-core / personalized PageRank) rehearse on a
+10× graph built as TEN DISJOINT id-shifted copies of the 1× resolved
+edge set — identical topology per copy, so rounds-to-fixpoint must stay
+CONSTANT while per-round work grows 10×; the measurement separates
+"more data" (fine: distributed joins/aggs) from "more rounds" (would be
+a scale-killer, since rounds are sequential job latency).
+
+Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir] [dedup|graph|all]
+Prints markdown tables for SCALING.md.
 """
 
 from __future__ import annotations
@@ -127,34 +135,70 @@ def rehearse(spark, docs, label: str) -> dict:
     return r
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_rehearsal"
-    spark = get_spark("scale_rehearsal")
+def build_graph_10x(spark, sf_dir: str, out_dir: str) -> tuple[str, str]:
+    """Resolve the 1× graph once, then write ten disjoint id-shifted
+    copies of (verts, kept edges) — per-copy topology identical, so
+    rounds-to-fixpoint are provably unchanged and any wall-time growth
+    is per-round work only."""
+    from page_rank_hadoop_spark.operators import graph
 
-    p10 = os.path.join(out_dir, "documents_10x.parquet")
-    if not os.path.exists(p10):
-        t0 = time.time()
-        build_10x(spark, sf_dir, p10)
-        print(f"built 10x corpus in {time.time()-t0:.1f}s → {p10}")
-
-    one = load_table(spark, sf_dir, "documents")
-    ten = spark.read.parquet(p10)
-
-    rows = [rehearse(spark, one, "1x"), rehearse(spark, ten, "10x")]
-    cols = [
-        ("n_docs", "docs"),
-        ("lsh_pairs", "LSH pairs"),
-        ("lsh_sec", "LSH s"),
-        ("lsh_pairs_cap64", "LSH pairs cap64"),
-        ("lsh_cap_sec", "cap s"),
-        ("cc_pj_sec", "CC pj s"),
-        ("cc_star_sec", "CC star s"),
-        ("plain_candidates", "jac candidates"),
-        ("jac_plain_sec", "jac plain s"),
-        ("jac_prefix_sec", "jac prefix s"),
-        ("jac_plain_pairs", "jac pairs"),
+    pv = os.path.join(out_dir, "verts_10x.parquet")
+    pe = os.path.join(out_dir, "edges_10x.parquet")
+    if os.path.exists(pv) and os.path.exists(pe):
+        return pv, pe
+    d = load_table(spark, sf_dir, "documents")
+    verts = graph.vertices(d)
+    kept = graph.resolve_edges(graph.extract_edges(d), verts)
+    SHIFT = 10_000_000
+    vs = [verts.select((F.col("id") + k * SHIFT).alias("id")) for k in range(10)]
+    es = [
+        kept.select(
+            (F.col("src") + k * SHIFT).alias("src"),
+            (F.col("dst") + k * SHIFT).alias("dst"),
+        )
+        for k in range(10)
     ]
+    u = vs[0]
+    for c in vs[1:]:
+        u = u.unionByName(c)
+    u.write.mode("overwrite").parquet(pv)
+    u = es[0]
+    for c in es[1:]:
+        u = u.unionByName(c)
+    u.write.mode("overwrite").parquet(pe)
+    return pv, pe
+
+
+def rehearse_graph(spark, verts, kept, label: str) -> dict:
+    from pyspark.storagelevel import StorageLevel
+
+    from page_rank_hadoop_spark.operators import graph, pagerank
+
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    r: dict = {"label": label, "verts": verts.count(), "edges": kept.count()}
+
+    _, t = _timed(lambda: graph.label_propagation(kept, n_iter=3).count())
+    r["lpa_sec"], r["lpa_rounds"] = t, 3
+    _, t = _timed(lambda: graph.hits(kept, n_iter=8).count())
+    r["hits_sec"], r["hits_rounds"] = t, 8
+    kst: dict = {}
+    _, t = _timed(lambda: graph.k_core(kept, k=2, stats=kst).count())
+    r["kcore_sec"], r["kcore_rounds"] = t, kst.get("rounds")
+    adj = graph.adjacency(kept, verts)
+    seeds = verts.orderBy("id").limit(64)
+    _, t = _timed(
+        lambda: pagerank.run_pagerank(
+            adj, fixed_iterations=10, teleport=seeds
+        ).ranks.count()
+    )
+    r["ppr_sec"], r["ppr_rounds"] = t, 10
+    verts.unpersist()
+    kept.unpersist()
+    return r
+
+
+def _print_table(rows: list[dict], cols: list[tuple[str, str]]) -> None:
     print("| scale | " + " | ".join(h for _, h in cols) + " |")
     print("|---" * (len(cols) + 1) + "|")
     for r in rows:
@@ -162,6 +206,70 @@ def main() -> int:
             f"{r[k]:.1f}" if isinstance(r[k], float) else str(r[k]) for k, _ in cols
         ]
         print(f"| {r['label']} | " + " | ".join(cells) + " |")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_rehearsal"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "all"
+    spark = get_spark("scale_rehearsal")
+
+    if mode in ("dedup", "all"):
+        p10 = os.path.join(out_dir, "documents_10x.parquet")
+        if not os.path.exists(p10):
+            t0 = time.time()
+            build_10x(spark, sf_dir, p10)
+            print(f"built 10x corpus in {time.time()-t0:.1f}s → {p10}")
+
+        one = load_table(spark, sf_dir, "documents")
+        ten = spark.read.parquet(p10)
+
+        rows = [rehearse(spark, one, "1x"), rehearse(spark, ten, "10x")]
+        _print_table(
+            rows,
+            [
+                ("n_docs", "docs"),
+                ("lsh_pairs", "LSH pairs"),
+                ("lsh_sec", "LSH s"),
+                ("lsh_pairs_cap64", "LSH pairs cap64"),
+                ("lsh_cap_sec", "cap s"),
+                ("cc_pj_sec", "CC pj s"),
+                ("cc_star_sec", "CC star s"),
+                ("plain_candidates", "jac candidates"),
+                ("jac_plain_sec", "jac plain s"),
+                ("jac_prefix_sec", "jac prefix s"),
+                ("jac_plain_pairs", "jac pairs"),
+            ],
+        )
+
+    if mode in ("graph", "all"):
+        from page_rank_hadoop_spark.operators import graph as graph_ops
+
+        pv, pe = build_graph_10x(spark, sf_dir, out_dir)
+        d = load_table(spark, sf_dir, "documents")
+        v1 = graph_ops.vertices(d)
+        e1 = graph_ops.resolve_edges(graph_ops.extract_edges(d), v1)
+        rows = [
+            rehearse_graph(spark, v1, e1, "1x"),
+            rehearse_graph(
+                spark, spark.read.parquet(pv), spark.read.parquet(pe), "10x"
+            ),
+        ]
+        _print_table(
+            rows,
+            [
+                ("verts", "verts"),
+                ("edges", "edges"),
+                ("lpa_sec", "LPA s"),
+                ("lpa_rounds", "LPA rds"),
+                ("hits_sec", "HITS s"),
+                ("hits_rounds", "HITS rds"),
+                ("kcore_sec", "kcore s"),
+                ("kcore_rounds", "kcore rds"),
+                ("ppr_sec", "PPR s"),
+                ("ppr_rounds", "PPR rds"),
+            ],
+        )
     return 0
 
 
