@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q_link_prediction",
     "q_training_shards",
     "q_vocab_coverage",
+    "q_approx_topk_terms",
     "q_gram_matrix",
     "q_rfm_segments",
     "q_repeated_chunks",

@@ -575,6 +575,37 @@ def remove_repeated_chunks(
     )
 
 
+def approx_topk_terms(
+    documents: DataFrame, k: int = 20, max_items: int = 4096
+) -> DataFrame:
+    """Approximate top-k most frequent terms via the ``approx_top_k``
+    frequent-items sketch — the SKETCH twin of ``vocab_coverage``'s
+    exact rank: per-partition sketches tracking ≤ ``max_items``
+    candidates merge through a single-row aggregate, so the shuffle
+    carries ONE sketch object per partition instead of a
+    vocabulary-wide (term)-keyed exchange. At 100 TB this is the only
+    sane way to ask "what are the dominant terms": the exact groupBy
+    moves |vocabulary| rows; the sketch moves |partitions| fixed-size
+    summaries and is mergeable across any partitioning.
+
+    Correctness regime, documented and pinned by the oracle gate: while
+    every partition's distinct-term count stays ≤ ``max_items`` the
+    sketch counts are EXACT (nothing is ever evicted), so at test SFs
+    (vocabulary ≪ 4096) the output hash-matches the exact top-k oracle;
+    above capacity the counts become estimates with the classic
+    frequent-items error bound and the oracle entry would be dropped —
+    capacity is the knob that trades memory for exactness.
+    """
+    from page_rank_hadoop_spark.functions.text import tokens
+
+    terms = documents.select(F.explode(tokens("text")).alias("term"))
+    sk = terms.agg(F.expr(f"approx_top_k(term, {k}, {max_items})").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"),
+        F.col("e.count").cast("bigint").alias("cnt"),
+    )
+
+
 def linreg_by_lang(documents: DataFrame) -> DataFrame:
     """Per-language OLS fit of token count on character count via the
     built-in regression aggregates (regr_slope/intercept/r2) — closed-

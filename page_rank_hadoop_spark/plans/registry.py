@@ -1449,6 +1449,14 @@ def q_vocab_coverage(spark, sf):
     return textstats.vocab_coverage(_docs(spark, sf))
 
 
+def q_approx_topk_terms(spark, sf):
+    """Frequent-items-sketch top-20 terms: per-partition approx_top_k
+    sketches merged through a single-row agg — |partitions| fixed-size
+    summaries shuffled instead of a vocabulary-keyed exchange; exact
+    (hence oracle-able) while vocab <= sketch capacity."""
+    return textstats.approx_topk_terms(_docs(spark, sf), k=20, max_items=4096)
+
+
 def q_gram_matrix(spark, sf):
     """Distributed Gram matrix XᵀX over the embedding table via
     mapInPandas partial matmuls (dim² floats per partition shuffled, not
@@ -4318,6 +4326,18 @@ def build_oracles() -> dict[str, str]:
       FROM ranked r CROSS JOIN sizes s GROUP BY s.vocab_size
     """
 
+    oracles["q_approx_topk_terms"] = f"""
+      -- exact top-k: the sketch is exact below capacity (vocab << 4096
+      -- at every test SF), so the frequent-items result must equal this
+      SELECT term, cnt FROM (
+        SELECT term, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+        GROUP BY term
+        ORDER BY cnt DESC, term
+        LIMIT 20
+      )
+    """
+
     oracles["q_gram_matrix"] = """
       WITH ex AS (
         SELECT vec_id, (u.s.i)::INT AS i, (u.s.x)::DOUBLE AS x
@@ -4786,6 +4806,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_modularity": q_modularity,
         "q_monthly_churn": q_monthly_churn,
         # --- tier 1b: new round-4 queries (within the first 50) ---
+        "q_approx_topk_terms": q_approx_topk_terms,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

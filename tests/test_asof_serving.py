@@ -87,6 +87,42 @@ def test_bucketed_join_has_no_shuffle(spark, docs):
         spark.sql("DROP TABLE IF EXISTS t_bk_right")
 
 
+def test_merge_upsert_through_bucketed_tables_is_shuffle_free(spark, docs):
+    """The MERGE path exercises the bucket spec end-to-end: base and
+    updates both bucketed by the merge key → the left-anti join inside
+    merge_upsert plans with ZERO Exchange operators (the 100 TB path:
+    the per-merge shuffle becomes a one-time bucketed-write cost).
+    Auto-broadcast is disabled so the bucket spec, not a broadcast of
+    the tiny test table, is what eliminates the shuffle."""
+    from page_rank_hadoop_spark.operators.pipeline import merge_upsert
+    from page_rank_hadoop_spark.sources.serving import write_bucketed
+
+    base = docs.select("doc_id", "lang")
+    updates = docs.select("doc_id", "lang").filter("doc_id % 10 = 0").withColumn(
+        "lang", F.lit("xx")
+    )
+    write_bucketed(base, "t_mg_base", key="doc_id", n_buckets=4)
+    write_bucketed(updates, "t_mg_upd", key="doc_id", n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = merge_upsert(
+            spark.table("t_mg_base"), spark.table("t_mg_upd"), key="doc_id"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan or "left_anti" in plan, plan
+        assert (
+            "ShuffleExchange" not in plan
+            and "Exchange hashpartitioning" not in plan
+        ), plan
+        assert out.count() == docs.count()
+        assert out.filter("lang = 'xx'").count() == updates.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_mg_base")
+        spark.sql("DROP TABLE IF EXISTS t_mg_upd")
+
+
 def test_write_keyed_point_lookup_pushdown(spark, docs, tmp_path):
     path = str(tmp_path / "served")
     table = docs.select("doc_id", "lang", "n_chars")

@@ -100,3 +100,29 @@ def test_bpe_pair_stats_hand_checked(spark):
     # words: abab, ab, x, cd, ab → pairs: ab,ba,ab | ab | (x dropped) | cd | ab
     rows = bpe_pair_stats(df, top_k=10).collect()
     assert [(r["pair"], r["n"]) for r in rows] == [("ab", 4), ("ba", 1), ("cd", 1)]
+
+
+def test_approx_topk_terms_exact_below_capacity(spark):
+    """Below sketch capacity nothing is evicted, so the frequent-items
+    result must equal the exact top-k (the property the oracle gate
+    relies on); the k boundary honors exact counts."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.functions.text import tokens
+    from page_rank_hadoop_spark.operators.textstats import approx_topk_terms
+
+    d = spark.createDataFrame(
+        [(i, "alpha " * 5 + "beta " * 3 + "gamma " * 2 + "delta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    got = {(r["term"], r["cnt"]) for r in approx_topk_terms(d, k=3, max_items=64).collect()}
+    exact = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(3)
+        .collect()
+    )
+    assert got == {(r["term"], r["cnt"]) for r in exact}
+    assert got == {("alpha", 20), ("beta", 12), ("gamma", 8)}

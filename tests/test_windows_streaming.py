@@ -607,3 +607,47 @@ def test_streaming_zscore_single_vs_split_batches_identical(spark, tmp_path):
     two = run(6, "two")  # split right before the spike — state must carry
     assert one == two
     assert any(r[0] == 6 for r in one)  # the spike event is flagged
+
+
+def test_rate_limited_ingest_and_sink_compaction(spark, tmp_path):
+    """Rate-limited file-source drain (maxFilesPerTrigger) fragments the
+    sink into one file per micro-batch; sink_file_metrics reports the
+    fragmentation from one scan; compact_sink rewrites to the target
+    file count with identical content."""
+    from page_rank_hadoop_spark.streaming.compaction import (
+        compact_sink,
+        rate_limited_file_ingest,
+        sink_file_metrics,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    out = str(tmp_path / "compacted")
+    ckpt = str(tmp_path / "ckpt")
+    # 5 separate input files of 100 rows each
+    for i in range(5):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    rate_limited_file_ingest(
+        spark, src, dst, ckpt, schema="id long, v long", max_files_per_trigger=2
+    )
+
+    m = sink_file_metrics(spark, dst, small_file_rows=1000).collect()[0]
+    # 5 input files / 2 per trigger = 3 micro-batches = >= 3 sink files
+    assert m["n_files"] >= 3
+    assert m["total_rows"] == 500
+    assert m["n_small_files"] == m["n_files"]  # every file is tiny
+
+    n = compact_sink(spark, dst, out, target_rows_per_file=1000)
+    assert n == 1
+    m2 = sink_file_metrics(spark, out, small_file_rows=10).collect()[0]
+    assert m2["n_files"] == 1 and m2["total_rows"] == 500
+    before = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert before == after

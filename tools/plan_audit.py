@@ -150,6 +150,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_link_prediction", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_training_shards", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_vocab_coverage", [("has", r"Window"), ("window_over_agg", "vocab rank window input = term-df aggregate (vocabulary-sized)"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    ("q_approx_topk_terms", [("has", r"ObjectHashAggregate"), ("has", r"approx_top_k"), ("not", r"hashpartitioning\(term"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_gram_matrix", [("has", r"MapInPandas"), ("has", r"HashAggregate"), ("not", r"BatchEvalPython")]),
     ("q_rfm_segments", [("has", r"Window"), ("window_over_agg", "ntile input = per-customer RFM aggregate (customer-dimension-sized; approx-quantile swap documented)"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"SortMergeJoin")]),
     ("q_repeated_chunks", [("has", r"Generate"), ("not", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
