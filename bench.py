@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_knn_cosine",
     "q_embedding_near_dup",
     "q_asof_join",
+    "q_asof_tolerance",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",

@@ -39,9 +39,20 @@ def as_of_join(
     right_payload: list[str] | None = None,
     prefix: str = "r_",
     how: str = "inner",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row: the latest right row with same ``on`` key and
     ``right_ts <= left_ts``. ``how`` is 'inner' (drop unmatched) or 'left'.
+
+    ``tolerance_seconds`` bounds the match's STALENESS (pandas
+    ``merge_asof(tolerance=...)`` semantics): a carried right row older
+    than ``left_ts − tolerance`` is treated as no-match (NULL payload
+    under 'left', dropped under 'inner') — the quote-too-old guard every
+    point-in-time feature join needs. Requires timestamp ``ts`` columns;
+    the comparison is exact integer µs (``unix_micros``), never double
+    epoch arithmetic (a 0.5 µs representation error can flip a
+    staleness == tolerance boundary). Zero extra shuffles: the check is
+    a map-side conditional on the already-carried payload.
 
     If several right rows share (key, ts), the caller should pre-dedup
     (e.g. ``groupBy(key, ts).agg(max_by(...))``) — the window keeps the
@@ -81,6 +92,12 @@ def as_of_join(
         .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance_seconds is not None:
+        tol_us = int(round(tolerance_seconds * 1_000_000))
+        fresh = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__match.__rts"))
+        ) <= F.lit(tol_us)
+        carried = carried.withColumn("__match", F.when(fresh, F.col("__match")))
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("__match.__rts").alias(f"{prefix}{right_ts}"))
     out_cols.extend(F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_payload)

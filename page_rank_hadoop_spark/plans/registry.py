@@ -1331,6 +1331,42 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_asof_tolerance(spark, sf):
+    """As-of join with a 10-minute staleness bound (pandas merge_asof
+    tolerance): purchases keep their latest preceding click only if it
+    is <= 600 s old — same single-window join-free plan as q_asof_join,
+    the staleness check is a map-side integer-us conditional."""
+    ev = load_table(spark, sf, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof.as_of_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_payload=["event_id", "value"],
+        prefix="click_",
+        how="inner",
+        tolerance_seconds=600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "click_event_id",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
 def q_range_count(spark, sf):
     return windows.range_count_preceding(load_table(spark, sf, "events"))
 
@@ -3188,6 +3224,21 @@ def build_oracles() -> dict[str, str]:
       FROM p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
     """
 
+    oracles["q_asof_tolerance"] = """
+      WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS event_id, arg_max(value, event_id) AS value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+      ),
+      p AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+      )
+      -- ASOF match + exact integer-us staleness bound (600 s)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(c.ts) AS click_ts_us,
+             c.event_id AS click_event_id, round(c.value, 6) AS click_value
+      FROM p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+    """
+
     oracles["q_range_count"] = """
       SELECT event_id, user_id, epoch_us(ts) AS ts_us, n_preceding FROM (
         SELECT event_id, user_id, ts, event_type,
@@ -4807,6 +4858,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_monthly_churn": q_monthly_churn,
         # --- tier 1b: new round-4 queries (within the first 50) ---
         "q_approx_topk_terms": q_approx_topk_terms,
+        "q_asof_tolerance": q_asof_tolerance,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

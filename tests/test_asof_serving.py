@@ -210,3 +210,32 @@ def test_read_prefix_pushdown_and_results(spark, tmp_path):
     got = {r["term"] for r in out.collect()}
     expect = {r["term"] for r in inv.filter(inv["term"].startswith("spa")).collect()}
     assert got == expect and got
+
+
+def test_asof_join_tolerance_bounds_staleness(spark):
+    """merge_asof tolerance semantics: a carried match older than the
+    bound is no-match (NULL under 'left', dropped under 'inner'); the
+    staleness==tolerance boundary is inclusive, computed in exact
+    integer microseconds."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 10, 0, 0)),
+         (1, dt.datetime(2026, 1, 1, 12, 0, 0))],
+        ["user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1, 9, 55, 0), 7.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = as_of_join(
+        left, right, on="user_id", right_payload=["value"], how="left",
+        tolerance_seconds=300,
+    ).orderBy("ts").collect()
+    # 10:00 match is exactly 300s stale -> inclusive, kept
+    assert out[0]["r_value"] == 7.0
+    # 12:00 match is 125min stale -> nulled
+    assert out[1]["r_value"] is None
+    inner = as_of_join(
+        left, right, on="user_id", right_payload=["value"], how="inner",
+        tolerance_seconds=300,
+    ).collect()
+    assert len(inner) == 1 and inner[0]["r_value"] == 7.0

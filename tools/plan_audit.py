@@ -49,6 +49,12 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_semi_join_vertices", [("has", r"(LeftSemi|left_semi)"), ("not", r"CartesianProduct")]),
     ("q_anti_join_vertices", [("has", r"(LeftAnti|left_anti)")]),
     ("q_asof_join", [("not", r"\bJoin\b"), ("has", r"Window")]),
+    # per-group top-n: the rank<=n filter is pushed into WindowGroupLimit
+    # BEFORE the exchange — the shuffle carries <= n rows per group, the
+    # per-group heap analog of TakeOrderedAndProject
+    ("q_window_rank", [("has", r"WindowGroupLimit"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # tolerance variant keeps the join-free single-window shape
+    ("q_asof_tolerance", [("not", r"\bJoin\b"), ("has", r"Window")]),
     ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
     ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
