@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_embedding_near_dup",
     "q_asof_join",
     "q_asof_tolerance",
+    "q_variant_extract",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",

@@ -295,6 +295,30 @@ def json_props_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """Open-schema JSON via the VARIANT type (Spark 4): ``parse_json``
+    keeps the full value in the shredded binary variant encoding and
+    ``variant_get`` does typed path extraction — the scale path for
+    heterogeneous / evolving ``props`` payloads, where ``from_json``
+    (json_props_stats) needs a fixed schema up front and silently nulls
+    everything outside it. Stored as a variant column, the 100 TB corpus
+    parses each payload ONCE at ingest and every later query does
+    binary path lookup, not a Jackson re-parse. All JVM expressions;
+    one partial-agg'd groupBy."""
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def tumbling_window_counts(events: DataFrame, minutes: int = 15) -> DataFrame:
     """Per-``minutes`` tumbling window: event count + value sum per
     event_type. Derived-bucket groupBy (window start as a truncated

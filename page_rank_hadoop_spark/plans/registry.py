@@ -1375,6 +1375,12 @@ def q_json_extract(spark, sf):
     return windows.json_props_stats(load_table(spark, sf, "events"))
 
 
+def q_variant_extract(spark, sf):
+    """Spark-4 VARIANT path: parse_json -> typed variant_get extraction
+    -> per-type agg; the open-schema twin of q_json_extract."""
+    return windows.variant_props_stats(load_table(spark, sf, "events"))
+
+
 def q_date_breakdown(spark, sf):
     return windows.daily_event_breakdown(load_table(spark, sf, "events"))
 
@@ -3239,6 +3245,15 @@ def build_oracles() -> dict[str, str]:
       WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
     """
 
+    oracles["q_variant_extract"] = """
+      SELECT event_type, count(*)::BIGINT AS n,
+             count(json_extract(props, '$.k'))::BIGINT AS n_k,
+             sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+             min(json_extract(props, '$.k')::INT) AS min_k,
+             max(json_extract(props, '$.k')::INT) AS max_k
+      FROM events GROUP BY event_type
+    """
+
     oracles["q_range_count"] = """
       SELECT event_id, user_id, epoch_us(ts) AS ts_us, n_preceding FROM (
         SELECT event_id, user_id, ts, event_type,
@@ -4859,6 +4874,7 @@ def build_queries() -> dict[str, QueryFn]:
         # --- tier 1b: new round-4 queries (within the first 50) ---
         "q_approx_topk_terms": q_approx_topk_terms,
         "q_asof_tolerance": q_asof_tolerance,
+        "q_variant_extract": q_variant_extract,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

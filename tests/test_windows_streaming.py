@@ -651,3 +651,25 @@ def test_rate_limited_ingest_and_sink_compaction(spark, tmp_path):
     before = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert before == after
+
+
+def test_variant_props_stats_open_schema(spark):
+    """VARIANT extraction tolerates heterogeneous payloads: rows missing
+    the key (or carrying extra keys) count in n but not n_k, and typed
+    variant_get returns ints without a declared schema."""
+    from page_rank_hadoop_spark.operators.windows import variant_props_stats
+
+    ev = spark.createDataFrame(
+        [
+            ("click", '{"k": 5}'),
+            ("click", '{"k": 7, "extra": "x"}'),
+            ("click", '{"other": 1}'),
+            ("view", '{"k": 2}'),
+        ],
+        ["event_type", "props"],
+    )
+    rows = {r["event_type"]: r for r in variant_props_stats(ev).collect()}
+    c = rows["click"]
+    assert (c["n"], c["n_k"], c["sum_k"], c["min_k"], c["max_k"]) == (3, 2, 12, 5, 7)
+    v = rows["view"]
+    assert (v["n"], v["n_k"], v["sum_k"]) == (1, 1, 2)

@@ -55,6 +55,8 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_window_rank", [("has", r"WindowGroupLimit"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     # tolerance variant keeps the join-free single-window shape
     ("q_asof_tolerance", [("not", r"\bJoin\b"), ("has", r"Window")]),
+    # variant path extraction stays JVM-side, partial-agg'd
+    ("q_variant_extract", [("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
     ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
