@@ -298,6 +298,28 @@ def cmd_explain(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Report a parquet sink's file fragmentation and optionally rewrite
+    it to ``--target-rows`` rows per file — the maintenance step after
+    any rate-limited / streaming ingest (streaming/compaction.py). With
+    no ``--out`` it is metrics-only (safe, read-only)."""
+    from page_rank_hadoop_spark.streaming.compaction import (
+        compact_sink,
+        sink_file_metrics,
+    )
+
+    m = sink_file_metrics(spark, args.path, small_file_rows=args.small_rows).collect()[0]
+    print(
+        f"files={m['n_files']} rows={m['total_rows']} "
+        f"min/avg/max rows per file={m['min_rows']}/{m['avg_rows']}/{m['max_rows']} "
+        f"small(<{args.small_rows})={m['n_small_files']}"
+    )
+    if args.out:
+        n = compact_sink(spark, args.path, args.out, args.target_rows)
+        print(f"compacted -> {args.out} ({n} files)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -370,6 +392,13 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--mode", default="formatted",
                     choices=("simple", "extended", "formatted", "cost"))
     pe.set_defaults(fn=cmd_explain)
+
+    pco = sub.add_parser("compact")
+    pco.add_argument("path")
+    pco.add_argument("--out", default=None)
+    pco.add_argument("--target-rows", type=int, default=100_000)
+    pco.add_argument("--small-rows", type=int, default=1000)
+    pco.set_defaults(fn=cmd_compact)
     return p
 
 

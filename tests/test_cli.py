@@ -229,3 +229,19 @@ def test_cli_explain_unknown_query():
     from page_rank_hadoop_spark import cli
 
     assert cli.main(["explain", "q_no_such_thing"]) == 2
+
+
+def test_cli_compact_metrics_and_rewrite(spark, tmp_path, capsys):
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    for i in range(4):
+        spark.range(i * 50, (i + 1) * 50).coalesce(1).write.mode("append").parquet(frag)
+    # metrics-only first (no --out): read-only
+    assert main(["compact", frag]) == 0
+    rep = capsys.readouterr().out
+    assert "files=4" in rep and "rows=200" in rep
+    # then rewrite
+    assert main(["compact", frag, "--out", out, "--target-rows", "1000"]) == 0
+    rep = capsys.readouterr().out
+    assert "(1 files)" in rep
+    assert spark.read.parquet(out).count() == 200
