@@ -152,9 +152,15 @@ def main() -> None:
     # shared ngram-shingle MV (both Jaccard variants probe it) — same
     # build-vs-query attribution policy as the other shared views.
     registry._ngram_base(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # shared LPA labels MV (q_label_propagation returns it, q_modularity
+    # scores it): built here so best-of-N runs of the LPA query measure
+    # the same thing (an MV read) instead of run 1 paying the 3-round
+    # loop and run 2 reading its cache — the min would otherwise report
+    # the cache read as the query cost.
+    registry._lpa_labels(spark, sf_dir).write.format("noop").mode("overwrite").save()
     build_sec = round(time.perf_counter() - t0, 3)
     print(
-        f"# build (graph + pagerank10 + simhash-sig + term-tf views): {build_sec:.3f}s",
+        f"# build (graph + pagerank10 + simhash-sig + term-tf + lpa views): {build_sec:.3f}s",
         file=sys.stderr,
     )
 

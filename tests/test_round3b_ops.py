@@ -690,3 +690,13 @@ def test_monthly_churn_rates(spark):
     assert abs(jan["churn_rate"] - 0.5) < 1e-9
     feb = out["2024-02"]
     assert (feb["n_active"], feb["n_retained"]) == (2, 1)  # cust 3 retained
+
+
+def test_sorted_neighborhood_empty_and_single_doc(spark):
+    """Degenerate inputs through the distributed-rank path: an empty
+    corpus produces an empty offsets frame (createDataFrame([], schema))
+    and no pairs; a single doc has no forward neighbors."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.sorted_neighborhood_pairs(empty, w=2).count() == 0
+    one = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    assert dedup.sorted_neighborhood_pairs(one, w=2).count() == 0
