@@ -131,6 +131,12 @@ def rehearse(spark, docs, label: str) -> dict:
     r["jac_prefix_pairs"], r["jac_prefix_sec"] = n_pref, t
     assert n_plain == n_pref, f"prefix filter lost pairs: {n_plain} vs {n_pref}"
     base.unpersist()
+
+    # --- sorted-neighborhood (distributed rank + block join, round 4) ---
+    n_snm, t = _timed(
+        lambda: dedup.sorted_neighborhood_pairs(docs, w=4, min_jaccard=0.6).count()
+    )
+    r["snm_pairs"], r["snm_sec"] = n_snm, t
     docs.unpersist()
     return r
 
@@ -239,6 +245,8 @@ def main() -> int:
                 ("jac_plain_sec", "jac plain s"),
                 ("jac_prefix_sec", "jac prefix s"),
                 ("jac_plain_pairs", "jac pairs"),
+                ("snm_sec", "SNM s"),
+                ("snm_pairs", "SNM pairs"),
             ],
         )
 
