@@ -14,6 +14,44 @@ def test_plan_expectations(spark):
     assert plan_audit.main() == 0
 
 
+def test_no_unbounded_global_windows_anywhere(spark):
+    """Repo-wide guard over ALL declared queries (sf0.001 — plans are
+    SF-independent): the only unbounded global window in the surface is
+    the whitelisted q_pack_sequences gate form, whose sharded production
+    twin is declared and gated. Any new corpus-scale global window fails
+    here instead of warning into the bench log."""
+    import plan_audit
+
+    assert plan_audit.audit_global_windows(spark, "/root/testdata/sf0.001") == 0
+
+
+def test_global_window_detector_distinguishes_partitioned(spark):
+    """The globality detector reads the windowspecdefinition: a
+    partitioned window (first spec argument not ordered) never flags; a
+    global window over a raw scan does; a global window over an
+    aggregate is bounded and passes."""
+    from pyspark.sql import Window, functions as F
+
+    import plan_audit
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("k"))
+
+    def fmt(d):
+        return spark._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+
+    part = df.select(F.row_number().over(Window.partitionBy("k").orderBy("id")).alias("rn"))
+    assert plan_audit.unbounded_global_windows(fmt(part)) == []
+
+    glob = df.select(F.row_number().over(Window.orderBy("id")).alias("rn"))
+    assert plan_audit.unbounded_global_windows(fmt(glob)) != []
+
+    agg = df.groupBy("k").agg(F.count("*").alias("c"))
+    bounded = agg.select(F.rank().over(Window.orderBy(F.desc("c"))).alias("r"))
+    assert plan_audit.unbounded_global_windows(fmt(bounded)) == []
+
+
 def test_window_over_agg_rejects_corpus_scale_global_window(spark):
     """The whitelist pin must actually discriminate: a Window whose input
     subtree is a raw scan (the round-3 sorted-neighborhood shape) fails,

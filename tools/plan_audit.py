@@ -190,6 +190,114 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
 ]
 
 
+def _sketch(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    end = next((i for i, ln in enumerate(lines) if re.match(r"^\(1\) ", ln)), len(lines))
+    return lines[:end]
+
+
+def _subtree_has_aggregate(sketch: list[str], i: int, depth: int) -> bool:
+    for below in sketch[i + 1 :]:
+        m2 = re.search(r"\b\w+ \(\d+\)", below)
+        if not m2:
+            continue
+        if m2.start() <= depth:
+            break  # left the subtree
+        if re.search(r"(Hash|Sort|ObjectHash)Aggregate", below):
+            return True
+    return False
+
+
+def _window_nodes_are_global(plan: str) -> dict[int, bool]:
+    """node id → True iff the node's window spec has NO partition columns
+    (the first windowspecdefinition argument is an ordered column)."""
+    out: dict[int, bool] = {}
+    for block in re.split(r"(?m)^(?=\(\d+\) )", plan):
+        m = re.match(r"\((\d+)\) Window\b", block)
+        if not m:
+            continue
+        node_id = int(m.group(1))
+        sm = re.search(r"windowspecdefinition\(", block)
+        if not sm:
+            continue
+        # first argument = text up to the first top-level comma
+        rest = block[sm.end() :]
+        depth, first = 0, []
+        for ch in rest:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first.append(ch)
+        arg = "".join(first)
+        out[node_id] = bool(re.search(r"\b(ASC|DESC)\b", arg))
+    return out
+
+
+def unbounded_global_windows(plan: str) -> list[int]:
+    """Node ids of Window operators that are BOTH global (no partition
+    columns in their spec) AND fed by a subtree with no Aggregate —
+    i.e. a corpus-scale single-task sort, the one window shape that
+    cannot survive 100 TB. Partitioned windows and windows over
+    aggregated (key-cardinality-bounded) input pass."""
+    globals_ = _window_nodes_are_global(plan)
+    sketch = _sketch(plan)
+    bad: list[int] = []
+    for i, ln in enumerate(sketch):
+        m = re.search(r"\bWindow \((\d+)\)", ln)
+        if not m:
+            continue
+        node_id = int(m.group(1))
+        if not globals_.get(node_id, False):
+            continue
+        if not _subtree_has_aggregate(sketch, i, m.start()):
+            bad.append(node_id)
+    return bad
+
+
+# Queries allowed to keep an unbounded global window, each with the
+# documented reason (and, where it exists, the declared sharded twin).
+GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
+    "q_pack_sequences": "gate form uses one global cumulative-token window; "
+    "the production twin q_pack_sequences_sharded (hash-sharded, declared & "
+    "gated) is the 100 TB path — registry docstring",
+}
+
+
+def audit_global_windows(spark, sf_dir: str) -> int:
+    """Repo-wide CI guard: NO query in the registry may plan an
+    unbounded global window unless whitelisted above. Runs at sf0.001 —
+    plans are SF-independent and eager query construction is cheap
+    there. This is the generalization of the per-query window pins: a
+    future corpus-scale global window anywhere in the 180-query surface
+    fails CI instead of warning into the bench log."""
+    from page_rank_hadoop_spark.plans.registry import build_queries
+
+    failures = 0
+    for name, fn in build_queries().items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # pragma: no cover - construction failure is its own bug
+            print(f"FAIL {name}: query construction raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        bad = unbounded_global_windows(plan)
+        if bad and name in GLOBAL_WINDOW_WHITELIST:
+            print(f"ok   {name}: global window whitelisted ({GLOBAL_WINDOW_WHITELIST[name][:60]}...)")
+        elif bad:
+            failures += 1
+            print(f"FAIL {name}: unbounded global Window node(s) {bad}")
+    print(f"\n{failures} global-window failures")
+    return failures
+
+
 def windows_over_aggregates(plan: str) -> bool:
     """True iff EVERY Window node in the formatted plan's tree sketch has
     an Aggregate (or Generate over an Aggregate's output — the exploded-
