@@ -18,8 +18,9 @@ def test_no_unbounded_global_windows_anywhere(spark):
     """Repo-wide guard over ALL declared queries (sf0.001 — plans are
     SF-independent): the only unbounded global window in the surface is
     the whitelisted q_pack_sequences gate form, whose sharded production
-    twin is declared and gated. Any new corpus-scale global window fails
-    here instead of warning into the bench log."""
+    twin is declared and gated; and NO query plans a CartesianProduct or
+    row-at-a-time BatchEvalPython. Any regression anywhere in the
+    declared surface fails here instead of warning into the bench log."""
     import plan_audit
 
     assert plan_audit.audit_global_windows(spark, "/root/testdata/sf0.001") == 0

@@ -269,12 +269,18 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
 
 
 def audit_global_windows(spark, sf_dir: str) -> int:
-    """Repo-wide CI guard: NO query in the registry may plan an
-    unbounded global window unless whitelisted above. Runs at sf0.001 —
-    plans are SF-independent and eager query construction is cheap
-    there. This is the generalization of the per-query window pins: a
-    future corpus-scale global window anywhere in the 180-query surface
-    fails CI instead of warning into the bench log."""
+    """Repo-wide CI guard over EVERY declared query's physical plan
+    (sf0.001 — plans are SF-independent, eager construction is cheap):
+
+    1. no unbounded global window unless whitelisted above (the one
+       window shape that cannot survive 100 TB);
+    2. no CartesianProduct anywhere — a cross join that degrades past
+       a broadcast of a bounded side is a scale bug, full stop;
+    3. no BatchEvalPython anywhere — row-at-a-time Python eval in any
+       query means a UDF escaped the Arrow/JVM policy.
+
+    Generalizes the per-query pins: a regression anywhere in the
+    declared surface fails CI instead of warning into the bench log."""
     from page_rank_hadoop_spark.plans.registry import build_queries
 
     failures = 0
@@ -294,7 +300,11 @@ def audit_global_windows(spark, sf_dir: str) -> int:
         elif bad:
             failures += 1
             print(f"FAIL {name}: unbounded global Window node(s) {bad}")
-    print(f"\n{failures} global-window failures")
+        for pat in ("CartesianProduct", "BatchEvalPython"):
+            if pat in plan:
+                failures += 1
+                print(f"FAIL {name}: {pat} in physical plan")
+    print(f"\n{failures} registry-wide plan failures")
     return failures
 
 
