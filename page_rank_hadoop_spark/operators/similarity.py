@@ -143,6 +143,61 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame, k: int = 3, n_centroids: int = 16, dim: int = 64
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    its ``k`` most-similar vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary, the examples a
+    contrastive/triplet objective learns most from.
+
+    Spark-first blocking, NOT an n² self-join: vectors are IVF-assigned
+    to their nearest deterministic centroid (one map pass,
+    ``ivf_assign``) and candidate pairs form only WITHIN a bucket — the
+    same same-bucket equi-join every ANN pipeline here uses
+    (embedding_near_dup, ivf_knn). Approximation is the standard IVF
+    one: a cross-bucket near-boundary negative is missed; raise
+    n_centroids→n_probe-style multi-bucket assignment when recall
+    matters more than cost. Per-anchor top-k is a PARTITIONED window
+    whose rank<=k filter compiles to WindowGroupLimit (per-group heaps,
+    ≤ k rows per anchor cross the final exchange). Cosines are rounded
+    to 6dp BEFORE ranking with a (cos desc, neg_id) tie-break, so the
+    top-k set is deterministic and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(embeddings, n_centroids, dim).join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    )
+    a = assigned.select(
+        "centroid",
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        "centroid",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .select(
+            "vec_id",
+            "neg_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "neg_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def ivf_knn_cosine(
     embeddings: DataFrame,
     probe: list[float],

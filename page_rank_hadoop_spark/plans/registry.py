@@ -353,6 +353,38 @@ def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> 
     """
 
 
+def _sql_hard_negatives(k: int = 3, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+    """Hard-negative oracle: same centroid literals / first-of-max
+    assignment as _sql_ivf_knn; pairs within bucket, different label,
+    6dp-rounded cosine ranked with (cos desc, neg_id) tie-break."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    return f"""
+      WITH assigned AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_position({sims_of('embedding::DOUBLE[]')},
+                             list_max({sims_of('embedding::DOUBLE[]')})) AS c
+        FROM embeddings
+      ),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neg_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM assigned a JOIN assigned b ON a.c = b.c AND a.label <> b.label
+      ),
+      ranked AS (
+        SELECT vec_id, neg_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id) AS rnk
+        FROM pairs
+      )
+      SELECT vec_id, neg_id, cos_sim, rnk::INT AS rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
 def _sql_media_features() -> str:
     """DuckDB twin of multimodal._fake_features: the corpus is pure ASCII,
     so char codes equal payload bytes; sums are exact ints and the final
@@ -1441,6 +1473,14 @@ def q_media_stats(spark, sf):
 def q_ivf_knn(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
+
+
+def q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: top-3 most-similar
+    different-label vectors per anchor, IVF-bucket-blocked (no n^2
+    self-join); per-anchor rank compiles to WindowGroupLimit."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.hard_negatives(emb, k=3, n_centroids=16, dim=EMB_DIM)
 
 
 # ---------------------------------------------------------------------------
@@ -3340,6 +3380,7 @@ def build_oracles() -> dict[str, str]:
     """
 
     oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+    oracles["q_hard_negatives"] = _sql_hard_negatives(k=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
 
     k = len(PHRASE)
     phrase_cond = " AND ".join(f"l[i+{j}] = '{t}'" for j, t in enumerate(PHRASE))
@@ -4875,6 +4916,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_approx_topk_terms": q_approx_topk_terms,
         "q_asof_tolerance": q_asof_tolerance,
         "q_variant_extract": q_variant_extract,
+        "q_hard_negatives": q_hard_negatives,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

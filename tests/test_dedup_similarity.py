@@ -265,3 +265,28 @@ def test_star_components_match_pointer_jumping_and_naive(spark):
     pj = {r["doc_id"]: r["component_id"] for r in near_dup_components(pairs).collect()}
     assert star == expect
     assert pj == expect
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    """Hand-built: anchors pair only with different-label vectors in
+    their IVF bucket; ranking is by 6dp cosine desc with neg_id
+    tie-break; k bounds per-anchor output."""
+    from page_rank_hadoop_spark.operators.similarity import hard_negatives
+
+    # all vectors identical direction except labels differ -> every
+    # different-label pair has cosine 1.0; same bucket by construction
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], i % 2) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(emb, k=2, n_centroids=2, dim=4).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in by_anchor.items():
+        assert len(rs) == 2  # k bound
+        for r in rs:
+            assert (r["neg_id"] % 2) != (vid % 2)  # different label only
+            assert r["cos_sim"] == 1.0
+        # tie-break: lowest different-label neg_ids first
+        negs = sorted(r["neg_id"] for r in rs)
+        expect = sorted(i for i in range(6) if i % 2 != vid % 2)[:2]
+        assert negs == expect

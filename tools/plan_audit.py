@@ -57,6 +57,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_asof_tolerance", [("not", r"\bJoin\b"), ("has", r"Window")]),
     # variant path extraction stays JVM-side, partial-agg'd
     ("q_variant_extract", [("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
+    # hard negatives: bucket equi-join (never cartesian), per-anchor rank
+    # pushed to WindowGroupLimit, all JVM-side
+    ("q_hard_negatives", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
     ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
