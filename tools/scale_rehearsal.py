@@ -24,7 +24,7 @@ CONSTANT while per-round work grows 10×; the measurement separates
 "more data" (fine: distributed joins/aggs) from "more rounds" (would be
 a scale-killer, since rounds are sequential job latency).
 
-Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir] [dedup|graph|all]
+Usage: python tools/scale_rehearsal.py [sf_dir] [out_dir] [dedup|graph|emb|all]
 Prints markdown tables for SCALING.md.
 """
 
@@ -204,6 +204,34 @@ def rehearse_graph(spark, verts, kept, label: str) -> dict:
     return r
 
 
+def rehearse_embeddings(spark, emb, label: str, n_centroids: int) -> dict:
+    """ANN-family scale probe: hard-negative mining cost is
+    Σ_buckets n_b² — QUADRATIC in corpus size at fixed centroid count.
+    The production rule this measures: scale n_centroids ∝ n (constant
+    bucket size) to keep the pair join linear. Run at 10× with C=16
+    (rule violated — the blowup) and C=160 (rule followed)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from page_rank_hadoop_spark.operators import similarity
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    r: dict = {"label": label, "n_vecs": emb.count(), "C": n_centroids}
+    assigned = similarity.ivf_assign(emb, n_centroids, 64)
+    pairs = (
+        assigned.groupBy("centroid")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1)).alias("p"))
+        .collect()[0]["p"]
+    )
+    r["bucket_pairs"] = int(pairs or 0)
+    n, t = _timed(
+        lambda: similarity.hard_negatives(emb, k=3, n_centroids=n_centroids).count()
+    )
+    r["hn_rows"], r["hn_sec"] = n, t
+    emb.unpersist()
+    return r
+
+
 def _print_table(rows: list[dict], cols: list[tuple[str, str]]) -> None:
     print("| scale | " + " | ".join(h for _, h in cols) + " |")
     print("|---" * (len(cols) + 1) + "|")
@@ -247,6 +275,34 @@ def main() -> int:
                 ("jac_plain_pairs", "jac pairs"),
                 ("snm_sec", "SNM s"),
                 ("snm_pairs", "SNM pairs"),
+            ],
+        )
+
+    if mode in ("emb", "all"):
+        emb1 = load_table(spark, sf_dir, "embeddings")
+        shift = 1_000_000
+        copies = [
+            emb1.select(
+                (F.col("vec_id") + k * shift).alias("vec_id"), "embedding", "label"
+            )
+            for k in range(10)
+        ]
+        emb10 = copies[0]
+        for c in copies[1:]:
+            emb10 = emb10.unionByName(c)
+        rows = [
+            rehearse_embeddings(spark, emb1, "1x", 16),
+            rehearse_embeddings(spark, emb10, "10x C=16", 16),
+            rehearse_embeddings(spark, emb10, "10x C=160", 160),
+        ]
+        _print_table(
+            rows,
+            [
+                ("n_vecs", "vecs"),
+                ("C", "C"),
+                ("bucket_pairs", "bucket pairs"),
+                ("hn_rows", "hn rows"),
+                ("hn_sec", "hn s"),
             ],
         )
 
