@@ -143,8 +143,132 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
     )
 
 
+def ivf_assign_two_level(
+    embeddings: DataFrame, n_coarse: int = 16, n_fine: int = 16, dim: int = 64
+) -> DataFrame:
+    """Two-level IVF routing — the O(n·√C) assignment SCALING.md
+    prescribes once the C ∝ n rule makes flat assignment (C dots per
+    row) the dominant cost: argmax over ``n_coarse`` coarse centroids,
+    then argmax over THAT cell's ``n_fine`` fine centroids — per row
+    only n_coarse + n_fine dots are EVALUATED (the fine stage is a
+    CASE/WHEN chain whose branches are independent arrays, so codegen
+    computes just the taken branch), while the effective bucket count is
+    n_coarse·n_fine. Centroids stay deterministic literals (coarse: the
+    ``ivf_assign`` family; fine (c,f): sin((c·n_fine+f)·4409 + j·9973))
+    so the assignment is engine-portable and oracle-checkable; a
+    production system would train both levels with kmeans_train and
+    broadcast them. Returns (vec_id, embedding, centroid) with
+    ``centroid = coarse·n_fine + fine``.
+    """
+    import math
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    coarse = [
+        [math.sin(c * 2971 + j * 7919) for j in range(dim)] for c in range(n_coarse)
+    ]
+    cnorms = [math.sqrt(sum(x * x for x in cv)) for cv in coarse]
+    with_norm = ensure_parallel(embeddings).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_vn")
+    )
+    coarse_sims = F.array(
+        *[
+            dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
+            / (F.col("_vn") * F.lit(cn))
+            for cv, cn in zip(coarse, cnorms)
+        ]
+    )
+    staged = with_norm.select(
+        "vec_id", "embedding", "_vn", coarse_sims.alias("_cs")
+    ).select(
+        "vec_id",
+        "embedding",
+        "_vn",
+        (F.array_position("_cs", F.array_max("_cs")) - 1).cast("int").alias("_coarse"),
+    )
+
+    def fine_sims_for(c: int):
+        fins = [
+            [math.sin((c * n_fine + f) * 4409 + j * 9973) for j in range(dim)]
+            for f in range(n_fine)
+        ]
+        fnorms = [math.sqrt(sum(x * x for x in fv)) for fv in fins]
+        return F.array(
+            *[
+                dot(F.col("embedding"), F.array(*[F.lit(x) for x in fv]))
+                / (F.col("_vn") * F.lit(fn))
+                for fv, fn in zip(fins, fnorms)
+            ]
+        )
+
+    fine_sims = F.when(F.col("_coarse") == 0, fine_sims_for(0))
+    for c in range(1, n_coarse):
+        fine_sims = fine_sims.when(F.col("_coarse") == c, fine_sims_for(c))
+    with_fs = staged.select("vec_id", "embedding", "_coarse", fine_sims.alias("_fs"))
+    return with_fs.select(
+        "vec_id",
+        "embedding",
+        (
+            F.col("_coarse") * n_fine
+            + (F.array_position("_fs", F.array_max("_fs")) - 1).cast("int")
+        ).alias("centroid"),
+    )
+
+
+def ivf_assign_arrow(
+    embeddings: DataFrame, n_centroids: int = 16, dim: int = 64
+) -> DataFrame:
+    """Vectorized IVF assignment: one Arrow-batched ``mapInPandas`` pass
+    computing the full batch×centroid similarity matrix with a numpy
+    (BLAS) matmul and taking the row argmax — the measured scale path
+    once n_centroids grows past what per-centroid column expressions
+    can amortize (SCALING.md's ANN rehearsal: at C=160+ the expression
+    assignment dominates the whole pipeline; a 20k×64 @ 64×256 matmul
+    is milliseconds). Same deterministic sin centroids and
+    first-of-max tie rule as ``ivf_assign``; equality of the two
+    implementations is pinned by pytest at test scale. BLAS pairwise
+    summation differs from the JVM left-fold by ~1 ulp — irrelevant to
+    argmax unless two centroid similarities coincide to 1 ulp, which
+    distinct sin centroids never do (and the pytest would catch).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    cents = np.array(
+        [[math.sin(c * 2971 + j * 7919) for j in range(dim)] for c in range(n_centroids)]
+    )
+    cnorms = np.linalg.norm(cents, axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype="float32").astype("float64")
+            sims = (x @ cents.T) / (
+                np.linalg.norm(x, axis=1, keepdims=True) * cnorms[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "centroid": np.argmax(sims, axis=1).astype("int32"),
+                }
+            )
+
+    return ensure_parallel(embeddings).select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, centroid int"
+    )
+
+
 def hard_negatives(
-    embeddings: DataFrame, k: int = 3, n_centroids: int = 16, dim: int = 64
+    embeddings: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    dim: int = 64,
+    two_level: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every vector,
     its ``k`` most-similar vectors with a DIFFERENT label — the
@@ -163,10 +287,31 @@ def hard_negatives(
     ≤ k rows per anchor cross the final exchange). Cosines are rounded
     to 6dp BEFORE ranking with a (cos desc, neg_id) tie-break, so the
     top-k set is deterministic and engine-portable.
+
+    ``two_level=True`` routes through ``ivf_assign_two_level`` with
+    √n_centroids coarse × √n_centroids fine cells (n_centroids must be
+    a perfect square): same downstream bucket join, assignment cost
+    drops from C to 2·√C dots per row. ``impl='arrow'`` swaps the
+    assignment for the vectorized ``ivf_assign_arrow`` matmul — the
+    measured winner once C grows (SCALING.md ANN rehearsal; the branchy
+    two-level expression form saves dots but pays more in expression
+    evaluation than it saves at local scale — kept as the documented
+    asymptotic structure, measured honestly).
     """
     from pyspark.sql import Window
 
-    assigned = ivf_assign(embeddings, n_centroids, dim).join(
+    if impl == "arrow":
+        base_assign = ivf_assign_arrow(embeddings, n_centroids, dim)
+    elif two_level:
+        import math
+
+        side = int(math.isqrt(n_centroids))
+        if side * side != n_centroids:
+            raise ValueError("two_level requires a perfect-square n_centroids")
+        base_assign = ivf_assign_two_level(embeddings, side, side, dim)
+    else:
+        base_assign = ivf_assign(embeddings, n_centroids, dim)
+    assigned = base_assign.join(
         embeddings.select("vec_id", "label"), "vec_id"
     )
     a = assigned.select(

@@ -353,6 +353,46 @@ def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> 
     """
 
 
+def _sql_ivf_two_level_hist(n_coarse: int = 4, n_fine: int = 4, dim: int = 64) -> str:
+    """Two-level IVF oracle: coarse argmax (first-of-max) as in
+    _sql_ivf_knn, then a CASE over the chosen cell's fine centroid set;
+    centroid id = coarse*n_fine + fine (0-based both engines)."""
+    import math
+
+    coarse = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_coarse)
+    ]
+    sims_of = lambda cents, v: "[" + ", ".join(
+        f"list_cosine_similarity({v}, {c})" for c in cents
+    ) + "]"
+    coarse_sims = sims_of(coarse, "embedding::DOUBLE[]")
+    branches = []
+    for c in range(n_coarse):
+        fins = [
+            "[" + ", ".join(
+                repr(math.sin((c * n_fine + f) * 4409 + j * 9973)) for j in range(dim)
+            ) + "]"
+            for f in range(n_fine)
+        ]
+        fs = sims_of(fins, "v")
+        branches.append(
+            f"WHEN co = {c} THEN list_position({fs}, list_max({fs})) - 1"
+        )
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+      WITH assigned AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({coarse_sims}, list_max({coarse_sims})) - 1 AS co
+        FROM embeddings
+      ),
+      cells AS (
+        SELECT (co * {n_fine} + ({case}))::INT AS centroid FROM assigned
+      )
+      SELECT centroid, count(*)::BIGINT AS n_vecs FROM cells GROUP BY centroid
+    """
+
+
 def _sql_hard_negatives(k: int = 3, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
     """Hard-negative oracle: same centroid literals / first-of-max
     assignment as _sql_ivf_knn; pairs within bucket, different label,
@@ -1473,6 +1513,15 @@ def q_media_stats(spark, sf):
 def q_ivf_knn(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
+
+
+def q_ivf_two_level(spark, sf):
+    """Two-level IVF routing histogram: per-cell vector counts under the
+    O(n*sqrt(C)) coarse->fine assignment (16x16 = 256 effective cells);
+    deterministic literals make it oracle-checkable."""
+    emb = load_table(spark, sf, "embeddings")
+    a = similarity.ivf_assign_two_level(emb, n_coarse=4, n_fine=4, dim=EMB_DIM)
+    return a.groupBy("centroid").agg(F.count("*").cast("bigint").alias("n_vecs"))
 
 
 def q_hard_negatives(spark, sf):
@@ -3381,6 +3430,7 @@ def build_oracles() -> dict[str, str]:
 
     oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
     oracles["q_hard_negatives"] = _sql_hard_negatives(k=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+    oracles["q_ivf_two_level"] = _sql_ivf_two_level_hist(n_coarse=4, n_fine=4, dim=EMB_DIM)
 
     k = len(PHRASE)
     phrase_cond = " AND ".join(f"l[i+{j}] = '{t}'" for j, t in enumerate(PHRASE))
@@ -4917,6 +4967,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_asof_tolerance": q_asof_tolerance,
         "q_variant_extract": q_variant_extract,
         "q_hard_negatives": q_hard_negatives,
+        "q_ivf_two_level": q_ivf_two_level,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

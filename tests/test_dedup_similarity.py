@@ -290,3 +290,76 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
         negs = sorted(r["neg_id"] for r in rs)
         expect = sorted(i for i in range(6) if i % 2 != vid % 2)[:2]
         assert negs == expect
+
+
+def test_ivf_two_level_matches_numpy_reference(spark):
+    """The CASE/WHEN fine stage must pick exactly the chosen coarse
+    cell's centroid set — cross-checked against a dense numpy
+    recomputation of coarse->fine argmax for every vector."""
+    import math
+
+    import numpy as np
+
+    from page_rank_hadoop_spark.operators.similarity import ivf_assign_two_level
+
+    dim, n_coarse, n_fine = 8, 3, 3
+    rows = [
+        (i, [math.sin(i * 13 + j * 5) for j in range(dim)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["centroid"]
+        for r in ivf_assign_two_level(emb, n_coarse, n_fine, dim).collect()
+    }
+    coarse = np.array(
+        [[math.sin(c * 2971 + j * 7919) for j in range(dim)] for c in range(n_coarse)]
+    )
+    for i, v in rows:
+        # float32 parquet/arrow round-trip: match Spark's float cast
+        x = np.array(v, dtype="float32").astype("float64")
+        cs = coarse @ x / (np.linalg.norm(coarse, axis=1) * np.linalg.norm(x))
+        c = int(np.argmax(cs))
+        fins = np.array(
+            [
+                [math.sin((c * n_fine + f) * 4409 + j * 9973) for j in range(dim)]
+                for f in range(n_fine)
+            ]
+        )
+        fs = fins @ x / (np.linalg.norm(fins, axis=1) * np.linalg.norm(x))
+        assert got[i] == c * n_fine + int(np.argmax(fs)), i
+
+
+def test_hard_negatives_two_level_same_contract(spark):
+    """two_level=True keeps the output contract (schema, k bound,
+    different-label only) while routing through 2*sqrt(C) dots/row."""
+    from page_rank_hadoop_spark.operators.similarity import hard_negatives
+
+    rows = [(i, [1.0 * (i % 5), 1.0, 0.5 * i, 1.0], i % 2) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(emb, k=2, n_centroids=4, dim=4, two_level=True).collect()
+    assert out, "two-level path produced no pairs"
+    for r in out:
+        assert (r["neg_id"] % 2) != (r["vec_id"] % 2)
+        assert r["rnk"] <= 2
+
+
+def test_ivf_assign_arrow_equals_expression_impl(spark):
+    """The Arrow/BLAS matmul assignment must agree with the JVM
+    expression assignment vector-for-vector (same centroids, same
+    first-of-max rule) — pinned at C=16 and C=160 over the real
+    embeddings table."""
+    from page_rank_hadoop_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    for C in (16, 160):
+        expr = {
+            r["vec_id"]: r["centroid"] for r in ivf_assign(emb, C, 64).collect()
+        }
+        arrow = {
+            r["vec_id"]: r["centroid"] for r in ivf_assign_arrow(emb, C, 64).collect()
+        }
+        assert expr == arrow, f"C={C}: implementations disagree"
