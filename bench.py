@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q_asof_tolerance",
     "q_variant_extract",
     "q_hard_negatives",
+    "q_ivf_two_level",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",
