@@ -207,9 +207,14 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # driver tail capture is 2000 bytes — degrade per-query precision
+    # until the line fits (full precision always lands in
+    # bench_results.json above)
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:  # driver tail capture is 2000 bytes — stay under
-        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    for prec in (1, 0):
+        if len(line) <= 1900:
+            break
+        payload["queries"] = {k: round(v, prec) for k, v in timings.items()}
         line = json.dumps(payload, separators=(",", ":"))
     print(f"# stdout JSON line: {len(line)} bytes", file=sys.stderr)
     print(line)
