@@ -256,3 +256,54 @@ def test_snapshot_diff_apply_round_trip(spark, pair):
     expected = {k for k in set(old) | set(new)
                 if (k in old) != (k in new) or old.get(k) != new.get(k)}
     assert feed_keys == expected
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=0,
+        max_size=14,
+    ),
+    w=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_sorted_neighborhood_matches_naive(spark, docs, w):
+    """The distributed global rank + block equi-join must produce
+    EXACTLY the pairs of the definitional form: sort all docs by
+    (normalized key, doc_id), pair each doc with its next w neighbors,
+    keep token-Jaccard >= threshold."""
+    import re as _re
+
+    from page_rank_hadoop_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in sorted_neighborhood_pairs(df, w=w, min_jaccard=0.5).collect()
+    }
+
+    # naive reference of the definition
+    def key(t):
+        return _re.sub(r"[^a-z0-9]", "", t.lower())[:24]
+
+    def toks(t):
+        return set(_re.findall(r"[a-zA-Z]+", t.lower()))
+
+    srt = sorted(rows, key=lambda r: (key(r[1]), r[0]))
+    expect = set()
+    for i, (ida, ta) in enumerate(srt):
+        for d in range(1, w + 1):
+            if i + d >= len(srt):
+                break
+            idb, tb = srt[i + d]
+            a_, b_ = toks(ta), toks(tb)
+            union = a_ | b_
+            if not union:
+                continue
+            j = len(a_ & b_) / len(union)
+            if j >= 0.5:
+                expect.add((min(ida, idb), max(ida, idb), round(j, 6)))
+    assert got == expect
