@@ -143,6 +143,42 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame, min_cosine: float = 0.95, n_planes: int = 12
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): vectors whose embeddings are near-identical in
+    cosine are semantic duplicates even when their TEXT differs — the
+    dedup family member that catches paraphrases/translations exact and
+    shingle methods miss. Keep ONE representative per semantic cluster.
+
+    Composition of two already-scale-shaped stages: sign-LSH-bucketed
+    pair generation (``embedding_near_dup_pairs`` — equi-join on the
+    hyperplane bucket, never n²) feeding min-label pointer-jumping
+    components (``dedup.near_dup_components`` — O(log diameter)
+    rounds). Output covers EVERY vector: (vec_id, rep_id, kept) with
+    rep_id = min vec_id of the semantic cluster (singletons represent
+    themselves), i.e. the materialized keep/drop decision a training
+    pipeline joins against its corpus.
+    """
+    from page_rank_hadoop_spark.operators import dedup as _dedup
+
+    pairs = embedding_near_dup_pairs(embeddings, min_cosine, n_planes).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comps = _dedup.near_dup_components(pairs)
+    return (
+        embeddings.select("vec_id")
+        .join(comps, F.col("vec_id") == F.col("doc_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").alias("rep_id"),
+            (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("kept"),
+        )
+    )
+
+
 def ivf_assign_two_level(
     embeddings: DataFrame, n_coarse: int = 16, n_fine: int = 16, dim: int = 64
 ) -> DataFrame:

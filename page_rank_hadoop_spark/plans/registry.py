@@ -1515,6 +1515,15 @@ def q_ivf_knn(spark, sf):
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup: sign-LSH pair gen -> components -> per-cluster
+    representative; (vec_id, rep_id, kept) for every vector."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.semantic_dedup(
+        emb, min_cosine=NEAR_DUP_MIN_COSINE, n_planes=N_PLANES
+    )
+
+
 def q_ivf_two_level(spark, sf):
     """Two-level IVF routing histogram: per-cell vector counts under the
     O(n*sqrt(C)) coarse->fine assignment (16x16 = 256 effective cells);
@@ -3431,6 +3440,31 @@ def build_oracles() -> dict[str, str]:
     oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
     oracles["q_hard_negatives"] = _sql_hard_negatives(k=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
     oracles["q_ivf_two_level"] = _sql_ivf_two_level_hist(n_coarse=4, n_fine=4, dim=EMB_DIM)
+    oracles["q_semantic_dedup"] = f"""
+      WITH RECURSIVE sig AS (
+        SELECT vec_id, embedding, ({_sql_hyperplane_bucket()}) AS bucket FROM embeddings
+      ),
+      pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEAR_DUP_MIN_COSINE}
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ),
+      reach AS (
+        SELECT src AS id, src AS lab FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+      ),
+      comp AS (SELECT id, min(lab) AS c FROM reach GROUP BY id)
+      SELECT e.vec_id,
+             coalesce(c.c, e.vec_id)::BIGINT AS rep_id,
+             (coalesce(c.c, e.vec_id) = e.vec_id) AS kept
+      FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """
 
     k = len(PHRASE)
     phrase_cond = " AND ".join(f"l[i+{j}] = '{t}'" for j, t in enumerate(PHRASE))
@@ -4968,6 +5002,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_variant_extract": q_variant_extract,
         "q_hard_negatives": q_hard_negatives,
         "q_ivf_two_level": q_ivf_two_level,
+        "q_semantic_dedup": q_semantic_dedup,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

@@ -363,3 +363,22 @@ def test_ivf_assign_arrow_equals_expression_impl(spark):
             r["vec_id"]: r["centroid"] for r in ivf_assign_arrow(emb, C, 64).collect()
         }
         assert expr == arrow, f"C={C}: implementations disagree"
+
+
+def test_semantic_dedup_clusters_and_singletons(spark):
+    """Identical vectors cluster to the min vec_id representative;
+    distinct-direction vectors stay singletons; every input vector
+    appears exactly once in the output."""
+    from page_rank_hadoop_spark.operators.similarity import semantic_dedup
+
+    v1 = [1.0, 0.0, 0.0, 0.0] * 16
+    v2 = [0.0, 1.0, 0.0, 0.0] * 16
+    rows = [(0, v1), (1, v1), (2, v2), (3, v1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["rep_id"], r["kept"]) for r in
+           semantic_dedup(emb, min_cosine=0.99, n_planes=8).collect()}
+    assert len(out) == 4
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[3] == (0, False)
+    assert out[2] == (2, True)
