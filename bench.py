@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_hard_negatives",
     "q_ivf_two_level",
     "q_semantic_dedup",
+    "q_incremental_dedup",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",

@@ -65,34 +65,18 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
     return documents.join(keep, "doc_id", "left_semi")
 
 
-def minhash_lsh_pairs(
+def minhash_band_table(
     documents: DataFrame,
     shingle_k: int = 8,
     n_hashes: int = 12,
     n_bands: int = 4,
-    max_bucket_size: int | None = None,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
-
-    Pipeline: shingle-explode (map) → one hash + 32-bit split per shingle
-    (plain codegen'd columns — higher-order-function forms defeat
-    subexpression elimination and recompute the hash per signature slot) →
-    groupBy(doc_id) with n_hashes Carter-Wegman ``min((a+i·b) mod P)``
-    aggregates (map-side combined) → band keys → band equi-join → pairs.
-    Two shuffles total (signature agg, band join), both on short keys.
-
-    ``max_bucket_size`` (None = off, the exact/declared-oracle mode) drops
-    band keys shared by more docs before the self-join — the skew guard
-    for boilerplate corpora at production scale (see _drop_hot_keys).
-
-    ``hash_fn``: 'md5' (default) is engine-portable — DuckDB computes the
-    identical signature, which is what the oracle gate checks. 'xxhash64'
-    is the production fast path (one codegen'd 64-bit hash per shingle vs
-    md5's 128-bit digest + two hex-decode passes — measured 4.3× faster
-    end-to-end at sf0.1: 1.2s vs 5.1s); same LSH guarantees, different
-    signatures, so it is pytest-covered rather than oracle-checked.
-    """
+    """(doc_id, band, key) LSH band table — the probe-able dedup index.
+    Shingle-explode → one hash + 32-bit split per shingle → per-doc
+    Carter-Wegman min aggregates → band keys. At production scale this
+    IS the materialized artifact: written bucketed by (band, key) once,
+    probed by every later batch (see incremental_minhash_dedup)."""
     rows_per_band = n_hashes // n_bands
     sh = ensure_parallel(documents).select(
         "doc_id", F.explode(F.array_distinct(char_shingles("text", shingle_k))).alias("s")
@@ -134,9 +118,87 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = mh.select(
+    return mh.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ASYMMETRIC near-dup: flag each NEW doc that LSH-collides with the
+    EXISTING corpus or with an earlier doc of its own batch — the
+    production ingest gate. The whole point is incrementality: the
+    corpus band table is computed once (at scale: a bucketed parquet MV
+    maintained across batches — ``minhash_band_table`` is the artifact)
+    and each batch only shingles/hashes ITS OWN docs, then probes the
+    band index; per-batch work is ∝ batch size + collisions, the corpus
+    is never re-paired. Within the batch the keep-FIRST rule applies
+    (a new doc dups against a smaller-id batch doc).
+
+    Returns one row per flagged batch doc: (doc_id, dup_of = smallest
+    colliding partner id, n_matches = distinct colliding partners).
+    Assumes corpus and batch doc_ids are disjoint (ingest invariant).
+    """
+    cb = minhash_band_table(corpus, shingle_k, n_hashes, n_bands, hash_fn).select(
+        "band", "key", F.col("doc_id").alias("other_id"), F.lit(True).alias("is_corpus")
+    )
+    bb = minhash_band_table(batch, shingle_k, n_hashes, n_bands, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    others = cb.unionByName(
+        bb.select(
+            "band", "key", F.col("doc_id").alias("other_id"), F.lit(False).alias("is_corpus")
+        )
+    )
+    out = (
+        bb.join(others, ["band", "key"])
+        .filter(F.col("is_corpus") | (F.col("other_id") < F.col("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.min("other_id").alias("dup_of"),
+            F.countDistinct("other_id").cast("bigint").alias("n_matches"),
+        )
+    )
+    out = out.localCheckpoint()
+    bb.unpersist()
+    return out
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing ≥1 LSH band.
+
+    Pipeline: shingle-explode (map) → one hash + 32-bit split per shingle
+    (plain codegen'd columns — higher-order-function forms defeat
+    subexpression elimination and recompute the hash per signature slot) →
+    groupBy(doc_id) with n_hashes Carter-Wegman ``min((a+i·b) mod P)``
+    aggregates (map-side combined) → band keys → band equi-join → pairs.
+    Two shuffles total (signature agg, band join), both on short keys.
+
+    ``max_bucket_size`` (None = off, the exact/declared-oracle mode) drops
+    band keys shared by more docs before the self-join — the skew guard
+    for boilerplate corpora at production scale (see _drop_hot_keys).
+
+    ``hash_fn``: 'md5' (default) is engine-portable — DuckDB computes the
+    identical signature, which is what the oracle gate checks. 'xxhash64'
+    is the production fast path (one codegen'd 64-bit hash per shingle vs
+    md5's 128-bit digest + two hex-decode passes — measured 4.3× faster
+    end-to-end at sf0.1: 1.2s vs 5.1s); same LSH guarantees, different
+    signatures, so it is pytest-covered rather than oracle-checked.
+    """
+    banded = minhash_band_table(documents, shingle_k, n_hashes, n_bands, hash_fn)
     # n_bands rows per doc; persist so the self-join's two sides share one
     # shingle+signature computation instead of re-scanning the corpus.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)

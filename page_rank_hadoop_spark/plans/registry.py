@@ -1515,6 +1515,16 @@ def q_ivf_knn(spark, sf):
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
 
 
+def q_incremental_dedup(spark, sf):
+    """Asymmetric ingest-gate dedup: batch (odd doc_ids) probed against
+    the corpus band index (even doc_ids) + keep-first within batch;
+    per-batch work ~ batch size, the corpus is never re-paired."""
+    d = _docs(spark, sf)
+    return dedup.incremental_minhash_dedup(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
 def q_semantic_dedup(spark, sf):
     """SemDeDup: sign-LSH pair gen -> components -> per-cluster
     representative; (vec_id, rep_id, kept) for every vector."""
@@ -3809,6 +3819,18 @@ def build_oracles() -> dict[str, str]:
     oracles["q_kmeans_train"] = _sql_kmeans_train(3, N_CENTROIDS, EMB_DIM)
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
+    oracles["q_incremental_dedup"] = f"""
+      WITH {_sql_minhash_ctes()},
+      cand AS (
+        SELECT n.doc_id, o.doc_id AS other_id
+        FROM bands n JOIN bands o ON n.band = o.band AND n.key = o.key
+        WHERE n.doc_id % 2 = 1
+          AND (o.doc_id % 2 = 0 OR o.doc_id < n.doc_id)
+      )
+      SELECT doc_id, min(other_id)::BIGINT AS dup_of,
+             count(DISTINCT other_id)::BIGINT AS n_matches
+      FROM cand GROUP BY doc_id
+    """
     oracles["q_dedup_cluster_sizes"] = (
         oracles["q_dedup_components"].replace(
             "SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id",
@@ -5003,6 +5025,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_hard_negatives": q_hard_negatives,
         "q_ivf_two_level": q_ivf_two_level,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_incremental_dedup": q_incremental_dedup,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

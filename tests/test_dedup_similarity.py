@@ -382,3 +382,21 @@ def test_semantic_dedup_clusters_and_singletons(spark):
     assert out[1] == (0, False)
     assert out[3] == (0, False)
     assert out[2] == (2, True)
+
+
+def test_incremental_dedup_asymmetric_semantics(spark):
+    """A batch doc colliding with the corpus is flagged with the corpus
+    partner; within-batch collisions follow keep-first (only the LATER
+    id is flagged); corpus docs are never output."""
+    from page_rank_hadoop_spark.operators.dedup import incremental_minhash_dedup
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content with no overlap whatsoever here ok"
+    corpus = spark.createDataFrame([(0, text_a)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, text_a), (3, text_a), (5, text_b)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in incremental_minhash_dedup(corpus, batch).collect()}
+    assert set(out) == {1, 3}  # 5 is clean, 0 is corpus-side
+    assert out[1]["dup_of"] == 0  # corpus partner
+    assert out[3]["dup_of"] == 0 and out[3]["n_matches"] == 2  # corpus + batch doc 1
