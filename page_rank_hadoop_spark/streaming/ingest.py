@@ -65,3 +65,65 @@ def run_ingest_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_dedup_gated_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    schema,
+) -> None:
+    """NEAR-dup-gated continuous ingestion: every micro-batch is probed
+    against the ACCUMULATED corpus with the asymmetric MinHash gate
+    (``dedup.incremental_minhash_dedup``) and only non-colliding docs
+    append — the streaming composition of the batch ingest gate, via
+    ``foreachBatch`` (the documented escape hatch for per-batch
+    batch-DataFrame logic a streaming plan can't express: the probe
+    joins against the sink itself).
+
+    Scale shape per batch: batch-side shingling/banding only; the
+    corpus side re-derives its band table from the sink here — at
+    production scale that side IS the maintained band-index MV
+    (``minhash_band_table`` written bucketed by (band, key) and appended
+    alongside the corpus, so the probe is a bucket join with no corpus
+    rescan). Exactly-once: foreachBatch + checkpoint gives at-least-once
+    batch delivery; the gate itself makes replayed batches idempotent
+    (a replayed doc collides with its first copy and is dropped) —
+    noted because that property, not the sink, is what bounds duplicate
+    damage here.
+    """
+    import os
+
+    from page_rank_hadoop_spark.operators import dedup as _dedup
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if not batch_df.take(1):
+            return
+        have_corpus = os.path.exists(corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_dir)
+        )
+        if have_corpus:
+            corpus = batch_df.sparkSession.read.parquet(corpus_dir)
+            flagged = _dedup.incremental_minhash_dedup(
+                corpus.select("doc_id", "text"), batch_df.select("doc_id", "text")
+            )
+            clean = batch_df.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        else:
+            # first batch: self-dedup only (keep-first within the batch)
+            flagged = _dedup.incremental_minhash_dedup(
+                batch_df.sparkSession.createDataFrame([], "doc_id long, text string"),
+                batch_df.select("doc_id", "text"),
+            )
+            clean = batch_df.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        clean.write.mode("append").parquet(corpus_dir)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

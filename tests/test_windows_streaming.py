@@ -673,3 +673,33 @@ def test_variant_props_stats_open_schema(spark):
     assert (c["n"], c["n_k"], c["sum_k"], c["min_k"], c["max_k"]) == (3, 2, 12, 5, 7)
     v = rows["view"]
     assert (v["n"], v["n_k"], v["sum_k"]) == (1, 1, 2)
+
+
+def test_dedup_gated_streaming_ingest(spark, tmp_path):
+    """foreachBatch near-dup gate: batch 1 seeds the corpus (with
+    keep-first self-dedup); batch 2's near-dup of a corpus doc is
+    dropped while its novel doc appends."""
+    from page_rank_hadoop_spark.streaming.ingest import run_dedup_gated_ingest
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ck")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely novel material that shares no shingles with the fox"
+    # two input files => two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [(1, text_a), (2, text_a)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, text_a), (4, text_b)], ["doc_id", "text"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run_dedup_gated_ingest(spark, src, corpus, ckpt, "doc_id long, text string")
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    # batch order isn't guaranteed, but either way: one copy of text_a's
+    # cluster from the first batch processed + doc 4's novel text
+    assert 4 in kept
+    assert len(kept) == 2
+    kept_a = [d for d in kept if d != 4]
+    assert kept_a in ([1], [3])  # keep-first of whichever batch ran first
