@@ -216,7 +216,15 @@ def main() -> None:
     for prec in (1, 0):
         if len(line) <= 1900:
             break
-        payload["queries"] = {k: round(v, prec) for k, v in timings.items()}
+        payload["queries"] = {
+            k: (int(round(v)) if prec == 0 else round(v, prec))
+            for k, v in timings.items()
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: keep only the >=0.5s queries
+        slow = {k: int(round(v)) for k, v in timings.items() if round(v) >= 1}
+        payload["queries"] = slow
+        payload["fast_omitted"] = len(timings) - len(slow)
         line = json.dumps(payload, separators=(",", ":"))
     print(f"# stdout JSON line: {len(line)} bytes", file=sys.stderr)
     print(line)
