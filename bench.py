@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_ivf_two_level",
     "q_semantic_dedup",
     "q_incremental_dedup",
+    "q_lsh_band_stats",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",

@@ -123,6 +123,38 @@ def minhash_band_table(
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
 
+def lsh_band_stats(
+    documents: DataFrame,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH band-key selectivity report — the knob-tuning diagnostic for
+    every banded dedup run: per band, the bucket-size distribution
+    (buckets, singleton share, mean/p99/max bucket) and the analytic
+    candidate-pair count Σ_key C(n_key, 2) that the band join will
+    enumerate. This is the number that decides, BEFORE the quadratic
+    runs, whether a corpus needs the hot-bucket cap / prefix filter
+    (SCALING.md's dedup rehearsal computes exactly this ad hoc; here it
+    is first-class). Two partial-agg shuffles: (band, key) counts, then
+    a band-level rollup — output is n_bands rows at any corpus size.
+    """
+    bt = minhash_band_table(documents, shingle_k, n_hashes, n_bands, hash_fn)
+    per_key = bt.groupBy("band", "key").agg(F.count("*").alias("n"))
+    return (
+        per_key.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum((F.col("n") == 1).cast("int")).cast("bigint").alias("n_singletons"),
+            F.round(F.avg("n"), 6).alias("mean_bucket"),
+            F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_bucket"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+    )
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,

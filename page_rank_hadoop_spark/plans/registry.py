@@ -1515,6 +1515,13 @@ def q_ivf_knn(spark, sf):
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
 
 
+def q_lsh_band_stats(spark, sf):
+    """LSH band selectivity: per-band bucket distribution + analytic
+    candidate-pair count — the pre-flight knob-tuning report for the
+    banded dedup family (n_bands rows at any scale)."""
+    return dedup.lsh_band_stats(_docs(spark, sf))
+
+
 def q_incremental_dedup(spark, sf):
     """Asymmetric ingest-gate dedup: batch (odd doc_ids) probed against
     the corpus band index (even doc_ids) + keep-first within batch;
@@ -3819,6 +3826,21 @@ def build_oracles() -> dict[str, str]:
     oracles["q_kmeans_train"] = _sql_kmeans_train(3, N_CENTROIDS, EMB_DIM)
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
+    oracles["q_lsh_band_stats"] = f"""
+      WITH {_sql_minhash_ctes()},
+      per_key AS (
+        SELECT band, key, count(*)::BIGINT AS n FROM bands GROUP BY band, key
+      )
+      SELECT band,
+             count(*)::BIGINT AS n_buckets,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+             round(avg(n), 6) AS mean_bucket,
+             round(quantile_cont(n, 0.99), 6) AS p99_bucket,
+             max(n)::BIGINT AS max_bucket,
+             (sum(n * (n - 1)) // 2)::BIGINT AS candidate_pairs
+      FROM per_key GROUP BY band
+    """
+
     oracles["q_incremental_dedup"] = f"""
       WITH {_sql_minhash_ctes()},
       cand AS (
@@ -5026,6 +5048,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_ivf_two_level": q_ivf_two_level,
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_lsh_band_stats": q_lsh_band_stats,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

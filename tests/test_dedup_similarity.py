@@ -400,3 +400,20 @@ def test_incremental_dedup_asymmetric_semantics(spark):
     assert set(out) == {1, 3}  # 5 is clean, 0 is corpus-side
     assert out[1]["dup_of"] == 0  # corpus partner
     assert out[3]["dup_of"] == 0 and out[3]["n_matches"] == 2  # corpus + batch doc 1
+
+
+def test_lsh_band_stats_hand_checked(spark):
+    """Two identical docs + one distinct: every band has one 2-doc
+    bucket (the dup pair) and one singleton -> candidate_pairs == 1."""
+    from page_rank_hadoop_spark.operators.dedup import lsh_band_stats
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    u = "utterly different words that produce disjoint shingle sets here"
+    d = spark.createDataFrame([(1, t), (2, t), (3, u)], ["doc_id", "text"])
+    rows = lsh_band_stats(d).collect()
+    assert len(rows) == 4  # n_bands
+    for r in rows:
+        assert r["n_buckets"] == 2
+        assert r["n_singletons"] == 1
+        assert r["max_bucket"] == 2
+        assert r["candidate_pairs"] == 1

@@ -63,6 +63,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_ivf_two_level", [("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_semantic_dedup", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_incremental_dedup", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_lsh_band_stats", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
     ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
