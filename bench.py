@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_incremental_dedup",
     "q_lsh_band_stats",
+    "q_lang_confusion",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",

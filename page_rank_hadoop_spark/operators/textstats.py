@@ -575,6 +575,32 @@ def remove_repeated_chunks(
     )
 
 
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of the marker-token
+    heuristic (``functions.text.language_id``) against the labeled
+    ``lang`` column, with each cell's share of its TRUE class — the
+    report that says, per language, where the classifier leaks before
+    anyone trusts its routing decisions. One map-side prediction pass,
+    one (lang, lang_pred) partial agg; the share window runs over the
+    aggregated |langs|² cells (bounded), not the corpus."""
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.functions.text import language_id
+
+    cells = (
+        documents.select("lang", language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
 def approx_topk_terms(
     documents: DataFrame, k: int = 20, max_items: int = 4096
 ) -> DataFrame:

@@ -1515,6 +1515,12 @@ def q_ivf_knn(spark, sf):
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
 
 
+def q_lang_confusion(spark, sf):
+    """Language-ID confusion matrix vs the labeled lang column, with
+    per-true-class share — the classifier-trust report."""
+    return textstats.lang_id_confusion(_docs(spark, sf))
+
+
 def q_lsh_band_stats(spark, sf):
     """LSH band selectivity: per-band bucket distribution + analytic
     candidate-pair count — the pre-flight knob-tuning report for the
@@ -3826,6 +3832,26 @@ def build_oracles() -> dict[str, str]:
     oracles["q_kmeans_train"] = _sql_kmeans_train(3, N_CENTROIDS, EMB_DIM)
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
+    oracles["q_lang_confusion"] = f"""
+      WITH base AS (
+        SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+      ),
+      scores AS (
+        SELECT b.doc_id, l.lang AS cand,
+               len(list_intersect(b.toks, l.markers)) AS score
+        FROM base b CROSS JOIN {_LANG_MARKERS_SQL}
+      ),
+      pred AS (
+        SELECT doc_id, cand AS lang_pred,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        FROM scores
+      )
+      SELECT b.lang, p.lang_pred, count(*)::BIGINT AS n,
+             round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY b.lang), 6) AS share
+      FROM base b JOIN pred p ON b.doc_id = p.doc_id AND p.rn = 1
+      GROUP BY b.lang, p.lang_pred
+    """
+
     oracles["q_lsh_band_stats"] = f"""
       WITH {_sql_minhash_ctes()},
       per_key AS (
@@ -5049,6 +5075,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
         "q_lsh_band_stats": q_lsh_band_stats,
+        "q_lang_confusion": q_lang_confusion,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

@@ -126,3 +126,22 @@ def test_approx_topk_terms_exact_below_capacity(spark):
     )
     assert got == {(r["term"], r["cnt"]) for r in exact}
     assert got == {("alpha", 20), ("beta", 12), ("gamma", 8)}
+
+
+def test_lang_confusion_shares_sum_to_one(spark):
+    from page_rank_hadoop_spark.operators.textstats import lang_id_confusion
+
+    d = spark.createDataFrame(
+        [(1, "en", "the and of hello"), (2, "en", "xyz qqq zzz"),
+         (3, "fr", "le la et bonjour")],
+        ["doc_id", "lang", "text"],
+    )
+    rows = lang_id_confusion(d).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["share"]
+    for lang, total in by_lang.items():
+        assert abs(total - 1.0) < 1e-6, lang
+    en_correct = [r for r in rows if r["lang"] == "en" and r["lang_pred"] == "en"]
+    assert en_correct and en_correct[0]["n"] >= 1
