@@ -224,7 +224,7 @@ def main() -> None:
         }
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:  # last resort: keep only the >=0.5s queries
-        slow = {k: int(round(v)) for k, v in timings.items() if round(v) >= 1}
+        slow = {k: int(round(v)) for k, v in timings.items() if v >= 0.5}
         payload["queries"] = slow
         payload["fast_omitted"] = len(timings) - len(slow)
         line = json.dumps(payload, separators=(",", ":"))

@@ -315,7 +315,10 @@ def cmd_compact(spark: SparkSession, args: argparse.Namespace) -> int:
         f"small(<{args.small_rows})={m['n_small_files']}"
     )
     if args.out:
-        n = compact_sink(spark, args.path, args.out, args.target_rows)
+        n = compact_sink(
+            spark, args.path, args.out, args.target_rows,
+            total_rows=m["total_rows"],
+        )
         print(f"compacted -> {args.out} ({n} files)")
     return 0
 

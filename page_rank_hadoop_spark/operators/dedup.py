@@ -150,7 +150,9 @@ def lsh_band_stats(
             F.round(F.avg("n"), 6).alias("mean_bucket"),
             F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_bucket"),
             F.max("n").cast("bigint").alias("max_bucket"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+            # integer DIV keeps the count exact past 2^53 (double division
+            # would round the very corpora this diagnostic exists to flag)
+            F.expr("sum(n * (n - 1)) DIV 2").alias("candidate_pairs"),
         )
     )
 

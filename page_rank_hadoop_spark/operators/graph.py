@@ -288,7 +288,10 @@ def deterministic_walks(
     out = walk.select("start", F.to_json("path").alias("walk_json"))
     if materialize:
         out = out.localCheckpoint()
-        adj.unpersist()
+    # unpersist in BOTH modes: with materialize=False (plan inspection)
+    # the cache would otherwise outlive the function with no handle to
+    # release it; collecting the returned frame just recomputes
+    adj.unpersist()
     return out
 
 

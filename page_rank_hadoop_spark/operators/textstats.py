@@ -621,14 +621,28 @@ def approx_topk_terms(
     above capacity the counts become estimates with the classic
     frequent-items error bound and the oracle entry would be dropped —
     capacity is the knob that trades memory for exactness.
+
+    Tie determinism: the sketch's OWN ordering among equal counts is
+    unspecified, so the sketch is asked for ``overfetch × k`` items and
+    the final top-k is re-ranked deterministically by (count desc,
+    term) JVM-side — a count tie straddling the k boundary then resolves
+    identically to the oracle as long as the tie group fits in the
+    overfetch slack (at test SFs the overfetch exceeds the whole
+    vocabulary, eliminating the boundary entirely).
     """
     from page_rank_hadoop_spark.functions.text import tokens
 
+    overfetch = max(2 * k, k + 20)
     terms = documents.select(F.explode(tokens("text")).alias("term"))
-    sk = terms.agg(F.expr(f"approx_top_k(term, {k}, {max_items})").alias("tk"))
-    return sk.select(F.explode("tk").alias("e")).select(
-        F.col("e.item").alias("term"),
-        F.col("e.count").cast("bigint").alias("cnt"),
+    sk = terms.agg(F.expr(f"approx_top_k(term, {overfetch}, {max_items})").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "term")
+        .limit(k)
     )
 
 

@@ -1549,7 +1549,8 @@ def q_semantic_dedup(spark, sf):
 
 def q_ivf_two_level(spark, sf):
     """Two-level IVF routing histogram: per-cell vector counts under the
-    O(n*sqrt(C)) coarse->fine assignment (16x16 = 256 effective cells);
+    O(n*sqrt(C)) coarse->fine assignment (4x4 = 16 effective cells at
+    gate scale; the structure generalizes to sqrt(C) x sqrt(C));
     deterministic literals make it oracle-checkable."""
     emb = load_table(spark, sf, "embeddings")
     a = similarity.ivf_assign_two_level(emb, n_coarse=4, n_fine=4, dim=EMB_DIM)

@@ -81,15 +81,22 @@ def sink_file_metrics(
 
 
 def compact_sink(
-    spark: SparkSession, path: str, out_path: str, target_rows_per_file: int = 100_000
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 100_000,
+    total_rows: int | None = None,
 ) -> int:
     """Rewrite a fragmented sink into ``ceil(total / target)`` files:
     one scan + one round-robin repartition (the only shuffle — it
     carries each row once) + one write. Returns the file count written.
     Compact-to-new-path then swap is the object-store-safe pattern (an
-    in-place overwrite that fails mid-write loses the sink)."""
+    in-place overwrite that fails mid-write loses the sink).
+    ``total_rows`` skips the sizing count when the caller already has it
+    (cmd_compact passes the metrics row's total — one fewer full scan
+    of exactly the small-file-heavy sink this command targets)."""
     df = spark.read.parquet(path)
-    total = df.count()
+    total = df.count() if total_rows is None else total_rows
     n_files = max(1, -(-total // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

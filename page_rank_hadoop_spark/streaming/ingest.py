@@ -93,7 +93,7 @@ def run_dedup_gated_ingest(
     noted because that property, not the sink, is what bounds duplicate
     damage here.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     from page_rank_hadoop_spark.operators import dedup as _dedup
 
@@ -101,22 +101,27 @@ def run_dedup_gated_ingest(
         batch_df = batch_df.localCheckpoint()
         if not batch_df.take(1):
             return
-        have_corpus = os.path.exists(corpus_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_dir)
-        )
-        if have_corpus:
-            corpus = batch_df.sparkSession.read.parquet(corpus_dir)
-            flagged = _dedup.incremental_minhash_dedup(
-                corpus.select("doc_id", "text"), batch_df.select("doc_id", "text")
-            )
-            clean = batch_df.join(flagged.select("doc_id"), "doc_id", "left_anti")
-        else:
+        sess = batch_df.sparkSession
+        # FS-agnostic corpus probe: read through Spark (works on HDFS/S3,
+        # not just the driver's local disk); an explicit schema makes a
+        # missing path raise instead of failing schema inference
+        try:
+            corpus = sess.read.schema("doc_id long, text string").parquet(corpus_dir)
+            if not corpus.take(1):
+                corpus = None
+        except AnalysisException:
+            corpus = None
+        if corpus is None:
             # first batch: self-dedup only (keep-first within the batch)
-            flagged = _dedup.incremental_minhash_dedup(
-                batch_df.sparkSession.createDataFrame([], "doc_id long, text string"),
-                batch_df.select("doc_id", "text"),
-            )
-            clean = batch_df.join(flagged.select("doc_id"), "doc_id", "left_anti")
+            corpus = sess.createDataFrame([], "doc_id long, text string")
+        flagged = _dedup.incremental_minhash_dedup(
+            corpus, batch_df.select("doc_id", "text")
+        )
+        # materialize the (batch-sized) survivors BEFORE appending, so the
+        # corpus scan never overlaps the write to the same path
+        clean = batch_df.join(
+            flagged.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
         clean.write.mode("append").parquet(corpus_dir)
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)

@@ -330,27 +330,10 @@ def windows_over_aggregates(plan: str) -> bool:
     subtree is a raw scan — fails this check instead of warning into the
     bench stderr (the round-3 q_sorted_neighborhood lesson).
     """
-    lines = plan.splitlines()
-    sketch_end = next(
-        (i for i, ln in enumerate(lines) if re.match(r"^\(1\) ", ln)), len(lines)
-    )
-    sketch = lines[:sketch_end]
+    sketch = _sketch(plan)
     for i, ln in enumerate(sketch):
         m = re.search(r"\bWindow \(\d+\)", ln)
-        if not m:
-            continue
-        depth = m.start()
-        subtree_has_agg = False
-        for below in sketch[i + 1 :]:
-            m2 = re.search(r"\b\w+ \(\d+\)", below)
-            if not m2:
-                continue
-            if m2.start() <= depth:
-                break  # left the Window's subtree
-            if re.search(r"(Hash|Sort|ObjectHash)Aggregate", below):
-                subtree_has_agg = True
-                break
-        if not subtree_has_agg:
+        if m and not _subtree_has_aggregate(sketch, i, m.start()):
             return False
     return True
 
