@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_incremental_dedup",
     "q_lsh_band_stats",
     "q_lang_confusion",
+    "q_dedup_family_agreement",
     "q_ivf_knn",
     "q_media_features",
     "q_search_snippets",

@@ -1515,6 +1515,41 @@ def q_ivf_knn(spark, sf):
     return similarity.ivf_knn_cosine(emb, _probe(spark, sf), k=10, n_centroids=16, dim=EMB_DIM)
 
 
+def q_dedup_family_agreement(spark, sf):
+    """Cross-family dedup audit: overlap of the MinHash-LSH and SimHash
+    near-dup PAIR sets (each family's count, the intersection, and the
+    pair-set Jaccard) — the recall-diff report that says whether the two
+    detectors are finding the same duplicates before anyone trusts one
+    alone. One full-outer join of two already-bucketed pair pipelines;
+    single-row output at any scale."""
+    d = _docs(spark, sf)
+    mh = dedup.minhash_lsh_pairs(d).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    sh = dedup.simhash_near_pairs(
+        d,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        prefix_bits=SIMHASH_PREFIX_BITS,
+        signatures=_simhash_sigs(spark, sf),
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_sh"))
+    u = (
+        mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.coalesce("in_mh", F.lit(0)).alias("in_mh"),
+            F.coalesce("in_sh", F.lit(0)).alias("in_sh"),
+        )
+    )
+    denom = F.sum("in_mh") + F.sum("in_sh") - F.sum(F.col("in_mh") * F.col("in_sh"))
+    return u.agg(
+        F.sum("in_mh").cast("bigint").alias("n_minhash"),
+        F.sum("in_sh").cast("bigint").alias("n_simhash"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("bigint").alias("n_both"),
+        F.round(
+            F.sum(F.col("in_mh") * F.col("in_sh")) / denom, 6
+        ).alias("pair_jaccard"),
+    )
+
+
 def q_lang_confusion(spark, sf):
     """Language-ID confusion matrix vs the labeled lang column, with
     per-true-class share — the classifier-trust report."""
@@ -3833,6 +3868,33 @@ def build_oracles() -> dict[str, str]:
     oracles["q_kmeans_train"] = _sql_kmeans_train(3, N_CENTROIDS, EMB_DIM)
 
     oracles["q_dedup_components_star"] = oracles["q_dedup_components"]
+    oracles["q_dedup_family_agreement"] = f"""
+      WITH {_sql_minhash_ctes()},
+      {_sql_simhash_ctes()},
+      mh_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+      ),
+      sh_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sims a JOIN sims b
+          ON (a.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS}) = (b.simhash >> {SIMHASH_BITS - SIMHASH_PREFIX_BITS})
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+      ),
+      u AS (
+        SELECT (m.doc_a IS NOT NULL)::INT AS in_mh, (s.doc_a IS NOT NULL)::INT AS in_sh
+        FROM mh_pairs m FULL OUTER JOIN sh_pairs s
+          ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+      )
+      SELECT sum(in_mh)::BIGINT AS n_minhash, sum(in_sh)::BIGINT AS n_simhash,
+             sum(in_mh * in_sh)::BIGINT AS n_both,
+             round(sum(in_mh * in_sh)::DOUBLE
+                   / (sum(in_mh) + sum(in_sh) - sum(in_mh * in_sh)), 6) AS pair_jaccard
+      FROM u
+    """
+
     oracles["q_lang_confusion"] = f"""
       WITH base AS (
         SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
@@ -5077,6 +5139,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_lsh_band_stats": q_lsh_band_stats,
         "q_lang_confusion": q_lang_confusion,
+        "q_dedup_family_agreement": q_dedup_family_agreement,
         # --- tier 2: driver-green r1-r3; prior relative order preserved ---
         "q_doc_chunks": q_doc_chunks,
         "q_pack_sequences": q_pack_sequences,

@@ -417,3 +417,23 @@ def test_lsh_band_stats_hand_checked(spark):
         assert r["n_singletons"] == 1
         assert r["max_bucket"] == 2
         assert r["candidate_pairs"] == 1
+
+
+def test_dedup_family_agreement_on_identical_docs(spark):
+    """Two identical docs are flagged by BOTH families -> the pair sets
+    coincide and the agreement Jaccard is 1.0."""
+    import page_rank_hadoop_spark.plans.registry as reg
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.operators import dedup
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    mh = dedup.minhash_lsh_pairs(d).select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
+    sh = dedup.simhash_near_pairs(d).select("doc_a", "doc_b", F.lit(1).alias("in_sh"))
+    u = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    row = u.agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce("in_mh", F.lit(0)) * F.coalesce("in_sh", F.lit(0))).alias("both"),
+    ).collect()[0]
+    assert row["n"] == 1 and row["both"] == 1

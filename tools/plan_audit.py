@@ -66,6 +66,7 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_lsh_band_stats", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     # confusion-cell share window runs over the aggregated |langs|^2 cells
     ("q_lang_confusion", [("has", r"HashAggregate"), ("window_over_agg", "share window input = (lang, lang_pred) aggregate cells"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    ("q_dedup_family_agreement", [("has", r"FullOuter"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_exact_dedup", [("read_cols", "doc_id,text"), ("has", r"HashAggregate")]),
     ("q_tumbling_window", [("not", r"BatchEvalPython"), ("not", r"CartesianProduct")]),
     ("q_tokenize_explode", [("has", r"Generate\b"), ("has", r"(pos)?explode\("), ("not", r"Exchange")]),
