@@ -157,6 +157,131 @@ def lsh_band_stats(
     )
 
 
+def band_table_with_fallback(
+    documents: DataFrame,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """``minhash_band_table`` plus a sentinel row (band = -1, key =
+    md5(coalesce(text, ''))) for every doc that produced NO band rows.
+    In the CURRENT signature path that set is empty by construction:
+    ``char_shingles`` gives sub-``shingle_k`` docs a whole-text shingle,
+    and even NULL text degenerates to all-NULL minhashes whose band keys
+    concat to md5('') — so NULL-text docs already form one exact dedup
+    cluster and the ingest idempotency guarantee ("a replayed doc
+    collides with its first copy") holds for EVERY doc (pinned by
+    tests/test_band_index_mv.py). The sentinel is the STRUCTURAL belt —
+    if a future signature change ever drops a doc, it still lands one
+    exact-content key in the index rather than silently escaping the
+    gate. Cost: one batch-sized anti-join, no second shingling pass."""
+    bands = minhash_band_table(documents, shingle_k, n_hashes, n_bands, hash_fn)
+    sentinel = documents.join(
+        bands.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("band"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("key"),
+    )
+    return bands.select(
+        "doc_id", F.col("band").cast("int").alias("band"), "key"
+    ).unionByName(sentinel)
+
+
+def band_probe(corpus_bands: DataFrame, batch_bands: DataFrame) -> DataFrame:
+    """The probe core shared by every incremental/streaming dedup path:
+    flag each batch doc whose band keys collide with the corpus band
+    index or with an EARLIER doc of its own batch (keep-first). Both
+    inputs are (doc_id, band, key) tables; the corpus side is ideally
+    the stored bucketed MV (see ``write_band_index``) so this is one
+    equi-join on (band, key) with an Exchange only on the batch side.
+
+    Returns one row per flagged batch doc: (doc_id, dup_of = smallest
+    colliding partner id, n_matches = distinct colliding partners).
+    Assumes corpus and batch doc_ids are disjoint (ingest invariant)."""
+    others = corpus_bands.select(
+        "band", "key", F.col("doc_id").alias("other_id"), F.lit(True).alias("is_corpus")
+    ).unionByName(
+        batch_bands.select(
+            "band", "key", F.col("doc_id").alias("other_id"), F.lit(False).alias("is_corpus")
+        )
+    )
+    return (
+        batch_bands.join(others, ["band", "key"])
+        .filter(F.col("is_corpus") | (F.col("other_id") < F.col("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.min("other_id").alias("dup_of"),
+            F.countDistinct("other_id").cast("bigint").alias("n_matches"),
+        )
+    )
+
+
+def write_band_index(
+    documents: DataFrame,
+    table: str,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_fn: str = "md5",
+    n_buckets: int = 8,
+    fallback: bool = True,
+) -> None:
+    """Materialize the corpus MinHash band index as a bucketed warehouse
+    table — THE dedup artifact at 100 TB: the corpus is shingled exactly
+    once, and every later batch probes this stored table (a bucket join
+    on (band, key) with no Exchange on the corpus side and no corpus
+    rescan). ``fallback=True`` includes the exact-content sentinel rows
+    for band-less docs so the ingest idempotency guarantee is total."""
+    from page_rank_hadoop_spark.sources.serving import write_bucketed
+
+    fn = band_table_with_fallback if fallback else minhash_band_table
+    bt = fn(documents, shingle_k, n_hashes, n_bands, hash_fn)
+    if not fallback:
+        bt = bt.select("doc_id", F.col("band").cast("int").alias("band"), "key")
+    write_bucketed(bt, table, ["band", "key"], n_buckets=n_buckets, sort=True)
+
+
+def append_band_index(band_rows: DataFrame, table: str, n_buckets: int = 8) -> None:
+    """Append a batch's band rows to the stored index — the per-batch
+    maintenance path. Bucket spec must match the table's (Spark verifies
+    on append); cost is ∝ batch size, never corpus size."""
+    from page_rank_hadoop_spark.sources.serving import write_bucketed
+
+    write_bucketed(
+        band_rows.select("doc_id", F.col("band").cast("int").alias("band"), "key"),
+        table,
+        ["band", "key"],
+        n_buckets=n_buckets,
+        sort=True,
+        mode="append",
+    )
+
+
+def incremental_dedup_against_index(
+    band_index: DataFrame,
+    batch: DataFrame,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    hash_fn: str = "md5",
+    fallback: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a STORED band index with a new batch: only the batch is
+    shingled/hashed; the corpus side is the maintained MV (pass
+    ``spark.table(mv_name)``). Returns ``(flagged, batch_bands)`` — the
+    caller appends the survivors' slice of ``batch_bands`` back to the
+    MV (``append_band_index``), closing the maintenance loop. This is
+    the plan-assertable form of incrementality: the probe plan contains
+    a scan of the MV and of the batch, and NO scan of the corpus."""
+    fn = band_table_with_fallback if fallback else minhash_band_table
+    bb = fn(batch, shingle_k, n_hashes, n_bands, hash_fn)
+    if not fallback:
+        bb = bb.select("doc_id", F.col("band").cast("int").alias("band"), "key")
+    return band_probe(band_index, bb), bb
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -167,39 +292,24 @@ def incremental_minhash_dedup(
 ) -> DataFrame:
     """ASYMMETRIC near-dup: flag each NEW doc that LSH-collides with the
     EXISTING corpus or with an earlier doc of its own batch — the
-    production ingest gate. The whole point is incrementality: the
-    corpus band table is computed once (at scale: a bucketed parquet MV
-    maintained across batches — ``minhash_band_table`` is the artifact)
-    and each batch only shingles/hashes ITS OWN docs, then probes the
-    band index; per-batch work is ∝ batch size + collisions, the corpus
-    is never re-paired. Within the batch the keep-FIRST rule applies
-    (a new doc dups against a smaller-id batch doc).
+    production ingest gate, in its self-contained (recompute-the-corpus-
+    bands) form. The production form is ``write_band_index`` once +
+    ``incremental_dedup_against_index`` per batch (the corpus is never
+    re-shingled; ``streaming/ingest.py`` rides exactly that loop). Each
+    batch only shingles/hashes ITS OWN docs, then probes the band index;
+    per-batch work is ∝ batch size + collisions, the corpus is never
+    re-paired. Within the batch the keep-FIRST rule applies (a new doc
+    dups against a smaller-id batch doc).
 
     Returns one row per flagged batch doc: (doc_id, dup_of = smallest
     colliding partner id, n_matches = distinct colliding partners).
     Assumes corpus and batch doc_ids are disjoint (ingest invariant).
     """
-    cb = minhash_band_table(corpus, shingle_k, n_hashes, n_bands, hash_fn).select(
-        "band", "key", F.col("doc_id").alias("other_id"), F.lit(True).alias("is_corpus")
-    )
+    cb = minhash_band_table(corpus, shingle_k, n_hashes, n_bands, hash_fn)
     bb = minhash_band_table(batch, shingle_k, n_hashes, n_bands, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    others = cb.unionByName(
-        bb.select(
-            "band", "key", F.col("doc_id").alias("other_id"), F.lit(False).alias("is_corpus")
-        )
-    )
-    out = (
-        bb.join(others, ["band", "key"])
-        .filter(F.col("is_corpus") | (F.col("other_id") < F.col("doc_id")))
-        .groupBy("doc_id")
-        .agg(
-            F.min("other_id").alias("dup_of"),
-            F.countDistinct("other_id").cast("bigint").alias("n_matches"),
-        )
-    )
-    out = out.localCheckpoint()
+    out = band_probe(cb, bb).localCheckpoint()
     bb.unpersist()
     return out
 

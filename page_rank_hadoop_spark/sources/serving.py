@@ -60,17 +60,29 @@ def write_compacted(df: DataFrame, path: str, target_mb: int = 256) -> int:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
 ) -> None:
     """Warehouse-table variant: ``bucketBy(key)`` clusters rows by hash so
     a later join or aggregation on the key needs NO shuffle on this side
     (Catalyst sees the bucket spec and drops the Exchange). This is the
     scale path for repeatedly-joined tables — e.g. the ranks table joined
     by every scoring query; at 100 TB it converts the per-query shuffle
-    into a one-time write cost."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    into a one-time write cost.
+
+    ``key`` may be a composite (list of columns) — e.g. the MinHash band
+    index bucketed by (band, key). ``mode='append'`` is the maintenance
+    path for materialized views that grow batch-by-batch (Spark verifies
+    the append's bucket spec against the existing table's, so a mismatch
+    fails loudly instead of silently corrupting bucket pruning)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode(mode).bucketBy(n_buckets, *keys)
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(*keys)
     w.saveAsTable(table)
 
 

@@ -67,62 +67,81 @@ def run_ingest_to_parquet(
         q.stop()
 
 
+BAND_INDEX_SCHEMA = "doc_id long, band int, key string"
+
+
+def dedup_gate_batch(
+    batch_df: DataFrame,
+    corpus_dir: str,
+    band_table: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """One micro-batch through the MV-backed near-dup gate — the unit
+    ``run_dedup_gated_ingest`` drives per trigger, factored out so the
+    probe plan is directly assertable in tests: probe the STORED band
+    index (no corpus rescan, no corpus re-shingling), append survivors
+    to the corpus sink, append the survivors' band rows to the MV.
+    Returns the surviving (materialized) batch slice."""
+    from page_rank_hadoop_spark.operators import dedup as _dedup
+
+    sess = batch_df.sparkSession
+    if sess.catalog.tableExists(band_table):
+        corpus_bands = sess.table(band_table)
+    else:
+        corpus_bands = sess.createDataFrame([], BAND_INDEX_SCHEMA)
+    flagged, batch_bands = _dedup.incremental_dedup_against_index(
+        corpus_bands, batch_df.select("doc_id", "text")
+    )
+    # one shingling pass feeds both the probe and the MV append
+    batch_bands = batch_bands.localCheckpoint()
+    # materialize the (batch-sized) survivors BEFORE appending, so the
+    # index read never overlaps the writes
+    clean = batch_df.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    clean.write.mode("append").parquet(corpus_dir)
+    _dedup.append_band_index(
+        batch_bands.join(clean.select("doc_id"), "doc_id", "left_semi"),
+        band_table,
+        n_buckets=n_buckets,
+    )
+    return clean
+
+
 def run_dedup_gated_ingest(
     spark: SparkSession,
     in_dir: str,
     corpus_dir: str,
     checkpoint_dir: str,
     schema,
+    band_table: str = "corpus_band_index",
+    n_buckets: int = 8,
 ) -> None:
-    """NEAR-dup-gated continuous ingestion: every micro-batch is probed
-    against the ACCUMULATED corpus with the asymmetric MinHash gate
-    (``dedup.incremental_minhash_dedup``) and only non-colliding docs
-    append — the streaming composition of the batch ingest gate, via
-    ``foreachBatch`` (the documented escape hatch for per-batch
-    batch-DataFrame logic a streaming plan can't express: the probe
-    joins against the sink itself).
+    """NEAR-dup-gated continuous ingestion riding a MAINTAINED band-index
+    MV: every micro-batch shingles only ITSELF, probes the stored
+    bucketed (band, key) index (``dedup.incremental_dedup_against_index``
+    — an equi-join whose corpus side is the MV scan, never the corpus),
+    appends survivors to the corpus sink AND their band rows to the MV.
+    Per-batch cost is ∝ batch size + collisions at ANY corpus size — the
+    property the batch-twin docstring promises and this loop delivers.
+    Runs via ``foreachBatch`` (the documented escape hatch for per-batch
+    logic a streaming plan can't express: the probe joins against state
+    the stream itself accumulates).
 
-    Scale shape per batch: batch-side shingling/banding only; the
-    corpus side re-derives its band table from the sink here — at
-    production scale that side IS the maintained band-index MV
-    (``minhash_band_table`` written bucketed by (band, key) and appended
-    alongside the corpus, so the probe is a bucket join with no corpus
-    rescan). Exactly-once: foreachBatch + checkpoint gives at-least-once
-    batch delivery; the gate itself makes replayed batches idempotent
-    (a replayed doc collides with its first copy and is dropped) —
-    noted because that property, not the sink, is what bounds duplicate
-    damage here.
+    Exactly-once: foreachBatch + checkpoint gives at-least-once batch
+    delivery; the gate makes replayed batches idempotent — a replayed
+    doc collides with its first copy's band rows in the MV and is
+    dropped, and the ``band_table_with_fallback`` sentinel (exact
+    content hash for any doc the signature path produced no band rows
+    for, e.g. NULL text) makes that guarantee total, not just for
+    shingle-bearing docs.
     """
-    from pyspark.errors import AnalysisException
-
-    from page_rank_hadoop_spark.operators import dedup as _dedup
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()
         if not batch_df.take(1):
             return
-        sess = batch_df.sparkSession
-        # FS-agnostic corpus probe: read through Spark (works on HDFS/S3,
-        # not just the driver's local disk); an explicit schema makes a
-        # missing path raise instead of failing schema inference
-        try:
-            corpus = sess.read.schema("doc_id long, text string").parquet(corpus_dir)
-            if not corpus.take(1):
-                corpus = None
-        except AnalysisException:
-            corpus = None
-        if corpus is None:
-            # first batch: self-dedup only (keep-first within the batch)
-            corpus = sess.createDataFrame([], "doc_id long, text string")
-        flagged = _dedup.incremental_minhash_dedup(
-            corpus, batch_df.select("doc_id", "text")
-        )
-        # materialize the (batch-sized) survivors BEFORE appending, so the
-        # corpus scan never overlaps the write to the same path
-        clean = batch_df.join(
-            flagged.select("doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint()
-        clean.write.mode("append").parquet(corpus_dir)
+        dedup_gate_batch(batch_df, corpus_dir, band_table, n_buckets)
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
     q = (
