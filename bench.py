@@ -120,6 +120,69 @@ BENCH_QUERIES = [
 ]
 
 
+def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
+    """The reference's ONLY executable benchmark, reproduced: M1 times
+    interactive point lookups against the HBase serving tables
+    (Query.scala:109-140 wraps N term queries in wall-clock). Our
+    serving layout is key-range-partitioned + sorted parquet
+    (sources/serving.write_keyed): a term equality pushes down as
+    ``PushedFilters: [In(term, ...)]`` and row-group min/max stats prune
+    to the one file/row-group holding the key. Reported: cold first
+    lookup (includes file listing), warm p50/avg per lookup (ms), and
+    how many of the layout's files actually yielded rows for a point
+    probe (1 == the clustering is doing its job)."""
+    import shutil
+    import statistics
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.operators.index import term_frequencies
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.serving import read_point, write_keyed
+
+    tmp = tempfile.mkdtemp(prefix="serving_bench_")
+    path = os.path.join(tmp, "term_df")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        term_df = (
+            term_frequencies(docs)
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("df"))
+        )
+        t0 = time.perf_counter()
+        write_keyed(term_df, path, "term", n_files=8)
+        build_ms = round((time.perf_counter() - t0) * 1000, 1)
+        # deterministic probe terms spread across the key space; the
+        # synthetic corpus vocabulary can be tiny, so cycle keys until
+        # n_lookups probes ran (it's a latency measure, not a scan)
+        rows = (
+            spark.read.parquet(path).orderBy("term").limit(40 * n_lookups).collect()
+        )
+        step = max(1, len(rows) // n_lookups)
+        terms = [r["term"] for r in rows[::step]][:n_lookups]
+        lat_ms: list[float] = []
+        for i in range(n_lookups):
+            t = terms[i % len(terms)]
+            t0 = time.perf_counter()
+            read_point(spark, path, "term", [t]).collect()
+            lat_ms.append((time.perf_counter() - t0) * 1000)
+        probe = read_point(spark, path, "term", terms[:1])
+        files_touched = probe.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+        return {
+            "n_lookups": len(lat_ms),
+            "build_ms": build_ms,
+            "cold_ms": round(lat_ms[0], 1),
+            "warm_p50_ms": round(statistics.median(lat_ms[1:]), 1),
+            "warm_avg_ms": round(sum(lat_ms[1:]) / max(1, len(lat_ms) - 1), 1),
+            "point_lookup_files_touched": files_touched,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -190,7 +253,16 @@ def main() -> None:
         )
     load_after = os.getloadavg()
 
+    # reference M1 twin: point-lookup serving latency (see docstring)
+    serving = serving_latency_bench(spark, sf_dir)
+    print(f"# serving latency: {serving}", file=sys.stderr)
+
     total = round(sum(timings.values()) + build_sec, 3)
+    # methodology flag (round-4 advisor): best-of-N totals are not
+    # comparable with rounds 1-3 single-run numbers — emit the mode AND
+    # a cold (first-run) total alongside so cross-round deltas can be
+    # judged on like-for-like numbers
+    cold_total = round(sum(r[0] for r in all_runs.values()) + build_sec, 3)
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -199,6 +271,9 @@ def main() -> None:
         "build_sec": round(build_sec, 2),
         "sf": sf,
         "runs": runs,
+        "timing_mode": "best_of_n" if runs > 1 else "single_run",
+        "cold_total_sec": cold_total,
+        "serving": serving,
         "loadavg": [round(x, 1) for x in (*load_before[:1], *load_after[:1])],
     }
     # full-precision detail (every run, not just the best) for the judge

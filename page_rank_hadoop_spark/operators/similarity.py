@@ -29,6 +29,53 @@ def _probe_lit(probe: list[float]):
     return F.array(*[F.lit(float(x)) for x in probe])
 
 
+Centroids = list[tuple[int, list[float]]]
+
+
+def seed_centroids(n_centroids: int, dim: int = 64) -> Centroids:
+    """The deterministic (id, vector) seed centroids the whole IVF family
+    shares: c[j] = sin(c·2971 + j·7919). Fixed, reproducible, engine-
+    portable — the oracle-checkable default; production swaps in trained
+    centroids from ``kmeans_train`` via ``centroids_from_kmeans``."""
+    import math
+
+    return [
+        (c, [math.sin(c * 2971 + j * 7919) for j in range(dim)])
+        for c in range(n_centroids)
+    ]
+
+
+def centroids_from_kmeans(kmeans_out: DataFrame, dim: int = 64) -> Centroids:
+    """Turn ``kmeans_train``'s long-form output (centroid, n_vectors,
+    dim, mean_val) into the (id, vector) list the assignment functions
+    embed as literals — the train → assign hand-off. The collect is
+    C×dim rows (a few KB at any corpus size: centroids, not vectors);
+    at cluster scale this is exactly the 'train once, broadcast the
+    codebook' pattern every IVF index uses. Centroids that lost all
+    vectors during training are absent here and therefore drop out of
+    the candidate set, matching the oracle's join semantics."""
+    rows = kmeans_out.orderBy("centroid", "dim").collect()
+    by_c: dict[int, list[float]] = {}
+    for r in rows:
+        by_c.setdefault(r["centroid"], [0.0] * dim)[r["dim"]] = r["mean_val"]
+    return sorted(by_c.items())
+
+
+def resolve_n_centroids(
+    embeddings: DataFrame, n_centroids: int | str, target_bucket: int = 256
+) -> int:
+    """The measured C ∝ n rule, enforced instead of documented
+    (SCALING.md ANN rehearsal: fixed C at 10× data costs 2× vs scaling
+    C): ``n_centroids='auto'`` derives C = max(16, ceil(n / target_
+    bucket)) from one cheap count (parquet footers only — no data
+    read), keeping the expected bucket size — and hence the Σn_b²
+    pair-join cost per row — constant as the corpus grows."""
+    if n_centroids == "auto":
+        n = embeddings.count()
+        return max(16, -(-n // target_bucket))
+    return int(n_centroids)
+
+
 def knn_cosine(embeddings: DataFrame, probe: list[float], k: int = 10) -> DataFrame:
     """Brute-force top-k by cosine similarity to ``probe``.
 
@@ -98,16 +145,28 @@ def embedding_near_dup_pairs(
     return out
 
 
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> DataFrame:
-    """Assign each vector to its nearest deterministic centroid (argmax
-    cosine). The scale path writes this out ``partitionBy('centroid')`` so
-    a probe query scans one partition; here we return the assignment.
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine). The
+    scale path writes this out ``partitionBy('centroid')`` so a probe
+    query scans one partition; here we return the assignment.
+
+    ``centroids`` (an (id, vector) list — e.g. ``centroids_from_kmeans
+    (kmeans_train(...))``) swaps the deterministic seed codebook for a
+    TRAINED one; ids need not be dense (empty clusters drop out during
+    training). ``n_centroids='auto'`` derives C from the corpus size
+    (``resolve_n_centroids`` — the measured C ∝ n rule).
 
     Argmax is ``array_position(sims, array_max(sims))`` over a materialized
-    sims column — first occurrence wins ties. (A fold of
-    ``when(cand > best, cand).otherwise(best)`` duplicates the whole
-    accumulated tree at every level: 2^16 expression nodes, which stalls
-    analysis/codegen for minutes. Arrays keep it linear.)
+    sims column — first occurrence wins ties, over id-ascending
+    candidates. (A fold of ``when(cand > best, cand).otherwise(best)``
+    duplicates the whole accumulated tree at every level: 2^16 expression
+    nodes, which stalls analysis/codegen for minutes. Arrays keep it
+    linear.)
     """
     import math
 
@@ -121,10 +180,9 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
     # unchanged). Folds per row: C dots + 1 norm, vs C·(dot+2 norms).
     # (Fully unrolling the dots into codegen arithmetic was measured
     # SLOWER — C·dim getItem/multiply/add nodes overwhelm codegen.)
-    cents = [
-        [math.sin(c * 2971 + j * 7919) for j in range(dim)] for c in range(n_centroids)
-    ]
-    cnorms = [math.sqrt(sum(x * x for x in cv)) for cv in cents]
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in centroids]
     with_norm = ensure_parallel(embeddings).select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("_vn")
     )
@@ -132,14 +190,14 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16, dim: int = 64) -> D
         *[
             dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
             / (F.col("_vn") * F.lit(cn))
-            for cv, cn in zip(cents, cnorms)
+            for (_, cv), cn in zip(centroids, cnorms)
         ]
     )
     with_sims = with_norm.select("vec_id", "embedding", sims.alias("sims"))
+    idx = F.array_position("sims", F.array_max("sims")).cast("int")  # 1-based
+    cid = F.element_at(F.array(*[F.lit(int(c)) for c, _ in centroids]), idx)
     return with_sims.select(
-        "vec_id",
-        "embedding",
-        (F.array_position("sims", F.array_max("sims")) - 1).cast("int").alias("centroid"),
+        "vec_id", "embedding", cid.cast("int").alias("centroid")
     )
 
 
@@ -252,7 +310,10 @@ def ivf_assign_two_level(
 
 
 def ivf_assign_arrow(
-    embeddings: DataFrame, n_centroids: int = 16, dim: int = 64
+    embeddings: DataFrame,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
 ) -> DataFrame:
     """Vectorized IVF assignment: one Arrow-batched ``mapInPandas`` pass
     computing the full batch×centroid similarity matrix with a numpy
@@ -274,9 +335,10 @@ def ivf_assign_arrow(
 
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
-    cents = np.array(
-        [[math.sin(c * 2971 + j * 7919) for j in range(dim)] for c in range(n_centroids)]
-    )
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    cents = np.array([cv for _, cv in centroids])
+    cids = np.array([int(c) for c, _ in centroids], dtype="int32")
     cnorms = np.linalg.norm(cents, axis=1)
 
     def assign(batches):
@@ -289,7 +351,7 @@ def ivf_assign_arrow(
                 {
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
-                    "centroid": np.argmax(sims, axis=1).astype("int32"),
+                    "centroid": cids[np.argmax(sims, axis=1)],
                 }
             )
 
@@ -301,10 +363,11 @@ def ivf_assign_arrow(
 def hard_negatives(
     embeddings: DataFrame,
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     dim: int = 64,
     two_level: bool = False,
     impl: str = "expr",
+    centroids: Centroids | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every vector,
     its ``k`` most-similar vectors with a DIFFERENT label — the
@@ -333,20 +396,29 @@ def hard_negatives(
     two-level expression form saves dots but pays more in expression
     evaluation than it saves at local scale — kept as the documented
     asymptotic structure, measured honestly).
+
+    ``centroids`` feeds a TRAINED codebook (``centroids_from_kmeans``)
+    into the blocking — the train → assign → mine production pipeline
+    (registry q_trained_hard_negatives); ``n_centroids='auto'`` enforces
+    the measured C ∝ n rule from one cheap count so the per-bucket pair
+    cost stays constant as the corpus grows.
     """
     from pyspark.sql import Window
 
     if impl == "arrow":
-        base_assign = ivf_assign_arrow(embeddings, n_centroids, dim)
+        base_assign = ivf_assign_arrow(embeddings, n_centroids, dim, centroids)
     elif two_level:
         import math
 
+        if centroids is not None:
+            raise ValueError("two_level uses its own deterministic centroid grid")
+        n_centroids = resolve_n_centroids(embeddings, n_centroids)
         side = int(math.isqrt(n_centroids))
         if side * side != n_centroids:
             raise ValueError("two_level requires a perfect-square n_centroids")
         base_assign = ivf_assign_two_level(embeddings, side, side, dim)
     else:
-        base_assign = ivf_assign(embeddings, n_centroids, dim)
+        base_assign = ivf_assign(embeddings, n_centroids, dim, centroids)
     assigned = base_assign.join(
         embeddings.select("vec_id", "label"), "vec_id"
     )
@@ -383,9 +455,10 @@ def ivf_knn_cosine(
     embeddings: DataFrame,
     probe: list[float],
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     dim: int = 64,
     n_probe: int = 1,
+    centroids: Centroids | None = None,
 ) -> DataFrame:
     """IVF search: score only vectors in the ``n_probe`` centroid buckets
     nearest the probe (the standard IVF recall/cost dial — FAISS's
@@ -396,15 +469,15 @@ def ivf_knn_cosine(
     prunes to ~n_probe/C of the corpus via the centroid filter (an
     `isin` over partition values when the assignment is written out
     ``partitionBy('centroid')``)."""
-    import math
-
     import numpy as np
 
-    assigned = ivf_assign(embeddings, n_centroids, dim)
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    assigned = ivf_assign(embeddings, dim=dim, centroids=centroids)
     p = np.asarray(probe, dtype="float64")
     sims = []
-    for c in range(n_centroids):
-        cent = np.array([math.sin(c * 2971 + j * 7919) for j in range(dim)])
+    for c, cv in centroids:
+        cent = np.asarray(cv, dtype="float64")
         sims.append((float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent))), c))
     probed = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
     pl = _probe_lit(probe)
@@ -449,10 +522,7 @@ def kmeans_train(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # (centroid_id, vector) pairs, seeded identically to ivf_assign
-    cands: list[tuple[int, list[float]]] = [
-        (c, [math.sin(c * 2971 + j * 7919) for j in range(dim)])
-        for c in range(n_centroids)
-    ]
+    cands: Centroids = seed_centroids(n_centroids, dim)
 
     def assign(cands_now):
         cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in cands_now]
@@ -494,6 +564,28 @@ def kmeans_train(
     out = out.localCheckpoint()
     emb.unpersist()
     return out
+
+
+def train_assign_mine(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_iter: int = 2,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """The end-to-end production ANN pipeline, demonstrated rather than
+    documented: TRAIN the codebook with Lloyd's k-means (``kmeans_train``
+    — one C×dim partial agg + C-row collect per round), hand the trained
+    means off as broadcast literals (``centroids_from_kmeans`` — the
+    C×dim 'collect the codebook' step every IVF index ships), then MINE
+    hard negatives inside the TRAINED buckets (``hard_negatives`` —
+    bucketed pair join + WindowGroupLimit top-k). Replaces the seed-sin
+    codebook with one fitted to the corpus, which is what makes IVF
+    recall real in production. Every stage keeps its individual scale
+    shape; the hand-off itself moves only centroids, never vectors."""
+    km = kmeans_train(embeddings, n_iter=n_iter, n_centroids=resolve_n_centroids(embeddings, n_centroids), dim=dim)
+    cents = centroids_from_kmeans(km, dim)
+    return hard_negatives(embeddings, k=k, dim=dim, centroids=cents)
 
 
 def kmeans_step(

@@ -92,11 +92,15 @@ def compact_sink(
     carries each row once) + one write. Returns the file count written.
     Compact-to-new-path then swap is the object-store-safe pattern (an
     in-place overwrite that fails mid-write loses the sink).
-    ``total_rows`` skips the sizing count when the caller already has it
-    (cmd_compact passes the metrics row's total — one fewer full scan
-    of exactly the small-file-heavy sink this command targets)."""
+    ``total_rows`` is a sizing HINT, clamped against an actual count:
+    a parquet ``count(*)`` reads only footers (no data pages), so the
+    verification is nearly free, and it guards the streaming scenario
+    this module targets — a sink appended to between the caller's
+    metrics read and the compaction would otherwise be under-partitioned
+    relative to ``target_rows_per_file`` (round-4 advisor)."""
     df = spark.read.parquet(path)
-    total = df.count() if total_rows is None else total_rows
+    actual = df.count()  # footer-only on parquet — cheap at any size
+    total = actual if total_rows is None else max(total_rows, actual)
     n_files = max(1, -(-total // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

@@ -74,3 +74,39 @@ def test_window_over_agg_rejects_corpus_scale_global_window(spark):
     agg = df.groupBy("k").agg(F.count("*").alias("c"))
     good = agg.select("k", F.rank().over(Window.orderBy(F.desc("c"))).alias("r"))
     assert plan_audit.windows_over_aggregates(fmt(good)) is True
+
+
+def test_global_window_detector_not_fooled_by_aggregated_join_side(spark):
+    """Round-4 advisor nit: an aggregate on only the SMALL side of a join
+    must NOT launder a global window over the joined (corpus-scale)
+    stream — the aggregate has to sit on the window's direct input path,
+    above the nearest join."""
+    from pyspark.sql import Window, functions as F
+
+    import plan_audit
+
+    def fmt(d):
+        return spark._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+
+    fact = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    dim = (
+        spark.range(100)
+        .select((F.col("id") % 7).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+    )
+    # global window over raw-fact ⋈ aggregated-dim: corpus-scale, must flag
+    bad = fact.join(dim, "k").select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    assert plan_audit.unbounded_global_windows(fmt(bad)) != []
+    # aggregate ABOVE the join (direct input path): bounded, must pass
+    good = (
+        fact.join(dim, "k")
+        .groupBy("k")
+        .agg(F.sum("c").alias("s"))
+        .select("k", F.rank().over(Window.orderBy(F.desc("s"))).alias("r"))
+    )
+    assert plan_audit.unbounded_global_windows(fmt(good)) == []

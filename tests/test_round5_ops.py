@@ -1,0 +1,81 @@
+"""Round-5 operators: trained-centroid wiring for the ANN family
+(kmeans_train → centroids_from_kmeans → assign/mine), the enforced
+C ∝ n auto-scaling rule, and the end-to-end train→assign→mine pipeline.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import similarity
+from page_rank_hadoop_spark.sources.catalog import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF0001, "embeddings")
+
+
+def test_centroids_from_kmeans_shape(spark, emb):
+    km = similarity.kmeans_train(emb, n_iter=2, n_centroids=8, dim=DIM)
+    cents = similarity.centroids_from_kmeans(km, dim=DIM)
+    ids = [c for c, _ in cents]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert all(len(v) == DIM for _, v in cents)
+    # trained means are the 6dp-rounded values kmeans_train emitted
+    assert all(round(x, 6) == x for _, v in cents for x in v)
+
+
+def test_trained_assignment_expr_equals_arrow(spark, emb):
+    """The expression and Arrow-matmul assignment paths agree on a
+    TRAINED (non-dense-id-safe) codebook, same as they do on the seed
+    codebook — the argmax/tie contract is codebook-independent."""
+    km = similarity.kmeans_train(emb, n_iter=2, n_centroids=8, dim=DIM)
+    cents = similarity.centroids_from_kmeans(km, dim=DIM)
+    a = similarity.ivf_assign(emb, dim=DIM, centroids=cents).select(
+        "vec_id", "centroid"
+    )
+    b = similarity.ivf_assign_arrow(emb, dim=DIM, centroids=cents).select(
+        "vec_id", "centroid"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # trained assignment differs from the seed assignment (training moved
+    # the codebook — otherwise the pipeline demonstrates nothing)
+    seed = similarity.ivf_assign(emb, n_centroids=8, dim=DIM).select(
+        "vec_id", "centroid"
+    )
+    assert a.exceptAll(seed).count() > 0
+
+
+def test_resolve_n_centroids_auto(spark, emb):
+    n = emb.count()
+    # small corpus floors at 16
+    assert similarity.resolve_n_centroids(emb, "auto") == max(16, -(-n // 256))
+    assert similarity.resolve_n_centroids(emb, "auto", target_bucket=10) == max(
+        16, -(-n // 10)
+    )
+    assert similarity.resolve_n_centroids(emb, 32) == 32
+
+
+def test_train_assign_mine_semantics(spark, emb):
+    out = similarity.train_assign_mine(emb, k=3, n_iter=2, n_centroids=8, dim=DIM)
+    rows = out.collect()
+    assert rows, "pipeline produced negatives"
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["vec_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_anchor.values())
+    # every mined negative has a different label than its anchor
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(lab[r["vec_id"]] != lab[r["neg_id"]] for r in rows)
+
+
+def test_hard_negatives_auto_c(spark, emb):
+    """n_centroids='auto' runs end-to-end and respects the rule (floors
+    at 16 here, so it must equal the explicit C=16 result)."""
+    auto = similarity.hard_negatives(emb, k=2, n_centroids="auto", dim=DIM)
+    fixed = similarity.hard_negatives(emb, k=2, n_centroids=16, dim=DIM)
+    assert auto.exceptAll(fixed).count() == 0 and fixed.exceptAll(auto).count() == 0

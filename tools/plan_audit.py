@@ -60,6 +60,10 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # hard negatives: bucket equi-join (never cartesian), per-anchor rank
     # pushed to WindowGroupLimit, all JVM-side
     ("q_hard_negatives", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # trained pipeline keeps the same mining shape: per-anchor top-k is a
+    # WindowGroupLimit inside the TRAINED buckets; training itself is a
+    # driver loop whose per-round plans are covered by q_kmeans_train
+    ("q_trained_hard_negatives", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"Generate.*explode\(embedding")]),
     ("q_ivf_two_level", [("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_semantic_dedup", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_incremental_dedup", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
@@ -207,6 +211,12 @@ def _sketch(plan: str) -> list[str]:
 
 
 def _subtree_has_aggregate(sketch: list[str], i: int, depth: int) -> bool:
+    """True iff an Aggregate sits on the window's DIRECT input path —
+    i.e. before any join is reached. The sketch is a pre-order walk, so
+    every node printed before the first binary (join) node is on the
+    unary chain feeding the window; an Aggregate beyond a join bounds
+    only one join side and does NOT bound the window's input cardinality
+    (a global window over raw-scan ⋈ aggregated-dim must FAIL)."""
     for below in sketch[i + 1 :]:
         m2 = re.search(r"\b\w+ \(\d+\)", below)
         if not m2:
@@ -215,6 +225,8 @@ def _subtree_has_aggregate(sketch: list[str], i: int, depth: int) -> bool:
             break  # left the subtree
         if re.search(r"(Hash|Sort|ObjectHash)Aggregate", below):
             return True
+        if re.search(r"(Join|CartesianProduct)", below):
+            return False  # chain forks before any aggregate bounds it
     return False
 
 
