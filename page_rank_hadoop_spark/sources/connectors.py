@@ -68,6 +68,62 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("avro").load(path)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka streaming source — the production crawl/event feed the
+    ingest pipeline (streaming/ingest.py) reads in front of the file
+    source used in tests. Requires the EXTERNAL
+    ``org.apache.spark:spark-sql-kafka-0-10_<scala>`` package (not
+    bundled with pip pyspark) — capability-probed like the other
+    optional connectors so a missing jar fails at plan time with the fix
+    spelled out. The returned frame has Kafka's fixed schema (key/value
+    binary, topic, partition, offset, timestamp...); feed it through
+    ``kafka_value_to_docs`` to get the documents shape the ingest
+    transforms expect."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception as exc:  # noqa: BLE001 — py4j-wrapped AnalysisException
+        raise ImportError(
+            "kafka data source not deployed; add "
+            "org.apache.spark:spark-sql-kafka-0-10_<scala-version> "
+            "(external module, not bundled with pip pyspark), or land the "
+            "feed as files and use the file-source ingest "
+            "(streaming/ingest.run_ingest_to_parquet)."
+        ) from exc
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_value_to_docs(frame: DataFrame, payload_schema: str) -> DataFrame:
+    """Decode a Kafka-shaped frame (binary ``value`` + source
+    ``timestamp``) into the documents shape the ingest pipeline
+    consumes: JSON payload parsed against an EXPLICIT schema (schema
+    inference is not a streaming option), Kafka's broker timestamp kept
+    as ``kafka_ts`` for watermarking. Pure projection — composes with
+    ``ingest_transform`` unchanged, so the Kafka path and the file path
+    share every downstream operator. Works identically on a static
+    frame with the same columns, which is how tests cover it without a
+    broker."""
+    from pyspark.sql import functions as F
+
+    parsed = frame.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("payload"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    return parsed.select("payload.*", "kafka_ts")
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, driver_class: str, **options: str
 ) -> DataFrame:

@@ -73,6 +73,91 @@ def test_train_assign_mine_semantics(spark, emb):
     assert all(lab[r["vec_id"]] != lab[r["neg_id"]] for r in rows)
 
 
+def _fmt(spark, d):
+    return spark._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_distinct_join_rewrite_equals_naive_and_plan(spark):
+    """q_distinct_join_rewrite: the fact is DISTINCTed below the join
+    (shrinks orders to its key set before any join shuffle) — result
+    identical to the naive count(DISTINCT)-above-the-join form, plan
+    free of Expand/distinct-above-join, nation dim broadcast."""
+    from page_rank_hadoop_spark.plans.registry import q_distinct_join_rewrite
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    out = q_distinct_join_rewrite(spark, SF0001)
+    cust = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    nation = load_table(spark, SF0001, "nation")
+    naive = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_customers"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+    plan = _fmt(spark, out)
+    assert "Expand" not in plan  # no distinct-aggregate expansion
+    assert "BroadcastHashJoin" in plan
+    # the distinct aggregate sits below the joins: naive plan has a
+    # count(distinct) ABOVE a join, the rewrite must not
+    assert "distinct" not in plan.split("Join", 1)[0].lower()
+
+
+def test_approx_distinct_join_rewrite_demo(spark):
+    """The sketch variant: when only the COUNT is needed, the distinct
+    shuffle disappears entirely — approx_count_distinct aggregates
+    map-side (partial HLL sketches merge, no Expand, no key shuffle of
+    the fact) and lands within HLL error of the exact count."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    nation = load_table(spark, SF0001, "nation")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    approx = joined.groupBy("n_name").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_customers")
+    )
+    exact = joined.groupBy("n_name").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+    a = {r["n_name"]: r["n_customers"] for r in approx.collect()}
+    e = {r["n_name"]: r["n_customers"] for r in exact.collect()}
+    assert set(a) == set(e)
+    assert all(abs(a[k] - e[k]) <= max(3, 0.05 * e[k]) for k in e)
+    plan = _fmt(spark, approx)
+    assert "Expand" not in plan and "approx_count_distinct" in plan
+
+
+def test_kafka_capability_gate(spark):
+    """No Kafka jars in this container: the connector must fail at plan
+    time with the actionable message, and the value decoder must produce
+    the documents shape from a Kafka-shaped static frame."""
+    from page_rank_hadoop_spark.sources.connectors import (
+        kafka_value_to_docs,
+        read_kafka_stream,
+    )
+
+    with pytest.raises(ImportError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "broker:9092", "crawl")
+
+    fake = spark.createDataFrame(
+        [
+            (b'{"doc_id": 1, "text": "hello world"}',),
+            (b'{"doc_id": 2, "text": "second doc"}',),
+        ],
+        "value binary",
+    ).withColumn("timestamp", F.current_timestamp())
+    docs = kafka_value_to_docs(fake, "doc_id long, text string")
+    assert docs.columns == ["doc_id", "text", "kafka_ts"]
+    got = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+    assert got == [(1, "hello world"), (2, "second doc")]
+
+
 def test_hard_negatives_auto_c(spark, emb):
     """n_centroids='auto' runs end-to-end and respects the rule (floors
     at 16 here, so it must equal the explicit C=16 result)."""

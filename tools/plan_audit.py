@@ -64,6 +64,12 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # WindowGroupLimit inside the TRAINED buckets; training itself is a
     # driver loop whose per-round plans are covered by q_kmeans_train
     ("q_trained_hard_negatives", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"Generate.*explode\(embedding")]),
+    # the band index is one shingle-explode + one partial-agg'd signature
+    # shuffle — no joins, no Python, no window
+    ("q_minhash_band_index", [("has", r"Generate"), ("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"Join")]),
+    # the whole point of the rewrite: distinct BELOW the join (no Expand,
+    # no distinct aggregate above a join), dim side broadcast
+    ("q_distinct_join_rewrite", [("has", r"BroadcastHashJoin"), ("not", r"Expand"), ("has", r"HashAggregate"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_ivf_two_level", [("has", r"HashAggregate"), ("not", r"(BatchEvalPython|ArrowEvalPython|MapInPandas)")]),
     ("q_semantic_dedup", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_incremental_dedup", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
