@@ -171,6 +171,75 @@ def cmd_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_index(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Operate the persisted MinHash band-index MV (the 100 TB ingest
+    artifact): ``build`` shingles the corpus ONCE into a bucketed
+    (band, key) warehouse table; ``append`` adds a new batch's band rows
+    (cost ∝ batch); ``probe`` flags a batch's near-dups against the
+    STORED index without touching the corpus — the three verbs
+    ``streaming/ingest.py``'s gate composes per micro-batch."""
+    from page_rank_hadoop_spark.operators import dedup
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    if args.action == "build":
+        docs = _load_documents(spark, args.input, args.format)
+        dedup.write_band_index(docs, args.table, n_buckets=args.buckets)
+        n = spark.table(args.table).count()
+        print(f"dedup-index build: {n} band rows → table {args.table}")
+        return 0
+    batch = _load_documents(spark, args.input, args.format)
+    flagged, batch_bands = dedup.incremental_dedup_against_index(
+        spark.table(args.table), batch.select("doc_id", "text")
+    )
+    if args.action == "probe":
+        n = flagged.count()
+        print(f"dedup-index probe: {n} of {batch.count()} batch docs collide")
+        if args.out:
+            write_compacted(flagged, args.out)
+            print(f"flagged → {args.out}")
+        return 0
+    # append: only non-colliding docs' band rows enter the index
+    flagged = flagged.localCheckpoint()
+    clean_bands = batch_bands.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    dedup.append_band_index(clean_bands, args.table, n_buckets=args.buckets)
+    print(
+        f"dedup-index append: {clean_bands.count()} band rows added "
+        f"({flagged.count()} colliding docs skipped) → table {args.table}"
+    )
+    return 0
+
+
+def cmd_ann_mine(spark: SparkSession, args: argparse.Namespace) -> int:
+    """The train → assign → mine ANN pipeline as one command: fit the
+    IVF codebook with Lloyd's k-means over the embedding corpus,
+    broadcast the trained centroids as literals, mine per-anchor top-k
+    different-label hard negatives inside the trained buckets
+    (operators/similarity.train_assign_mine). ``--centroids auto``
+    derives C from the corpus size (the measured C ∝ n rule)."""
+    from page_rank_hadoop_spark.operators import similarity
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    emb = (
+        load_table(spark, os.path.dirname(args.input.rstrip("/")), "embeddings")
+        if os.path.basename(args.input.rstrip("/")) == "embeddings.parquet"
+        else spark.read.parquet(args.input)
+    )
+    c = "auto" if args.centroids == "auto" else int(args.centroids)
+    out = similarity.train_assign_mine(
+        emb, k=args.k, n_iter=args.iterations, n_centroids=c, dim=args.dim
+    )
+    write_compacted(out, args.out)
+    print(
+        f"ann-mine: {out.count()} hard negatives (k={args.k}, "
+        f"C={similarity.resolve_n_centroids(emb, c)}, "
+        f"{args.iterations} train rounds) → {args.out}"
+    )
+    return 0
+
+
 def cmd_prepare(spark: SparkSession, args: argparse.Namespace) -> int:
     """Full training-corpus prep pass as one command: Gopher-style
     quality gate (drop flagged docs) → exact dedup keep-first →
@@ -357,6 +426,24 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("out")
     pr.add_argument("--train-pct", type=int, default=80)
     pr.set_defaults(fn=cmd_prepare)
+
+    pdi = sub.add_parser("dedup-index", parents=[common])
+    pdi.add_argument("action", choices=("build", "probe", "append"))
+    pdi.add_argument("input")
+    pdi.add_argument("--table", default="corpus_band_index")
+    pdi.add_argument("--buckets", type=int, default=8)
+    pdi.add_argument("--out", default=None, help="probe: write flagged rows here")
+    pdi.set_defaults(fn=cmd_dedup_index)
+
+    pam = sub.add_parser("ann-mine")
+    pam.add_argument("input", help="embeddings parquet (vec_id, embedding, label)")
+    pam.add_argument("out")
+    pam.add_argument("--k", type=int, default=3)
+    pam.add_argument("--iterations", type=int, default=2)
+    pam.add_argument("--centroids", default="16",
+                     help="int, or 'auto' for the C ∝ n rule")
+    pam.add_argument("--dim", type=int, default=64)
+    pam.set_defaults(fn=cmd_ann_mine)
 
     pq = sub.add_parser("query", parents=[common])
     pq.add_argument("index_dir")

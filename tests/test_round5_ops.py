@@ -158,6 +158,54 @@ def test_kafka_capability_gate(spark):
     assert got == [(1, "hello world"), (2, "second doc")]
 
 
+def test_cli_dedup_index_build_probe_append(spark, tmp_path, capsys):
+    """The band-index MV verbs as CLI commands: build over a corpus,
+    probe a batch with a dup + a novel doc, append the survivors, probe
+    again (the appended doc now collides)."""
+    from page_rank_hadoop_spark.cli import main
+
+    spark.sql("DROP TABLE IF EXISTS t_cli_band_mv")
+    corpus = str(tmp_path / "corpus")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely novel material that shares no shingles with the fox"
+    spark.createDataFrame([(1, text_a)], ["doc_id", "text"]).write.parquet(corpus)
+    assert main(["dedup-index", "build", corpus, "--table", "t_cli_band_mv"]) == 0
+
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(10, text_a), (11, text_b)], ["doc_id", "text"]
+    ).write.parquet(batch)
+    assert main(["dedup-index", "probe", batch, "--table", "t_cli_band_mv"]) == 0
+    assert "1 of 2 batch docs collide" in capsys.readouterr().out
+
+    assert main(["dedup-index", "append", batch, "--table", "t_cli_band_mv"]) == 0
+    batch2 = str(tmp_path / "batch2")
+    spark.createDataFrame([(20, text_b)], ["doc_id", "text"]).write.parquet(batch2)
+    assert main(["dedup-index", "probe", batch2, "--table", "t_cli_band_mv"]) == 0
+    assert "1 of 1 batch docs collide" in capsys.readouterr().out
+    spark.sql("DROP TABLE IF EXISTS t_cli_band_mv")
+
+
+def test_cli_ann_mine(spark, tmp_path, capsys):
+    from page_rank_hadoop_spark.cli import main
+
+    out = str(tmp_path / "negs")
+    assert main(
+        [
+            "ann-mine",
+            f"{SF0001}/embeddings.parquet",
+            out,
+            "--k", "2",
+            "--centroids", "8",
+        ]
+    ) == 0
+    printed = capsys.readouterr().out
+    assert "hard negatives" in printed and "C=8" in printed
+    got = spark.read.parquet(out)
+    assert got.columns == ["vec_id", "neg_id", "cos_sim", "rnk"]
+    assert got.filter(F.col("rnk") > 2).count() == 0
+
+
 def test_hard_negatives_auto_c(spark, emb):
     """n_centroids='auto' runs end-to-end and respects the rule (floors
     at 16 here, so it must equal the explicit C=16 result)."""
