@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "q_time_to_convert",
     "q_modularity",
     "q_monthly_churn",
+    "q_trained_hard_negatives",
+    "q_minhash_band_index",
+    "q_distinct_join_rewrite",
 ]
 
 

@@ -246,7 +246,12 @@ def write_band_index(
 def append_band_index(band_rows: DataFrame, table: str, n_buckets: int = 8) -> None:
     """Append a batch's band rows to the stored index — the per-batch
     maintenance path. Bucket spec must match the table's (Spark verifies
-    on append); cost is ∝ batch size, never corpus size."""
+    on append); cost is ∝ batch size, never corpus size. Creates the
+    table on first append. Note for ephemeral (in-memory-catalog)
+    sessions: the create fails on a stale warehouse DIRECTORY whose
+    catalog entry died with a previous session — production uses a
+    persistent metastore where catalog and location stay in sync
+    (tests clear both via conftest.drop_warehouse_table)."""
     from page_rank_hadoop_spark.sources.serving import write_bucketed
 
     write_bucketed(

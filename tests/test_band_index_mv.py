@@ -19,7 +19,9 @@ TEXT_C = "a third corpus document with its own distinctive shingle content"
 
 
 def _drop(spark, table):
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from tests.conftest import drop_warehouse_table
+
+    drop_warehouse_table(spark, table)
 
 
 def test_probe_against_stored_index_matches_self_contained(spark, tmp_path):

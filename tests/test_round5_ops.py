@@ -163,8 +163,9 @@ def test_cli_dedup_index_build_probe_append(spark, tmp_path, capsys):
     probe a batch with a dup + a novel doc, append the survivors, probe
     again (the appended doc now collides)."""
     from page_rank_hadoop_spark.cli import main
+    from tests.conftest import drop_warehouse_table
 
-    spark.sql("DROP TABLE IF EXISTS t_cli_band_mv")
+    drop_warehouse_table(spark, "t_cli_band_mv")
     corpus = str(tmp_path / "corpus")
     text_a = "the quick brown fox jumps over the lazy dog again and again"
     text_b = "entirely novel material that shares no shingles with the fox"

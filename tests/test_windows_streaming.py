@@ -684,9 +684,12 @@ def test_dedup_gated_streaming_ingest(spark, tmp_path):
     src = str(tmp_path / "in")
     corpus = str(tmp_path / "corpus")
     ckpt = str(tmp_path / "ck")
-    # the MV table persists in the warehouse across runs; a stale copy
-    # would flag this run's fresh corpus as dups of long-gone doc_ids
-    spark.sql("DROP TABLE IF EXISTS corpus_band_index")
+    # the MV table/location persists in the warehouse across runs; a
+    # stale copy would flag this run's fresh corpus as dups of long-gone
+    # doc_ids (and a stale LOCATION alone fails the append's create)
+    from tests.conftest import drop_warehouse_table
+
+    drop_warehouse_table(spark, "corpus_band_index")
     text_a = "the quick brown fox jumps over the lazy dog again and again"
     text_b = "entirely novel material that shares no shingles with the fox"
     # two input files => two micro-batches (maxFilesPerTrigger=1)
