@@ -162,6 +162,9 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
         rows = (
             spark.read.parquet(path).orderBy("term").limit(40 * n_lookups).collect()
         )
+        if not rows:
+            raise ValueError(f"serving bench: no terms in {sf_dir} documents")
+        n_lookups = max(2, n_lookups)  # need >=1 warm lookup for the median
         step = max(1, len(rows) // n_lookups)
         terms = [r["term"] for r in rows[::step]][:n_lookups]
         lat_ms: list[float] = []

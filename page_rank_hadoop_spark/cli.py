@@ -192,6 +192,8 @@ def cmd_dedup_index(spark: SparkSession, args: argparse.Namespace) -> int:
         spark.table(args.table), batch.select("doc_id", "text")
     )
     if args.action == "probe":
+        # one probe-join execution serves the count AND the optional write
+        flagged = flagged.localCheckpoint()
         n = flagged.count()
         print(f"dedup-index probe: {n} of {batch.count()} batch docs collide")
         if args.out:
@@ -227,14 +229,19 @@ def cmd_ann_mine(spark: SparkSession, args: argparse.Namespace) -> int:
         if os.path.basename(args.input.rstrip("/")) == "embeddings.parquet"
         else spark.read.parquet(args.input)
     )
-    c = "auto" if args.centroids == "auto" else int(args.centroids)
+    # resolve C once (auto = one count); the mining DAG executes once in
+    # the write — the reported count re-reads the WRITTEN files, never
+    # the assign+pair-join+window pipeline a second time
+    c = similarity.resolve_n_centroids(
+        emb, "auto" if args.centroids == "auto" else int(args.centroids)
+    )
     out = similarity.train_assign_mine(
         emb, k=args.k, n_iter=args.iterations, n_centroids=c, dim=args.dim
     )
     write_compacted(out, args.out)
+    n = spark.read.parquet(args.out).count()
     print(
-        f"ann-mine: {out.count()} hard negatives (k={args.k}, "
-        f"C={similarity.resolve_n_centroids(emb, c)}, "
+        f"ann-mine: {n} hard negatives (k={args.k}, C={c}, "
         f"{args.iterations} train rounds) → {args.out}"
     )
     return 0
@@ -496,7 +503,15 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from page_rank_hadoop_spark import get_spark
 
-    spark = get_spark("cli")
+    # Persistent (Hive/derby) catalog: the dedup-index verbs span CLI
+    # INVOCATIONS (build today, probe/append per arriving batch), so the
+    # warehouse tables they create must outlive the process — the
+    # in-memory default forgets them while their directories persist,
+    # which would break every cross-invocation workflow (and fail later
+    # creates on the stale location). Under pytest the shared session
+    # already exists and getOrCreate ignores this (static conf): the
+    # tests drive main() in-process, standalone runs get the metastore.
+    spark = get_spark("cli", extra_conf={"spark.sql.catalogImplementation": "hive"})
     return args.fn(spark, args)
 
 

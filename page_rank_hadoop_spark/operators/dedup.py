@@ -199,7 +199,13 @@ def band_probe(corpus_bands: DataFrame, batch_bands: DataFrame) -> DataFrame:
 
     Returns one row per flagged batch doc: (doc_id, dup_of = smallest
     colliding partner id, n_matches = distinct colliding partners).
-    Assumes corpus and batch doc_ids are disjoint (ingest invariant)."""
+    Fresh ingests keep corpus and batch doc_ids disjoint; under
+    at-least-once REDELIVERY a replayed doc meets its own stored rows
+    and is reported with ``dup_of == doc_id`` — the already-ingested
+    marker the crash-safe gate (streaming/ingest.dedup_gate_batch)
+    branches on: a never-accepted doc has no stored rows to collide
+    with, so ``dup_of == doc_id`` (the min over colliding partners)
+    occurs ONLY for previously-accepted docs."""
     others = corpus_bands.select(
         "band", "key", F.col("doc_id").alias("other_id"), F.lit(True).alias("is_corpus")
     ).unionByName(

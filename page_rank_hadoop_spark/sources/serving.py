@@ -14,6 +14,8 @@ additionally removes the shuffle from any later join on the key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,6 +86,23 @@ def write_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
+
+
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Drop a warehouse table AND its on-disk location. Sessions on the
+    default in-memory catalog forget tables while their spark-warehouse/
+    directories persist, so a bare DROP TABLE IF EXISTS in a fresh
+    session is a no-op and the stale directory fails the next
+    ``saveAsTable`` create with LOCATION_ALREADY_EXISTS. Callers that
+    recreate tables across ephemeral sessions (tests, rehearsal tools)
+    use this; a persistent metastore (the CLI's hive/derby catalog,
+    production) keeps catalog and location in sync and plain DROP
+    suffices."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
 
 
 def read_point(spark: SparkSession, path: str, key: str, values: list) -> DataFrame:

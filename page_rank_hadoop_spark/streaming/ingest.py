@@ -79,12 +79,46 @@ def dedup_gate_batch(
     """One micro-batch through the MV-backed near-dup gate — the unit
     ``run_dedup_gated_ingest`` drives per trigger, factored out so the
     probe plan is directly assertable in tests: probe the STORED band
-    index (no corpus rescan, no corpus re-shingling), append survivors
-    to the corpus sink, append the survivors' band rows to the MV.
-    Returns the surviving (materialized) batch slice."""
+    index (no corpus rescan, no corpus re-shingling), append the
+    survivors' band rows to the MV, append the survivors to the corpus
+    sink. Returns the surviving (materialized) batch slice.
+
+    CRASH-SAFETY under at-least-once redelivery (each parquet write is
+    job-atomic via the commit protocol; the exposure is a crash BETWEEN
+    the two writes):
+
+    - The MV is appended FIRST — it is the commit marker. A replayed doc
+      whose bands are already in the MV collides with ITSELF, which the
+      probe reports as ``dup_of == doc_id`` — and ONLY then: a doc that
+      was never accepted has no stored rows of its own, so its minimum
+      colliding partner is necessarily some OTHER doc (≠ its id), while
+      an accepted doc's replay can only collide with itself (anything it
+      shared a band with would have kept it out of the MV originally).
+    - Self-marked docs take the HEAL path: only those actually missing
+      from the corpus sink are (re)appended — so MV-appended-but-
+      corpus-crashed docs are recovered, fully-committed replays append
+      nothing, and no doc is ever duplicated or lost. The corpus
+      doc_id scan runs ONLY when self-collisions exist (replay/heal);
+      the normal path stays batch-sized at any corpus size.
+
+    MISSING-MV BOOTSTRAP: a corpus sink without its band table (dropped
+    table, restarted in-memory catalog, pre-MV sink) must not silently
+    disable dedup against the existing docs — the index is rebuilt from
+    the sink once (corpus-sized, one time) before probing."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F2
+
     from page_rank_hadoop_spark.operators import dedup as _dedup
 
     sess = batch_df.sparkSession
+    if not sess.catalog.tableExists(band_table):
+        try:
+            corpus = sess.read.schema("doc_id long, text string").parquet(corpus_dir)
+            has_corpus = bool(corpus.take(1))
+        except AnalysisException:
+            has_corpus = False
+        if has_corpus:
+            _dedup.write_band_index(corpus, band_table, n_buckets=n_buckets)
     if sess.catalog.tableExists(band_table):
         corpus_bands = sess.table(band_table)
     else:
@@ -94,18 +128,36 @@ def dedup_gate_batch(
     )
     # one shingling pass feeds both the probe and the MV append
     batch_bands = batch_bands.localCheckpoint()
+    flagged = flagged.localCheckpoint()
+    dups = flagged.filter(F2.col("dup_of") != F2.col("doc_id")).select("doc_id")
+    self_marked = flagged.filter(F2.col("dup_of") == F2.col("doc_id")).select("doc_id")
     # materialize the (batch-sized) survivors BEFORE appending, so the
     # index read never overlaps the writes
-    clean = batch_df.join(
-        flagged.select("doc_id"), "doc_id", "left_anti"
-    ).localCheckpoint()
-    clean.write.mode("append").parquet(corpus_dir)
+    keep = batch_df.join(dups, "doc_id", "left_anti").localCheckpoint()
+    fresh_ids = keep.select("doc_id").join(self_marked, "doc_id", "left_anti")
+    # MV first (the commit marker); self-marked docs' bands are already in
     _dedup.append_band_index(
-        batch_bands.join(clean.select("doc_id"), "doc_id", "left_semi"),
+        batch_bands.join(fresh_ids, "doc_id", "left_semi"),
         band_table,
         n_buckets=n_buckets,
     )
-    return clean
+    if self_marked.take(1):
+        # heal/replay path: append only docs the corpus doesn't hold yet
+        # (a crash before the FIRST batch's corpus write leaves no sink —
+        # then everything in keep is missing by definition)
+        try:
+            existing = sess.read.schema("doc_id long, text string").parquet(
+                corpus_dir
+            ).select("doc_id")
+            existing.take(1)  # surface a missing path HERE, not mid-join
+            to_corpus = keep.join(existing, "doc_id", "left_anti")
+        except AnalysisException:  # missing sink: first batch crashed pre-write
+            to_corpus = keep
+    else:
+        to_corpus = keep
+    to_corpus = to_corpus.localCheckpoint()
+    to_corpus.write.mode("append").parquet(corpus_dir)
+    return to_corpus
 
 
 def run_dedup_gated_ingest(

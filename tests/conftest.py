@@ -9,18 +9,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def drop_warehouse_table(spark, name: str) -> None:
-    """Drop a warehouse table AND its on-disk location. The tests run
-    against the default in-memory catalog, which forgets tables between
-    sessions while spark-warehouse/ directories persist — a bare DROP
-    TABLE IF EXISTS in a fresh session is then a no-op and the stale
-    directory fails the next saveAsTable with LOCATION_ALREADY_EXISTS.
-    (A production deployment has a persistent metastore, where catalog
-    and location stay in sync and plain DROP suffices.)"""
-    import shutil
+    """Test alias for sources/serving.drop_table_and_location (catalog
+    entry + on-disk location — see its docstring for the in-memory-
+    catalog stale-directory failure mode it exists to prevent)."""
+    from page_rank_hadoop_spark.sources.serving import drop_table_and_location
 
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    drop_table_and_location(spark, name)
 
 
 @pytest.fixture(scope="session")

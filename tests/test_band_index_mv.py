@@ -116,6 +116,65 @@ def test_every_doc_is_banded_and_null_text_replay_dedups(spark):
     assert [(r["doc_id"], r["dup_of"]) for r in probe.collect()] == [(10, 1)]
 
 
+def test_gate_heals_crash_between_mv_and_corpus_write(spark, tmp_path):
+    """Crash-safety contract: the MV is appended first (commit marker).
+    Simulate dying between the two writes — bands in the MV, doc absent
+    from the corpus — and replay the batch: the doc is self-marked
+    (dup_of == doc_id), the heal path appends EXACTLY the missing doc,
+    and a second replay appends nothing (no duplicates, no loss)."""
+    from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
+
+    corpus = str(tmp_path / "corpus")
+    table = "t_band_mv_heal"
+    _drop(spark, table)
+    spark.createDataFrame([(1, TEXT_A)], ["doc_id", "text"]).write.parquet(corpus)
+    dedup.write_band_index(spark.read.parquet(corpus), table)
+    # "crashed" half-commit of batch doc 10: band rows landed, corpus did not
+    bands10 = dedup.band_table_with_fallback(
+        spark.createDataFrame([(10, TEXT_B)], ["doc_id", "text"])
+    )
+    dedup.append_band_index(bands10, table)
+    # replayed batch
+    batch = spark.createDataFrame([(10, TEXT_B)], ["doc_id", "text"]).localCheckpoint()
+    out1 = dedup_gate_batch(batch, corpus, table)
+    assert [r["doc_id"] for r in out1.collect()] == [10]  # healed into corpus
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 10]
+    # second replay: fully committed now — nothing appended
+    out2 = dedup_gate_batch(batch, corpus, table)
+    assert out2.count() == 0
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept2 == [1, 10]
+    _drop(spark, table)
+
+
+def test_gate_bootstraps_missing_mv_from_corpus(spark, tmp_path):
+    """A corpus sink whose band table is gone (dropped table, restarted
+    catalog, pre-MV sink) must not silently admit duplicates of existing
+    docs: the gate rebuilds the index from the sink before probing."""
+    from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
+
+    corpus = str(tmp_path / "corpus")
+    table = "t_band_mv_boot"
+    _drop(spark, table)
+    spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_C)], ["doc_id", "text"]
+    ).write.parquet(corpus)
+    batch = spark.createDataFrame(
+        [(10, TEXT_A), (11, TEXT_B)], ["doc_id", "text"]
+    ).localCheckpoint()
+    out = dedup_gate_batch(batch, corpus, table)  # no table exists yet
+    assert [r["doc_id"] for r in out.collect()] == [11]  # dup of 1 dropped
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 2, 11]
+    # the rebuilt + maintained MV covers corpus and the new doc
+    mv_docs = sorted(
+        r["doc_id"] for r in spark.table(table).select("doc_id").distinct().collect()
+    )
+    assert mv_docs == [1, 2, 11]
+    _drop(spark, table)
+
+
 def test_streaming_gate_rides_stored_mv(spark, tmp_path):
     """End-to-end: the foreachBatch gate maintains the MV; cross-batch
     near-dup dropped, novel doc kept, NULL-text doc deduplicated on

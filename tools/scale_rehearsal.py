@@ -258,6 +258,7 @@ def rehearse_streaming(spark, sf_dir: str, out_dir: str, n_batches: int = 6,
     import shutil
 
     from page_rank_hadoop_spark.operators import dedup as _dedup
+    from page_rank_hadoop_spark.sources.serving import drop_table_and_location
     from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
 
     base = os.path.join(out_dir, "stream_rehearsal")
@@ -327,7 +328,7 @@ def rehearse_streaming(spark, sf_dir: str, out_dir: str, n_batches: int = 6,
         mv_corpus = os.path.join(base, f"mv_corpus_{label}")
         seed.write.mode("overwrite").parquet(mv_corpus)
         n_corpus = spark.read.parquet(mv_corpus).count()
-        spark.sql("DROP TABLE IF EXISTS rehearsal_band_mv")
+        drop_table_and_location(spark, "rehearsal_band_mv")
         t0 = time.time()
         _dedup.write_band_index(spark.read.parquet(mv_corpus), "rehearsal_band_mv")
         mv_build = time.time() - t0
@@ -337,7 +338,7 @@ def rehearse_streaming(spark, sf_dir: str, out_dir: str, n_batches: int = 6,
             dedup_gate_batch(b, mv_corpus, "rehearsal_band_mv")
             if i > 0:  # batch 0 warms JVM/Python workers
                 mv_walls.append(time.time() - t0)
-        spark.sql("DROP TABLE IF EXISTS rehearsal_band_mv")
+        drop_table_and_location(spark, "rehearsal_band_mv")
         re_corpus = os.path.join(base, f"re_corpus_{label}")
         seed.write.mode("overwrite").parquet(re_corpus)
         re_walls = []
