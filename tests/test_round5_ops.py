@@ -207,6 +207,18 @@ def test_cli_ann_mine(spark, tmp_path, capsys):
     assert got.filter(F.col("rnk") > 2).count() == 0
 
 
+def test_serving_latency_bench_smoke(spark):
+    """The reference-M1 serving micro-bench must keep producing sane
+    numbers (it feeds every BENCH payload): positive latencies, and the
+    point probe touching exactly one file of the keyed layout."""
+    import bench
+
+    r = bench.serving_latency_bench(spark, SF0001, n_lookups=3)
+    assert r["n_lookups"] == 3
+    assert r["cold_ms"] > 0 and r["warm_p50_ms"] > 0
+    assert r["point_lookup_files_touched"] == 1
+
+
 def test_hard_negatives_auto_c(spark, emb):
     """n_centroids='auto' runs end-to-end and respects the rule (floors
     at 16 here, so it must equal the explicit C=16 result)."""
