@@ -176,8 +176,10 @@ def cmd_dedup_index(spark: SparkSession, args: argparse.Namespace) -> int:
     artifact): ``build`` shingles the corpus ONCE into a bucketed
     (band, key) warehouse table; ``append`` adds a new batch's band rows
     (cost ∝ batch); ``probe`` flags a batch's near-dups against the
-    STORED index without touching the corpus — the three verbs
-    ``streaming/ingest.py``'s gate composes per micro-batch."""
+    STORED index without touching the corpus — the verbs
+    ``streaming/ingest.py``'s gate composes per micro-batch — and
+    ``compact`` rewrites the append-fragmented table to one file per
+    bucket (staging + atomic rename; see dedup.compact_band_index)."""
     from page_rank_hadoop_spark.operators import dedup
     from page_rank_hadoop_spark.sources.serving import write_compacted
 
@@ -187,6 +189,13 @@ def cmd_dedup_index(spark: SparkSession, args: argparse.Namespace) -> int:
         n = spark.table(args.table).count()
         print(f"dedup-index build: {n} band rows → table {args.table}")
         return 0
+    if args.action == "compact":
+        n = dedup.compact_band_index(spark, args.table, n_buckets=args.buckets)
+        print(f"dedup-index compact: {args.table} rewritten to {n} files")
+        return 0
+    if not args.input:
+        print(f"dedup-index {args.action}: input parquet required", file=sys.stderr)
+        return 2
     batch = _load_documents(spark, args.input, args.format)
     flagged, batch_bands = dedup.incremental_dedup_against_index(
         spark.table(args.table), batch.select("doc_id", "text")
@@ -435,8 +444,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.set_defaults(fn=cmd_prepare)
 
     pdi = sub.add_parser("dedup-index", parents=[common])
-    pdi.add_argument("action", choices=("build", "probe", "append"))
-    pdi.add_argument("input")
+    pdi.add_argument("action", choices=("build", "probe", "append", "compact"))
+    pdi.add_argument("input", nargs="?", default=None,
+                     help="docs/batch parquet (not needed for compact)")
     pdi.add_argument("--table", default="corpus_band_index")
     pdi.add_argument("--buckets", type=int, default=8)
     pdi.add_argument("--out", default=None, help="probe: write flagged rows here")

@@ -270,6 +270,52 @@ def append_band_index(band_rows: DataFrame, table: str, n_buckets: int = 8) -> N
     )
 
 
+def compact_band_index(spark, table: str, n_buckets: int = 8) -> int:
+    """Rewrite an append-heavy band index into one file per bucket —
+    the periodic maintenance every append-maintained MV needs: each
+    ``append_band_index`` adds its own files, and after many batches a
+    bucket is dozens of fragments (one scan task each, and bucket-join
+    locality still holds but the scan fans out). Compact-to-staging
+    then catalog RENAME is the swap pattern: readers see the old table
+    until the rename, and a crash mid-compact leaves the live table
+    untouched (at worst an orphaned staging table to re-run over).
+    Returns the post-compaction file count."""
+    import os as _os
+
+    staging = f"{table}__compacting"
+    from page_rank_hadoop_spark.sources.serving import (
+        drop_table_and_location,
+        write_bucketed,
+    )
+
+    drop_table_and_location(spark, staging)
+    # Repartition on the BUCKET-ID expression (pmod(murmur3, n) — the
+    # same function bucketBy applies), so every bucket lands wholly in
+    # one task and the write emits exactly one file per bucket; a plain
+    # repartition on the columns leaves each task holding rows of many
+    # buckets and re-fragments the output (tasks × buckets files).
+    bucket_id = F.pmod(F.hash("band", "key"), F.lit(n_buckets))
+    write_bucketed(
+        spark.table(table).repartition(n_buckets, bucket_id),
+        staging,
+        ["band", "key"],
+        n_buckets=n_buckets,
+        sort=True,
+    )
+    drop_table_and_location(spark, table)
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    return sum(
+        1
+        for f in _os.listdir(loc)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ) if _os.path.isdir(loc) else -1
+
+
 def incremental_dedup_against_index(
     band_index: DataFrame,
     batch: DataFrame,

@@ -175,6 +175,46 @@ def test_gate_bootstraps_missing_mv_from_corpus(spark, tmp_path):
     _drop(spark, table)
 
 
+def test_compact_band_index_shrinks_files_preserves_probe(spark):
+    """After many appends the MV is fragmented (each append writes its
+    own files per bucket); compaction rewrites to ~n_buckets files via
+    staging + atomic rename, with probe results identical before/after
+    and the bucket spec intact (Bucketed: true still in the probe plan)."""
+    import os
+
+    table = "t_band_mv_compact"
+    _drop(spark, table)
+    dedup.write_band_index(
+        spark.createDataFrame([(0, TEXT_A)], ["doc_id", "text"]), table, n_buckets=4
+    )
+    for i in range(1, 5):
+        bands = dedup.band_table_with_fallback(
+            spark.createDataFrame([(i * 10, f"{TEXT_B} variant {i}")], ["doc_id", "text"])
+        )
+        dedup.append_band_index(bands, table, n_buckets=4)
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    files_before = sum(
+        1 for f in os.listdir(loc) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    batch = spark.createDataFrame([(99, TEXT_A), (98, TEXT_B)], ["doc_id", "text"])
+    before, _ = dedup.incremental_dedup_against_index(spark.table(table), batch)
+    before_rows = sorted(tuple(r) for r in before.collect())
+
+    n_files = dedup.compact_band_index(spark, table, n_buckets=4)
+    assert 0 < n_files < files_before
+    after, _ = dedup.incremental_dedup_against_index(spark.table(table), batch)
+    assert sorted(tuple(r) for r in after.collect()) == before_rows
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        after._jdf.queryExecution(), "formatted"
+    )
+    assert "Bucketed: true" in plan
+    _drop(spark, table)
+
+
 def test_streaming_gate_rides_stored_mv(spark, tmp_path):
     """End-to-end: the foreachBatch gate maintains the MV; cross-batch
     near-dup dropped, novel doc kept, NULL-text doc deduplicated on

@@ -3,6 +3,8 @@
 C ∝ n auto-scaling rule, and the end-to-end train→assign→mine pipeline.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -205,6 +207,44 @@ def test_cli_ann_mine(spark, tmp_path, capsys):
     got = spark.read.parquet(out)
     assert got.columns == ["vec_id", "neg_id", "cos_sim", "rnk"]
     assert got.filter(F.col("rnk") > 2).count() == 0
+
+
+def test_cli_dedup_index_across_processes(spark, tmp_path):
+    """The workflow the CLI actually advertises: build in one PROCESS,
+    probe in another. Each invocation is a fresh JVM with its own
+    session; the hive/derby metastore (cli.main's persistent catalog)
+    must carry the bucketed band table across them. ~1 min (two JVM
+    cold starts) — the only test of the cross-invocation path."""
+    import subprocess
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    batch = str(tmp_path / "batch")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely novel material that shares no shingles with the fox"
+    spark.createDataFrame([(1, text_a)], ["doc_id", "text"]).write.parquet(corpus)
+    spark.createDataFrame(
+        [(10, text_a), (11, text_b)], ["doc_id", "text"]
+    ).write.parquet(batch)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "page_rank_hadoop_spark.cli", *argv],
+            cwd=tmp_path, env=env, capture_output=True, text=True, timeout=240,
+        )
+
+    r1 = run("dedup-index", "build", corpus, "--table", "xp_band_mv")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = run("dedup-index", "probe", batch, "--table", "xp_band_mv")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "1 of 2 batch docs collide" in r2.stdout
 
 
 def test_serving_latency_bench_smoke(spark):
