@@ -132,6 +132,58 @@ def _sql_pagerank_iters(n_iter: int = 10, alpha: float = 0.15) -> str:
     return ",\n".join(parts)
 
 
+def _sql_pagerank_converged(
+    min_iter: int = 10, tol: float = 0.2, cap: int = 50, alpha: float = 0.15
+) -> str:
+    """Full oracle for the reference's ADAPTIVE iteration policy
+    (pageRank.scala:360-371: min 10 rounds, stop when avgChange ≤ 0.2,
+    cap 50) — the control flow is data-dependent, but the DECISION RULE
+    is pure SQL over an unrolled capped chain: materialize it1..it50,
+    compute each decision point's avg |Δ|/n, pick the first level ≥
+    min_iter under tol (else the cap), and emit that level's ranks.
+    ``AS MATERIALIZED`` is load-bearing: every it{{k}} is referenced by
+    the next contrib, two deltas, and the final selector — re-inlining
+    would blow up exponentially. The stop comparison uses raw doubles
+    exactly like the Spark loop; engine summation-order noise (~1 ulp)
+    only matters if a true avgChange lands exactly on 0.2, which the
+    fixed testdata does not."""
+    parts = ["  it0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS pr FROM verts2)"]
+    for k in range(1, cap + 1):
+        parts.append(
+            f"""  contrib{k} AS (
+    SELECT e.dst AS id, sum(p.pr / dg.outdeg) AS c
+    FROM fedges e JOIN it{k-1} p ON e.src = p.id JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ),
+  it{k} AS MATERIALIZED (
+    SELECT v.id, {alpha}::DOUBLE/nc.n + {1.0 - alpha}::DOUBLE*coalesce(c.c, 0.0::DOUBLE) AS pr
+    FROM verts2 v CROSS JOIN ncount nc LEFT JOIN contrib{k} c ON v.id = c.id
+  )"""
+        )
+    for k in range(min_iter, cap + 1):
+        parts.append(
+            f"""  d{k} AS MATERIALIZED (
+    SELECT sum(abs(a.pr - b.pr)) / (SELECT n FROM ncount) AS ac
+    FROM it{k} a JOIN it{k-1} b ON a.id = b.id
+  )"""
+        )
+    stops = "\n    UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT ac FROM d{k}) AS ac"
+        for k in range(min_iter, cap)  # an early stop; level ``cap`` is the fallback
+    )
+    final = "\n      UNION ALL ".join(
+        f"SELECT id, round(pr, 6) AS pr FROM it{k} WHERE (SELECT k FROM chosen) = {k}"
+        for k in range(min_iter, cap + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+  stops AS MATERIALIZED ({stops}),
+  chosen AS MATERIALIZED (SELECT coalesce(min(k), {cap}) AS k FROM stops WHERE ac <= {tol})
+      {final}"""
+    )
+
+
 SQL_CHAR_SHINGLES = (
     "list_distinct([substr(text, i, 8) for i in range(1, greatest(length(text) - 6, 2))])"
 )
@@ -676,8 +728,10 @@ def q_topk_pagerank(spark, sf):
 
 def q_pagerank_converged(spark, sf):
     """Reference iteration policy exactly (pageRank.scala:360-371): min 10
-    iterations, stop when avgChange ≤ 0.2, cap 50. Adaptive control flow →
-    no SQL oracle (driver records the rows-only check per the contract)."""
+    iterations, stop when avgChange <= 0.2, cap 50. Round 5: fully
+    oracle-checked — the DuckDB twin unrolls the capped chain and
+    evaluates the same stop rule in SQL (_sql_pagerank_converged), so
+    even the adaptive control flow hash-matches."""
     adj = _adjacency(spark, sf)
     res = pagerank.run_pagerank(adj)
     return res.ranks.select("id", F.round("pr", 6).alias("pr"))
@@ -2602,6 +2656,14 @@ def build_oracles() -> dict[str, str]:
       WITH {SQL_GRAPH_CTES},
       {pr_iters}
       SELECT id, round(pr, 6) AS pr FROM it10
+    """
+
+    # round 5: the adaptive-policy query graduates from rows-only to a
+    # full oracle — the capped chain is unrolled and the stop rule
+    # (min 10, avgChange <= 0.2, cap 50) is evaluated in SQL
+    oracles["q_pagerank_converged"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      {_sql_pagerank_converged()}
     """
 
     oracles["q_topk_pagerank"] = f"""

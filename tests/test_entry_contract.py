@@ -65,7 +65,8 @@ def _hash(cols, rows):
 # query MUST have one (this list is the gate's weaker-check budget; any
 # unintended addition fails the suite)
 ROWS_ONLY = {
-    "q_pagerank_converged",  # adaptive control flow
+    # q_pagerank_converged graduated in round 5: its oracle unrolls the
+    # capped chain and evaluates the min-10/<=0.2/cap-50 stop rule in SQL
     "q_approx_distinct",     # HLL, approximate by construction
     "q_approx_quantiles",    # sketch, approximate by construction
 }
