@@ -1737,6 +1737,40 @@ def q_trained_hard_negatives(spark, sf):
     )
 
 
+def q_sketch_error_bounds(spark, sf):
+    """The sketch-accuracy CONTRACT as a hash-checked query: per
+    event_type, Spark computes BOTH the exact statistics and their
+    sketch estimates (HLL distinct users at rsd=0.05; approx median at
+    accuracy=100, i.e. rank error <= 1%) and emits whether each estimate
+    lands inside its documented bound — HLL within 3*rsd of exact, the
+    approx median between the exact 45th and 55th percentiles (the 1%
+    rank bound plus slack for interpolation-vs-element rank semantics
+    at group boundaries). The oracle emits
+    the exact stats and constant TRUE flags, so any sketch drifting past
+    its bound hash-mismatches. This is how the two rows-only sketch
+    queries' ACCURACY becomes gate-checkable even though their raw
+    estimates are engine-specific."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("_n_est"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"),
+        F.expr("approx_percentile(value, 0.5, 100)").alias("_p50_est"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_n_est") - F.col("n_exact")) / F.col("n_exact")
+            <= F.lit(0.15)
+        ).alias("hll_within_bound"),
+        F.col("_p50_est").between(F.col("_p45"), F.col("_p55")).alias(
+            "median_within_bound"
+        ),
+    )
+
+
 def q_minhash_band_index(spark, sf):
     """The MinHash band index itself as a declared artifact — the
     bucketed-MV content every incremental/streaming dedup batch probes
@@ -3679,6 +3713,13 @@ def build_oracles() -> dict[str, str]:
     oracles["q_trained_hard_negatives"] = _sql_trained_hard_negatives(
         k=3, n_iter=2, n_centroids=N_CENTROIDS, dim=EMB_DIM
     )
+    oracles["q_sketch_error_bounds"] = """
+      SELECT event_type,
+             count(DISTINCT user_id)::BIGINT AS n_exact,
+             TRUE AS hll_within_bound,
+             TRUE AS median_within_bound
+      FROM events GROUP BY event_type
+    """
     oracles["q_minhash_band_index"] = f"""
       WITH {_sql_minhash_ctes()}
       SELECT doc_id, band::INT AS band, key FROM bands
@@ -5350,6 +5391,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_trained_hard_negatives": q_trained_hard_negatives,
         "q_minhash_band_index": q_minhash_band_index,
         "q_distinct_join_rewrite": q_distinct_join_rewrite,
+        "q_sketch_error_bounds": q_sketch_error_bounds,
         # --- staleness tier: newest driver CORRECTNESS row = round 2 ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,
