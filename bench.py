@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q_trained_hard_negatives",
     "q_minhash_band_index",
     "q_distinct_join_rewrite",
+    "q_sketch_error_bounds",
 ]
 
 

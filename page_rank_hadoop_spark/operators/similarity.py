@@ -583,9 +583,22 @@ def train_assign_mine(
     codebook with one fitted to the corpus, which is what makes IVF
     recall real in production. Every stage keeps its individual scale
     shape; the hand-off itself moves only centroids, never vectors."""
-    km = kmeans_train(embeddings, n_iter=n_iter, n_centroids=resolve_n_centroids(embeddings, n_centroids), dim=dim)
-    cents = centroids_from_kmeans(km, dim)
-    return hard_negatives(embeddings, k=k, dim=dim, centroids=cents)
+    # one persist spans both stages: training scans the vectors n_iter
+    # times and mining twice more — at scale that is n_iter+2 corpus
+    # reads collapsed into one materialization
+    embeddings = embeddings.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        km = kmeans_train(
+            embeddings,
+            n_iter=n_iter,
+            n_centroids=resolve_n_centroids(embeddings, n_centroids),
+            dim=dim,
+        )
+        cents = centroids_from_kmeans(km, dim)
+        out = hard_negatives(embeddings, k=k, dim=dim, centroids=cents)
+        return out.localCheckpoint()
+    finally:
+        embeddings.unpersist()
 
 
 def kmeans_step(

@@ -245,6 +245,14 @@ def test_cli_dedup_index_across_processes(spark, tmp_path):
     r2 = run("dedup-index", "probe", batch, "--table", "xp_band_mv")
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "1 of 2 batch docs collide" in r2.stdout
+    # compact (staging + catalog rename) in a third process, probe in a
+    # fourth — the rename must survive the hive metastore round-trip
+    r3 = run("dedup-index", "compact", "--table", "xp_band_mv")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "rewritten to" in r3.stdout
+    r4 = run("dedup-index", "probe", batch, "--table", "xp_band_mv")
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert "1 of 2 batch docs collide" in r4.stdout
 
 
 def test_serving_latency_bench_smoke(spark):
