@@ -20,6 +20,7 @@ distinct tokens, keeping dst != src.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1769,6 +1770,47 @@ def q_sketch_error_bounds(spark, sf):
             "median_within_bound"
         ),
     )
+
+
+def q_dedup_gate_replay(spark, sf):
+    """The MV-gated ingest's MULTI-BATCH SEMANTICS, hash-checked: the
+    documents table arrives as three batches (doc_id mod 3) through the
+    REAL ``streaming/ingest.dedup_gate_batch`` loop — band-MV build,
+    probe, append, corpus append, exactly what foreachBatch drives —
+    and the surviving corpus is returned. The oracle derives the same
+    keep-set declaratively (three unrolled levels: drop a doc iff it
+    shares a band with an already-KEPT earlier-batch doc or with ANY
+    smaller-id same-batch doc). This closes the round-4 'streaming is
+    rows-only by contract' gap as far as batch replay can: the gate's
+    dedup SEMANTICS are in the hash gate; only the micro-batch
+    transport (covered by pytest) is not."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from page_rank_hadoop_spark.sources.serving import drop_table_and_location
+    from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="gate_replay_")
+    corpus_dir = os.path.join(base, "corpus")
+    table = f"gate_replay_mv_{uuid.uuid4().hex[:12]}"
+    try:
+        for b in range(3):
+            batch = d.filter(F.col("doc_id") % 3 == b).localCheckpoint()
+            dedup_gate_batch(batch, corpus_dir, table)
+        res = (
+            spark.read.schema("doc_id long, text string")
+            .parquet(corpus_dir)
+            .select(
+                "doc_id", (F.col("doc_id") % 3).cast("int").alias("ingest_batch")
+            )
+            .localCheckpoint()
+        )
+        return res
+    finally:
+        drop_table_and_location(spark, table)
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_minhash_band_index(spark, sf):
@@ -3720,6 +3762,38 @@ def build_oracles() -> dict[str, str]:
              TRUE AS median_within_bound
       FROM events GROUP BY event_type
     """
+    oracles["q_dedup_gate_replay"] = f"""
+      WITH {_sql_minhash_ctes()},
+      coll AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        WHERE x.doc_id <> y.doc_id
+      ),
+      k0 AS MATERIALIZED (
+        SELECT doc_id FROM documents d WHERE doc_id % 3 = 0
+        AND NOT EXISTS (SELECT 1 FROM coll c WHERE c.a = d.doc_id
+                        AND c.b % 3 = 0 AND c.b < d.doc_id)
+      ),
+      k1 AS MATERIALIZED (
+        SELECT doc_id FROM documents d WHERE doc_id % 3 = 1
+        AND NOT EXISTS (SELECT 1 FROM coll c JOIN k0 ON c.b = k0.doc_id
+                        WHERE c.a = d.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM coll c WHERE c.a = d.doc_id
+                        AND c.b % 3 = 1 AND c.b < d.doc_id)
+      ),
+      k2 AS MATERIALIZED (
+        SELECT doc_id FROM documents d WHERE doc_id % 3 = 2
+        AND NOT EXISTS (SELECT 1 FROM coll c JOIN k0 ON c.b = k0.doc_id
+                        WHERE c.a = d.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM coll c JOIN k1 ON c.b = k1.doc_id
+                        WHERE c.a = d.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM coll c WHERE c.a = d.doc_id
+                        AND c.b % 3 = 2 AND c.b < d.doc_id)
+      )
+      SELECT doc_id, (doc_id % 3)::INT AS ingest_batch
+      FROM (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+            UNION ALL SELECT doc_id FROM k2)
+    """
     oracles["q_minhash_band_index"] = f"""
       WITH {_sql_minhash_ctes()}
       SELECT doc_id, band::INT AS band, key FROM bands
@@ -5392,6 +5466,7 @@ def build_queries() -> dict[str, QueryFn]:
         "q_minhash_band_index": q_minhash_band_index,
         "q_distinct_join_rewrite": q_distinct_join_rewrite,
         "q_sketch_error_bounds": q_sketch_error_bounds,
+        "q_dedup_gate_replay": q_dedup_gate_replay,
         # --- staleness tier: newest driver CORRECTNESS row = round 2 ---
         "q_unpivot_counts": q_unpivot_counts,
         "q_zscore_groupmap": q_zscore_groupmap,
