@@ -267,6 +267,21 @@ def test_serving_latency_bench_smoke(spark):
     assert r["point_lookup_files_touched"] == 1
 
 
+def test_trained_mining_plan_shape(spark, emb):
+    """The mining stage over a TRAINED codebook keeps the seed-codebook
+    plan shape: per-anchor top-k compiles to WindowGroupLimit inside the
+    trained buckets, no cartesian, no Python eval. (Pinned here because
+    the declared q_trained_hard_negatives returns the materialized
+    pipeline result, whose visible plan is the checkpoint scan.)"""
+    km = similarity.kmeans_train(emb, n_iter=2, n_centroids=8, dim=DIM)
+    cents = similarity.centroids_from_kmeans(km, dim=DIM)
+    hn = similarity.hard_negatives(emb, k=3, dim=DIM, centroids=cents)
+    plan = _fmt(spark, hn)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_hard_negatives_auto_c(spark, emb):
     """n_centroids='auto' runs end-to-end and respects the rule (floors
     at 16 here, so it must equal the explicit C=16 result)."""

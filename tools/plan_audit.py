@@ -60,10 +60,13 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # hard negatives: bucket equi-join (never cartesian), per-anchor rank
     # pushed to WindowGroupLimit, all JVM-side
     ("q_hard_negatives", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
-    # trained pipeline keeps the same mining shape: per-anchor top-k is a
-    # WindowGroupLimit inside the TRAINED buckets; training itself is a
-    # driver loop whose per-round plans are covered by q_kmeans_train
-    ("q_trained_hard_negatives", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"Generate.*explode\(embedding")]),
+    # trained pipeline: the declared query returns the MATERIALIZED
+    # result (localCheckpoint — the pipeline-persist on the embeddings
+    # is released eagerly), so its visible plan is the checkpoint scan;
+    # the mining stage's WindowGroupLimit shape is pinned at component
+    # level in tests/test_round5_ops.py::test_trained_mining_plan_shape
+    # and the seed-codebook twin stays pinned above (q_hard_negatives)
+    ("q_trained_hard_negatives", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"Generate.*explode\(embedding")]),
     # the band index is one shingle-explode + one partial-agg'd signature
     # shuffle — no joins, no Python, no window
     ("q_minhash_band_index", [("has", r"Generate"), ("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"Join")]),
