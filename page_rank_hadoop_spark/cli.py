@@ -183,19 +183,20 @@ def cmd_dedup_index(spark: SparkSession, args: argparse.Namespace) -> int:
     from page_rank_hadoop_spark.operators import dedup
     from page_rank_hadoop_spark.sources.serving import write_compacted
 
+    if args.action == "compact":
+        n = dedup.compact_band_index(spark, args.table, n_buckets=args.buckets)
+        print(f"dedup-index compact: {args.table} rewritten to {n} files")
+        return 0
+    # every action but compact reads a batch/corpus parquet
+    if not args.input:
+        print(f"dedup-index {args.action}: input parquet required", file=sys.stderr)
+        return 2
     if args.action == "build":
         docs = _load_documents(spark, args.input, args.format)
         dedup.write_band_index(docs, args.table, n_buckets=args.buckets)
         n = spark.table(args.table).count()
         print(f"dedup-index build: {n} band rows → table {args.table}")
         return 0
-    if args.action == "compact":
-        n = dedup.compact_band_index(spark, args.table, n_buckets=args.buckets)
-        print(f"dedup-index compact: {args.table} rewritten to {n} files")
-        return 0
-    if not args.input:
-        print(f"dedup-index {args.action}: input parquet required", file=sys.stderr)
-        return 2
     batch = _load_documents(spark, args.input, args.format)
     flagged, batch_bands = dedup.incremental_dedup_against_index(
         spark.table(args.table), batch.select("doc_id", "text")

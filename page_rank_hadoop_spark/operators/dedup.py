@@ -249,6 +249,47 @@ def write_band_index(
     write_bucketed(bt, table, ["band", "key"], n_buckets=n_buckets, sort=True)
 
 
+CORPUS_BINDING_PROP = "graft.corpus_dir"
+
+
+def default_band_table(corpus_dir: str) -> str:
+    """Derive the band-index MV's table name FROM its corpus path — the
+    structural fix for a convention-only binding: with a persistent
+    metastore, a global name like 'corpus_band_index' silently pairs a
+    fresh corpus with a stale or foreign index (flagging new docs as
+    dups of long-gone doc_ids). A path-hash suffix makes the pairing
+    collision-free by construction."""
+    import hashlib
+    import os as _os
+
+    h = hashlib.md5(_os.path.abspath(corpus_dir).encode()).hexdigest()[:10]
+    return f"corpus_band_index_{h}"
+
+
+def band_index_binding(spark, table: str) -> str | None:
+    """The corpus path recorded in the index table's properties (None if
+    never bound — e.g. a table built by batch tooling predating the
+    binding)."""
+    rows = (
+        spark.sql(f"SHOW TBLPROPERTIES {table}")
+        .filter(F.col("key") == CORPUS_BINDING_PROP)
+        .collect()
+    )
+    return rows[0]["value"] if rows else None
+
+
+def bind_band_index(spark, table: str, corpus_dir: str) -> None:
+    """Record the corpus this index serves in table properties, so the
+    gate can FAIL on a mismatched pairing instead of silently
+    cross-deduping two unrelated corpora."""
+    import os as _os
+
+    p = _os.path.abspath(corpus_dir)
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('{CORPUS_BINDING_PROP}'='{p}')"
+    )
+
+
 def append_band_index(band_rows: DataFrame, table: str, n_buckets: int = 8) -> None:
     """Append a batch's band rows to the stored index — the per-batch
     maintenance path. Bucket spec must match the table's (Spark verifies
@@ -275,20 +316,31 @@ def compact_band_index(spark, table: str, n_buckets: int = 8) -> int:
     the periodic maintenance every append-maintained MV needs: each
     ``append_band_index`` adds its own files, and after many batches a
     bucket is dozens of fragments (one scan task each, and bucket-join
-    locality still holds but the scan fans out). Compact-to-staging
-    then catalog RENAME is the swap pattern: readers see the old table
-    until the rename, and a crash mid-compact leaves the live table
-    untouched (at worst an orphaned staging table to re-run over).
+    locality still holds but the scan fans out).
+
+    The swap is RENAME-BASED, never drop-then-recreate: compact into a
+    staging table, then live→__old, staging→live, drop __old. A catalog
+    RENAME of a managed table moves its directory with it, so at every
+    crash point a complete copy of the data exists under a catalog name
+    (staging and/or __old); the only exposure is the instant between
+    the two renames where the LIVE name dangles — a re-run of this
+    function (or the gate's bootstrap) recovers, and no window exists
+    where the data itself has been deleted with only a staging copy
+    left (the failure mode a drop-before-rename swap has). Leftover
+    __old / __compacting tables from a crashed run are swept first.
     Returns the post-compaction file count."""
     import os as _os
 
     staging = f"{table}__compacting"
+    old = f"{table}__old"
     from page_rank_hadoop_spark.sources.serving import (
         drop_table_and_location,
+        table_location,
         write_bucketed,
     )
 
     drop_table_and_location(spark, staging)
+    drop_table_and_location(spark, old)
     # Repartition on the BUCKET-ID expression (pmod(murmur3, n) — the
     # same function bucketBy applies), so every bucket lands wholly in
     # one task and the write emits exactly one file per bucket; a plain
@@ -302,18 +354,18 @@ def compact_band_index(spark, table: str, n_buckets: int = 8) -> int:
         n_buckets=n_buckets,
         sort=True,
     )
-    drop_table_and_location(spark, table)
+    binding = band_index_binding(spark, table)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
-    loc = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
-        .filter("col_name = 'Location'")
-        .collect()[0]["data_type"]
-    ).removeprefix("file:")
+    if binding is not None:  # the corpus binding rides the LIVE name
+        bind_band_index(spark, table, binding)
+    drop_table_and_location(spark, old)
+    loc = table_location(spark, table)
     return sum(
         1
         for f in _os.listdir(loc)
         if f.endswith(".parquet") and not f.startswith("_")
-    ) if _os.path.isdir(loc) else -1
+    ) if loc and _os.path.isdir(loc) else -1
 
 
 def incremental_dedup_against_index(

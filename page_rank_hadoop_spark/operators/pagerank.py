@@ -9,7 +9,10 @@ Reference (/root/reference/src/main/scala/pageRank.scala):
   |Σ contribs| per node (pre-damping contribution mass), scaled by 1000
   and truncated per record (:307). We compute the exact float Σ|Δpr|/N
   (true average rank change), which can stop at a different iteration in
-  convergence mode; declared convergence queries are rows-only checked.
+  convergence mode; the adaptive stop rule is HASH-checked against a
+  DuckDB oracle (q_pagerank_converged: an unrolled, capped 50-level
+  MATERIALIZED CTE chain evaluates the same min10/≤0.2/cap50 decision
+  in SQL).
 - N counts every adjacency row including the virtual NULL node (:258).
 
 Physical hygiene (SURVEY.md §7 hard-part 1): the reference wrote a

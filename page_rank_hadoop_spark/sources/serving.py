@@ -88,6 +88,23 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """Resolve a catalog table's real on-disk location (None if the
+    table does not exist). DESCRIBE FORMATTED, not a warehouse-dir path
+    join: db-qualified names, case-mangled names, and explicit LOCATION
+    clauses all make <warehouse>/<table> the wrong directory."""
+    if not spark.catalog.tableExists(table):
+        return None
+    rows = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter("col_name = 'Location'")
+        .collect()
+    )
+    if not rows:
+        return None
+    return rows[0]["data_type"].removeprefix("file:")
+
+
 def drop_table_and_location(spark: SparkSession, table: str) -> None:
     """Drop a warehouse table AND its on-disk location. Sessions on the
     default in-memory catalog forget tables while their spark-warehouse/
@@ -97,12 +114,23 @@ def drop_table_and_location(spark: SparkSession, table: str) -> None:
     recreate tables across ephemeral sessions (tests, rehearsal tools)
     use this; a persistent metastore (the CLI's hive/derby catalog,
     production) keeps catalog and location in sync and plain DROP
-    suffices."""
+    suffices.
+
+    The location is resolved FROM THE CATALOG (``table_location``)
+    before the drop, so db-qualified / case-mangled / explicit-LOCATION
+    tables delete their actual directory — never a guessed
+    <warehouse>/<name> path that might miss the real one or, worse, hit
+    an unrelated one. Only when the catalog has no entry (the stale-dir
+    case this helper exists for) does it fall back to the default
+    managed location, lowercased the way the catalog mangles names."""
     import shutil
 
+    loc = table_location(spark, table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    if loc is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(wh, table.split(".")[-1].lower())
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 def read_point(spark: SparkSession, path: str, key: str, values: list) -> DataFrame:

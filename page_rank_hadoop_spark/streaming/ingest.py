@@ -104,13 +104,35 @@ def dedup_gate_batch(
     MISSING-MV BOOTSTRAP: a corpus sink without its band table (dropped
     table, restarted in-memory catalog, pre-MV sink) must not silently
     disable dedup against the existing docs — the index is rebuilt from
-    the sink once (corpus-sized, one time) before probing."""
+    the sink once (corpus-sized, one time) before probing.
+
+    CORPUS↔INDEX BINDING: the index records its corpus path in table
+    properties (``dedup.bind_band_index``); an existing table bound to a
+    DIFFERENT corpus fails the gate loudly — with a persistent
+    metastore, a name collision would otherwise silently flag a fresh
+    corpus's docs as dups of a long-gone corpus's doc_ids (and the heal
+    path could append foreign docs). An unbound table (built by batch
+    tooling) is adopted and bound on first use."""
+    import os as _os
+
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F2
 
     from page_rank_hadoop_spark.operators import dedup as _dedup
 
     sess = batch_df.sparkSession
+    if sess.catalog.tableExists(band_table):
+        bound = _dedup.band_index_binding(sess, band_table)
+        here = _os.path.abspath(corpus_dir)
+        if bound is None:
+            _dedup.bind_band_index(sess, band_table, corpus_dir)
+        elif bound != here:
+            raise ValueError(
+                f"band index table {band_table!r} is bound to corpus "
+                f"{bound!r}, not {here!r} — refusing to cross-dedup two "
+                "corpora; pass the right table (or default_band_table"
+                "(corpus_dir)) or drop the stale one"
+            )
     if not sess.catalog.tableExists(band_table):
         try:
             corpus = sess.read.schema("doc_id long, text string").parquet(corpus_dir)
@@ -119,6 +141,7 @@ def dedup_gate_batch(
             has_corpus = False
         if has_corpus:
             _dedup.write_band_index(corpus, band_table, n_buckets=n_buckets)
+            _dedup.bind_band_index(sess, band_table, corpus_dir)
     if sess.catalog.tableExists(band_table):
         corpus_bands = sess.table(band_table)
     else:
@@ -166,7 +189,7 @@ def run_dedup_gated_ingest(
     corpus_dir: str,
     checkpoint_dir: str,
     schema,
-    band_table: str = "corpus_band_index",
+    band_table: str | None = None,
     n_buckets: int = 8,
 ) -> None:
     """NEAR-dup-gated continuous ingestion riding a MAINTAINED band-index
@@ -187,7 +210,16 @@ def run_dedup_gated_ingest(
     content hash for any doc the signature path produced no band rows
     for, e.g. NULL text) makes that guarantee total, not just for
     shingle-bearing docs.
+
+    ``band_table=None`` (the default) derives the table name from the
+    corpus path (``dedup.default_band_table``) so distinct corpora can
+    never share an index by default; an explicit name is verified
+    against the table's recorded corpus binding in the gate.
     """
+    from page_rank_hadoop_spark.operators import dedup as _dedup
+
+    if band_table is None:
+        band_table = _dedup.default_band_table(corpus_dir)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()

@@ -259,3 +259,64 @@ def test_streaming_gate_rides_stored_mv(spark, tmp_path):
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert kept2 == kept
     _drop(spark, table)
+
+
+def test_gate_refuses_foreign_corpus_binding(spark, tmp_path):
+    """The index records its corpus path in table properties; pointing
+    the gate at the same table with a DIFFERENT corpus fails loudly
+    instead of silently cross-deduping two corpora (the persistent-
+    metastore name-collision hazard)."""
+    from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
+
+    corpus_a = str(tmp_path / "corpus_a")
+    corpus_b = str(tmp_path / "corpus_b")
+    table = "t_band_mv_bind"
+    _drop(spark, table)
+    spark.createDataFrame([(1, TEXT_A)], ["doc_id", "text"]).write.parquet(corpus_a)
+    spark.createDataFrame([(2, TEXT_C)], ["doc_id", "text"]).write.parquet(corpus_b)
+    batch = spark.createDataFrame([(10, TEXT_B)], ["doc_id", "text"]).localCheckpoint()
+    dedup_gate_batch(batch, corpus_a, table)  # bootstrap binds table→corpus_a
+    import os
+
+    assert dedup.band_index_binding(spark, table) == os.path.abspath(corpus_a)
+    with pytest.raises(ValueError, match="bound to corpus"):
+        dedup_gate_batch(batch, corpus_b, table)
+    # corpus_b untouched by the refused gate
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus_b).collect()
+    ) == [2]
+    _drop(spark, table)
+
+
+def test_compact_preserves_corpus_binding_and_liveness(spark, tmp_path):
+    """Compaction's rename-based swap keeps (a) the corpus binding
+    property on the live name and (b) a queryable live table with
+    identical contents; no __old / __compacting leftovers."""
+    corpus = str(tmp_path / "corpus")
+    table = "t_band_mv_compact_bind"
+    _drop(spark, table)
+    docs = spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)], ["doc_id", "text"]
+    )
+    docs.write.parquet(corpus)
+    dedup.write_band_index(spark.read.parquet(corpus), table)
+    dedup.bind_band_index(spark, table, corpus)
+    before = sorted(tuple(r) for r in spark.table(table).collect())
+    n_files = dedup.compact_band_index(spark, table)
+    assert n_files >= 1
+    after = sorted(tuple(r) for r in spark.table(table).collect())
+    assert after == before
+    import os
+
+    assert dedup.band_index_binding(spark, table) == os.path.abspath(corpus)
+    assert not spark.catalog.tableExists(f"{table}__old")
+    assert not spark.catalog.tableExists(f"{table}__compacting")
+    _drop(spark, table)
+
+
+def test_default_band_table_is_per_corpus(tmp_path):
+    a = dedup.default_band_table(str(tmp_path / "a"))
+    b = dedup.default_band_table(str(tmp_path / "b"))
+    assert a != b
+    assert a == dedup.default_band_table(str(tmp_path / "a"))
+    assert a.startswith("corpus_band_index_")
