@@ -1,0 +1,559 @@
+"""Shared constants and oracle-SQL builder helpers for the query registry
+(token/graph/minhash/simhash/kmeans CTE generators, declared-parameter
+constants). Split from the original single-file registry in round 6 —
+verbatim, zero behavior change."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from page_rank_hadoop_spark.functions.text import BPE_RE, TOKEN_RE
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+# token stream with 0-based positions (DuckDB has no lateral generate_series
+# over a column, so positions come from a range comprehension)
+SQL_TOKEN_STREAM = f"""
+  SELECT doc_id, (u.s.pos)::INT AS pos, u.s.term AS term
+  FROM (
+    SELECT doc_id,
+           [{{'pos': i - 1, 'term': l[i]}} for i in range(1, len(l) + 1)] AS ps
+    FROM (SELECT doc_id, {SQL_TOKENS} AS l FROM documents)
+  ), unnest(ps) u(s)
+"""
+
+# edge-extraction convention (operators/graph.py) + reference graph build
+SQL_GRAPH_CTES = f"""
+  nn AS (SELECT count(*) AS n FROM documents),
+  tok AS (
+    SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS tok FROM documents
+  ),
+  edges AS (
+    SELECT DISTINCT doc_id AS src,
+      (doc_id*131 + length(tok)*31 + ascii(substr(tok,1,1))) % (nn.n + 7) AS dst
+    FROM tok, nn
+    WHERE (doc_id*131 + length(tok)*31 + ascii(substr(tok,1,1))) % (nn.n + 7) <> doc_id
+  ),
+  verts AS (SELECT DISTINCT doc_id AS id FROM documents),
+  kept AS (SELECT e.src, e.dst FROM edges e WHERE e.dst IN (SELECT id FROM verts)),
+  aug AS (
+    SELECT src, dst FROM kept
+    UNION ALL SELECT id AS src, -1 AS dst FROM verts
+    UNION ALL SELECT -1 AS src, id AS dst FROM verts
+  ),
+  deg_raw AS (SELECT src, count(*) AS draw FROM aug GROUP BY src),
+  fedges AS (
+    SELECT a.src, a.dst FROM aug a JOIN deg_raw d ON a.src = d.src
+    WHERE NOT (d.draw > 1 AND a.dst = -1)
+  ),
+  deg AS (SELECT src, count(*) AS outdeg FROM fedges GROUP BY src),
+  verts2 AS (SELECT id FROM verts UNION ALL SELECT -1 AS id),
+  ncount AS (SELECT count(*) AS n FROM verts2)
+"""
+
+
+def _sql_ppr_iters(n_iter: int = 10, alpha: float = 0.15) -> str:
+    """Unrolled personalized-PageRank chain: teleport uniform over the
+    deterministic source set (id >= 0 AND id % 50 = 0), init = teleport,
+    update alpha*t + (1-alpha)*contribs. Ends at ``pit{n}``."""
+    parts = ["""  src AS (SELECT id FROM verts2 WHERE id >= 0 AND id % 50 = 0),
+  nsrc AS (SELECT count(*) AS k FROM src),
+  pit0 AS (
+    SELECT v.id,
+           CASE WHEN s.id IS NOT NULL THEN 1.0 / nk.k ELSE 0.0 END::DOUBLE AS pr
+    FROM verts2 v CROSS JOIN nsrc nk LEFT JOIN src s ON v.id = s.id
+  )"""]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""  pcontrib{k} AS (
+    SELECT e.dst AS id, sum(p.pr / dg.outdeg) AS c
+    FROM fedges e JOIN pit{k-1} p ON e.src = p.id JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ),
+  pit{k} AS (
+    SELECT v.id,
+           {alpha}::DOUBLE * (CASE WHEN s.id IS NOT NULL THEN 1.0 / nk.k ELSE 0.0 END)
+           + {1.0 - alpha}::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS pr
+    FROM verts2 v CROSS JOIN nsrc nk
+    LEFT JOIN src s ON v.id = s.id
+    LEFT JOIN pcontrib{k} c ON v.id = c.id
+  )"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_pagerank_iters(n_iter: int = 10, alpha: float = 0.15) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain ending at ``it{n}``."""
+    parts = ["  it0 AS (SELECT id, 1.0::DOUBLE AS pr FROM verts2)"]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"""  contrib{k} AS (
+    SELECT e.dst AS id, sum(p.pr / dg.outdeg) AS c
+    FROM fedges e JOIN it{k-1} p ON e.src = p.id JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ),
+  it{k} AS (
+    SELECT v.id, {alpha}::DOUBLE/nc.n + {1.0 - alpha}::DOUBLE*coalesce(c.c, 0.0::DOUBLE) AS pr
+    FROM verts2 v CROSS JOIN ncount nc LEFT JOIN contrib{k} c ON v.id = c.id
+  )"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_pagerank_converged(
+    min_iter: int = 10, tol: float = 0.2, cap: int = 50, alpha: float = 0.15
+) -> str:
+    """Full oracle for the reference's ADAPTIVE iteration policy
+    (pageRank.scala:360-371: min 10 rounds, stop when avgChange ≤ 0.2,
+    cap 50) — the control flow is data-dependent, but the DECISION RULE
+    is pure SQL over an unrolled capped chain: materialize it1..it50,
+    compute each decision point's avg |Δ|/n, pick the first level ≥
+    min_iter under tol (else the cap), and emit that level's ranks.
+    ``AS MATERIALIZED`` is load-bearing: every it{{k}} is referenced by
+    the next contrib, two deltas, and the final selector — re-inlining
+    would blow up exponentially. The stop comparison uses raw doubles
+    exactly like the Spark loop; engine summation-order noise (~1 ulp)
+    only matters if a true avgChange lands exactly on 0.2, which the
+    fixed testdata does not."""
+    parts = ["  it0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS pr FROM verts2)"]
+    for k in range(1, cap + 1):
+        parts.append(
+            f"""  contrib{k} AS (
+    SELECT e.dst AS id, sum(p.pr / dg.outdeg) AS c
+    FROM fedges e JOIN it{k-1} p ON e.src = p.id JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ),
+  it{k} AS MATERIALIZED (
+    SELECT v.id, {alpha}::DOUBLE/nc.n + {1.0 - alpha}::DOUBLE*coalesce(c.c, 0.0::DOUBLE) AS pr
+    FROM verts2 v CROSS JOIN ncount nc LEFT JOIN contrib{k} c ON v.id = c.id
+  )"""
+        )
+    for k in range(min_iter, cap + 1):
+        parts.append(
+            f"""  d{k} AS MATERIALIZED (
+    SELECT sum(abs(a.pr - b.pr)) / (SELECT n FROM ncount) AS ac
+    FROM it{k} a JOIN it{k-1} b ON a.id = b.id
+  )"""
+        )
+    stops = "\n    UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT ac FROM d{k}) AS ac"
+        for k in range(min_iter, cap)  # an early stop; level ``cap`` is the fallback
+    )
+    final = "\n      UNION ALL ".join(
+        f"SELECT id, round(pr, 6) AS pr FROM it{k} WHERE (SELECT k FROM chosen) = {k}"
+        for k in range(min_iter, cap + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+  stops AS MATERIALIZED ({stops}),
+  chosen AS MATERIALIZED (SELECT coalesce(min(k), {cap}) AS k FROM stops WHERE ac <= {tol})
+      {final}"""
+    )
+
+
+SQL_CHAR_SHINGLES = (
+    "list_distinct([substr(text, i, 8) for i in range(1, greatest(length(text) - 6, 2))])"
+)
+
+N_HASHES, N_BANDS, ROWS_PER_BAND = 12, 4, 3
+TFIDF_TERMS = ("spark", "merge", "join")
+LOOKUP_TERMS = ("spark", "data", "query")
+DF_CUTOFF_DECLARED = 300  # testdata vocabulary df range is 25..~400; the
+# reference's 3000 cutoff (invertedIndex.scala:93) would keep everything —
+# 300 keeps the HAVING branch observable. inverted_index() defaults to 3000.
+PHRASE = ("stream", "data")  # adjacent-token phrase present at every SF
+PROX_TERMS, PROX_DIST = ("key", "sort"), 2  # 125/338 both-term docs match
+# at sf0.001 (77/304 at sf0.01) — the distance filter is observably active
+# in both directions at every SF.
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q19_CASES = (
+    ("Brand#1", 1, 5, 0.0, 20.0),
+    ("Brand#2", 1, 10, 10.0, 30.0),
+    ("Brand#3", 1, 15, 20.0, 50.0),
+)
+DECON_N, DECON_MOD = 5, 10
+COOC_VOCAB, COOC_MIN_DOCS = 50, 5
+PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+SIMHASH_BITS = 60
+SIMHASH_PREFIX_BITS = 12
+SIMHASH_MAX_HAMMING = 20
+NEAR_DUP_MIN_COSINE = 0.30  # testdata embeddings are near-orthogonal (max
+# pair cosine ≈ 0.51); production near-dup would use ≥0.95.
+MIN_JACCARD = 0.5
+
+
+MINHASH_PRIME = 4294967311  # keep in sync with functions/hashing.py
+
+
+def _lookup_terms_sql() -> str:
+    return "[" + ", ".join(f"'{t}'" for t in LOOKUP_TERMS) + "]"
+
+
+def _sql_sig_list() -> str:
+    return ", ".join(f"h{i}" for i in range(N_HASHES))
+
+
+def _sql_minhash_ctes() -> str:
+    mins = ",\n      ".join(
+        f"min((a + {i}*b) % {MINHASH_PRIME}) AS h{i}" for i in range(N_HASHES)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = " || '|' || ".join(
+            f"h{i}::VARCHAR" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM mh")
+    bands = "\n    UNION ALL ".join(band_selects)
+    return f"""
+  sh AS (
+    SELECT doc_id, unnest({SQL_CHAR_SHINGLES}) AS s FROM documents
+  ),
+  ab AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT AS a,
+           ('0x' || substr(md5(s), 9, 8))::BIGINT AS b
+    FROM sh
+  ),
+  mh AS (
+    SELECT doc_id,
+      {mins}
+    FROM ab GROUP BY doc_id
+  ),
+  bands AS (
+    {bands}
+  )
+"""
+
+
+def _sql_simhash_ctes() -> str:
+    bit_sums = ",\n      ".join(
+        f"sum((h >> {b}) & 1) AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN c{b}*2 > n THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+  toks AS (
+    SELECT doc_id, unnest({SQL_TOKENS}) AS t FROM documents
+  ),
+  th AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+  ),
+  bitc AS (
+    SELECT doc_id, count(*) AS n,
+      {bit_sums}
+    FROM th GROUP BY doc_id
+  ),
+  sims AS (
+    SELECT doc_id, ({sim_expr}) AS simhash FROM bitc
+  )
+"""
+
+
+# deterministic hyperplanes shared between the Spark operator and the oracle
+def _planes(n_planes: int, dim: int) -> list[list[float]]:
+    import math
+
+    return [[math.sin(i * 7919 + j * 104729) for j in range(dim)] for i in range(n_planes)]
+
+
+N_CENTROIDS = 16
+
+
+def _sql_kmeans_step(n_centroids: int, dim: int) -> str:
+    """Lloyd-step oracle: same centroid literals + first-of-max argmax as
+    operators/similarity.ivf_assign (DuckDB list_position is 1-based, so
+    c − 1 matches Spark's 0-based centroid id); the per-dimension means
+    come from unnest + generate_subscripts."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], {c})" for c in cents
+    ) + "]"
+    return f"""
+      WITH assigned AS (
+        SELECT embedding::DOUBLE[] AS v,
+               list_position({sims}, list_max({sims})) - 1 AS c
+        FROM embeddings
+      ),
+      e AS (
+        SELECT c, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS d
+        FROM assigned
+      )
+      SELECT c::INT AS centroid, count(*)::BIGINT AS n_vectors, d::INT AS dim,
+             round(avg(val), 6) AS mean_val
+      FROM e GROUP BY c, d ORDER BY c, d
+    """
+
+
+def _sql_kmeans_train(n_iter: int, n_centroids: int, dim: int) -> str:
+    """Lloyd's-loop oracle, iterations unrolled: round 1 assigns against
+    the literal seed centroids (as _sql_kmeans_step); every later round
+    derives its centroid lists IN SQL (round(avg,6) per dim — the same
+    rounding the Spark loop applies before re-embedding centroids as
+    literals) and re-assigns via a vectors × centroids join with
+    (sim DESC, c) ranking — the first-of-max tie-break of the Spark
+    argmax over c-sorted candidates. Centroids that lose all vectors
+    drop out of the join on both engines."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], {c})" for c in cents
+    ) + "]"
+    parts = [
+        f"""a0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims}, list_max({sims})) - 1 AS c
+        FROM embeddings)"""
+    ]
+    prev = "a0"
+    for k in range(1, n_iter):
+        parts.append(
+            f"""e{k} AS (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM {prev}),
+      m{k} AS (SELECT c, d, round(avg(val), 6) AS mv FROM e{k} GROUP BY c, d),
+      cent{k} AS (SELECT c, list(mv ORDER BY d) AS l FROM m{k} GROUP BY c),
+      s{k} AS (SELECT e.vec_id, e.v, ct.c, list_cosine_similarity(e.v, ct.l) AS sim
+               FROM {prev} e, cent{k} ct),
+      a{k} AS (SELECT vec_id, v, c FROM (
+                 SELECT vec_id, v, c,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+                 FROM s{k}) t WHERE rn = 1)"""
+        )
+        prev = f"a{k}"
+    return (
+        "WITH "
+        + ",\n      ".join(parts)
+        + f""",
+      ef AS (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS d FROM {prev}),
+      nf AS (SELECT c, count(*) AS n FROM {prev} GROUP BY c)
+      SELECT e.c::INT AS centroid, nf.n::BIGINT AS n_vectors, e.d::INT AS dim,
+             round(avg(e.val), 6) AS mean_val
+      FROM ef e JOIN nf ON e.c = nf.c
+      GROUP BY e.c, nf.n, e.d ORDER BY centroid, dim"""
+    )
+
+
+def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+    """IVF oracle: centroid literals match operators/similarity.ivf_assign;
+    first-occurrence-of-max (list_position of list_max) mirrors the Spark
+    strictly-greater when-chain's first-wins tie behavior."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    return f"""
+      WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+      probe_c AS (
+        SELECT list_position({sims_of('p')}, list_max({sims_of('p')})) AS pc FROM probe
+      ),
+      assigned AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims_of('embedding::DOUBLE[]')},
+                             list_max({sims_of('embedding::DOUBLE[]')})) AS c
+        FROM embeddings
+      )
+      SELECT a.vec_id,
+             round(list_cosine_similarity(a.v, (SELECT p FROM probe)), 6) AS cos_sim
+      FROM assigned a WHERE a.c = (SELECT pc FROM probe_c)
+      ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _sql_ivf_two_level_hist(n_coarse: int = 4, n_fine: int = 4, dim: int = 64) -> str:
+    """Two-level IVF oracle: coarse argmax (first-of-max) as in
+    _sql_ivf_knn, then a CASE over the chosen cell's fine centroid set;
+    centroid id = coarse*n_fine + fine (0-based both engines)."""
+    import math
+
+    coarse = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_coarse)
+    ]
+    sims_of = lambda cents, v: "[" + ", ".join(
+        f"list_cosine_similarity({v}, {c})" for c in cents
+    ) + "]"
+    coarse_sims = sims_of(coarse, "embedding::DOUBLE[]")
+    branches = []
+    for c in range(n_coarse):
+        fins = [
+            "[" + ", ".join(
+                repr(math.sin((c * n_fine + f) * 4409 + j * 9973)) for j in range(dim)
+            ) + "]"
+            for f in range(n_fine)
+        ]
+        fs = sims_of(fins, "v")
+        branches.append(
+            f"WHEN co = {c} THEN list_position({fs}, list_max({fs})) - 1"
+        )
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+      WITH assigned AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({coarse_sims}, list_max({coarse_sims})) - 1 AS co
+        FROM embeddings
+      ),
+      cells AS (
+        SELECT (co * {n_fine} + ({case}))::INT AS centroid FROM assigned
+      )
+      SELECT centroid, count(*)::BIGINT AS n_vecs FROM cells GROUP BY centroid
+    """
+
+
+def _sql_hard_negatives(k: int = 3, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+    """Hard-negative oracle: same centroid literals / first-of-max
+    assignment as _sql_ivf_knn; pairs within bucket, different label,
+    6dp-rounded cosine ranked with (cos desc, neg_id) tie-break."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    return f"""
+      WITH assigned AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               list_position({sims_of('embedding::DOUBLE[]')},
+                             list_max({sims_of('embedding::DOUBLE[]')})) AS c
+        FROM embeddings
+      ),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neg_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM assigned a JOIN assigned b ON a.c = b.c AND a.label <> b.label
+      ),
+      ranked AS (
+        SELECT vec_id, neg_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id) AS rnk
+        FROM pairs
+      )
+      SELECT vec_id, neg_id, cos_sim, rnk::INT AS rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
+def _sql_trained_hard_negatives(
+    k: int = 3, n_iter: int = 2, n_centroids: int = N_CENTROIDS, dim: int = 64
+) -> str:
+    """Train → assign → mine oracle (q_trained_hard_negatives): the
+    _sql_kmeans_train CTE chain derives the TRAINED codebook in SQL
+    (round(avg, 6) means per round — the same 6dp re-literal rounding the
+    Spark loop applies), every vector is then re-assigned against the
+    final rounded means via a vectors × centroids join with
+    (sim DESC, c) first-of-max ranking (mirroring Spark's argmax over
+    id-ascending trained literals), and the hard-negative tail
+    (same-trained-bucket, different-label pairs, 6dp cosine,
+    (cos desc, neg_id) top-k) runs inside the trained buckets."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], {c})" for c in cents
+    ) + "]"
+    parts = [
+        f"""a0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims}, list_max({sims})) - 1 AS c
+        FROM embeddings)"""
+    ]
+    prev = "a0"
+    for r in range(1, n_iter):
+        parts.append(
+            f"""e{r} AS (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM {prev}),
+      m{r} AS (SELECT c, d, round(avg(val), 6) AS mv FROM e{r} GROUP BY c, d),
+      cent{r} AS (SELECT c, list(mv ORDER BY d) AS l FROM m{r} GROUP BY c),
+      s{r} AS (SELECT e.vec_id, e.v, ct.c, list_cosine_similarity(e.v, ct.l) AS sim
+               FROM {prev} e, cent{r} ct),
+      a{r} AS (SELECT vec_id, v, c FROM (
+                 SELECT vec_id, v, c,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+                 FROM s{r}) t WHERE rn = 1)"""
+        )
+        prev = f"a{r}"
+    return (
+        "WITH "
+        + ",\n      ".join(parts)
+        + f""",
+      ef AS (SELECT c, unnest(v) AS val, generate_subscripts(v, 1) AS d FROM {prev}),
+      mf AS (SELECT c, d, round(avg(val), 6) AS mv FROM ef GROUP BY c, d),
+      centf AS (SELECT c, list(mv ORDER BY d) AS l FROM mf GROUP BY c),
+      sf AS (SELECT e.vec_id, e.v, ct.c, list_cosine_similarity(e.v, ct.l) AS sim
+             FROM a0 e, centf ct),
+      af AS (SELECT vec_id, v, c FROM (
+               SELECT vec_id, v, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+               FROM sf) t WHERE rn = 1),
+      al AS (SELECT af.vec_id, af.v, af.c, emb.label
+             FROM af JOIN embeddings emb ON af.vec_id = emb.vec_id),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neg_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM al a JOIN al b ON a.c = b.c AND a.label <> b.label
+      ),
+      ranked AS (
+        SELECT vec_id, neg_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neg_id) AS rnk
+        FROM pairs
+      )
+      SELECT vec_id, neg_id, cos_sim, rnk::INT AS rnk FROM ranked WHERE rnk <= {k}"""
+    )
+
+
+def _sql_media_features() -> str:
+    """DuckDB twin of multimodal._fake_features: the corpus is pure ASCII,
+    so char codes equal payload bytes; sums are exact ints and the final
+    float64 division is bit-identical to the Python computation."""
+    comps = []
+    for i in range(8):
+        comps.append(
+            f"round(coalesce(list_sum([ascii(substr(text, j, 1)) "
+            f"for j in range({i + 1}, length(text) + 1, 8)]), 0) "
+            f"/ (255.0::DOUBLE * greatest(length(text), 1)), 4)"
+        )
+    features = "[" + ", ".join(comps) + "]"
+    return f"""
+      SELECT doc_id AS media_id,
+             list_extract(['image', 'audio', 'video'], (doc_id % 3)::INT + 1) AS media_type,
+             length(text)::INT AS n_bytes,
+             to_json({features}) AS features_json
+      FROM documents
+    """
+
+
+EMB_DIM = 64
+N_PLANES = 12
+
+
+def _sql_hyperplane_bucket() -> str:
+    planes = _planes(N_PLANES, EMB_DIM)
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) >= 0 "
+            f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        )
+    return " + ".join(bits)

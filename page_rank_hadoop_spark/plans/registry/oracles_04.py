@@ -1,0 +1,417 @@
+"""Oracle SQL, part 4: stats/privacy/round-4+5 twins.
+
+DuckDB twins of the declared queries; split verbatim from the original
+build_oracles() in round 6 — zero behavior change. ``contribute``
+mutates the shared oracles dict.
+"""
+
+from __future__ import annotations
+
+from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank, relational
+
+from page_rank_hadoop_spark.plans.registry._shared import (
+    LOOKUP_TERMS,
+    SQL_TOKENS,
+    TFIDF_TERMS,
+    _sql_pagerank_iters,
+)
+
+from page_rank_hadoop_spark.plans.registry.queries_analytics import (
+    _SQL_REPORT,
+)
+
+
+def contribute(oracles: dict[str, str]) -> None:
+    terms_in = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
+    lookup_in = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
+    pr_iters = _sql_pagerank_iters(10)
+    _snm_leg = """
+      SELECT doc_id AS da, b{d} AS db,
+             len(list_intersect(arr, a{d}))::BIGINT AS inter,
+             (len(arr) + len(a{d}))::BIGINT AS szsum
+      FROM led WHERE b{d} IS NOT NULL"""
+    oracles["q_sorted_neighborhood"] = f"""
+      WITH base AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k,
+               list_distinct({SQL_TOKENS}) AS arr
+        FROM documents
+      ),
+      led AS (
+        SELECT doc_id, arr,
+               {', '.join(f'lead(doc_id, {d}) OVER w AS b{d}, lead(arr, {d}) OVER w AS a{d}' for d in range(1, 5))}
+        FROM base WINDOW w AS (ORDER BY k, doc_id)
+      ),
+      pairs AS ({' UNION ALL '.join(_snm_leg.format(d=d) for d in range(1, 5))})
+      SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+             round(inter / (szsum - inter), 6) AS jaccard
+      FROM pairs
+      WHERE szsum > inter AND inter / (szsum - inter) >= 0.6::DOUBLE
+    """
+
+    oracles["q_seasonal_profile"] = """
+      SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
+             count(*)::BIGINT AS n_events,
+             round(avg(value), 6) AS avg_value,
+             round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2
+    """
+
+    oracles["q_cusum_changepoints"] = """
+      WITH stats AS (
+        -- mean/std rounded 6dp BEFORE the cumsum: keeps the window
+        -- accumulation bit-identical to Spark (see cusum_changepoints)
+        SELECT user_id, round(avg(value), 6) AS m,
+               round(stddev_samp(value), 6) AS sd,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY user_id HAVING count(*) >= 2
+      ),
+      dev AS (
+        SELECT e.user_id, e.ts, s.m, s.sd, s.n,
+               sum(e.value - s.m) OVER (
+                 PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM events e JOIN stats s USING (user_id)
+      ),
+      pk AS (
+        SELECT user_id, n, m, sd, cusum, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(cusum) DESC, ts ASC) AS rn
+        FROM dev
+      )
+      SELECT user_id, n AS n_events, round(m, 6) AS mean_value,
+             round(abs(cusum), 6) AS max_abs_cusum,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS peak_ts,
+             (CASE WHEN abs(cusum) > 3.0::DOUBLE * sd THEN 1 ELSE 0 END)::INT
+               AS flagged
+      FROM pk WHERE rn = 1
+    """
+
+    oracles["q_skew_report"] = """
+      WITH counts AS (
+        SELECT l_partkey AS k, count(*)::BIGINT AS c FROM lineitem GROUP BY 1
+      ),
+      top AS (SELECT k AS top_key FROM counts ORDER BY c DESC, k ASC LIMIT 1)
+      SELECT count(*)::BIGINT AS n_keys,
+             round(avg(c), 6) AS mean_cnt,
+             round(quantile_cont(c, 0.5), 6) AS p50_cnt,
+             round(quantile_cont(c, 0.99), 6) AS p99_cnt,
+             max(c)::BIGINT AS max_cnt,
+             t.top_key,
+             round(max(c) / round(avg(c), 6), 6) AS skew_ratio
+      FROM counts CROSS JOIN top t GROUP BY t.top_key
+    """
+
+    oracles["q_equidepth_histogram"] = """
+      WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM lineitem
+      )
+      SELECT len(list_filter(b.bs, x -> li.l_extendedprice > x))::INT AS bucket,
+             count(*)::BIGINT AS n_rows,
+             round(min(li.l_extendedprice), 4) AS lo,
+             round(max(li.l_extendedprice), 4) AS hi,
+             round(sum(li.l_extendedprice), 4) AS total
+      FROM lineitem li CROSS JOIN bounds b
+      GROUP BY 1
+    """
+
+    oracles["q_linreg"] = f"""
+      WITH base AS (
+        SELECT lang, n_chars::DOUBLE AS x, (len({SQL_TOKENS}))::DOUBLE AS y
+        FROM documents
+      ),
+      -- 6dp-prerounded moments on BOTH engines (see linreg_by_lang):
+      -- derived statistics become bit-identical across engines
+      mom AS (
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+               round(var_pop(x), 6) AS vx, round(var_pop(y), 6) AS vy,
+               round(covar_pop(y, x), 6) AS cxy
+        FROM base GROUP BY lang
+      )
+      SELECT lang, n_docs,
+             round(cxy / vx, 6) AS slope,
+             round(my - (cxy / vx) * mx, 6) AS intercept,
+             round(cxy * cxy / (vx * vy), 6) AS r2
+      FROM mom
+    """
+
+    oracles["q_ab_ttest"] = """
+      WITH agg AS (
+        -- count(CASE...) counts NON-NULL values, matching Spark's
+        -- F.count(F.when(...)) — n stays consistent with mean/var
+        SELECT count(CASE WHEN event_type = 'click' THEN value END)::BIGINT AS n_a,
+               count(CASE WHEN event_type = 'view' THEN value END)::BIGINT AS n_b,
+               round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS mean_a,
+               round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS mean_b,
+               round(var_samp(CASE WHEN event_type = 'click' THEN value END), 6) AS var_a,
+               round(var_samp(CASE WHEN event_type = 'view' THEN value END), 6) AS var_b
+        FROM events WHERE event_type IN ('click', 'view')
+      )
+      SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+             round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+               AS t_stat,
+             -- x*x, not pow(x,2): libm pow is not guaranteed bit-equal
+             round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+                   ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS welch_df
+      FROM agg
+    """
+
+    oracles["q_label_centroids"] = """
+      WITH ex AS (
+        SELECT label, (u.s.i)::INT AS dim, (u.s.x)::DOUBLE AS x
+        FROM (
+          SELECT label,
+                 [{'i': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      ),
+      cent AS (
+        SELECT label, dim, round(avg(x), 6) AS m FROM ex GROUP BY label, dim
+      ),
+      pair AS (
+        -- ordered aggregates: sum in dim order = the exact left-fold
+        -- order of Spark's F.aggregate, so the 64-term dot/norm sums
+        -- are bit-identical (not just ulp-close) across engines
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.m * b.m ORDER BY a.dim) AS dot,
+               sqrt(sum(a.m * a.m ORDER BY a.dim)) AS na,
+               sqrt(sum(b.m * b.m ORDER BY a.dim)) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+      )
+      SELECT label_a, label_b, round(dot / (na * nb), 6) AS centroid_cosine
+      FROM pair
+    """
+
+    # the SQL-API query IS its own oracle (same ANSI text, both engines)
+    oracles["q_sql_report"] = _SQL_REPORT
+
+    _DEQ = "(b.mn + round((e.x - b.mn) / ((b.mx - b.mn) / 255.0)) * ((b.mx - b.mn) / 255.0))"
+    oracles["q_quantize_embeddings"] = f"""
+      WITH ex AS (
+        SELECT (u.s.i)::INT AS dim, (u.s.x)::DOUBLE AS x
+        FROM (
+          SELECT [{{'i': i - 1, 'x': embedding[i]}} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      ),
+      bounds AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim)
+      SELECT e.dim, round(b.mn, 6) AS mn, round(b.mx, 6) AS mx,
+             round(avg(abs(e.x - {_DEQ})), 6) AS avg_abs_err,
+             round(max(abs(e.x - {_DEQ})), 6) AS max_abs_err
+      FROM ex e JOIN bounds b USING (dim)
+      WHERE b.mx > b.mn
+      GROUP BY e.dim, b.mn, b.mx
+    """
+
+    oracles["q_time_to_convert"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, event_type, ts,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      ),
+      stage AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        FROM sess GROUP BY user_id, session_id
+      ),
+      lat AS (
+        SELECT (p_us - v_us) / 1000000.0 AS lat_s FROM stage
+        WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND v_us < p_us
+      )
+      SELECT count(*)::BIGINT AS n_conversions,
+             round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+             round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+             round(avg(lat_s), 6) AS mean_s
+      FROM lat
+    """
+
+    oracles["q_k_anonymity"] = """
+      SELECT lang, source, (n_chars // 500) * 500 AS chars_bucket,
+             count(*)::BIGINT AS class_size,
+             (CASE WHEN count(*) < 5 THEN 1 ELSE 0 END)::INT AS at_risk
+      FROM documents GROUP BY 1, 2, 3
+    """
+
+    oracles["q_pseudonymize"] = """
+      SELECT event_id,
+             substr(md5('spark-graft-v1' || '|' || user_id::VARCHAR), 1, 16)
+               AS pseudo_id,
+             event_type, round(value, 6) AS value
+      FROM events
+    """
+
+    oracles["q_forget_users"] = """
+      SELECT 'events' AS table_name, count(*)::BIGINT AS rows_before,
+             sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS rows_deleted,
+             (count(*) - sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END))::BIGINT
+               AS rows_after
+      FROM events
+      UNION ALL
+      SELECT 'orders', count(*)::BIGINT,
+             sum(CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END)::BIGINT,
+             (count(*) - sum(CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END))::BIGINT
+      FROM orders
+    """
+
+    oracles["q_path_mining"] = """
+      WITH s AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        FROM s
+      ),
+      paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                 (array_agg(event_type ORDER BY ts, event_id))[1:8], '>')
+                 AS path
+        FROM sess GROUP BY user_id, session_id
+      )
+      SELECT path, count(*)::BIGINT AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 20
+    """
+
+    oracles["q_cohort_ltv"] = """
+      WITH base AS (
+        SELECT o_custkey, o_totalprice,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om
+        FROM orders
+      ),
+      first AS (SELECT o_custkey, min(om) AS cohort_m FROM base GROUP BY 1)
+      SELECT (cohort_m // 12)::VARCHAR || '-' ||
+               lpad(((cohort_m % 12) + 1)::VARCHAR, 2, '0') AS cohort_month,
+             (b.om - f.cohort_m)::INT AS month_offset,
+             count(DISTINCT b.o_custkey)::BIGINT AS n_customers,
+             round(sum(b.o_totalprice), 4) AS revenue
+      FROM base b JOIN first f USING (o_custkey)
+      WHERE b.om - f.cohort_m <= 3
+      GROUP BY f.cohort_m, month_offset
+    """
+
+    benford_case = " ".join(
+        f"WHEN {d} THEN {p}::DOUBLE" for d, p in relational._BENFORD.items()
+    )
+    oracles["q_benford"] = f"""
+      WITH digits AS (
+        SELECT substr(regexp_replace(abs(o_totalprice)::VARCHAR,
+                                     '[.0]*', '', 'g'), 1, 1)::INT AS digit
+        FROM orders WHERE o_totalprice <> 0
+      ),
+      counts AS (
+        SELECT digit, count(*)::BIGINT AS n FROM digits
+        WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+      ),
+      tot AS (SELECT sum(n)::BIGINT AS t FROM counts)
+      SELECT digit, n, round(n / t.t, 6) AS observed,
+             (CASE digit {benford_case} END) AS expected,
+             round(abs(n / t.t - (CASE digit {benford_case} END)), 6) AS abs_dev
+      FROM counts CROSS JOIN tot t
+    """
+
+    oracles["q_incremental_agg"] = """
+      WITH newsnap AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END
+                 AS n_chars
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 10000, lang, n_chars FROM documents WHERE doc_id < 25
+      )
+      SELECT lang, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS total
+      FROM newsnap GROUP BY lang
+    """
+
+    oracles["q_data_quality"] = """
+      WITH s AS (
+        SELECT 'l_quantity_in_1_45' AS check_name,
+               sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 45.0)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount_le_0.08',
+               sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate_not_null',
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey_fk_orders', count(*)::BIGINT
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'pk_orderkey_linenumber_unique', count(*)::BIGINT FROM (
+          SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING count(*) > 1
+        )
+      )
+      SELECT check_name, n_violations,
+             (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::INT AS passed
+      FROM s
+    """
+
+    oracles["q_expanding_zscore"] = """
+      WITH base AS (
+        SELECT event_id, user_id, ts, value,
+               count(value) OVER w AS n,
+               sum(value) OVER w AS s1,
+               sum(value * value) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             round(value, 6) AS value,
+             round((value - s1 / n)
+                   / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z_score
+      FROM base
+      WHERE n >= 5 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+        AND abs((value - s1 / n)
+                / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0::DOUBLE
+    """
+
+    oracles["q_rfm_segments"] = """
+      WITH maxd AS (SELECT max(o_orderdate) AS max_d FROM orders),
+      cust AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate)::DATE,
+                         (SELECT max_d FROM maxd)::DATE) AS rec_days,
+               count(*)::BIGINT AS freq,
+               sum(o_totalprice)::DOUBLE AS monetary
+        FROM orders GROUP BY o_custkey
+      ),
+      scored AS (
+        SELECT monetary,
+               ntile(4) OVER (ORDER BY rec_days ASC, o_custkey) AS r_tile,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_tile,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+        FROM cust
+      )
+      SELECT r_tile::INT AS r_tile, f_tile::INT AS f_tile, m_tile::INT AS m_tile,
+             count(*)::BIGINT AS n_customers,
+             round(avg(monetary), 6) AS avg_monetary
+      FROM scored GROUP BY 1, 2, 3
+    """

@@ -1,0 +1,837 @@
+"""Declared queries: statistics, text analysis/BPE/packing, TPC-H shapes,
+privacy/quality/attribution (the round-3/4 analytics sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank, relational
+from page_rank_hadoop_spark.operators import pipeline, similarity, textstats, windows
+from page_rank_hadoop_spark.sources.catalog import load_table
+
+from page_rank_hadoop_spark.plans.registry._shared import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    COOC_MIN_DOCS,
+    COOC_VOCAB,
+    DECON_MOD,
+    DECON_N,
+    EMB_DIM,
+    MIX_RATES,
+    N_CENTROIDS,
+    PHRASE,
+    PROFILE_COLS,
+    PROX_DIST,
+    PROX_TERMS,
+    Q19_CASES,
+    Q7_NATIONS,
+)
+
+from page_rank_hadoop_spark.plans.registry.queries_corpus import (
+    _churned_docs,
+    _docs,
+    _graph,
+    _minhash_pairs,
+)
+
+
+def q_gap_fill(spark, sf):
+    """Hourly resample + forward fill per user (time-series gap fill):
+    sequence()-generated grid, left join on the reused (user, hour)
+    partitioning, last-ignorenulls fill window."""
+    return windows.gap_fill_hourly(load_table(spark, sf, "events"))
+
+
+def q_mad_outliers(spark, sf):
+    """Median/MAD robust anomaly detection over events.value — modified
+    z-score > 3.5 flags, exact interpolated percentiles, stats frame
+    broadcast back onto the stream."""
+    return relational.mad_outliers(load_table(spark, sf, "events"))
+
+
+def q_market_basket(spark, sf):
+    """Frequent part pairs (market basket): within-order self-join with
+    order-size-bounded fan-out, pair support + Jaccard affinity, top-100
+    with deterministic tie-breaks."""
+    return relational.market_basket(load_table(spark, sf, "lineitem"))
+
+
+def q_link_prediction(spark, sf):
+    """Common-neighbor / Jaccard link prediction over the resolved link
+    graph, with the deterministic hot-target cap (in-degree ≤ 64) the
+    oracle replicates as a HAVING."""
+    return graph.common_neighbor_pairs(_graph(spark, sf)["kept"])
+
+
+def q_training_shards(spark, sf):
+    """Size-balanced deterministic shard manifest: md5-salted two-level
+    rank round-robin (no global sort), per-shard token totals + balance
+    ratio vs the ideal split."""
+    return pipeline.training_shards(_docs(spark, sf))
+
+
+def q_vocab_coverage(spark, sf):
+    """Tokenizer vocab sizing: cumulative token-occurrence coverage of
+    the top-V terms for V in {100..10000} — one corpus count pass, one
+    vocabulary-sized ranking window."""
+    return textstats.vocab_coverage(_docs(spark, sf))
+
+
+def q_approx_topk_terms(spark, sf):
+    """Frequent-items-sketch top-20 terms: per-partition approx_top_k
+    sketches merged through a single-row agg — |partitions| fixed-size
+    summaries shuffled instead of a vocabulary-keyed exchange; exact
+    (hence oracle-able) while vocab <= sketch capacity."""
+    return textstats.approx_topk_terms(_docs(spark, sf), k=20, max_items=4096)
+
+
+def q_gram_matrix(spark, sf):
+    """Distributed Gram matrix XᵀX over the embedding table via
+    mapInPandas partial matmuls (dim² floats per partition shuffled, not
+    row data) — the PCA/covariance building block."""
+    return similarity.gram_matrix(load_table(spark, sf, "embeddings"), dim=EMB_DIM)
+
+
+def q_rfm_segments(spark, sf):
+    """Customer RFM segmentation: per-customer recency/frequency/monetary
+    → deterministic ntile quartiles on the dimension table → segment
+    rollup (≤ 64 rows)."""
+    return relational.rfm_scores(load_table(spark, sf, "orders"))
+
+
+def q_repeated_chunks(spark, sf):
+    """CCNet-style boilerplate removal: drop 8-word chunks occurring in
+    >2 distinct docs, fingerprint the rebuilt text — chunk-df join +
+    ordered in-group rebuild, no window."""
+    return textstats.remove_repeated_chunks(_docs(spark, sf))
+
+
+def q_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood dedup (SNM): normalized-key sort, lead-window
+    neighbor pairs (linear n·w candidates, NO self-join), exact token
+    Jaccard ≥ 0.6."""
+    return dedup.sorted_neighborhood_pairs(_docs(spark, sf), w=4, min_jaccard=0.6)
+
+
+def q_seasonal_profile(spark, sf):
+    """Seasonality matrix per (day-of-week, hour): one partial-agg'd
+    groupBy on a ≤168-cell key."""
+    return windows.seasonal_profile(load_table(spark, sf, "events"))
+
+
+def q_cusum_changepoints(spark, sf):
+    """CUSUM changepoint screen per user: two-pass (stats + ordered
+    cumsum window), deterministic struct-argmax peak selection."""
+    return windows.cusum_changepoints(load_table(spark, sf, "events"))
+
+
+def q_skew_report(spark, sf):
+    """Join-key skew diagnostic over lineitem.l_partkey: per-key counts →
+    one-row distribution summary (p50/p99/max/top-key/skew ratio)."""
+    return relational.skew_report(load_table(spark, sf, "lineitem"), "l_partkey")
+
+
+def q_equidepth_histogram(spark, sf):
+    """Equi-depth decile histogram of l_extendedprice: percentile
+    boundaries + broadcast fold assignment — no ntile global sort."""
+    return relational.equidepth_histogram(load_table(spark, sf, "lineitem"))
+
+
+def q_linreg(spark, sf):
+    """Per-language OLS (regr_slope/intercept/r2) of token count on
+    char count — single-pass closed-form regression aggregates."""
+    return textstats.linreg_by_lang(_docs(spark, sf))
+
+
+def q_ab_ttest(spark, sf):
+    """Welch's t-test click-vs-view on events.value: one conditional-agg
+    scan, closed-form t + Welch df, 6dp-prerounded moments."""
+    return relational.ab_ttest(load_table(spark, sf, "events"))
+
+
+def q_label_centroids(spark, sf):
+    """Per-label centroid embeddings → pairwise centroid cosine matrix
+    (class-separation diagnostic); (label, dim)-keyed partial-agg mean,
+    6dp-prerounded."""
+    return similarity.label_centroids_cosine(load_table(spark, sf, "embeddings"))
+
+
+_SQL_REPORT = """
+  WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+  )
+  SELECT region, nation, revenue,
+         rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+           AS rnk,
+         round(revenue / round(sum(revenue) OVER (PARTITION BY region), 4), 6)
+           AS region_share
+  FROM rev
+"""
+
+
+def q_expanding_zscore(spark, sf):
+    """Online anomaly batch twin: expanding-window z-score vs each
+    user's PRIOR events, flags |z| > 3 after ≥5 observations — the
+    formula streaming_zscore_monitor computes from carried state
+    (replay equality is bit-exact, tested)."""
+    return windows.expanding_zscore_flags(load_table(spark, sf, "events"))
+
+
+def q_quantize_embeddings(spark, sf):
+    """Scalar int8 quantization report: per-dim bounds + reconstruction
+    error after the quantize→dequant round-trip (vector-index
+    compression evaluation). One posexplode bounds agg + broadcast
+    round-trip arithmetic."""
+    return similarity.quantize_embeddings_report(load_table(spark, sf, "embeddings"))
+
+
+def q_time_to_convert(spark, sf):
+    """Conversion-latency rollup: seconds from first view to first
+    purchase within strict-order sessions — count + exact p50/p90 +
+    mean, one row."""
+    return windows.time_to_convert(load_table(spark, sf, "events"))
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity risk report over the (lang, source, chars-bucket)
+    quasi-identifier: every equivalence class + at-risk flag (<5)."""
+    return pipeline.k_anonymity_report(_docs(spark, sf))
+
+
+def q_pseudonymize(spark, sf):
+    """Deterministic salted-md5 pseudonymization of events.user_id —
+    stable, linkage-preserving, engine-portable tokens; map-only."""
+    return pipeline.pseudonymize(load_table(spark, sf, "events"))
+
+
+def q_forget_users(spark, sf):
+    """Right-to-be-forgotten cascade audit across events(user_id) and
+    orders(o_custkey): per-table before/deleted/after counts from one
+    conditional-agg scan each."""
+    return pipeline.forget_keys(
+        [
+            ("events", load_table(spark, sf, "events"), "user_id"),
+            ("orders", load_table(spark, sf, "orders"), "o_custkey"),
+        ]
+    )
+
+
+def q_path_mining(spark, sf):
+    """Top-20 session event-type paths (sequential patterns above
+    bigrams): sessionize pass + ordered struct-sort path build + one
+    path-string count + TakeOrderedAndProject."""
+    return windows.session_path_mining(load_table(spark, sf, "events"))
+
+
+def q_cohort_ltv(spark, sf):
+    """Cohort lifetime value: first-order-month cohorts × month offset
+    → active customers + revenue. Integer month arithmetic, two keyed
+    aggs + one custkey join-back."""
+    return relational.cohort_ltv(load_table(spark, sf, "orders"))
+
+
+def q_benford(spark, sf):
+    """Benford first-digit screen of o_totalprice: observed vs
+    log10(1+1/d) literal expectations (no libm log in the compared
+    output), map-side digit extract + 9-key agg."""
+    return relational.benford_screen(load_table(spark, sf, "orders"))
+
+
+def q_incremental_agg(spark, sf):
+    """Incremental MV maintenance: the (lang → count, Σchars) aggregate
+    updated from the CDC feed alone (O(churn+groups), base untouched);
+    the oracle recomputes from the NEW snapshot — an independent
+    derivation, so the hash match proves the delta algebra."""
+    d, new = _churned_docs(spark, sf)
+    feed = pipeline.snapshot_diff(d, new, "doc_id")
+    return pipeline.incremental_agg_maintain(d, feed, "doc_id", "lang", "n_chars")
+
+
+def q_data_quality(spark, sf):
+    """Declarative data-quality suite over lineitem/orders: three range/
+    null checks in ONE conditional-agg scan + FK anti-join + PK
+    uniqueness agg → five report rows."""
+    return relational.data_quality_checks(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+
+
+def q_sql_report(spark, sf):
+    """The SQL-API surface: the same engine driven through
+    ``spark.sql`` text (ANSI CTE + window over a star join) instead of
+    the DataFrame DSL — the dialect is close enough to DuckDB's that
+    the ORACLE IS THE QUERY, verbatim. Catalyst plans it identically to
+    the DSL twin (dims broadcast, one fact shuffle, rank window on the
+    25-row rollup)."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_REPORT)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the', 'a', 'of', 'to', 'and', 'in', 'is', 'it']"
+_LANG_MARKERS_SQL = """(VALUES
+  ('de', ['der','die','das','und','ist']),
+  ('en', ['the','and','of','to','a']),
+  ('es', ['el','los','las','es','y']),
+  ('fr', ['le','la','les','et','est']),
+  ('zh', ['de','shi','le','wo','ni'])) l(lang, markers)"""
+
+
+def q_phrase_search(spark, sf):
+    """Exact adjacent-phrase query over the positional index — the reason
+    the reference stores per-occurrence positions (Writables.scala:24-44):
+    docs containing "stream data" at consecutive token positions."""
+    return index.phrase_matches(_docs(spark, sf), list(PHRASE))
+
+
+def q_session_window(spark, sf):
+    """Native gap-based session windows (F.session_window) — batch twin
+    of the streaming session window; complements the lag/cumsum
+    sessionize with the >=-gap boundary convention."""
+    return windows.session_window_stats(load_table(spark, sf, "events"))
+
+
+def q_token_budget(spark, sf):
+    """Per-doc token budget: whitespace tokens vs BPE-ish pre-tokenizer
+    pieces + chars-per-piece ratio (map-only projection)."""
+    return textstats.token_budget(_docs(spark, sf))
+
+
+def q_term_cooccurrence(spark, sf):
+    """PMI collocations over the top-50-df vocabulary, pairs co-occurring
+    in ≥5 docs (bounded-fanout doc_id self-join)."""
+    return textstats.term_cooccurrence(_docs(spark, sf), COOC_VOCAB, COOC_MIN_DOCS)
+
+
+def q_column_profile(spark, sf):
+    """One-pass column data-quality profile of lineitem numerics (nulls,
+    distincts, min/max/avg), melted to long form."""
+    return relational.column_profile(load_table(spark, sf, "lineitem"), list(PROFILE_COLS))
+
+
+def q_order_priority(spark, sf):
+    """TPC-H-Q4-shaped EXISTS decorrelation: 1996 orders with a >60-day
+    ship lag, counted per priority (LEFT SEMI + residual predicate)."""
+    return relational.order_priority_counts(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def q_idle_customers(spark, sf):
+    """TPC-H-Q22-shaped anti-join + in-plan scalar subquery: never-ordered
+    customers above the average positive balance, per segment."""
+    return relational.idle_customer_stats(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def q_triangle_count(spark, sf):
+    """Degree-oriented triangle count over the resolved link graph (two
+    equi-joins, wedge fanout bounded by orientation — no cartesian)."""
+    return graph.triangle_count(_graph(spark, sf)["kept"])
+
+
+def q_proximity_search(spark, sf):
+    """NEAR/k proximity query over the positional index: docs where
+    "key" and "sort" occur within 2 token positions."""
+    return index.proximity_matches(_docs(spark, sf), *PROX_TERMS, PROX_DIST)
+
+
+def q_pack_sequences(spark, sf):
+    """Sequence packing for LLM training batches: concatenate docs in
+    doc_id order and cut at a fixed token budget — each doc's bin is
+    floor(tokens_before / budget), one running-sum window pass (the
+    standard streaming-concat packing; deterministic, no bin-packing
+    heuristics to disagree on). Output also carries the doc's offset
+    inside its bin, which is what the batch assembler actually needs.
+
+    Scale note: the global doc_id order forces a single-partition window
+    here (fine at gate scale, wrong at 100 TB). The production form
+    packs per shard — partitionBy(shard = hash(doc_id) % n_shards) with
+    the same within-shard running sum — giving n_shards independent
+    streams of full bins at perfect parallelism; only bin NUMBERING
+    becomes shard-local, which training dataloaders don't care about."""
+    from page_rank_hadoop_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    BUDGET = 2048
+    d = _docs(spark, sf).select("doc_id", token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(before / BUDGET).cast("int").alias("bin_id"),
+        (before % BUDGET).cast("int").alias("bin_offset"),
+    )
+
+
+def q_pack_sequences_sharded(spark, sf):
+    """The production form of sequence packing: per-shard (here:
+    per-language) running sums — n independent window streams at full
+    parallelism, bin ids shard-local. This is the scale path the global
+    q_pack_sequences documents; declaring it gates the partitioned
+    window arithmetic too."""
+    from page_rank_hadoop_spark.functions.text import token_count
+    from pyspark.sql import Window
+
+    BUDGET = 2048
+    d = _docs(spark, sf).select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(before / BUDGET).cast("int").alias("bin_id"),
+        (before % BUDGET).cast("int").alias("bin_offset"),
+    )
+
+
+def q_doc_chunks(spark, sf):
+    """RAG-prep chunking: overlapping 64-token windows every 48 tokens,
+    map-only explode (no shuffle)."""
+    return textstats.chunk_documents(_docs(spark, sf), CHUNK_SIZE, CHUNK_STRIDE)
+
+
+def q_mixture_sample(spark, sf):
+    """Deterministic per-source mixture sampling (md5-coin vs a literal
+    rate map) — the LLM training-mix assembly step."""
+    return pipeline.mixture_sample(_docs(spark, sf), MIX_RATES).orderBy("doc_id")
+
+
+def q_local_supplier_volume(spark, sf):
+    """TPC-H-Q5-shaped snowflake: revenue per nation where customer and
+    supplier share the nation, ASIA region, 1995-1996 orders (broadcast
+    dim chain, fact-only shuffles)."""
+    return relational.local_supplier_volume(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def q_dedup_components_star(spark, sf):
+    """Large-star/small-star connected components over the same MinHash
+    pair graph — the O(log n)-round deep-chain variant, gated against
+    the identical recursive-CTE oracle as q_dedup_components."""
+    return dedup.connected_components_star(_minhash_pairs(spark, sf))
+
+
+def q_click_attribution(spark, sf):
+    """Batch twin of the stream-stream attribution join (streaming/
+    join.py): every (click, purchase) pair per user with the purchase
+    inside [click_ts, click_ts+30min] — oracle-gating the exact
+    semantics the watermarked streaming form replays."""
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_batch
+
+    return click_purchase_join_batch(
+        load_table(spark, sf, "events"), horizon_minutes=30
+    ).orderBy("click_id", "purchase_id")
+
+
+def q_attribution_weights(spark, sf):
+    """Position-based multi-touch attribution: each purchase's value is
+    credited 40% to the FIRST contributing click, 40% to the LAST, and
+    20% split over the middle ones (single-click purchases get 100%) —
+    the standard U-shaped marketing model, one ranking window over the
+    attribution pairs. Output: credited value per click."""
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_batch
+
+    pairs = click_purchase_join_batch(load_table(spark, sf, "events"), horizon_minutes=30)
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    ranked = pairs.select(
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n_clicks"),
+    )
+    weight = (
+        F.when(F.col("n_clicks") == 1, F.lit(1.0))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n_clicks"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_clicks") - 2))
+    )
+    return (
+        ranked.select(
+            "click_id",
+            "purchase_id",
+            F.round(weight * F.col("purchase_value"), 6).alias("credit"),
+        )
+    )
+
+
+def q_bpe_pair_stats(spark, sf):
+    """First BPE tokenizer-training iteration: top-50 adjacent char-pair
+    frequencies within words, map-side pair explode + one partial agg."""
+    return textstats.bpe_pair_stats(_docs(spark, sf), top_k=50)
+
+
+def q_zorder_key(spark, sf):
+    """Morton/Z-order clustering key over (user_id, event-minute): the
+    2-D layout key whose range-partitioned sort makes row-group pruning
+    work for either dimension. Oracle computes the identical bit
+    interleave."""
+    ev = load_table(spark, sf, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long") % (1 << 16)
+    return ev.select("event_id", "user_id", minute.alias("_m")).select(
+        "event_id", pipeline.zorder_key("user_id", "_m").alias("zkey")
+    )
+
+
+def q_ingest_batch(spark, sf):
+    """Batch twin of the streaming ingest pipeline: normalize -> map-side
+    quality gate (score >= 0.3) -> exact content dedup keeping the min
+    doc_id. The oracle restates the same normalize/score/dedup algebra,
+    putting the ingest semantics themselves under the gate."""
+    from page_rank_hadoop_spark.functions.text import normalize_text, quality_score
+
+    d = _docs(spark, sf)
+    cleaned = (
+        d.select("doc_id", normalize_text("text").alias("text"))
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.3)
+        .withColumn("content_md5", F.md5("text"))
+    )
+    keep = cleaned.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    return keep.join(cleaned, ["content_md5", "doc_id"]).select(
+        "doc_id", "content_md5", "quality"
+    )
+
+
+def q_temperature_mixture(spark, sf):
+    """Temperature-balanced corpus mixture (tau = 0.7, the multilingual-
+    balancing rule): per-LANGUAGE keep rate (n_s/min_n)^(tau-1) — the
+    smallest language keeps everything, larger ones downsample toward
+    equal share — applied with the deterministic md5 coin (no RNG).
+    Rates are 6dp-rounded before the comparison so cross-engine pow()
+    drift cannot flip a keep decision (coin granularity ~1e-10 vs the
+    1e-6 rate grid)."""
+    d = _docs(spark, sf).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    min_n = counts.agg(F.min("n_s").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.round(F.pow(F.col("n_s") / F.col("min_n"), F.lit(-0.3)), 6).alias("rate"),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(2**32))
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(coin < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+    )
+
+
+def q_redact_pii(spark, sf):
+    """Regex-tier PII redaction: emails -> <EMAIL>, long digit runs ->
+    <NUM>; md5-fingerprinted output plus per-doc replacement counts so
+    the oracle checks the rules without megabyte rows."""
+    from page_rank_hadoop_spark.functions.text import EMAIL_RE, LONG_NUM_RE, redact_pii
+
+    d = _docs(spark, sf)
+    red = redact_pii("text")
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(LONG_NUM_RE), F.lit(0))).alias("n_nums"),
+    )
+
+
+def q_normalize_text(spark, sf):
+    """Ingest-time text normalization: control-char strip, whitespace
+    collapse, trim, lowercase — map-only; output fingerprinted by md5 so
+    the oracle hashes the full cleaned text without megabyte rows."""
+    from page_rank_hadoop_spark.functions.text import normalize_text
+
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("norm_md5"),
+        F.length(normalize_text("text")).alias("norm_len"),
+    )
+
+
+def q_bpe_encode(spark, sf):
+    """BPE APPLY: encode the corpus with a fixed 5-rule merge table,
+    per-doc piece/word counts. Oracle chains the same list_reduce folds
+    with the same rule literals."""
+    return textstats.bpe_encode_stats(_docs(spark, sf))
+
+
+def q_bpe_train_merges(spark, sf):
+    """Five BPE training iterations over the word-frequency table: the
+    merge-rule table (step, left, right, merged, n). Oracle unrolls the
+    same iterations with list_reduce folds."""
+    return textstats.bpe_train_merges(_docs(spark, sf), n_merges=5)
+
+
+def q_moving_average(spark, sf):
+    """Bounded-frame windows: 4-row moving average + lead + frame
+    first/last per event_type, one Window pass."""
+    return windows.moving_average(load_table(spark, sf, "events"))
+
+
+def q_ranking_suite(spark, sf):
+    """Full ranking-window family (ntile/percent_rank/cume_dist/
+    dense_rank) in ONE Window node over (lang, n_chars)."""
+    return windows.ranking_function_suite(_docs(spark, sf))
+
+
+def q_running_totals(spark, sf):
+    """Frame-based cumulative sum/count per event_type ordered by
+    (ts, event_id) — the running-total window shape."""
+    return windows.running_totals(load_table(spark, sf, "events"))
+
+
+def q_forecast_revenue(spark, sf):
+    """TPC-H-Q6-shaped forecasting scan: single-table filter-agg, all
+    three predicates pushed into the parquet reader, one output row."""
+    return relational.forecast_revenue(load_table(spark, sf, "lineitem"))
+
+
+def q_nation_volume_shipping(spark, sf):
+    """TPC-H-Q7-shaped two-nation shipping volume: cross-nation pair
+    disjunction over two broadcast nation joins, per direction × year."""
+    return relational.nation_volume_shipping(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        nation_a=Q7_NATIONS[0],
+        nation_b=Q7_NATIONS[1],
+    )
+
+
+def q_returned_items(spark, sf):
+    """TPC-H-Q10-shaped: top-20 customers by revenue on returned items
+    in a half-year, nation broadcast onto the post-agg rows."""
+    return relational.returned_items(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def q_customer_distribution(spark, sf):
+    """TPC-H-Q13-shaped order-count histogram over a LEFT join (zero
+    bucket included), double aggregation."""
+    return relational.customer_distribution(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def q_top_supplier(spark, sf):
+    """TPC-H-Q15-shaped: supplier(s) at the global max quarter revenue —
+    scalar-max subquery as an empty-frame window over the agg output."""
+    return relational.top_supplier_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "supplier")
+    )
+
+
+def q_small_qty_revenue(spark, sf):
+    """TPC-H-Q17-shaped correlated-AVG decorrelation: revenue of
+    below-half-average-quantity line items for one brand, single row."""
+    return relational.small_quantity_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def q_disjunctive_pushdown(spark, sf):
+    """TPC-H-Q19-shaped OR-of-ANDs predicate: brand/size/quantity clause
+    groups as a post-broadcast-join residual, part side union-pruned."""
+    return relational.disjunctive_brand_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part"), Q19_CASES
+    )
+
+
+def q_waiting_suppliers(spark, sf):
+    """TPC-H-Q21-shaped sole-late-supplier: EXISTS + NOT EXISTS pair
+    decorrelated into one per-order distinct-count aggregate."""
+    return relational.waiting_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "supplier"),
+    )
+
+
+def q_quality_signals(spark, sf):
+    """Gopher-style per-doc repetition/quality signals (ttr, top-token
+    share, mean token length) + deterministic flag, from one tf table."""
+    return textstats.quality_signals(_docs(spark, sf))
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing any token 5-gram
+    with the doc_id%10==0 holdout, distinct shared-gram counts."""
+    return pipeline.decontaminate(_docs(spark, sf), DECON_N, DECON_MOD)
+
+
+def q_kmeans_step(spark, sf):
+    """One Lloyd's k-means update over embeddings: nearest-centroid
+    assignment + per-cluster element-wise means (no fact-table explode),
+    long form."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_step(emb, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+
+
+def q_kmeans_train(spark, sf):
+    """Full Lloyd's loop: 3 assign/update rounds from the deterministic
+    seeds, final centroid table long-form. Oracle unrolls the rounds —
+    round 1 on literal seeds, later rounds re-derive centroids in SQL."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.kmeans_train(emb, n_iter=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+
+
+def q_min_cost_supplier(spark, sf):
+    """TPC-H-Q2-shaped minimum-cost supplier: per qualifying part, the
+    EUROPE supplier(s) at the minimum fact-derived unit cost (the
+    correlated-min subquery decorrelated to a per-part window)."""
+    return relational.min_cost_supplier(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def q_market_share(spark, sf):
+    """TPC-H-Q8-shaped market share: one nation's revenue share per
+    order-year within a part type × customer region (numerator and
+    denominator from ONE conditional aggregate)."""
+    return relational.market_share(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "part"),
+    )
+
+
+def q_product_profit(spark, sf):
+    """TPC-H-Q9-shaped profit per supplier-nation × year over parts
+    whose name contains 'widget' (cost proxied via p_retailprice;
+    broadcast part/supplier dims)."""
+    return relational.product_profit(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def q_important_parts(spark, sf):
+    """TPC-H-Q11-shaped important stock: parts whose revenue through
+    one nation's suppliers exceeds 2× that nation's mean part value
+    (HAVING vs scalar subquery as an empty-frame window)."""
+    return relational.important_parts(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def q_late_priority_lines(spark, sf):
+    """TPC-H-Q12-shaped priority split of late shipments per return
+    flag: conditional counts in one partial-agg shuffle."""
+    return relational.late_priority_lines(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+
+
+def q_supplier_part_counts(spark, sf):
+    """TPC-H-Q16-shaped parts/supplier relationship: distinct-supplier
+    counts per (brand, type, size) with NOT-IN complaint exclusion as a
+    broadcast anti-join."""
+    return relational.supplier_part_counts(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+    )
+
+
+def q_promotion_suppliers(spark, sf):
+    """TPC-H-Q20-shaped dominant suppliers: >50% of a contested part's
+    1996 volume on ≥3 parts (nested sum-subquery as a window over the
+    same shuffle)."""
+    return relational.promotion_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+# --- round 3: skyline, gaps-and-islands, sequential patterns, fuzzy
+# entity match, dispersion functions, char entropy ---
+
+
+def q_skyline_parts(spark, sf):
+    """2-D Pareto frontier (skyline operator) over parts minimizing
+    (retailprice, size) — computed via the distinct-price frontier +
+    broadcast probe, never a pairwise dominance join (relational.
+    skyline_parts). Oracle is the textbook NOT EXISTS dominance test."""
+    return relational.skyline_parts(load_table(spark, sf, "part"))
+
+
+def q_dispersion_stats(spark, sf):
+    """Median (percentile_cont 0.5), sample stddev, avg/min/max of
+    extendedprice per return flag — the dispersion-function surface."""
+    return relational.dispersion_stats(load_table(spark, sf, "lineitem"))
+
+
+def q_interval_merge(spark, sf):
+    """Gaps-and-islands: merge each user's overlapping 10-minute event
+    covers into maximal activity spans (windows.merge_event_intervals)."""
+    return windows.merge_event_intervals(load_table(spark, sf, "events"))
+
+
+def q_event_bigrams(spark, sf):
+    """First-order event-type transition counts (sequential-pattern
+    surface): consecutive (prev → next) pairs per user, corpus-wide."""
+    return windows.event_type_bigrams(load_table(spark, sf, "events"))
+
+
+def q_fuzzy_supplier_match(spark, sf):
+    """Blocked fuzzy entity matching: supplier-name pairs within a
+    nation block at Levenshtein distance ≤ 2 (dedup.fuzzy_name_pairs) —
+    entity-resolution surface with the LSH-style blocking scale story."""
+    return dedup.fuzzy_name_pairs(
+        load_table(spark, sf, "supplier"),
+        key="s_suppkey",
+        name_col="s_name",
+        block_col="s_nationkey",
+        max_distance=2,
+    )
+
+
+def q_char_entropy(spark, sf):
+    """Shannon char entropy per language (textstats.char_entropy_by_lang)
+    — the distribution-shape text-quality signal."""
+    return textstats.char_entropy_by_lang(_docs(spark, sf))
