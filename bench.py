@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "q_minhash_band_index",
     "q_distinct_join_rewrite",
     "q_sketch_error_bounds",
+    "q_band_index_compacted",
+    "q_ann_recall",
+    "q_zipf_slope",
 ]
 
 

@@ -489,6 +489,81 @@ def ivf_knn_cosine(
     )
 
 
+def ivf_recall(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_probes: int = 16,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """Recall@k of single-probe IVF against exact brute force, per probe
+    vector — the acceptance metric every ANN deployment measures before
+    trusting bucketed search (the FAISS recall sweep). Probes are the
+    first ``n_probes`` corpus vectors, so the measurement is
+    self-contained, deterministic, and oracle-checkable.
+
+    Spark-first shape: ONE ``ivf_assign`` pass serves both the probes'
+    bucket choice and the candidates' bucketing (a corpus probe's
+    nearest centroid IS its own assignment — cosine argmax either way).
+    The exact side broadcasts the n_probes-row probe table against the
+    corpus (BroadcastNestedLoopJoin — the corpus side never shuffles,
+    n_probes·n dot products map-side); the approx side is the standard
+    same-bucket broadcast equi-join. Both per-probe top-k ranks are
+    partitioned windows whose rank<=k filter compiles to
+    WindowGroupLimit (≤k rows per probe cross the exchange), with
+    cosines 6dp-rounded BEFORE ranking and a (cos desc, vec_id)
+    tie-break so both top-k sets are engine-portable. At 100 TB the
+    exact side is the expensive one BY CONSTRUCTION (that is what makes
+    it ground truth) — production samples probes, which is exactly what
+    ``n_probes`` models. Returns (probe_id, n_hit, recall), one row per
+    probe; recall ≥ 1/k always holds because a probe retrieves itself
+    on both sides."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    assigned = ivf_assign(embeddings, dim=dim, centroids=centroids)
+    probes = assigned.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("centroid").alias("p_cent"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    exact = (
+        embeddings.crossJoin(F.broadcast(probes.select("probe_id", "p_emb")))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("p_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id")
+    )
+    approx = (
+        assigned.join(F.broadcast(probes), F.col("centroid") == F.col("p_cent"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("p_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "vec_id")
+    )
+    return (
+        exact.join(approx, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_hit"))
+        .select(
+            "probe_id",
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(k), 6).alias("recall"),
+        )
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame, n_iter: int = 3, n_centroids: int = 16, dim: int = 64
 ) -> DataFrame:

@@ -684,3 +684,45 @@ def linreg_by_lang(documents: DataFrame) -> DataFrame:
             F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")), 6
         ).alias("r2"),
     )
+
+
+def zipf_slope(documents: DataFrame) -> DataFrame:
+    """Zipf's-law diagnostic over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) across terms ranked by total frequency. Natural
+    language sits near slope −1; training-data QA reads the deviation to
+    spot boilerplate-heavy or synthetic shards (template spam flattens
+    the head, dedup leftovers fatten the tail).
+
+    Scale shape: ONE token-explode + partial-agg'd groupBy(term) shuffle;
+    everything after runs over the VOCABULARY (which grows ~log with
+    corpus size, not with it), so the rank window — though globally
+    ordered — is fed by an aggregate-bounded input, the one global-
+    window shape tools/plan_audit.py accepts. The slope derives from
+    6dp-prerounded moments (the ``linreg_by_lang`` cross-engine
+    determinism rule: round the INPUT moments, never hope the output
+    rounding doesn't straddle a boundary)."""
+    from pyspark.sql import Window
+
+    freq = (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    base = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+    mom = base.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.avg("x"), 6).alias("mx"),
+        F.round(F.avg("y"), 6).alias("my"),
+        F.round(F.var_pop("x"), 6).alias("vx"),
+        F.round(F.covar_pop("y", "x"), 6).alias("cxy"),
+    )
+    slope = F.col("cxy") / F.col("vx")
+    return mom.select(
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+    )

@@ -557,3 +557,46 @@ def _sql_hyperplane_bucket() -> str:
             f"THEN (1::BIGINT << {i}) ELSE 0 END)"
         )
     return " + ".join(bits)
+
+
+def _sql_ivf_recall(k: int = 10, n_probes: int = 16, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+    """Recall@k oracle: same sin-seed centroid literals and
+    first-occurrence-of-max assignment as operators/similarity.ivf_assign;
+    both top-k ranks order by the 6dp-ROUNDED cosine with a vec_id
+    tie-break, mirroring ivf_recall's deterministic ranking."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    return f"""
+      WITH assigned AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims_of('embedding::DOUBLE[]')},
+                             list_max({sims_of('embedding::DOUBLE[]')})) AS c
+        FROM embeddings
+      ),
+      probes AS (
+        SELECT vec_id AS probe_id, v AS p, c AS pc FROM assigned WHERE vec_id < {n_probes}
+      ),
+      exact AS (
+        SELECT p.probe_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(a.v, p.p), 6) DESC, a.vec_id) AS rn
+        FROM assigned a, probes p
+      ),
+      approx AS (
+        SELECT p.probe_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(a.v, p.p), 6) DESC, a.vec_id) AS rn
+        FROM assigned a JOIN probes p ON a.c = p.pc
+      )
+      SELECT e.probe_id, count(*)::BIGINT AS n_hit,
+             round(count(*)::DOUBLE / {k}, 6) AS recall
+      FROM (SELECT probe_id, vec_id FROM exact WHERE rn <= {k}) e
+      JOIN (SELECT probe_id, vec_id FROM approx WHERE rn <= {k}) x
+        ON e.probe_id = x.probe_id AND e.vec_id = x.vec_id
+      GROUP BY e.probe_id
+    """

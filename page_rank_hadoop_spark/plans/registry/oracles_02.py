@@ -44,6 +44,7 @@ from page_rank_hadoop_spark.plans.registry._shared import (
     _sql_kmeans_step,
     _sql_kmeans_train,
     _sql_media_features,
+    _sql_ivf_recall,
     _sql_minhash_ctes,
     _sql_pagerank_iters,
     _sql_sig_list,
@@ -1060,3 +1061,14 @@ def contribute(oracles: dict[str, str]) -> None:
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY click_id, purchase_id
     """
+
+    # --- round 6 ---
+    # band-index lifecycle invariant: build(evens) + append(odds) +
+    # rename-swap compact == one-shot shingling of the whole corpus
+    oracles["q_band_index_compacted"] = f"""
+      WITH {_sql_minhash_ctes()}
+      SELECT doc_id, band::INT AS band, key FROM bands
+    """
+    oracles["q_ann_recall"] = _sql_ivf_recall(
+        k=10, n_probes=16, n_centroids=N_CENTROIDS, dim=EMB_DIM
+    )

@@ -12,6 +12,7 @@ from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank
 from page_rank_hadoop_spark.plans.registry._shared import (
     LOOKUP_TERMS,
     SQL_TOKENS,
+    SQL_TOKEN_STREAM,
     TFIDF_TERMS,
     _sql_pagerank_iters,
 )
@@ -414,4 +415,25 @@ def contribute(oracles: dict[str, str]) -> None:
              count(*)::BIGINT AS n_customers,
              round(avg(monetary), 6) AS avg_monetary
       FROM scored GROUP BY 1, 2, 3
+    """
+
+    # --- round 6 ---
+    oracles["q_zipf_slope"] = f"""
+      WITH freq AS (
+        SELECT term, count(*)::BIGINT AS freq FROM ({SQL_TOKEN_STREAM}) GROUP BY term
+      ),
+      ranked AS (
+        SELECT round(ln((row_number() OVER (ORDER BY freq DESC, term))::DOUBLE), 6) AS x,
+               round(ln(freq::DOUBLE), 6) AS y
+        FROM freq
+      ),
+      mom AS (
+        SELECT count(*)::BIGINT AS n_terms,
+               round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+               round(var_pop(x), 6) AS vx, round(covar_pop(y, x), 6) AS cxy
+        FROM ranked
+      )
+      SELECT n_terms, round(cxy / vx, 6) AS slope,
+             round(my - (cxy / vx) * mx, 6) AS intercept
+      FROM mom
     """

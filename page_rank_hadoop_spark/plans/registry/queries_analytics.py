@@ -835,3 +835,10 @@ def q_char_entropy(spark, sf):
     """Shannon char entropy per language (textstats.char_entropy_by_lang)
     — the distribution-shape text-quality signal."""
     return textstats.char_entropy_by_lang(_docs(spark, sf))
+
+
+def q_zipf_slope(spark, sf):
+    """Round-6: Zipf's-law OLS fit over the corpus vocabulary
+    (operators/textstats.zipf_slope) — corpus-level QA signal; one
+    token-explode + vocab-sized everything-after."""
+    return textstats.zipf_slope(_docs(spark, sf))

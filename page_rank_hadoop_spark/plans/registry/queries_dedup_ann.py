@@ -691,3 +691,45 @@ def q_distinct_join_rewrite(spark, sf):
         .groupBy("n_name")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+def q_band_index_compacted(spark, sf):
+    """Round-6: the band-index COMPACTION maintenance verb in the hash
+    gate. Build the MV from the even-doc_id half, append the odd half's
+    band rows (the per-batch maintenance path), then
+    ``compact_band_index`` — the rename-based one-file-per-bucket
+    rewrite — and return the LIVE table's content. The invariant the
+    oracle pins: build + append + compact is row-identical to shingling
+    the whole corpus once (compaction moves files, never rows; the
+    append path drops nothing). Composes with q_minhash_band_index
+    (which gates the one-shot build) to put the full MV lifecycle —
+    build, append, compact — in the driver's correctness gate."""
+    import shutil
+    import uuid
+
+    from page_rank_hadoop_spark.sources.serving import drop_table_and_location
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    table = f"band_compact_{uuid.uuid4().hex[:12]}"
+    try:
+        dedup.write_band_index(
+            d.filter(F.col("doc_id") % 2 == 0), table, fallback=False
+        )
+        odds = dedup.minhash_band_table(d.filter(F.col("doc_id") % 2 == 1))
+        dedup.append_band_index(odds, table)
+        dedup.compact_band_index(spark, table)
+        return spark.table(table).localCheckpoint()
+    finally:
+        drop_table_and_location(spark, table)
+
+
+def q_ann_recall(spark, sf):
+    """Round-6: recall@k of single-probe IVF vs exact brute force over
+    the first 16 corpus vectors as probes — the ANN acceptance metric
+    (operators/similarity.ivf_recall). Exact side broadcasts the probe
+    table (corpus never shuffles); approx side is the same-bucket
+    equi-join; both top-k filters compile to WindowGroupLimit."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_recall(
+        emb, k=10, n_probes=16, n_centroids=N_CENTROIDS, dim=EMB_DIM
+    )
