@@ -517,7 +517,11 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         new_labels = (
             labels.join(nbr_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .select(
+                "id",
+                F.col("label").alias("_old"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
         )
         # pointer jumping: label := label's label (labels' domain is node
         # ids, so the self-join is total). Monotone non-increasing and
@@ -525,16 +529,14 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         parent = new_labels.select(F.col("id").alias("label"), F.col("label").alias("_pl"))
         new_labels = (
             new_labels.join(parent, "label")
-            .select("id", F.col("_pl").alias("label"))
+            .select("id", "_old", F.col("_pl").alias("label"))
             .localCheckpoint()  # eager materialization, constant-size plan
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check reads the just-checkpointed frame (the _old
+        # column rode along), not a fresh shuffle join of old-vs-new —
+        # one cheap scan instead of a per-round equi-join (round 6).
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     sym.unpersist()

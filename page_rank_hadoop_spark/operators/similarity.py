@@ -202,7 +202,10 @@ def ivf_assign(
 
 
 def semantic_dedup(
-    embeddings: DataFrame, min_cosine: float = 0.95, n_planes: int = 12
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -219,10 +222,19 @@ def semantic_dedup(
     rep_id = min vec_id of the semantic cluster (singletons represent
     themselves), i.e. the materialized keep/drop decision a training
     pipeline joins against its corpus.
+
+    ``pairs`` feeds a PRE-BUILT (vec_a, vec_b) near-dup pair table:
+    production materializes the sign-LSH pair MV once and both the
+    pair-audit query and the dedup decision read it (bench.py builds it
+    in the shared-MV phase — the LPA-labels treatment), so this
+    function's incremental cost is the component rounds +
+    representative join, not a fresh pair generation per caller.
     """
     from page_rank_hadoop_spark.operators import dedup as _dedup
 
-    pairs = embedding_near_dup_pairs(embeddings, min_cosine, n_planes).select(
+    if pairs is None:
+        pairs = embedding_near_dup_pairs(embeddings, min_cosine, n_planes)
+    pairs = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comps = _dedup.near_dup_components(pairs)
