@@ -75,6 +75,7 @@ def dedup_gate_batch(
     corpus_dir: str,
     band_table: str,
     n_buckets: int = 8,
+    on_mv_appended=None,
 ) -> DataFrame:
     """One micro-batch through the MV-backed near-dup gate — the unit
     ``run_dedup_gated_ingest`` drives per trigger, factored out so the
@@ -164,6 +165,11 @@ def dedup_gate_batch(
         band_table,
         n_buckets=n_buckets,
     )
+    if on_mv_appended is not None:
+        # fault-injection point for crash rehearsal/pytest: raising HERE
+        # leaves exactly the half-commit window (bands in the MV, docs
+        # not yet in the corpus) that the heal path exists to recover
+        on_mv_appended()
     if self_marked.take(1):
         # heal/replay path: append only docs the corpus doesn't hold yet
         # (a crash before the FIRST batch's corpus write leaves no sink —

@@ -709,3 +709,79 @@ def test_dedup_gated_streaming_ingest(spark, tmp_path):
     assert len(kept) == 2
     kept_a = [d for d in kept if d != 4]
     assert kept_a in ([1], [3])  # keep-first of whichever batch ran first
+
+
+def test_streaming_crash_heal_equals_uninterrupted(spark, tmp_path):
+    """Kill one micro-batch in the half-commit window (bands appended to
+    the MV, docs NOT yet in the corpus — injected via the gate's
+    on_mv_appended fault hook), restart from the SAME checkpoint: the
+    replayed batch takes the self-collision heal path and the final
+    corpus must equal an uninterrupted run's, doc for doc."""
+    from pyspark.errors import StreamingQueryException
+
+    from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
+    from tests.conftest import drop_warehouse_table
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "entirely novel material that shares no shingles with the fox",
+        3: "a third corpus document with its own distinctive shingle mix",
+        4: "the quick brown fox jumps over the lazy dog again and again",
+    }
+    src = str(tmp_path / "in")
+    for k in (1, 2, 3, 4):  # one file => one micro-batch each
+        spark.createDataFrame(
+            [(k, texts[k])], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag, crash_batch):
+        corpus = str(tmp_path / f"corpus_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        table = f"t_crash_heal_{tag}"
+        drop_warehouse_table(spark, table)
+        fired = {"done": False}
+
+        def gate(bdf, bid):
+            bdf = bdf.localCheckpoint()
+            if not bdf.take(1):
+                return
+            hook = None
+            if crash_batch is not None and bid == crash_batch and not fired["done"]:
+                def hook():
+                    fired["done"] = True
+                    raise RuntimeError("injected crash after MV append")
+            dedup_gate_batch(bdf, corpus, table, on_mv_appended=hook)
+
+        def start():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(gate)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            assert fired["done"], "stream died for a reason other than the injected fault"
+            q2 = start()
+            q2.awaitTermination()
+        kept = sorted(
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long, text string")
+            .parquet(corpus)
+            .select("doc_id")
+            .collect()
+        )
+        drop_warehouse_table(spark, table)
+        return kept
+
+    clean = run("clean", None)
+    healed = run("crash", 1)  # batch ids are 0-based; crash the 2nd batch
+    assert healed == clean
+    # sanity on the semantics themselves: doc 4 (dup of 1) dropped
+    assert set(clean) == {1, 2, 3}
