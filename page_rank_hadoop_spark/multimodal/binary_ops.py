@@ -3,14 +3,17 @@
 Image/audio/video payloads are ``binary`` columns with a metadata struct
 (media_type, width/height or sample_rate, codec). The Spark-side plumbing
 — schema, partition-aware batching, Arrow-batched ``mapInPandas`` UDF
-signatures — is real and tested; the actual media decode is stubbed
-because codec libraries are not in this container:
+signatures — is real and tested, and since round 6 so is the decode:
 
-- ``decode_stub=False`` raises NotImplementedError (the production hook:
-  swap in PIL/av/soundfile inside ``_decode_batch``)
+- ``decode_stub=False`` runs REAL decodes (``multimodal/decode.py``:
+  PIL when importable, built-in pure-stdlib PNG and WAV codecs
+  otherwise) — feature extraction and resize over genuine media bytes,
+  identical schemas to the stub path (pinned in tests). Only video
+  container parsing remains a NotImplementedError hook.
 - ``decode_stub=True`` produces a deterministic fake feature vector from
-  the payload bytes, so the distributed pipeline (schema, batch shapes,
-  partitioning) is exercised end-to-end.
+  the payload bytes — the declared oracle queries keep this path (their
+  synthetic payloads are text bytes, not real media, and DuckDB can
+  recompute the fake exactly).
 
 Scale notes: payloads never pass through Python row-at-a-time — Arrow
 batches carry them into pandas; frame-sample/resize return *new* binary
@@ -103,23 +106,32 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     Arrow moves whole partitions as pandas batches; the UDF is pure
     per-batch (no driver state), so the operator scales with partition
-    count. With ``decode_stub=False`` this is where a real image/audio
-    decoder plugs in.
-    """
+    count. ``decode_stub=False`` (round 6) runs the REAL decode
+    (``multimodal/decode.py``: PIL when importable, built-in PNG/WAV
+    codecs otherwise — image → luminance histogram, audio → segment
+    RMS) over genuine payload bytes; identical output schema, pinned
+    stub-vs-real by tests/test_multimodal.py. The declared oracle
+    queries keep the stub (their synthetic payloads are not real
+    media). Video payloads still raise at the decode call — the one
+    remaining codec-library hook."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            from page_rank_hadoop_spark.multimodal.decode import real_features
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL/av); "
-                    "run with decode_stub=True for the deterministic fake"
-                )
+            if decode_stub:
+                feats = pdf["payload"].map(_fake_features)
+            else:
+                feats = [
+                    real_features(b, t)
+                    for b, t in zip(pdf["payload"], pdf["media_type"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": feats,
                 }
             )
 
@@ -131,25 +143,32 @@ def resize_media(media: DataFrame, factor: int = 4, decode_stub: bool = True) ->
     mapInPandas (every ``factor``-th byte in the stub). The Spark-side
     plumbing is the real thing — Arrow batches of binary in AND out, new
     payload column, same partitioning; with ``decode_stub=False`` the
-    byte-stride becomes a real decoder+resampler (PIL image resize /
-    audio downsample) at the marked point. Output rows are 1:1 with
-    input (no explode), so the operator is map-only at any scale.
+    byte-stride IS a real decoder+resampler (round 6:
+    ``decode.real_resize`` — PNG nearest-neighbor decimation, WAV frame
+    decimation at rate/factor). Output rows are 1:1 with input (no
+    explode), so the operator is map-only at any scale.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            from page_rank_hadoop_spark.multimodal.decode import real_resize
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires codec libraries (PIL/av); "
-                    "run with decode_stub=True for the byte-stride stub"
+            if decode_stub:
+                out = pdf["payload"].map(
+                    lambda b: None if b is None else bytes(b[::factor])
                 )
+            else:
+                # real path (round 6): decode → downsample → re-encode
+                # (PNG nearest-neighbor / WAV frame decimation)
+                out = [
+                    real_resize(b, t, factor)
+                    for b, t in zip(pdf["payload"], pdf["media_type"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "payload": pdf["payload"].map(
-                        lambda b: None if b is None else bytes(b[::factor])
-                    ),
+                    "payload": out,
                 }
             )
 

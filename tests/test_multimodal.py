@@ -33,8 +33,14 @@ def test_feature_extraction_shapes(spark):
     assert again[1] == by_id[1]["features"]
 
 
-def test_decode_stub_off_raises(spark):
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+def test_decode_stub_off_rejects_non_media_bytes(spark):
+    """Real-decode path (round 6) actually decodes: synthetic text-byte
+    payloads are not real media and must fail loudly (bad magic bytes or
+    the video codec hook, whichever partition errors first), never fake
+    features."""
+    with pytest.raises(
+        Exception, match="not a PNG|cannot identify|codec library|RIFF"
+    ):
         extract_features(_media(spark), decode_stub=False).collect()
 
 
@@ -63,13 +69,169 @@ def test_resize_media_byte_stride(spark):
     assert out[2] is None           # null payload passes through
 
 
-def test_resize_media_real_decode_is_marked(spark):
-    import pytest
-
+def test_resize_media_real_decode_rejects_garbage(spark):
     from page_rank_hadoop_spark.multimodal.binary_ops import resize_media
 
     media = spark.createDataFrame(
         [(1, "image", bytearray(b"abc"))], "media_id LONG, media_type STRING, payload BINARY"
     )
-    with pytest.raises(Exception, match="codec"):
+    with pytest.raises(Exception, match="not a PNG|cannot identify"):
         resize_media(media, decode_stub=False).collect()
+
+
+def test_video_decode_stays_marked_hook(spark):
+    """Video container parsing is the one remaining codec-library hook."""
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x01\x02\x03"))],
+        "media_id LONG, media_type STRING, payload BINARY",
+    )
+    from page_rank_hadoop_spark.multimodal.binary_ops import extract_features as ef
+
+    with pytest.raises(Exception, match="codec library"):
+        ef(media, decode_stub=False).collect()
+
+
+def _real_png_bytes():
+    """A genuine 8×6 RGB PNG generated in-test: left half black, right
+    half white — decodes to a known luminance histogram."""
+    import numpy as np
+
+    from page_rank_hadoop_spark.multimodal.decode import encode_png
+
+    arr = np.zeros((6, 8, 3), dtype="uint8")
+    arr[:, 4:, :] = 255
+    return encode_png(arr), arr
+
+
+def _real_wav_bytes():
+    """A genuine 16-bit PCM WAV: 800 samples of a 0.5-amplitude square
+    wave — segment RMS is 0.5 everywhere."""
+    import numpy as np
+
+    from page_rank_hadoop_spark.multimodal.decode import encode_wav
+
+    t = np.arange(800)
+    samples = 0.5 * np.where((t // 50) % 2 == 0, 1.0, -1.0).reshape(-1, 1)
+    return encode_wav(samples, 8000), samples
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    from page_rank_hadoop_spark.multimodal.decode import decode_png
+
+    payload, arr = _real_png_bytes()
+    back = decode_png(payload)
+    assert back.shape == arr.shape
+    assert (back == arr).all()
+
+
+def test_png_decoder_handles_all_filters():
+    """Filter reconstruction (Sub/Up/Average/Paeth) against a reference:
+    hand-build a PNG whose lines use every filter type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from page_rank_hadoop_spark.multimodal.decode import _PNG_SIG, decode_png
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    ch = 3
+    lines = []
+    prev = np.zeros(4 * ch, np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        enc = np.zeros_like(cur)
+        for x in range(len(cur)):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == arr).all()
+
+
+def test_real_decode_features_schema_equals_stub(spark):
+    """THE round-6 pin: real-decode features over genuine PNG/WAV bytes
+    come back through the same mapInPandas plumbing with the SAME schema
+    and vector width as the stub path — and the values are the decoded
+    truth (histogram mass split 50/50 for the half-black image, RMS 0.5
+    for the square wave)."""
+    png, _ = _real_png_bytes()
+    wav, _ = _real_wav_bytes()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "audio", bytearray(wav))],
+        "media_id LONG, media_type STRING, payload BINARY",
+    )
+    real = extract_features(media, decode_stub=False)
+    stub = extract_features(media, decode_stub=True)
+    assert real.schema == stub.schema
+    rows = {r["media_id"]: r for r in real.collect()}
+    img, aud = rows[1], rows[2]
+    assert len(img["features"]) == len(aud["features"]) == 8
+    # half-black/half-white: all mass in first and last luminance bins
+    assert img["features"][0] == pytest.approx(0.5)
+    assert img["features"][-1] == pytest.approx(0.5)
+    assert sum(img["features"][1:-1]) == 0.0
+    # 0.5-amplitude square wave: every segment RMS = 0.5
+    for v in aud["features"]:
+        assert v == pytest.approx(0.5, abs=1e-4)  # 16-bit PCM quantization
+    assert img["n_bytes"] == len(png) and aud["n_bytes"] == len(wav)
+
+
+def test_real_resize_roundtrip(spark):
+    """Real resize: PNG comes back as a decodable PNG of strided shape;
+    WAV comes back as decodable PCM with 1/factor frames and rate."""
+    import numpy as np
+
+    from page_rank_hadoop_spark.multimodal.binary_ops import resize_media
+    from page_rank_hadoop_spark.multimodal.decode import decode_png, decode_wav
+
+    png, arr = _real_png_bytes()
+    wav, samples = _real_wav_bytes()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "audio", bytearray(wav))],
+        "media_id LONG, media_type STRING, payload BINARY",
+    )
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(media, factor=2, decode_stub=False).collect()
+    }
+    small = decode_png(out[1])
+    assert small.shape == (3, 4, 3)
+    assert (small == arr[::2, ::2]).all()
+    back, rate = decode_wav(out[2])
+    assert rate == 4000
+    assert back.shape[0] == samples.shape[0] // 2
+    # 16-bit round-trip of ±0.5 is exact to 1 lsb
+    assert np.abs(back - samples[::2]).max() < 2e-4
