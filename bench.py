@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "q_band_index_compacted",
     "q_ann_recall",
     "q_zipf_slope",
+    "q_split_leakage",
+    "q_unigram_logprob",
+    "q_ivf_balance",
 ]
 
 

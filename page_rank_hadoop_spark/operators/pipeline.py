@@ -195,6 +195,35 @@ def hash_split(df: DataFrame, key: str, train_pct: int = 80) -> DataFrame:
     )
 
 
+def split_leakage(pairs: DataFrame, train_pct: int = 80) -> DataFrame:
+    """Train/eval CONTAMINATION audit (round 6): near-dup pairs whose
+    members land on opposite sides of the deterministic hash split — the
+    leakage that silently inflates eval scores when a test doc's
+    near-duplicate sits in training. Input is any (doc_a, doc_b)
+    candidate-pair table (MinHash-LSH pairs here); the split is
+    recomputed from the same md5 arithmetic as ``hash_split``, so the
+    audit needs NO join against a split assignment table — two pure
+    projections on an already-blocked pair set, then a 4-row-bounded
+    groupBy. The (train, val)+(val, train) rows ARE the leak; a clean
+    pipeline drops one member of every cross-split pair (or re-splits by
+    dedup component, q_dedup_components' output) before training."""
+
+    def split_of(col: str):
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+
+    return (
+        pairs.select(
+            split_of("doc_a").alias("split_a"), split_of("doc_b").alias("split_b")
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
 def zorder_key(xcol: str, ycol: str, bits: int = 16) -> "F.Column":
     """Morton/Z-order curve key: interleave the low ``bits`` of two int
     columns (x gets odd bit positions, y even). Sorting or range-

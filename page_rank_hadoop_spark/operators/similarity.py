@@ -576,6 +576,38 @@ def ivf_recall(
     )
 
 
+def ivf_balance(
+    embeddings: DataFrame,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """Bucket-occupancy audit of the IVF assignment — the index-health
+    check every ANN deployment monitors: skewed buckets mean one search
+    probe scans far more than n/C vectors (latency) while empty buckets
+    waste codebook capacity (recall). One map-side assignment pass + a
+    C-row-bounded groupBy; the share column rides a global window OVER
+    THE AGGREGATE (C rows — the aggregate-bounded window shape the plan
+    audit accepts). Feeding a trained codebook (``centroids=``) makes
+    this the training-convergence monitor: balanced buckets are what
+    k-means is optimizing toward."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    assigned = ivf_assign(embeddings, dim=dim, centroids=centroids)
+    counts = assigned.groupBy(
+        F.col("centroid").cast("int").alias("centroid")
+    ).agg(F.count("*").cast("bigint").alias("n_vecs"))
+    return counts.select(
+        "centroid",
+        "n_vecs",
+        F.round(
+            F.col("n_vecs") / F.sum("n_vecs").over(Window.partitionBy()), 6
+        ).alias("share"),
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame, n_iter: int = 3, n_centroids: int = 16, dim: int = 64
 ) -> DataFrame:

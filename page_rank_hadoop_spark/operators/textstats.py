@@ -726,3 +726,34 @@ def zipf_slope(documents: DataFrame) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical distribution — the cheapest perplexity-style quality score
+    a training pipeline runs (docs far below the corpus mean are
+    boilerplate/garbled; far above are repetitive/templated). Kept
+    model-free on purpose: p(t) = freq(t)/total over the corpus itself.
+
+    Scale shape: one token-explode feeding BOTH the vocabulary build and
+    the scoring join; the vocabulary (log-growth) broadcasts back onto
+    the token stream (map-side hash join, the big side never shuffles
+    for the join), the corpus total rides a broadcast 1-row aggregate,
+    and the per-doc rollup is the only keyed shuffle. Engine
+    determinism: ln(p) is 6dp-prerounded per token and the doc mean
+    6dp-rounded (the linreg moment rule)."""
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("freq"))
+    total = vocab.agg(F.sum("freq").cast("bigint").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("freq") / F.col("total")), 6).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

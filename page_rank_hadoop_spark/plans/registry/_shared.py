@@ -600,3 +600,27 @@ def _sql_ivf_recall(k: int = 10, n_probes: int = 16, n_centroids: int = N_CENTRO
         ON e.probe_id = x.probe_id AND e.vec_id = x.vec_id
       GROUP BY e.probe_id
     """
+
+
+def _sql_ivf_balance(n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+    """IVF bucket-occupancy oracle: same sin centroids + first-of-max
+    assignment; share = per-bucket count over the window'd total."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    return f"""
+      WITH assigned AS (
+        SELECT vec_id,
+               list_position({sims_of('embedding::DOUBLE[]')},
+                             list_max({sims_of('embedding::DOUBLE[]')})) AS c
+        FROM embeddings
+      )
+      SELECT (c - 1)::INT AS centroid,  -- list_position is 1-based; ivf_assign ids are 0-based
+             count(*)::BIGINT AS n_vecs,
+             round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS share
+      FROM assigned GROUP BY c
+    """

@@ -44,6 +44,7 @@ from page_rank_hadoop_spark.plans.registry._shared import (
     _sql_kmeans_step,
     _sql_kmeans_train,
     _sql_media_features,
+    _sql_ivf_balance,
     _sql_ivf_recall,
     _sql_minhash_ctes,
     _sql_pagerank_iters,
@@ -1071,4 +1072,25 @@ def contribute(oracles: dict[str, str]) -> None:
     """
     oracles["q_ann_recall"] = _sql_ivf_recall(
         k=10, n_probes=16, n_centroids=N_CENTROIDS, dim=EMB_DIM
+    )
+
+    # --- round 6b ---
+    oracles["q_split_leakage"] = f"""
+      WITH {_sql_minhash_ctes()},
+      pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT
+        CASE WHEN ('0x' || substr(md5(doc_a::VARCHAR), 1, 8))::BIGINT % 100 < 80
+             THEN 'train' ELSE 'val' END AS split_a,
+        CASE WHEN ('0x' || substr(md5(doc_b::VARCHAR), 1, 8))::BIGINT % 100 < 80
+             THEN 'train' ELSE 'val' END AS split_b,
+        count(*)::BIGINT AS n_pairs
+      FROM pr GROUP BY 1, 2
+    """
+    oracles["q_ivf_balance"] = _sql_ivf_balance(
+        n_centroids=N_CENTROIDS, dim=EMB_DIM
     )

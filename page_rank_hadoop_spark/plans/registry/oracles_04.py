@@ -437,3 +437,16 @@ def contribute(oracles: dict[str, str]) -> None:
              round(my - (cxy / vx) * mx, 6) AS intercept
       FROM mom
     """
+
+    # --- round 6b ---
+    oracles["q_unigram_logprob"] = f"""
+      WITH toks AS (SELECT doc_id, term FROM ({SQL_TOKEN_STREAM})),
+      vocab AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term),
+      tot AS (SELECT sum(freq)::BIGINT AS total FROM vocab),
+      scored AS (
+        SELECT t.doc_id, round(ln(v.freq::DOUBLE / (SELECT total FROM tot)), 6) AS lp
+        FROM toks t JOIN vocab v USING (term)
+      )
+      SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    """

@@ -842,3 +842,10 @@ def q_zipf_slope(spark, sf):
     (operators/textstats.zipf_slope) — corpus-level QA signal; one
     token-explode + vocab-sized everything-after."""
     return textstats.zipf_slope(_docs(spark, sf))
+
+
+def q_unigram_logprob(spark, sf):
+    """Round-6b: per-doc mean unigram log-probability under the corpus's
+    own empirical distribution (textstats.unigram_logprob) — the
+    model-free perplexity-style quality score."""
+    return textstats.unigram_logprob(_docs(spark, sf))

@@ -755,3 +755,19 @@ def q_ann_recall(spark, sf):
     return similarity.ivf_recall(
         emb, k=10, n_probes=16, n_centroids=N_CENTROIDS, dim=EMB_DIM
     )
+
+
+def q_split_leakage(spark, sf):
+    """Round-6b: train/eval contamination audit — MinHash near-dup pairs
+    bucketed by which side of the deterministic hash split each member
+    landed on (operators/pipeline.split_leakage). The cross-split rows
+    ARE the leakage a clean pipeline must drop before training."""
+    return pipeline.split_leakage(_minhash_pairs(spark, sf), train_pct=80)
+
+
+def q_ivf_balance(spark, sf):
+    """Round-6b: IVF bucket-occupancy audit (similarity.ivf_balance) —
+    per-centroid counts + share, the index-health metric behind the
+    C ∝ n rule."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ivf_balance(emb, n_centroids=N_CENTROIDS, dim=EMB_DIM)

@@ -81,3 +81,55 @@ def test_band_index_compacted_query_matches_one_shot(spark):
     docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
     want = sorted(tuple(r) for r in dedup.minhash_band_table(docs).collect())
     assert got == want
+
+
+def test_split_leakage_counts_match_md5_arithmetic(spark):
+    """Known pairs + split recomputed in-test via the same md5 bucket
+    arithmetic → exact group counts."""
+    import hashlib
+
+    from page_rank_hadoop_spark.operators import pipeline
+
+    ids = list(range(1, 41))
+
+    def split(i):
+        return "train" if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 80 else "val"
+
+    pairs = [(a, a + 20) for a in ids[:20]]
+    pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in pipeline.split_leakage(pdf, train_pct=80).collect()
+    }
+    want = {}
+    for a, b in pairs:
+        k = (split(a), split(b))
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert sum(got.values()) == 20
+
+
+def test_unigram_logprob_exact_tiny_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in textstats.unigram_logprob(docs).collect()}
+    # vocab: aa=3, bb=1, total=4
+    lp_aa, lp_bb = round(math.log(3 / 4), 6), round(math.log(1 / 4), 6)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == pytest.approx(
+        round((2 * lp_aa + lp_bb) / 3, 6), abs=1e-6
+    )
+    assert rows[2]["n_tokens"] == 1
+    assert rows[2]["avg_logprob"] == pytest.approx(lp_aa, abs=1e-6)
+
+
+def test_ivf_balance_shares_sum_to_one(spark, emb):
+    out = similarity.ivf_balance(emb, n_centroids=16, dim=DIM).collect()
+    n = emb.count()
+    assert sum(r["n_vecs"] for r in out) == n
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-3)
+    one = similarity.ivf_balance(emb, n_centroids=1, dim=DIM).collect()
+    assert len(one) == 1 and one[0]["share"] == 1.0 and one[0]["n_vecs"] == n
