@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "q_split_leakage",
     "q_unigram_logprob",
     "q_ivf_balance",
+    "q_containment_pairs",
+    "q_pq_report",
+    "q_dim_profile",
 ]
 
 

@@ -895,6 +895,65 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: c(A→B) = |A∩B| / |A| over
+    distinct word-``n``-grams — the partial-duplication detector Jaccard
+    structurally misses. A short doc quoted verbatim inside a much longer
+    one has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+    Jaccard-thresholded dedup keeps both and the training set still
+    carries the duplicated passage. This is the measure behind
+    quote/boilerplate-inclusion audits and the keep-the-superset rule
+    (drop the contained doc, keep the container).
+
+    Identical scale shape to ``ngram_jaccard_pairs`` (same inverted-index
+    self-join, same two shuffles, same ``max_shingle_df`` hot-shingle
+    guard); only the final scoring differs — both directions are emitted
+    so the consumer can distinguish A-inside-B from B-inside-A. Pairs
+    pass when EITHER direction clears ``min_containment`` (6dp-rounded,
+    the engine-portable comparison rule)."""
+    base = ensure_parallel(documents).select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", F.array_distinct(word_shingles_of(F.col("toks"), n)).alias("arr")
+    )
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = base.select("doc_id", F.size("arr").alias("n_shingles"))
+    sh = base.select("doc_id", F.explode("arr").alias("shingle"))
+    if max_shingle_df is not None:
+        sh = _drop_hot_keys(sh, ["shingle"], max_shingle_df)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("size_a"), 6).alias("cont_a_in_b"),
+            F.round(F.col("n_common") / F.col("size_b"), 6).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= min_containment)
+            | (F.col("cont_b_in_a") >= min_containment)
+        )
+    )
+    out = out.localCheckpoint()
+    base.unpersist()
+    return out
+
+
 def fuzzy_name_pairs(
     entities: DataFrame,
     key: str,

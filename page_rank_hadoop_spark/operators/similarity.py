@@ -875,3 +875,119 @@ def quantize_embeddings_report(embeddings: DataFrame, dim: int = 64) -> DataFram
             F.round(F.max(err), 6).alias("max_abs_err"),
         )
     )
+
+
+def pq_codebook(m: int = 8, n_codes: int = 16, subdim: int = 8) -> dict[int, Centroids]:
+    """Deterministic product-quantization sub-codebooks: subspace ``s``'s
+    codebook is the seed-centroid family at id offset ``s·n_codes`` and
+    dimension ``subdim`` — same sin() construction as ``seed_centroids``,
+    so every engine (and the DuckDB oracle) regenerates it bit-identically.
+    Production swaps in per-subspace k-means codebooks exactly as
+    ``centroids_from_kmeans`` does for IVF."""
+    import math
+
+    return {
+        s: [
+            (k, [math.sin((s * n_codes + k) * 2971 + j * 7919) for j in range(subdim)])
+            for k in range(n_codes)
+        ]
+        for s in range(m)
+    }
+
+
+def pq_quantization_report(
+    embeddings: DataFrame, m: int = 8, n_codes: int = 16, dim: int = 64
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) encode + quality report:
+    split each ``dim``-vector into ``m`` contiguous subvectors, assign
+    each subvector to its nearest (squared-L2) code in that subspace's
+    ``n_codes``-entry codebook, and report per (subspace, code): how many
+    vectors landed there and their mean quantization error. PQ is THE
+    memory-bound ANN compression (dim·4 bytes → m bytes per vector, 32×
+    here) — this report is the fidelity audit run before committing an
+    index to PQ codes, and its occupancy column is the per-subspace
+    analog of ``ivf_balance``.
+
+    Scale shape: pure map-side encode (the codebooks are literals — no
+    join, nothing collected) followed by ONE m·n_codes-row-bounded
+    partial agg; the explode multiplies rows ×m but each carries 3 small
+    columns, not the vector. Engine determinism: subvectors are
+    materialized columns (HOFs re-evaluate per lambda scope otherwise),
+    each distance is a left-fold of (x−c)² terms — bit-identical to the
+    oracle's explicit left-associated sum — and per-row errors are
+    6dp-prerounded before the 6dp-rounded mean (the moment rule)."""
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    subdim = dim // m
+    books = pq_codebook(m, n_codes, subdim)
+    # Stage 1: materialize the m subvector columns once.
+    subs = ensure_parallel(embeddings).select(
+        "vec_id",
+        *[
+            F.slice(F.col("embedding"), s * subdim + 1, subdim).alias(f"_s{s}")
+            for s in range(m)
+        ],
+    )
+    # Stage 2: per subspace, the 16 squared-L2 distances as ONE
+    # materialized array; argmin = first position of the min (same
+    # tie-break as the oracle's list_position).
+    def dists_of(s: int):
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"_s{s}"),
+                        F.array(*[F.lit(c) for c in cv]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                for _, cv in books[s]
+            ]
+        )
+
+    with_d = subs.select(
+        "vec_id", *[dists_of(s).alias(f"_d{s}") for s in range(m)]
+    )
+    enc = with_d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        (F.array_position(f"_d{s}", F.array_min(f"_d{s}")) - 1)
+                        .cast("int")
+                        .alias("code"),
+                        F.round(F.array_min(f"_d{s}"), 6).alias("err"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.subspace", "e.code", "e.err")
+    return enc.groupBy("subspace", "code").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg("err"), 6).alias("avg_sq_err"),
+    )
+
+
+def embedding_dim_profile(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-dimension distribution profile of the embedding column — the
+    drift/health monitor a production vector pipeline runs on every new
+    embedding batch (a collapsed dimension, a mean shift, or a variance
+    blow-up is how a bad encoder deploy or a normalization regression
+    shows up BEFORE recall degrades). One posexplode + a dim-row-bounded
+    partial agg; the shuffle carries 4 doubles per (partition, dim).
+    avg/std are 6dp-rounded (partial-agg summation-order rule); min/max
+    are exact float widenings, rounded only for output uniformity."""
+    x = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select((F.col("d") + 1).alias("d"), F.col("x").cast("double").alias("x"))
+    return x.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_samp("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )

@@ -624,3 +624,39 @@ def _sql_ivf_balance(n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
              round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS share
       FROM assigned GROUP BY c
     """
+
+
+def _sql_pq_report(m: int = 8, n_codes: int = 16, dim: int = 64) -> str:
+    """Product-quantization oracle: per-subspace sub-codebooks from the
+    same sin() family, squared-L2 as an explicit left-associated sum
+    (bit-identical to Spark's F.aggregate fold), first-of-min assignment,
+    6dp-prerounded per-row error under the 6dp-rounded mean."""
+    import math
+
+    subdim = dim // m
+
+    def dist(s: int, k: int) -> str:
+        expr = "0.0"
+        for j in range(subdim):
+            c = repr(math.sin((s * n_codes + k) * 2971 + j * 7919))
+            term = f"(v[{s * subdim + j + 1}] - {c}) * (v[{s * subdim + j + 1}] - {c})"
+            expr = f"({expr} + {term})"
+        return expr
+
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {s} AS subspace, ["
+        + ", ".join(dist(s, k) for k in range(n_codes))
+        + "] AS dl FROM e"
+        for s in range(m)
+    )
+    return f"""
+      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      enc AS (
+        {arms}
+      )
+      SELECT subspace::INT AS subspace,
+             (list_position(dl, list_min(dl)) - 1)::INT AS code,
+             count(*)::BIGINT AS n_vecs,
+             round(avg(round(list_min(dl), 6)), 6) AS avg_sq_err
+      FROM enc GROUP BY 1, 2
+    """

@@ -1094,3 +1094,47 @@ def contribute(oracles: dict[str, str]) -> None:
     oracles["q_ivf_balance"] = _sql_ivf_balance(
         n_centroids=N_CENTROIDS, dim=EMB_DIM
     )
+    contribute_round6b(oracles)
+
+
+def contribute_round6b(oracles: dict[str, str]) -> None:
+    from page_rank_hadoop_spark.plans.registry._shared import (
+        SQL_TOKENS as _T,
+        _sql_pq_report,
+    )
+
+    # Same shingle CTEs as q_ngram_jaccard; only the scoring differs —
+    # both containment directions, OR'd 6dp-rounded threshold.
+    oracles["q_containment_pairs"] = f"""
+      WITH toks AS (SELECT doc_id, {_T} AS l FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+               ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]
+          END)) AS shingle
+        FROM toks
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT i.doc_a, i.doc_b,
+             round(i.n_common / sa.n_shingles, 6) AS cont_a_in_b,
+             round(i.n_common / sb.n_shingles, 6) AS cont_b_in_a
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE round(i.n_common / sa.n_shingles, 6) >= 0.8
+         OR round(i.n_common / sb.n_shingles, 6) >= 0.8
+    """
+
+    oracles["q_pq_report"] = _sql_pq_report(m=8, n_codes=16, dim=64)
+
+    oracles["q_dim_profile"] = """
+      WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      x AS (SELECT g.d, v[g.d] AS x FROM e CROSS JOIN generate_series(1, 64) AS g(d))
+      SELECT d::INT AS d, count(*)::BIGINT AS n_vecs,
+             round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
+             round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+      FROM x GROUP BY d
+    """

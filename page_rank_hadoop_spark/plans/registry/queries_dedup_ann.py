@@ -771,3 +771,28 @@ def q_ivf_balance(spark, sf):
     C ∝ n rule."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.ivf_balance(emb, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+
+
+def q_containment_pairs(spark, sf):
+    """Round-6b: asymmetric shingle-containment pairs
+    (dedup.containment_pairs) — the partial-duplication detector that
+    catches a short doc quoted inside a long one where Jaccard reads ~0."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup.containment_pairs(docs, n=3, min_containment=0.8)
+
+
+def q_pq_report(spark, sf):
+    """Round-6b: product-quantization encode + fidelity report
+    (similarity.pq_quantization_report) — per (subspace, code) occupancy
+    and mean squared quantization error, the audit run before committing
+    an ANN index to PQ codes."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_quantization_report(emb, m=8, n_codes=16, dim=EMB_DIM)
+
+
+def q_dim_profile(spark, sf):
+    """Round-6b: per-dimension embedding distribution profile
+    (similarity.embedding_dim_profile) — the drift monitor for encoder
+    deploys: collapsed dims / mean shifts / variance blow-ups."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_dim_profile(emb, dim=EMB_DIM)

@@ -133,3 +133,82 @@ def test_ivf_balance_shares_sum_to_one(spark, emb):
     assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-3)
     one = similarity.ivf_balance(emb, n_centroids=1, dim=DIM).collect()
     assert len(one) == 1 and one[0]["share"] == 1.0 and one[0]["n_vecs"] == n
+
+
+def test_containment_pairs_subset_doc(spark):
+    """A doc wholly contained in a longer one: containment(A→B)=1.0 while
+    Jaccard is low — the case the operator exists for."""
+    from page_rank_hadoop_spark.operators import dedup
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    # filler must be alphabetic — the tokenizer regex drops digits
+    outer = inner + " " + " ".join(
+        f"fill{chr(97 + i)} pad{chr(97 + i)} bulk{chr(97 + i)}" for i in range(26)
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "totally unrelated text here")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.containment_pairs(docs, n=3, min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0  # all of A's shingles inside B
+    assert r["cont_b_in_a"] < 0.1  # but B is mostly NOT in A
+
+
+def test_containment_pairs_symmetric_on_identical(spark):
+    from page_rank_hadoop_spark.operators import dedup
+
+    t = "one two three four five six seven"
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    r = dedup.containment_pairs(docs, n=3, min_containment=0.9).collect()[0]
+    assert r["cont_a_in_b"] == 1.0 and r["cont_b_in_a"] == 1.0
+
+
+def test_pq_report_covers_all_vectors_and_codes_in_range(spark, emb):
+    out = similarity.pq_quantization_report(emb, m=8, n_codes=16, dim=DIM).collect()
+    n = emb.count()
+    by_sub = {}
+    for r in out:
+        assert 0 <= r["subspace"] < 8 and 0 <= r["code"] < 16
+        assert r["avg_sq_err"] >= 0
+        by_sub[r["subspace"]] = by_sub.get(r["subspace"], 0) + r["n_vecs"]
+    # every subspace partitions the full corpus
+    assert by_sub == {s: n for s in range(8)}
+
+
+def test_pq_report_matches_numpy_argmin(spark, emb):
+    """Spark's per-subspace assignment equals a NumPy recomputation —
+    pins the subvector slicing, codebook layout, and argmin tie rule."""
+    import numpy as np
+
+    books = similarity.pq_codebook(m=8, n_codes=16, subdim=8)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    want = {}
+    for s in range(8):
+        codes = np.array([cv for _, cv in books[s]])
+        for v in vecs.values():
+            sub = v[s * 8:(s + 1) * 8]
+            d = ((sub - codes) ** 2).sum(axis=1)
+            k = int(d.argmin())
+            key = (s, k)
+            want[key] = want.get(key, 0) + 1
+    got = {
+        (r["subspace"], r["code"]): r["n_vecs"]
+        for r in similarity.pq_quantization_report(emb, m=8, n_codes=16, dim=DIM).collect()
+    }
+    assert got == want
+
+
+def test_embedding_dim_profile_exact_tiny(spark):
+    import statistics
+
+    data = [(1, [1.0, 10.0]), (2, [3.0, 20.0]), (3, [5.0, 60.0])]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"])
+    rows = {r["d"]: r for r in similarity.embedding_dim_profile(df, dim=2).collect()}
+    assert rows[1]["n_vecs"] == 3 and rows[1]["mean"] == 3.0
+    assert rows[1]["min_x"] == 1.0 and rows[1]["max_x"] == 5.0
+    assert rows[2]["std"] == pytest.approx(
+        round(statistics.stdev([10.0, 20.0, 60.0]), 6), abs=1e-6
+    )
