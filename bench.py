@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "q_containment_pairs",
     "q_pq_report",
     "q_dim_profile",
+    "q_bigram_logprob",
+    "q_lsh_verified_pairs",
 ]
 
 

@@ -1092,3 +1092,53 @@ def sorted_neighborhood_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def lsh_verified_pairs(
+    documents: DataFrame,
+    min_edit_sim: float = 0.4,
+    verify_prefix: int = 500,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Candidate-generate-then-VERIFY near-dup pairs: MinHash-LSH band
+    candidates (minhash_lsh_pairs) re-scored with an exact edit-distance
+    similarity on the first ``verify_prefix`` chars — the production
+    dedup shape where the cheap probabilistic stage only proposes and a
+    deterministic verifier decides. edit_sim = 1 − lev/max(len); pairs
+    below ``min_edit_sim`` (LSH false positives) are dropped.
+
+    Scale shape: candidates ≪ corpus by LSH construction, so the two
+    text-fetch joins are keyed joins where the big (corpus) side
+    shuffles once each on doc_id — or, bucketed by doc_id at rest,
+    shuffle-free. Levenshtein is O(len²) per pair; ``verify_prefix``
+    caps that at a constant (production would verify on a stored prefix
+    column, never full 100 KB docs). No rounding hazard: lengths and
+    edit distance are exact integers, the ratio a single IEEE divide.
+    """
+    pairs = minhash_lsh_pairs(
+        documents, shingle_k, n_hashes, n_bands, max_bucket_size, hash_fn
+    )
+    v = documents.select(
+        "doc_id", F.substring("text", 1, verify_prefix).alias("vtext")
+    )
+    va = v.select(F.col("doc_id").alias("doc_a"), F.col("vtext").alias("ta"))
+    vb = v.select(F.col("doc_id").alias("doc_b"), F.col("vtext").alias("tb"))
+    longest = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.when(longest == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein("ta", "tb").cast("double") / longest
+    )
+    return (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands_shared",
+            F.round(sim, 6).alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= min_edit_sim)
+    )

@@ -757,3 +757,66 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def bigram_logprob(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """Per-document mean bigram log-probability with add-k smoothing —
+    the KenLM-lite fluency score one tier above ``unigram_logprob``:
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) is the
+    count of bigrams starting with w1 and V the corpus unigram
+    vocabulary. Catches locally-scrambled text (right words, wrong
+    order) that the unigram score by construction cannot see. Docs with
+    fewer than two tokens have no bigrams and drop out (inner-join
+    semantics, deterministic in both engines).
+
+    Scale shape: one posexplode feeds the per-doc ``lead`` window
+    (partitioned by doc_id — never global), the bigram/prefix count
+    tables, and the scoring joins. Both count joins key on the bigram /
+    its prefix — plain shuffle hash joins at 100 TB (the bigram vocab
+    outgrows broadcast; AQE may still broadcast the small-corpus case).
+    V rides a broadcast 1-row aggregate. Engine determinism: ln is
+    snapped to exact integer micro-units (round(ln·1e6) as BIGINT) so
+    the per-doc sum is exact integer arithmetic, and the mean uses an
+    explicit floor(sum/n) rule — avg-of-rounded-doubles lands exactly
+    on the 6dp half-boundary often enough (measured: doc 254 at sf0.01)
+    that engines disagree on the last digit; floor over exact integers
+    cannot.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("term").alias("w1"),
+            F.lead("term").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab_n = toks.agg(F.countDistinct("term").cast("bigint").alias("v"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v")))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lpm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (
+            F.floor(F.sum("lpm").cast("double") / F.count("*")) / F.lit(1e6)
+        ).alias("avg_logprob"),
+    )

@@ -14,6 +14,7 @@ from page_rank_hadoop_spark.plans.registry._shared import (
     SQL_TOKENS,
     SQL_TOKEN_STREAM,
     TFIDF_TERMS,
+    _sql_minhash_ctes,
     _sql_pagerank_iters,
 )
 
@@ -449,4 +450,51 @@ def contribute(oracles: dict[str, str]) -> None:
       )
       SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lp), 6) AS avg_logprob
       FROM scored GROUP BY doc_id
+    """
+
+    # --- round 6c ---
+    oracles["q_bigram_logprob"] = f"""
+      WITH toks AS (SELECT doc_id, pos, term FROM ({SQL_TOKEN_STREAM})),
+      big AS (
+        SELECT doc_id, term AS w1,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+      ),
+      bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+      c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+      vv AS (SELECT count(DISTINCT term)::BIGINT AS v FROM toks),
+      scored AS (
+        SELECT g.doc_id,
+               round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT v FROM vv))) * 1e6)::BIGINT AS lpm
+        FROM bg g JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      )
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             floor(sum(lpm)::DOUBLE / count(*)) / 1e6 AS avg_logprob
+      FROM scored GROUP BY doc_id
+    """
+
+    oracles["q_lsh_verified_pairs"] = f"""
+      WITH {_sql_minhash_ctes()},
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(DISTINCT a.band)::INT AS n_bands_shared
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      v AS (SELECT doc_id, substr(text, 1, 500) AS vtext FROM documents),
+      scored AS (
+        SELECT p.doc_a, p.doc_b, p.n_bands_shared,
+               round(CASE WHEN greatest(length(va.vtext), length(vb.vtext)) = 0
+                     THEN 1.0
+                     ELSE 1.0 - levenshtein(va.vtext, vb.vtext)::DOUBLE
+                              / greatest(length(va.vtext), length(vb.vtext))
+                     END, 6) AS edit_sim
+        FROM pairs p
+        JOIN v va ON va.doc_id = p.doc_a
+        JOIN v vb ON vb.doc_id = p.doc_b
+      )
+      SELECT doc_a, doc_b, n_bands_shared, edit_sim
+      FROM scored WHERE edit_sim >= 0.4
     """

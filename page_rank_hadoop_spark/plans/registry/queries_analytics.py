@@ -849,3 +849,10 @@ def q_unigram_logprob(spark, sf):
     own empirical distribution (textstats.unigram_logprob) — the
     model-free perplexity-style quality score."""
     return textstats.unigram_logprob(_docs(spark, sf))
+
+
+def q_bigram_logprob(spark, sf):
+    """Round-6c: per-doc mean add-k-smoothed bigram log-probability
+    (textstats.bigram_logprob) — the KenLM-lite fluency score that
+    catches locally-scrambled text the unigram score cannot see."""
+    return textstats.bigram_logprob(_docs(spark, sf))

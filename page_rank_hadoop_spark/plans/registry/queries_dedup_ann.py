@@ -796,3 +796,12 @@ def q_dim_profile(spark, sf):
     deploys: collapsed dims / mean shifts / variance blow-ups."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.embedding_dim_profile(emb, dim=EMB_DIM)
+
+
+def q_lsh_verified_pairs(spark, sf):
+    """Round-6c: MinHash-LSH candidates re-scored by exact prefix
+    edit-distance (dedup.lsh_verified_pairs) — the candidate-then-verify
+    production dedup shape; LSH false positives are dropped by the
+    deterministic verifier."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return dedup.lsh_verified_pairs(docs, min_edit_sim=0.4, verify_prefix=500)

@@ -212,3 +212,71 @@ def test_embedding_dim_profile_exact_tiny(spark):
     assert rows[2]["std"] == pytest.approx(
         round(statistics.stdev([10.0, 20.0, 60.0]), 6), abs=1e-6
     )
+
+
+def test_bigram_logprob_tiny_exact(spark):
+    """Hand-computed add-0.5 bigram logprob on a 2-doc corpus: pins the
+    count tables, smoothing formula, and the micro-unit floor mean."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in textstats.bigram_logprob(docs).collect()}
+    # bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b),(b,c)
+    # c2: (a,b)=3, (b,a)=1, (b,c)=1; c1: a=3, b=2; V=3
+    v = 3
+    lp = {
+        ("a", "b"): math.log((3 + 0.5) / (3 + 0.5 * v)),
+        ("b", "a"): math.log((1 + 0.5) / (2 + 0.5 * v)),
+        ("b", "c"): math.log((1 + 0.5) / (2 + 0.5 * v)),
+    }
+    lpm = {k: round(x * 1e6) for k, x in lp.items()}
+    d1 = math.floor((lpm[("a", "b")] * 2 + lpm[("b", "a")]) / 3) / 1e6
+    d2 = math.floor((lpm[("a", "b")] + lpm[("b", "c")]) / 2) / 1e6
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["avg_logprob"] == d1
+    assert rows[2]["n_bigrams"] == 2 and rows[2]["avg_logprob"] == d2
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    """Docs with <2 tokens produce no bigram rows (inner semantics)."""
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")], ["doc_id", "text"]
+    )
+    out = textstats.bigram_logprob(docs).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+def test_lsh_verified_pairs_drops_false_positives(spark):
+    """A pair of near-identical docs survives the edit-distance verify;
+    candidates whose texts differ wholesale are dropped even when LSH
+    banding proposes them (min_edit_sim gate)."""
+    from page_rank_hadoop_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "hazy")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, base)], ["doc_id", "text"]
+    )
+    out = dedup.lsh_verified_pairs(docs, min_edit_sim=0.9, verify_prefix=500)
+    got = {(r["doc_a"], r["doc_b"]): r["edit_sim"] for r in out.collect()}
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    # near pair differs by 1 char per repeat within the 500-char prefix
+    if (1, 2) in got:
+        assert 0.9 <= got[(1, 2)] < 1.0
+
+
+def test_lsh_verified_pairs_verify_prefix_caps_cost(spark):
+    """edit_sim is computed on the prefix only: two docs identical in the
+    first verify_prefix chars score 1.0 even if their tails diverge."""
+    from page_rank_hadoop_spark.operators import dedup
+
+    head = "shared prefix text that is long enough to shingle " * 4
+    docs = spark.createDataFrame(
+        [(1, head + "tail one"), (2, head + "completely different ending")],
+        ["doc_id", "text"],
+    )
+    out = dedup.lsh_verified_pairs(
+        docs, min_edit_sim=0.5, verify_prefix=len(head)
+    ).collect()
+    assert len(out) == 1 and out[0]["edit_sim"] == 1.0
