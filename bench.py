@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q_dim_profile",
     "q_bigram_logprob",
     "q_lsh_verified_pairs",
+    "q_blocklist_matches",
+    "q_quality_funnel",
 ]
 
 

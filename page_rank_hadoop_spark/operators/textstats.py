@@ -820,3 +820,143 @@ def bigram_logprob(documents: DataFrame, k: float = 0.5) -> DataFrame:
             F.floor(F.sum("lpm").cast("double") / F.count("*")) / F.lit(1e6)
         ).alias("avg_logprob"),
     )
+
+
+def blocklist_matches(documents: DataFrame, phrases: list[str]) -> DataFrame:
+    """Match a corpus against a banned-phrase list in ONE scan: token
+    n-grams of each needed length are exploded once and equi-joined
+    against the broadcast blocklist — the production content-filter
+    shape. N substring scans (``text LIKE '%p%'`` per phrase) re-read
+    the corpus N times and cannot be indexed; the n-gram join reads it
+    once per distinct phrase LENGTH (usually 1-3 passes for thousands
+    of phrases) and matches on a hash join. Matching is token-level
+    (lowercased ``[a-z]+`` stream), so punctuation/case variants of a
+    banned phrase still hit — what a naive LIKE misses.
+
+    Output: (doc_id, phrase, n_matches) — one row per document per
+    matched phrase, n_matches counting overlapping occurrences by
+    start position. Clean docs and unmatched phrases emit no row
+    (inner-join semantics).
+
+    Scale shape: gram fanout is ~|tokens| rows per distinct length —
+    map-side explode, no shuffle; the blocklist (bounded, curated)
+    broadcasts, built JVM-side via explode(array(lit..)) so no Python
+    RDD scan enters the plan; the only shuffle is the final
+    (doc_id, phrase) count partial agg.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    plist = sorted({tuple(p.split()) for p in phrases})
+    if not plist:
+        raise ValueError("blocklist_matches needs at least one phrase")
+    lengths = sorted({len(p) for p in plist})
+    toks = ensure_parallel(documents).select("doc_id", tokens("text").alias("_t"))
+
+    def _gram(n: int):
+        # factory, not a defaulted lambda: a two-parameter lambda inside
+        # F.transform is silently treated as (element, array_index)
+        return lambda i: F.array_join(F.slice("_t", i + 1, n), " ")
+
+    streams = []
+    for length in lengths:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("_t") - length), _gram(length)
+        )
+        streams.append(
+            toks.where(F.size("_t") >= length)
+            .select("doc_id", F.explode(grams).alias("gram"))
+        )
+    all_grams = streams[0]
+    for s in streams[1:]:
+        all_grams = all_grams.unionByName(s)
+    bl = (
+        documents.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(" ".join(p)) for p in plist])
+            ).alias("phrase")
+        )
+    )
+    return (
+        all_grams.join(F.broadcast(bl), all_grams["gram"] == bl["phrase"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+    )
+
+
+def quality_funnel(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    ttr_min: float = 0.35,
+    top_share_max: float = 0.2,
+    dedup_prefix: int = 30,
+) -> DataFrame:
+    """Staged corpus-filter funnel report: how many documents survive
+    each gate of a standard LLM ingest pipeline — (1) length, (2)
+    repetition (type-token ratio + top-token share, the Gopher-style
+    signals), (3) prefix-exact dedup keep-first. The observability
+    query every pipeline run emits: drop-rate per stage, applied
+    CUMULATIVELY (a doc must pass all earlier gates to be counted
+    downstream). The keep-first rule is evaluated corpus-wide (the
+    dedup index sees every doc), independent of the other gates.
+
+    Output: (stage, n_in, n_out) — 4 rows, stage names prefixed
+    ``00_..03_`` so lexicographic order IS pipeline order.
+
+    Scale shape: one tokenize → (doc, term) tf shuffle → per-doc
+    signal rollup; the dedup keep-first is one groupBy on the prefix
+    hash joined back (keyed, no window); the funnel itself collapses
+    to a SINGLE 1-row conditional aggregate unpivoted map-side — no
+    per-stage rescans of the corpus. Determinism: ttr/top-share are
+    exact-int divides compared raw (identical IEEE ops both engines).
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = ensure_parallel(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    sig = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_tf"),
+    )
+    base = documents.select(
+        "doc_id", F.md5(F.substring("text", 1, dedup_prefix)).alias("h")
+    )
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flags = (
+        base.join(sig, "doc_id", "left")
+        .join(keep, "h")
+        .select(
+            (F.coalesce(F.col("n_tokens"), F.lit(0)) >= min_tokens).alias("f1"),
+            (
+                (F.col("n_distinct").cast("double") / F.col("n_tokens") >= ttr_min)
+                & (F.col("max_tf").cast("double") / F.col("n_tokens") <= top_share_max)
+            ).alias("_rep"),
+            (F.col("doc_id") == F.col("keep_id")).alias("_uniq"),
+        )
+        .select(
+            "f1",
+            (F.col("f1") & F.coalesce(F.col("_rep"), F.lit(False))).alias("f2"),
+            F.col("_uniq"),
+        )
+        .select("f1", "f2", (F.col("f2") & F.col("_uniq")).alias("f3"))
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum(F.col("f1").cast("long")).cast("long").alias("n1"),
+        F.sum(F.col("f2").cast("long")).cast("long").alias("n2"),
+        F.sum(F.col("f3").cast("long")).cast("long").alias("n3"),
+    )
+    stages = F.array(
+        F.struct(F.lit("00_all").alias("stage"), F.col("n0").alias("n_in"), F.col("n0").alias("n_out")),
+        F.struct(F.lit("01_length").alias("stage"), F.col("n0").alias("n_in"), F.col("n1").alias("n_out")),
+        F.struct(F.lit("02_repetition").alias("stage"), F.col("n1").alias("n_in"), F.col("n2").alias("n_out")),
+        F.struct(F.lit("03_dedup_prefix").alias("stage"), F.col("n2").alias("n_in"), F.col("n3").alias("n_out")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_in").alias("n_in"),
+        F.col("s.n_out").alias("n_out"),
+    )

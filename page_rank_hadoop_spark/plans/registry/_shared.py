@@ -170,6 +170,16 @@ DF_CUTOFF_DECLARED = 300  # testdata vocabulary df range is 25..~400; the
 # reference's 3000 cutoff (invertedIndex.scala:93) would keep everything —
 # 300 keeps the HAVING branch observable. inverted_index() defaults to 3000.
 PHRASE = ("stream", "data")  # adjacent-token phrase present at every SF
+# banned-phrase list for the blocklist filter: mixed 2- and 3-gram
+# lengths (exercises the one-pass-per-length path); the last phrase has
+# zero matches at sf>=0.01, pinning inner-join drop semantics
+BLOCKLIST_PHRASES = (
+    "stream data",
+    "hash sort",
+    "vector data",
+    "sort data group",
+    "data stream data",
+)
 PROX_TERMS, PROX_DIST = ("key", "sort"), 2  # 125/338 both-term docs match
 # at sf0.001 (77/304 at sf0.01) — the distance filter is observably active
 # in both directions at every SF.

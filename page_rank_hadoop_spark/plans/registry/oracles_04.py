@@ -498,3 +498,63 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT doc_a, doc_b, n_bands_shared, edit_sim
       FROM scored WHERE edit_sim >= 0.4
     """
+
+    from page_rank_hadoop_spark.plans.registry._shared import BLOCKLIST_PHRASES
+
+    _bl_lengths = sorted({len(p.split()) for p in BLOCKLIST_PHRASES})
+    _bl_grams = "\n      UNION ALL ".join(
+        f"""SELECT doc_id, g FROM (
+          SELECT doc_id,
+                 [array_to_string(l[i:i+{L - 1}], ' ')
+                  for i in range(1, len(l) - {L} + 2)] AS gs
+          FROM t WHERE len(l) >= {L}
+        ), unnest(gs) u(g)"""
+        for L in _bl_lengths
+    )
+    _bl_values = ", ".join(f"('{p}')" for p in sorted(BLOCKLIST_PHRASES))
+    oracles["q_blocklist_matches"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      grams AS (
+        {_bl_grams}
+      ),
+      bl AS (SELECT * FROM (VALUES {_bl_values}) v(phrase))
+      SELECT g.doc_id, b.phrase, count(*)::BIGINT AS n_matches
+      FROM grams g JOIN bl b ON g.g = b.phrase
+      GROUP BY g.doc_id, b.phrase
+    """
+
+    oracles["q_quality_funnel"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l,
+                        md5(substr(text, 1, 30)) AS h FROM documents),
+      tf AS (
+        SELECT doc_id, u AS term, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(l) AS u FROM t) GROUP BY doc_id, u
+      ),
+      sig AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS max_tf
+        FROM tf GROUP BY doc_id
+      ),
+      keep AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY h),
+      flags AS (
+        SELECT (coalesce(s.n_tokens, 0) >= 20) AS f1,
+               ((coalesce(s.n_tokens, 0) >= 20)
+                AND coalesce(s.n_distinct::DOUBLE / s.n_tokens >= 0.35
+                             AND s.max_tf::DOUBLE / s.n_tokens <= 0.2,
+                             FALSE)) AS f2,
+               (b.doc_id = k.keep_id) AS uniq
+        FROM t b LEFT JOIN sig s ON b.doc_id = s.doc_id
+        JOIN keep k ON b.h = k.h
+      ),
+      agg AS (
+        SELECT count(*)::BIGINT AS n0,
+               sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN f2 AND uniq THEN 1 ELSE 0 END)::BIGINT AS n3
+        FROM flags
+      )
+      SELECT '00_all' AS stage, n0 AS n_in, n0 AS n_out FROM agg
+      UNION ALL SELECT '01_length', n0, n1 FROM agg
+      UNION ALL SELECT '02_repetition', n1, n2 FROM agg
+      UNION ALL SELECT '03_dedup_prefix', n2, n3 FROM agg
+    """

@@ -856,3 +856,20 @@ def q_bigram_logprob(spark, sf):
     (textstats.bigram_logprob) — the KenLM-lite fluency score that
     catches locally-scrambled text the unigram score cannot see."""
     return textstats.bigram_logprob(_docs(spark, sf))
+
+
+def q_blocklist_matches(spark, sf):
+    """Round-6c: one-scan banned-phrase filter
+    (textstats.blocklist_matches) — token n-grams joined against the
+    broadcast blocklist, one corpus pass per distinct phrase length
+    instead of one LIKE scan per phrase."""
+    from page_rank_hadoop_spark.plans.registry._shared import BLOCKLIST_PHRASES
+
+    return textstats.blocklist_matches(_docs(spark, sf), list(BLOCKLIST_PHRASES))
+
+
+def q_quality_funnel(spark, sf):
+    """Round-6c: staged corpus-filter survivor report
+    (textstats.quality_funnel) — length gate, Gopher-style repetition
+    gate, prefix-dedup keep-first, as one conditional aggregate."""
+    return textstats.quality_funnel(_docs(spark, sf))

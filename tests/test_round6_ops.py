@@ -280,3 +280,69 @@ def test_lsh_verified_pairs_verify_prefix_caps_cost(spark):
         docs, min_edit_sim=0.5, verify_prefix=len(head)
     ).collect()
     assert len(out) == 1 and out[0]["edit_sim"] == 1.0
+
+
+def test_blocklist_matches_counts_and_lengths(spark):
+    """Mixed 2-/3-gram blocklist on a hand corpus: overlapping starts
+    count separately, token-normalization matches across punctuation,
+    and clean docs emit nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "bad word here bad word again"),
+            (2, "Bad, WORD! (case and punctuation differ)"),
+            (3, "totally clean text"),
+            (4, "very bad word chain"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textstats.blocklist_matches(
+        docs, ["bad word", "very bad word", "no such phrase"]
+    )
+    got = {(r["doc_id"], r["phrase"]): r["n_matches"] for r in out.collect()}
+    assert got == {
+        (1, "bad word"): 2,
+        (2, "bad word"): 1,
+        (4, "bad word"): 1,
+        (4, "very bad word"): 1,
+    }
+
+
+def test_blocklist_matches_overlapping_starts(spark):
+    """'a a a a' contains 'a a' at three start positions."""
+    docs = spark.createDataFrame([(1, "a a a a")], ["doc_id", "text"])
+    out = textstats.blocklist_matches(docs, ["a a"]).collect()
+    assert len(out) == 1 and out[0]["n_matches"] == 3
+
+
+def test_quality_funnel_hand_corpus(spark):
+    """Each gate drops exactly the doc built to fail it; stage n_in
+    chains from the previous stage's n_out."""
+    import string
+
+    # distinct ALPHABETIC words (the token regex is [a-zA-Z]+ — digits
+    # would collapse "w0".."w29" into thirty copies of "w")
+    long_ok = " ".join(f"w{a}{b}" for a in string.ascii_lowercase[:6]
+                       for b in string.ascii_lowercase[:5])  # 30 distinct
+    short = "too short"                                      # fails length
+    repetitive = " ".join(["spam"] * 40)                     # fails ttr+share
+    dup_of_ok = long_ok + " tail that differs after prefix"  # same 30-char prefix
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, repetitive), (4, dup_of_ok)],
+        ["doc_id", "text"],
+    )
+    rows = {r["stage"]: r for r in textstats.quality_funnel(docs).collect()}
+    assert rows["00_all"]["n_out"] == 4
+    assert rows["01_length"]["n_out"] == 3          # drops doc 2
+    assert rows["02_repetition"]["n_out"] == 2      # drops doc 3
+    assert rows["03_dedup_prefix"]["n_out"] == 1    # doc 4 loses to doc 1
+    assert rows["02_repetition"]["n_in"] == 3
+    assert rows["03_dedup_prefix"]["n_in"] == 2
+
+
+def test_quality_funnel_zero_token_doc_fails_length(spark):
+    docs = spark.createDataFrame(
+        [(1, "!!! ... ???"), (2, " ".join(f"w{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    rows = {r["stage"]: r["n_out"] for r in textstats.quality_funnel(docs).collect()}
+    assert rows["00_all"] == 2 and rows["01_length"] == 1
