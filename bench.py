@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "q_lsh_verified_pairs",
     "q_blocklist_matches",
     "q_quality_funnel",
+    "q_ngram_novelty",
+    "q_source_overlap",
 ]
 
 

@@ -960,3 +960,108 @@ def quality_funnel(
         F.col("s.n_in").alias("n_in"),
         F.col("s.n_out").alias("n_out"),
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    n-token shingles that occur in no other document (corpus df = 1) —
+    the memorization/copy-risk score from the dedup literature (a doc
+    whose 8-grams all appear elsewhere is boilerplate or a copy; a
+    novelty near 1 is original text). Docs with fewer than ``n`` tokens
+    emit no row.
+
+    Scale shape: one tokenize → per-doc distinct shingle explode (map),
+    one shuffle for the shingle df count, one keyed join of the stream
+    against its own df table (shuffle hash join on the gram — both
+    sides hash-partition the same way, and AQE handles the head-gram
+    skew), one per-doc rollup. The df table is never collected or
+    broadcast: gram vocabulary grows with the corpus.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = ensure_parallel(documents).select(
+        "doc_id", tokens("text").alias("_t")
+    )
+
+    def _gram(i):
+        return F.array_join(F.slice("_t", i + 1, n), " ")
+
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size("_t") - n), _gram)
+    )
+    sh = (
+        toks.where(F.size("_t") >= n)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    df_ = sh.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    return (
+        sh.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_novel"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def source_overlap(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many distinct n-token shingles they share, as an absolute count and
+    as a share of each side's shingle vocabulary — the corpus-mixing
+    diagnostic run before assigning mixture weights (two sources with
+    high overlap are the same data wearing different names; weighting
+    both double-counts it).
+
+    Output: (source_a, source_b, n_shared, share_a, share_b) with
+    source_a < source_b — at most |sources|² rows, tiny by construction.
+
+    Scale shape: corpus → distinct (source, gram) pairs (one shuffle);
+    the self-join keys on the gram, and each gram fans out at most
+    |sources|² pair rows (a constant — source cardinality, not corpus
+    size); per-source totals are a broadcast-sized side table. Nothing
+    here is quadratic in documents.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = ensure_parallel(documents).select(
+        "source", tokens("text").alias("_t")
+    )
+
+    def _gram(i):
+        return F.array_join(F.slice("_t", i + 1, n), " ")
+
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size("_t") - n), _gram)
+    )
+    sh = (
+        toks.where(F.size("_t") >= n)
+        .select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count("*").cast("long").alias("cnt"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("cnt").alias("_ca")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("cnt").alias("_cb")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("_ca"), 6).alias("share_a"),
+            F.round(F.col("n_shared").cast("double") / F.col("_cb"), 6).alias("share_b"),
+        )
+    )

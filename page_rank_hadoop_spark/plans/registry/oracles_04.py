@@ -558,3 +558,47 @@ def contribute(oracles: dict[str, str]) -> None:
       UNION ALL SELECT '02_repetition', n1, n2 FROM agg
       UNION ALL SELECT '03_dedup_prefix', n2, n3 FROM agg
     """
+
+    oracles["q_ngram_novelty"] = f"""
+      WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),
+      sh AS (
+        SELECT doc_id, g FROM (
+          SELECT doc_id,
+                 list_distinct([array_to_string(l[i:i+7], ' ')
+                                for i in range(1, len(l) - 6)]) AS gs
+          FROM t WHERE len(l) >= 8
+        ), unnest(gs) u(g)
+      ),
+      df AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY g)
+      SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 6) AS novelty
+      FROM sh s JOIN df ON s.g = df.g
+      GROUP BY s.doc_id
+    """
+
+    oracles["q_source_overlap"] = f"""
+      WITH t AS (SELECT source, {SQL_TOKENS} AS l FROM documents),
+      sh AS (
+        SELECT DISTINCT source, g FROM (
+          SELECT source,
+                 list_distinct([array_to_string(l[i:i+7], ' ')
+                                for i in range(1, len(l) - 6)]) AS gs
+          FROM t WHERE len(l) >= 8
+        ), unnest(gs) u(g)
+      ),
+      tot AS (SELECT source, count(*)::BIGINT AS cnt FROM sh GROUP BY source),
+      pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_shared
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT p.source_a, p.source_b, p.n_shared,
+             round(p.n_shared::DOUBLE / ta.cnt, 6) AS share_a,
+             round(p.n_shared::DOUBLE / tb.cnt, 6) AS share_b
+      FROM pairs p
+      JOIN tot ta ON ta.source = p.source_a
+      JOIN tot tb ON tb.source = p.source_b
+    """

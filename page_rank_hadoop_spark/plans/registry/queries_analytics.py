@@ -873,3 +873,17 @@ def q_quality_funnel(spark, sf):
     (textstats.quality_funnel) — length gate, Gopher-style repetition
     gate, prefix-dedup keep-first, as one conditional aggregate."""
     return textstats.quality_funnel(_docs(spark, sf))
+
+
+def q_ngram_novelty(spark, sf):
+    """Round-6c: per-doc distinct-8-gram novelty share
+    (textstats.ngram_novelty) — the memorization/copy-risk score: how
+    much of a doc's text occurs nowhere else in the corpus."""
+    return textstats.ngram_novelty(_docs(spark, sf))
+
+
+def q_source_overlap(spark, sf):
+    """Round-6c: cross-source distinct-8-gram overlap matrix
+    (textstats.source_overlap) — the mixing diagnostic that catches two
+    sources being the same data under different names."""
+    return textstats.source_overlap(_docs(spark, sf))

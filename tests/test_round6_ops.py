@@ -346,3 +346,50 @@ def test_quality_funnel_zero_token_doc_fails_length(spark):
     )
     rows = {r["stage"]: r["n_out"] for r in textstats.quality_funnel(docs).collect()}
     assert rows["00_all"] == 2 and rows["01_length"] == 1
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    """Doc sharing every 8-gram with another scores 0; a fully unique
+    doc scores 1; short docs emit no row."""
+    shared = " ".join(f"s{c}" for c in "abcdefghij")    # 10 tokens
+    unique = " ".join(f"u{c}" for c in "abcdefghij")
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, unique), (4, "too short")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in textstats.ngram_novelty(docs, n=8).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0 and rows[3]["n_grams"] == 3
+
+
+def test_ngram_novelty_distinct_grams_counted_once(spark):
+    """A doc repeating its own 8-gram internally still counts it once
+    (per-doc distinct), and self-repetition does not destroy novelty."""
+    block = " ".join(f"x{c}" for c in "abcdefgh")       # exactly 8 tokens
+    docs = spark.createDataFrame([(1, block + " " + block)], ["doc_id", "text"])
+    r = textstats.ngram_novelty(docs, n=8).collect()[0]
+    # 16 tokens -> 9 start positions, but duplicates collapse
+    assert r["n_grams"] == 8 and r["novelty"] == 1.0
+
+
+def test_source_overlap_hand_corpus(spark):
+    """Two sources sharing one doc's text overlap on exactly its grams;
+    a disjoint third source pairs with nobody."""
+    shared = " ".join(f"s{c}" for c in "abcdefghij")    # 10 toks -> 3 grams
+    other = " ".join(f"o{c}" for c in "abcdefghij")
+    docs = spark.createDataFrame(
+        [
+            (1, "sa", shared),
+            (2, "sb", shared + " " + other),
+            (3, "sc", " ".join(f"z{c}" for c in "abcdefghij")),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = textstats.source_overlap(docs, n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("sa", "sb")
+    assert r["n_shared"] == 3                      # shared's 3 grams
+    assert r["share_a"] == 1.0                     # all of sa's grams
+    assert r["share_b"] == round(3 / 13, 6)        # 20-token doc -> 13 grams
