@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q_quality_funnel",
     "q_ngram_novelty",
     "q_source_overlap",
+    "q_mrl_fidelity",
 ]
 
 

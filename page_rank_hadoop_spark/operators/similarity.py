@@ -991,3 +991,72 @@ def embedding_dim_profile(embeddings: DataFrame, dim: int = 64) -> DataFrame:
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
     )
+
+
+def mrl_fidelity(
+    embeddings: DataFrame,
+    trunc_dims: tuple[int, ...] = (8, 16, 32),
+    probe_mod: int = 37,
+) -> DataFrame:
+    """Matryoshka-truncation fidelity report: how much cosine similarity
+    degrades when vectors are truncated to their first d dimensions —
+    the audit run before serving MRL-style short embeddings (retrieve at
+    d≪dim, rerank at full dim). For a deterministic probe set
+    (vec_id % probe_mod == 0) against every other vector, reports per
+    truncation width the pair count, mean and max |cos_full − cos_d|.
+
+    Scale shape: probes broadcast (bounded by the mod), the corpus side
+    is a single map pass computing all widths per pair (slices of one
+    array, no re-reads), and the output collapses to |trunc_dims| rows
+    via one conditional aggregate. Engine determinism: per-pair cosines
+    are 6dp-prerounded, their abs-difference snapped to exact integer
+    micro-units, and the mean uses the floor(sum/n) rule (see
+    textstats.bigram_logprob for why avg-of-rounded-doubles is not
+    engine-stable).
+    """
+    from page_rank_hadoop_spark.functions.vectors import cosine
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    probes = embeddings.where(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb")
+    )
+    pairs = ensure_parallel(embeddings).join(
+        F.broadcast(probes), F.col("vec_id") != F.col("p_id")
+    )
+    cos_full = F.round(cosine(F.col("embedding"), F.col("p_emb")), 6)
+    err_cols = []
+    for d in trunc_dims:
+        cos_d = F.round(
+            cosine(F.slice("embedding", 1, d), F.slice("p_emb", 1, d)), 6
+        )
+        err_cols.append(
+            F.round(F.abs(cos_full - cos_d) * F.lit(1e6), 0)
+            .cast("long")
+            .alias(f"e{d}")
+        )
+    scored = pairs.select(*err_cols)
+    aggs = [F.count("*").cast("long").alias("n_pairs")]
+    for d in trunc_dims:
+        aggs.append(F.sum(f"e{d}").cast("long").alias(f"s{d}"))
+        aggs.append(F.max(f"e{d}").cast("long").alias(f"m{d}"))
+    one = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("trunc_dim"),
+                F.col("n_pairs").alias("n_pairs"),
+                (
+                    F.floor(F.col(f"s{d}").cast("double") / F.col("n_pairs"))
+                    / F.lit(1e6)
+                ).alias("mean_abs_err"),
+                (F.col(f"m{d}").cast("double") / F.lit(1e6)).alias("max_abs_err"),
+            )
+            for d in trunc_dims
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        F.col("r.trunc_dim").alias("trunc_dim"),
+        F.col("r.n_pairs").alias("n_pairs"),
+        F.col("r.mean_abs_err").alias("mean_abs_err"),
+        F.col("r.max_abs_err").alias("max_abs_err"),
+    )

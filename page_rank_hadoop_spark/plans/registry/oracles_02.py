@@ -1095,6 +1095,7 @@ def contribute(oracles: dict[str, str]) -> None:
         n_centroids=N_CENTROIDS, dim=EMB_DIM
     )
     contribute_round6b(oracles)
+    contribute_round6c(oracles)
 
 
 def contribute_round6b(oracles: dict[str, str]) -> None:
@@ -1137,4 +1138,37 @@ def contribute_round6b(oracles: dict[str, str]) -> None:
              round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
              round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
       FROM x GROUP BY d
+    """
+
+
+def contribute_round6c(oracles: dict[str, str]) -> None:
+    legs = []
+    for d in (8, 16, 32):
+        legs.append(f"""
+      SELECT {d}::INT AS trunc_dim, count(*)::BIGINT AS n_pairs,
+             floor(sum(e{d})::DOUBLE / count(*)) / 1e6 AS mean_abs_err,
+             max(e{d})::DOUBLE / 1e6 AS max_abs_err
+      FROM errs""")
+    err_cols = ",\n               ".join(
+        f"round(abs(cf - c{d}) * 1e6)::BIGINT AS e{d}" for d in (8, 16, 32)
+    )
+    cos_cols = ",\n               ".join(
+        f"round(list_cosine_similarity((e.embedding::DOUBLE[])[1:{d}], (p.pe)[1:{d}]), 6) AS c{d}"
+        for d in (8, 16, 32)
+    )
+    oracles["q_mrl_fidelity"] = f"""
+      WITH pr AS (
+        SELECT vec_id AS pid, embedding::DOUBLE[] AS pe
+        FROM embeddings WHERE vec_id % 37 = 0
+      ),
+      sc AS (
+        SELECT round(list_cosine_similarity(e.embedding::DOUBLE[], p.pe), 6) AS cf,
+               {cos_cols}
+        FROM embeddings e JOIN pr p ON e.vec_id <> p.pid
+      ),
+      errs AS (
+        SELECT {err_cols}
+        FROM sc
+      )
+      {" UNION ALL ".join(legs)}
     """

@@ -805,3 +805,11 @@ def q_lsh_verified_pairs(spark, sf):
     deterministic verifier."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return dedup.lsh_verified_pairs(docs, min_edit_sim=0.4, verify_prefix=500)
+
+
+def q_mrl_fidelity(spark, sf):
+    """Round-6c: matryoshka-truncation fidelity report
+    (similarity.mrl_fidelity) — cosine degradation at widths 8/16/32 vs
+    the full 64, the audit before serving truncated embeddings."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.mrl_fidelity(emb)

@@ -393,3 +393,21 @@ def test_source_overlap_hand_corpus(spark):
     assert r["n_shared"] == 3                      # shared's 3 grams
     assert r["share_a"] == 1.0                     # all of sa's grams
     assert r["share_b"] == round(3 / 13, 6)        # 20-token doc -> 13 grams
+
+
+def test_mrl_fidelity_full_width_is_exact(spark, emb):
+    """Truncating to the FULL dim must show zero error; narrower widths
+    degrade monotonically on average."""
+    out = {r["trunc_dim"]: r for r in
+           similarity.mrl_fidelity(emb, trunc_dims=(16, DIM)).collect()}
+    assert out[DIM]["mean_abs_err"] == 0.0 and out[DIM]["max_abs_err"] == 0.0
+    assert out[16]["mean_abs_err"] >= 0.0
+    n = emb.count()
+    n_probes = sum(1 for r in emb.select("vec_id").collect() if r[0] % 37 == 0)
+    assert out[16]["n_pairs"] == n_probes * (n - 1)
+
+
+def test_mrl_fidelity_narrower_is_worse(spark, emb):
+    out = {r["trunc_dim"]: r["mean_abs_err"] for r in
+           similarity.mrl_fidelity(emb, trunc_dims=(8, 32)).collect()}
+    assert out[8] >= out[32]
