@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q_ngram_novelty",
     "q_source_overlap",
     "q_mrl_fidelity",
+    "q_vocab_growth",
 ]
 
 

@@ -1065,3 +1065,81 @@ def source_overlap(documents: DataFrame, n: int = 8) -> DataFrame:
             F.round(F.col("n_shared").cast("double") / F.col("_cb"), 6).alias("share_b"),
         )
     )
+
+
+def vocab_growth(
+    documents: DataFrame, fractions: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0)
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct-term count after
+    ingesting the corpus prefix up to each doc_id quantile — the
+    diagnostic that tells you whether more data still buys new
+    vocabulary (sublinear growth flattening early means the source is
+    exhausted/templated). Prefix membership is by doc_id order, the
+    stable ingest order of the corpus.
+
+    Output: (frac, doc_id_bound, n_docs, n_tokens, vocab_size), one row
+    per requested fraction.
+
+    Scale shape: NO windows and no rank — each term's first-occurrence
+    doc (min(doc_id), one keyed shuffle) turns every prefix question
+    into a conditional count; the quantile bounds ride a broadcast
+    1-row exact-percentile aggregate; everything else is two
+    partial-agg passes folded into single rows and exploded map-side.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    fr = list(fractions)
+    toks = ensure_parallel(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("nt"))
+    bounds = documents.agg(
+        *[
+            F.expr(f"percentile(doc_id, {f})").alias(f"b{i}")
+            for i, f in enumerate(fr)
+        ]
+    )
+    vstats = first.crossJoin(F.broadcast(bounds)).agg(
+        *[
+            F.sum((F.col("fd") <= F.col(f"b{i}")).cast("long"))
+            .cast("long")
+            .alias(f"v{i}")
+            for i in range(len(fr))
+        ],
+        *[F.first(f"b{i}").alias(f"b{i}") for i in range(len(fr))],
+    )
+    dstats = per_doc.crossJoin(F.broadcast(bounds)).agg(
+        *[
+            F.sum((F.col("doc_id") <= F.col(f"b{i}")).cast("long"))
+            .cast("long")
+            .alias(f"d{i}")
+            for i in range(len(fr))
+        ],
+        *[
+            F.sum(F.when(F.col("doc_id") <= F.col(f"b{i}"), F.col("nt")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+            for i in range(len(fr))
+        ],
+    )
+    one = vstats.crossJoin(F.broadcast(dstats))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f).cast("double").alias("frac"),
+                F.round(F.col(f"b{i}"), 6).alias("doc_id_bound"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+                F.col(f"v{i}").alias("vocab_size"),
+            )
+            for i, f in enumerate(fr)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        F.col("r.frac").alias("frac"),
+        F.col("r.doc_id_bound").alias("doc_id_bound"),
+        F.col("r.n_docs").alias("n_docs"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.vocab_size").alias("vocab_size"),
+    )

@@ -602,3 +602,26 @@ def contribute(oracles: dict[str, str]) -> None:
       JOIN tot ta ON ta.source = p.source_a
       JOIN tot tb ON tb.source = p.source_b
     """
+
+    oracles["q_vocab_growth"] = f"""
+      WITH toks AS (SELECT doc_id, term FROM ({SQL_TOKEN_STREAM})),
+      first AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term),
+      per_doc AS (SELECT doc_id, count(*)::BIGINT AS nt FROM toks GROUP BY doc_id),
+      bounds AS (SELECT quantile_cont(doc_id, 0.25) AS b0, quantile_cont(doc_id, 0.5) AS b1, quantile_cont(doc_id, 0.75) AS b2, quantile_cont(doc_id, 1.0) AS b3 FROM documents)
+      SELECT 0.25::DOUBLE AS frac, round((SELECT b0 FROM bounds), 6) AS doc_id_bound,
+             (SELECT count(*) FROM per_doc WHERE doc_id <= (SELECT b0 FROM bounds))::BIGINT AS n_docs,
+             (SELECT coalesce(sum(nt), 0) FROM per_doc WHERE doc_id <= (SELECT b0 FROM bounds))::BIGINT AS n_tokens,
+             (SELECT count(*) FROM first WHERE fd <= (SELECT b0 FROM bounds))::BIGINT AS vocab_size
+      UNION ALL SELECT 0.5::DOUBLE AS frac, round((SELECT b1 FROM bounds), 6) AS doc_id_bound,
+             (SELECT count(*) FROM per_doc WHERE doc_id <= (SELECT b1 FROM bounds))::BIGINT AS n_docs,
+             (SELECT coalesce(sum(nt), 0) FROM per_doc WHERE doc_id <= (SELECT b1 FROM bounds))::BIGINT AS n_tokens,
+             (SELECT count(*) FROM first WHERE fd <= (SELECT b1 FROM bounds))::BIGINT AS vocab_size
+      UNION ALL SELECT 0.75::DOUBLE AS frac, round((SELECT b2 FROM bounds), 6) AS doc_id_bound,
+             (SELECT count(*) FROM per_doc WHERE doc_id <= (SELECT b2 FROM bounds))::BIGINT AS n_docs,
+             (SELECT coalesce(sum(nt), 0) FROM per_doc WHERE doc_id <= (SELECT b2 FROM bounds))::BIGINT AS n_tokens,
+             (SELECT count(*) FROM first WHERE fd <= (SELECT b2 FROM bounds))::BIGINT AS vocab_size
+      UNION ALL SELECT 1.0::DOUBLE AS frac, round((SELECT b3 FROM bounds), 6) AS doc_id_bound,
+             (SELECT count(*) FROM per_doc WHERE doc_id <= (SELECT b3 FROM bounds))::BIGINT AS n_docs,
+             (SELECT coalesce(sum(nt), 0) FROM per_doc WHERE doc_id <= (SELECT b3 FROM bounds))::BIGINT AS n_tokens,
+             (SELECT count(*) FROM first WHERE fd <= (SELECT b3 FROM bounds))::BIGINT AS vocab_size
+    """

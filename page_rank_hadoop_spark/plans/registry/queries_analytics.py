@@ -887,3 +887,10 @@ def q_source_overlap(spark, sf):
     (textstats.source_overlap) — the mixing diagnostic that catches two
     sources being the same data under different names."""
     return textstats.source_overlap(_docs(spark, sf))
+
+
+def q_vocab_growth(spark, sf):
+    """Round-6c: Heaps'-law vocabulary-growth curve at doc_id-quantile
+    prefixes (textstats.vocab_growth) — does more data still buy new
+    vocabulary? Window-free: first-occurrence doc + conditional counts."""
+    return textstats.vocab_growth(_docs(spark, sf))

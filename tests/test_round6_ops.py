@@ -411,3 +411,33 @@ def test_mrl_fidelity_narrower_is_worse(spark, emb):
     out = {r["trunc_dim"]: r["mean_abs_err"] for r in
            similarity.mrl_fidelity(emb, trunc_dims=(8, 32)).collect()}
     assert out[8] >= out[32]
+
+
+def test_vocab_growth_hand_corpus(spark):
+    """Four docs with known first occurrences: the curve is exact and
+    cumulative, and frac=1.0 covers the whole corpus."""
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb"),          # vocab {aa, bb}
+            (1, "aa cc"),          # + cc
+            (2, "aa bb cc"),       # + nothing
+            (3, "dd"),             # + dd
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["frac"]: r for r in
+            textstats.vocab_growth(docs, fractions=(0.5, 1.0)).collect()}
+    # 0.5-quantile of {0,1,2,3} = 1.5 -> prefix {0, 1}
+    assert rows[0.5]["n_docs"] == 2 and rows[0.5]["n_tokens"] == 4
+    assert rows[0.5]["vocab_size"] == 3
+    assert rows[1.0]["n_docs"] == 4 and rows[1.0]["n_tokens"] == 8
+    assert rows[1.0]["vocab_size"] == 4
+
+
+def test_vocab_growth_monotone_on_testdata(spark):
+    docs = load_table(spark, SF0001, "documents")
+    out = sorted(textstats.vocab_growth(docs).collect(), key=lambda r: r["frac"])
+    for a, b in zip(out, out[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["n_tokens"] <= b["n_tokens"]
+        assert a["vocab_size"] <= b["vocab_size"]
