@@ -210,6 +210,25 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_time_to_convert", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_modularity", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     ("q_monthly_churn", [("has", r"HashAggregate"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # --- round-6c pins ---
+    # bigram LM: per-doc lead window (never global), count joins keyed
+    ("q_bigram_logprob", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # candidate-then-verify: band equi-join proposes, no cartesian anywhere
+    ("q_lsh_verified_pairs", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # blocklist: the phrase list must BROADCAST (never shuffle the gram
+    # stream for the tiny side), built JVM-side (no Python RDD scan)
+    ("q_blocklist_matches", [("has", r"BroadcastHashJoin"), ("not", r"Scan ExistingRDD"), ("not", r"CartesianProduct")]),
+    # funnel: one conditional aggregate, no window, no per-stage joins back
+    ("q_quality_funnel", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # novelty: gram df join is a keyed shuffle join — must NOT broadcast
+    # (gram vocabulary grows with the corpus)
+    ("q_ngram_novelty", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # source overlap: per-source totals broadcast, pair join keyed on gram
+    ("q_source_overlap", [("has", r"BroadcastHashJoin"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # MRL: bounded probe set broadcast-nested-loop, all widths one pass
+    ("q_mrl_fidelity", [("has", r"BroadcastNestedLoopJoin"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # vocab growth: window-free prefix semantics via first-occurrence doc
+    ("q_vocab_growth", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"CartesianProduct")]),
 ]
 
 
