@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "q_source_overlap",
     "q_mrl_fidelity",
     "q_vocab_growth",
+    "q_degree_assortativity",
+    "q_rrf_fusion",
 ]
 
 

@@ -610,3 +610,39 @@ def modularity_by_community(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Directed degree assortativity: Pearson correlation, over edges,
+    between the source's out-degree and the target's in-degree — the
+    one-number graph-health metric (positive: hubs link to hubs —
+    link-farm/boilerplate signature; negative: hub-and-spoke). Output
+    is a single row (n_edges, mean_src_outdeg, mean_dst_indeg,
+    assortativity).
+
+    Scale shape: two degree aggregates (keyed shuffles on src / dst),
+    two keyed joins back onto the edge list, ONE moment aggregate —
+    corr/covar are single-pass partial-aggregable. Engine determinism:
+    the linreg moment rule (6dp-preround the moments, then the
+    formula), and ``+ 0.0`` after the final round to normalize IEEE
+    negative zero.
+    """
+    outd = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    ind = edges.groupBy("dst").agg(F.count("*").cast("long").alias("idg"))
+    e = edges.join(outd, "src").join(ind, "dst")
+    mom = e.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.round(F.avg("od"), 6).alias("mx"),
+        F.round(F.avg("idg"), 6).alias("my"),
+        F.round(F.var_pop("od"), 6).alias("vx"),
+        F.round(F.var_pop("idg"), 6).alias("vy"),
+        F.round(F.covar_pop("od", "idg"), 6).alias("cxy"),
+    )
+    return mom.select(
+        "n_edges",
+        F.col("mx").alias("mean_src_outdeg"),
+        F.col("my").alias("mean_dst_indeg"),
+        (F.round(F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy")), 6) + F.lit(0.0)).alias(
+            "assortativity"
+        ),
+    )

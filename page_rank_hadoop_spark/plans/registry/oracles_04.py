@@ -625,3 +625,53 @@ def contribute(oracles: dict[str, str]) -> None:
              (SELECT coalesce(sum(nt), 0) FROM per_doc WHERE doc_id <= (SELECT b3 FROM bounds))::BIGINT AS n_tokens,
              (SELECT count(*) FROM first WHERE fd <= (SELECT b3 FROM bounds))::BIGINT AS vocab_size
     """
+
+    from page_rank_hadoop_spark.plans.registry._shared import SQL_GRAPH_CTES
+
+    oracles["q_degree_assortativity"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      outd AS (SELECT src, count(*)::BIGINT AS od FROM kept GROUP BY src),
+      ind AS (SELECT dst, count(*)::BIGINT AS idg FROM kept GROUP BY dst),
+      e AS (
+        SELECT o.od, i.idg
+        FROM kept k JOIN outd o ON k.src = o.src JOIN ind i ON k.dst = i.dst
+      ),
+      mom AS (
+        SELECT count(*)::BIGINT AS n_edges,
+               round(avg(od), 6) AS mx, round(avg(idg), 6) AS my,
+               round(var_pop(od), 6) AS vx, round(var_pop(idg), 6) AS vy,
+               round(covar_pop(od, idg), 6) AS cxy
+        FROM e
+      )
+      SELECT n_edges, mx AS mean_src_outdeg, my AS mean_dst_indeg,
+             round(cxy / sqrt(vx * vy), 6) + 0.0::DOUBLE AS assortativity
+      FROM mom
+    """
+
+    # RRF fusion reuses q_ranker_agreement's CTE chain but keeps rn
+    _ranker_ctes = oracles["q_ranker_agreement"].rsplit(
+        "top_b AS", 1
+    )[0].rstrip().rstrip(",")
+    oracles["q_rrf_fusion"] = (
+        _ranker_ctes
+        + """,
+      top_b AS (SELECT term, doc_id, rn FROM (
+        SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) rn
+        FROM scored) WHERE rn <= 10),
+      top_t AS (SELECT term, doc_id, rn FROM (
+        SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY tfidf DESC, doc_id) rn
+        FROM scored) WHERE rn <= 10),
+      fused AS (
+        SELECT coalesce(b.term, t.term) AS term,
+               coalesce(b.doc_id, t.doc_id) AS doc_id,
+               round(coalesce(1.0::DOUBLE / (60 + b.rn), 0.0::DOUBLE)
+                     + coalesce(1.0::DOUBLE / (60 + t.rn), 0.0::DOUBLE), 6) AS rrf_score
+        FROM top_b b FULL OUTER JOIN top_t t
+          ON b.term = t.term AND b.doc_id = t.doc_id
+      )
+      SELECT term, doc_id, rrf_score FROM (
+        SELECT term, doc_id, rrf_score,
+               row_number() OVER (PARTITION BY term ORDER BY rrf_score DESC, doc_id) rn
+        FROM fused) WHERE rn <= 5
+    """
+    )

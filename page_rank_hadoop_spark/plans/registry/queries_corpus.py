@@ -624,3 +624,10 @@ def _components(spark, sf) -> DataFrame:
         spark, sf, "components",
         lambda: dedup.near_dup_components(_minhash_pairs(spark, sf)),
     )
+
+
+def q_degree_assortativity(spark, sf):
+    """Round-6c: directed degree assortativity over the resolved link
+    graph (graph.degree_assortativity) — hubs-link-to-hubs is the
+    link-farm signature; one moment aggregate over degree-joined edges."""
+    return graph.degree_assortativity(_graph(spark, sf)["kept"])

@@ -130,16 +130,19 @@ def q_dedup_cluster_sizes(spark, sf):
     )
 
 
-def q_ranker_agreement(spark, sf):
-    """Retrieval-evaluation query: per query term, the overlap between
-    the BM25 top-10 and the plain tf*ln(N/df) top-10 (Jaccard@10) — the
-    ranker-comparison harness an IR stack runs on every scoring change.
-    ONE tokenize feeds both rankers; ranking uses the 6dp-rounded score
-    with doc_id tie-break so both engines order identically."""
+def _ranker_tops(spark, sf):
+    """Shared per-term (BM25 top-10, tfidf top-10) ranked lists for the
+    retrieval-evaluation queries — q_ranker_agreement overlaps them,
+    q_rrf_fusion fuses them; ONE tokenize+score per session (MV-cached).
+    Ranking uses the 6dp-rounded score with doc_id tie-break so both
+    engines order identically."""
     from page_rank_hadoop_spark.functions.text import tokens as _tokens
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
     from pyspark.sql import Window
 
+    key = f"{spark.sparkContext.applicationId}:{sf}:ranker_tops"
+    if key in _MV_CACHE:
+        return _MV_CACHE[key]
     terms_arr = F.array(*[F.lit(t) for t in LOOKUP_TERMS])
     base = ensure_parallel(_docs(spark, sf)).select(
         "doc_id",
@@ -169,6 +172,15 @@ def q_ranker_agreement(spark, sf):
     wt = Window.partitionBy("term").orderBy(F.desc("tfidf"), "doc_id")
     top_b = scored.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") <= 10)
     top_t = scored.withColumn("rn", F.row_number().over(wt)).filter(F.col("rn") <= 10)
+    _MV_CACHE[key] = (top_b, top_t)
+    return _MV_CACHE[key]
+
+
+def q_ranker_agreement(spark, sf):
+    """Retrieval-evaluation query: per query term, the overlap between
+    the BM25 top-10 and the plain tf*ln(N/df) top-10 (Jaccard@10) — the
+    ranker-comparison harness an IR stack runs on every scoring change."""
+    top_b, top_t = _ranker_tops(spark, sf)
     inter = top_b.select("term", "doc_id").join(
         top_t.select("term", "doc_id"), ["term", "doc_id"]
     ).groupBy("term").agg(F.count("*").cast("int").alias("n_overlap"))
@@ -176,6 +188,34 @@ def q_ranker_agreement(spark, sf):
         "term",
         "n_overlap",
         F.round(F.col("n_overlap") / (20 - F.col("n_overlap")), 6).alias("jaccard10"),
+    )
+
+
+def q_rrf_fusion(spark, sf):
+    """Round-6c: reciprocal-rank fusion of the BM25 and tfidf top-10
+    lists (RRF k=60): score = Σ 1/(60+rank_i) over the lists that
+    retrieved the doc, per-term top-5 by fused score — the standard
+    zero-tuning ranker combiner (hybrid retrieval). Shares the session
+    ranked-list MV with q_ranker_agreement; per-term windows only."""
+    from pyspark.sql import Window
+
+    top_b, top_t = _ranker_tops(spark, sf)
+    b = top_b.select("term", "doc_id", F.col("rn").alias("rb"))
+    t = top_t.select("term", "doc_id", F.col("rn").alias("rt"))
+    fused = b.join(t, ["term", "doc_id"], "full_outer").select(
+        "term",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rt")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("term", "doc_id", "rrf_score")
     )
 
 

@@ -441,3 +441,43 @@ def test_vocab_growth_monotone_on_testdata(spark):
         assert a["n_docs"] <= b["n_docs"]
         assert a["n_tokens"] <= b["n_tokens"]
         assert a["vocab_size"] <= b["vocab_size"]
+
+
+def test_degree_assortativity_star_graph_is_negative(spark):
+    """A hub-and-spoke graph (hub -> every leaf, every leaf -> hub) must
+    be disassortative (high-outdeg hub feeds indeg-1 leaves and
+    vice versa)."""
+    from page_rank_hadoop_spark.operators import graph
+
+    edges = [(0, i) for i in range(1, 11)] + [(i, 0) for i in range(1, 11)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    r = graph.degree_assortativity(e).collect()[0]
+    assert r["n_edges"] == 20
+    assert r["assortativity"] < 0
+
+
+def test_degree_assortativity_regular_graph_undefined_variance(spark):
+    """A directed cycle has constant degrees -> zero variance -> NULL
+    correlation (0/0), not a crash and not a fake 0."""
+    from page_rank_hadoop_spark.operators import graph
+
+    n = 6
+    e = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], ["src", "dst"])
+    r = graph.degree_assortativity(e).collect()[0]
+    assert r["n_edges"] == n and r["assortativity"] is None
+
+
+def test_rrf_fusion_scores_and_topk(spark):
+    """RRF on the test corpus: 5 rows per query term, scores within the
+    theoretical bounds (both-lists max 2/61, one-list min 1/70), and a
+    doc ranked #1 by BOTH rankers must fuse to exactly 2/61."""
+    from page_rank_hadoop_spark.plans.registry import build_queries
+
+    out = build_queries()["q_rrf_fusion"](spark, SF0001).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append(r["rrf_score"])
+        assert round(1 / 70, 6) <= r["rrf_score"] <= round(2 / 61, 6)
+    for term, scores in by_term.items():
+        assert len(scores) == 5
+        assert scores == sorted(scores, reverse=True)
