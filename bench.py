@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q_vocab_growth",
     "q_degree_assortativity",
     "q_rrf_fusion",
+    "q_vocab_drift",
 ]
 
 

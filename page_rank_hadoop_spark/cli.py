@@ -284,6 +284,51 @@ def cmd_prepare(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_analyze(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Corpus QA report as one command: the quality-gate funnel, Zipf
+    slope, Heaps vocabulary-growth curve, half-corpus vocabulary drift,
+    and the top cross-source overlaps — the dashboard a pipeline
+    operator reads BEFORE deciding gates and mixture weights. Each
+    section is the same operator the oracle gate hash-checks; output is
+    a human-readable report on stdout (and optionally the funnel table
+    as parquet via --out)."""
+    from page_rank_hadoop_spark.operators import textstats
+
+    docs = _load_documents(spark, args.input, args.format)
+    print("== quality funnel ==")
+    funnel = textstats.quality_funnel(docs)
+    for r in funnel.orderBy("stage").collect():
+        print(f"  {r['stage']:18s} in={r['n_in']:8d} out={r['n_out']:8d}")
+    print("== vocabulary ==")
+    z = textstats.zipf_slope(docs).collect()[0]
+    print(f"  zipf: n_terms={z['n_terms']} slope={z['slope']}")
+    for r in textstats.vocab_growth(docs).orderBy("frac").collect():
+        print(
+            f"  growth@{r['frac']:.2f}: docs={r['n_docs']} "
+            f"tokens={r['n_tokens']} vocab={r['vocab_size']}"
+        )
+    d = textstats.vocab_drift(docs).collect()[0]
+    print(
+        f"  drift: KL(first||second)={d['kl_first_second']} "
+        f"KL(second||first)={d['kl_second_first']} JS={d['js_divergence']}"
+    )
+    print("== top source overlaps ==")
+    for r in (
+        textstats.source_overlap(docs)
+        .orderBy(F.desc("n_shared"), "source_a", "source_b")
+        .limit(args.top)
+        .collect()
+    ):
+        print(
+            f"  {r['source_a']} ~ {r['source_b']}: shared={r['n_shared']} "
+            f"share_a={r['share_a']} share_b={r['share_b']}"
+        )
+    if args.out:
+        funnel.coalesce(1).write.mode("overwrite").parquet(args.out)
+        print(f"analyze: funnel written to {args.out}")
+    return 0
+
+
 def cmd_train_tokenizer(spark: SparkSession, args: argparse.Namespace) -> int:
     """Train the first N BPE merge rules over the corpus and write the
     merge table as TSV (step, left, right, merged, count) — the artifact
@@ -490,6 +535,12 @@ def build_parser() -> argparse.ArgumentParser:
     pdf.add_argument("out")
     pdf.add_argument("--key", default="doc_id")
     pdf.set_defaults(fn=cmd_diff)
+
+    pa = sub.add_parser("analyze", parents=[common])
+    pa.add_argument("input")
+    pa.add_argument("--out", default=None)
+    pa.add_argument("--top", type=int, default=5)
+    pa.set_defaults(fn=cmd_analyze)
 
     pl = sub.add_parser("list-queries")
     pl.set_defaults(fn=cmd_list_queries)

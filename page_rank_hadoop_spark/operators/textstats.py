@@ -1143,3 +1143,59 @@ def vocab_growth(
         F.col("r.n_tokens").alias("n_tokens"),
         F.col("r.vocab_size").alias("vocab_size"),
     )
+
+
+def vocab_drift(documents: DataFrame, k: float = 0.5) -> DataFrame:
+    """Vocabulary drift between the first and second half of the corpus
+    (by doc_id order, the ingest order): add-k-smoothed unigram
+    distributions P (first half) and Q (second half), reported as both
+    KL directions and the symmetric Jensen-Shannon divergence — the
+    distribution-shift alarm a pipeline checks before concluding two
+    snapshots are "the same corpus". One output row.
+
+    Scale shape: one tokenize with the half label attached map-side
+    (split point = broadcast exact-median doc_id), ONE per-term count
+    aggregate carrying both halves as conditional sums (no join of two
+    half-tables), broadcast 1-row totals, one final sum. Engine
+    determinism: per-term divergence contributions are snapped to
+    integer NANO-units (contributions are ~1e-9..1e-3 — micro would
+    quantize them away) and summed exactly; the output divides the
+    integer sum once.
+    """
+    toks_half = (
+        documents.crossJoin(
+            F.broadcast(documents.agg(F.expr("percentile(doc_id, 0.5)").alias("mid")))
+        )
+        .select(
+            F.when(F.col("doc_id") <= F.col("mid"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("half"),
+            F.explode(tokens("text")).alias("term"),
+        )
+    )
+    counts = toks_half.groupBy("term").agg(
+        F.sum((F.col("half") == "a").cast("long")).cast("long").alias("ca"),
+        F.sum((F.col("half") == "b").cast("long")).cast("long").alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("v"),
+    )
+    pa = (F.col("ca") + F.lit(k)) / (F.col("na") + F.lit(k) * F.col("v"))
+    pb = (F.col("cb") + F.lit(k)) / (F.col("nb") + F.lit(k) * F.col("v"))
+    m = (pa + pb) / F.lit(2.0)
+    nano = lambda c: F.round(c * F.lit(1e9), 0).cast("long")  # noqa: E731
+    per_term = counts.crossJoin(F.broadcast(totals)).select(
+        nano(pa * F.log(pa / pb)).alias("kab"),
+        nano(pb * F.log(pb / pa)).alias("kba"),
+        nano(F.lit(0.5) * pa * F.log(pa / m) + F.lit(0.5) * pb * F.log(pb / m)).alias(
+            "js"
+        ),
+    )
+    return per_term.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.sum("kab").cast("double") / F.lit(1e9), 6).alias("kl_first_second"),
+        F.round(F.sum("kba").cast("double") / F.lit(1e9), 6).alias("kl_second_first"),
+        F.round(F.sum("js").cast("double") / F.lit(1e9), 6).alias("js_divergence"),
+    )

@@ -675,3 +675,46 @@ def contribute(oracles: dict[str, str]) -> None:
         FROM fused) WHERE rn <= 5
     """
     )
+
+    oracles["q_vocab_drift"] = f"""
+      WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+      toks AS (
+        SELECT CASE WHEN doc_id <= (SELECT m FROM mid) THEN 'a' ELSE 'b' END AS half,
+               term
+        FROM ({SQL_TOKEN_STREAM})
+      ),
+      counts AS (
+        SELECT term,
+               sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM toks GROUP BY term
+      ),
+      tot AS (
+        SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+               count(*)::BIGINT AS v
+        FROM counts
+      ),
+      per AS (
+        SELECT
+          round(((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))
+                * ln(((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))
+                     / ((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))) * 1e9)::BIGINT AS kab,
+          round(((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))
+                * ln(((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))
+                     / ((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))) * 1e9)::BIGINT AS kba,
+          round((0.5::DOUBLE * ((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))
+                   * ln(((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))
+                        / ((((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))
+                            + ((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))) / 2.0::DOUBLE))
+                 + 0.5::DOUBLE * ((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))
+                   * ln(((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))
+                        / ((((ca + 0.5::DOUBLE) / (t.na + 0.5::DOUBLE * t.v))
+                            + ((cb + 0.5::DOUBLE) / (t.nb + 0.5::DOUBLE * t.v))) / 2.0::DOUBLE))) * 1e9)::BIGINT AS js
+        FROM counts CROSS JOIN tot t
+      )
+      SELECT count(*)::BIGINT AS n_terms,
+             round(sum(kab)::DOUBLE / 1e9, 6) AS kl_first_second,
+             round(sum(kba)::DOUBLE / 1e9, 6) AS kl_second_first,
+             round(sum(js)::DOUBLE / 1e9, 6) AS js_divergence
+      FROM per
+    """

@@ -894,3 +894,10 @@ def q_vocab_growth(spark, sf):
     prefixes (textstats.vocab_growth) — does more data still buy new
     vocabulary? Window-free: first-occurrence doc + conditional counts."""
     return textstats.vocab_growth(_docs(spark, sf))
+
+
+def q_vocab_drift(spark, sf):
+    """Round-6c: smoothed KL/JS vocabulary drift between corpus halves
+    (textstats.vocab_drift) — the distribution-shift alarm between
+    snapshots; one count aggregate, nano-unit-exact divergence sums."""
+    return textstats.vocab_drift(_docs(spark, sf))

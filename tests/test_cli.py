@@ -245,3 +245,28 @@ def test_cli_compact_metrics_and_rewrite(spark, tmp_path, capsys):
     rep = capsys.readouterr().out
     assert "(1 files)" in rep
     assert spark.read.parquet(out).count() == 200
+
+
+def test_cli_analyze_report(spark, tmp_path, capsys):
+    """cli analyze: one-command corpus QA dashboard — funnel, zipf,
+    growth, drift, source overlaps — over a tiny two-source corpus."""
+    long_a = " ".join(f"w{c}{d}" for c in "abcde" for d in "abcde")
+    docs = spark.createDataFrame(
+        [
+            (0, "sa", long_a),
+            (1, "sa", long_a + " extra tail words here"),
+            (2, "sb", long_a),
+            (3, "sb", "totally different other text entirely now"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    src = str(tmp_path / "qa_src")
+    docs.write.parquet(src)
+    out = str(tmp_path / "funnel_out")
+    assert main(["analyze", src, "--out", out]) == 0
+    text = capsys.readouterr().out
+    assert "quality funnel" in text and "00_all" in text
+    assert "zipf:" in text and "growth@" in text and "drift:" in text
+    assert "sa ~ sb" in text
+    funnel = {r["stage"]: r for r in spark.read.parquet(out).collect()}
+    assert funnel["00_all"]["n_out"] == 4

@@ -481,3 +481,27 @@ def test_rrf_fusion_scores_and_topk(spark):
     for term, scores in by_term.items():
         assert len(scores) == 5
         assert scores == sorted(scores, reverse=True)
+
+
+def test_vocab_drift_identical_halves_is_zero(spark):
+    """Same distribution in both halves -> all divergences exactly 0."""
+    t = "alpha beta gamma alpha"
+    docs = spark.createDataFrame([(i, t) for i in range(4)], ["doc_id", "text"])
+    r = textstats.vocab_drift(docs).collect()[0]
+    assert r["kl_first_second"] == 0.0
+    assert r["kl_second_first"] == 0.0
+    assert r["js_divergence"] == 0.0
+    assert r["n_terms"] == 3
+
+
+def test_vocab_drift_disjoint_halves_positive_and_bounded(spark):
+    """Disjoint vocabularies: all divergences positive; JS ≤ ln 2."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "aa bb cc"), (2, "xx yy zz"), (3, "xx yy zz")],
+        ["doc_id", "text"],
+    )
+    r = textstats.vocab_drift(docs).collect()[0]
+    assert r["kl_first_second"] > 0 and r["kl_second_first"] > 0
+    assert 0 < r["js_divergence"] <= round(math.log(2), 6)
