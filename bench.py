@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_degree_assortativity",
     "q_rrf_fusion",
     "q_vocab_drift",
+    "q_media_near_dup",
 ]
 
 

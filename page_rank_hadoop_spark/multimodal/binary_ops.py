@@ -199,3 +199,73 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg(F.length("payload")).alias("avg_bytes"),
         F.max(F.length("payload")).alias("max_bytes"),
     )
+
+
+def media_near_dup(
+    media: DataFrame,
+    grid: int = 200,
+    max_l2: float = 0.002,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Near-duplicate media pairs by feature distance: payloads →
+    feature vectors (the decode pipeline), 4dp-rounded (the declared
+    feature contract), BLOCKED on (media_type, grid cell of the first
+    two feature dims), then L2-verified within blocks — multimodal
+    dedup with the same candidate-then-verify shape as the text side.
+    Exact byte-duplicates land at distance 0 and are included.
+
+    Scale shape: feature extraction is the existing Arrow mapInPandas
+    map pass; the self-join keys on the block (never all-pairs
+    corpus-wide); the verify is 8 multiply-adds per candidate. Blocking
+    selectivity depends on feature spread — production would widen the
+    key to more dims or LSH the full vector (see similarity.py) when a
+    cell grows hot; the synthetic-corpus features cluster, which the
+    test pins as the worst case. Engine determinism: 4dp features, L2
+    accumulated in Spark's left-fold order (the oracle writes the
+    nested additions explicitly), sqrt of identical doubles.
+    """
+    feats = extract_features(media, decode_stub=decode_stub)
+    f4 = feats.select(
+        "media_id",
+        "media_type",
+        F.transform("features", lambda x: F.round(x, 4)).alias("f"),
+    )
+    keyed = f4.select(
+        "media_id",
+        "media_type",
+        "f",
+        F.floor(F.element_at("f", 1) * grid).cast("long").alias("c0"),
+        F.floor(F.element_at("f", 2) * grid).cast("long").alias("c1"),
+    )
+    a = keyed.select(
+        F.col("media_id").alias("media_id_a"),
+        "media_type",
+        "c0",
+        "c1",
+        F.col("f").alias("fa"),
+    )
+    b = keyed.select(
+        F.col("media_id").alias("media_id_b"),
+        "media_type",
+        "c0",
+        "c1",
+        F.col("f").alias("fb"),
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("fa", "fb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, ["media_type", "c0", "c1"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select(
+            "media_id_a",
+            "media_id_b",
+            "media_type",
+            F.round(l2, 6).alias("l2"),
+        )
+        .filter(F.col("l2") <= max_l2)
+    )

@@ -718,3 +718,28 @@ def contribute(oracles: dict[str, str]) -> None:
              round(sum(js)::DOUBLE / 1e9, 6) AS js_divergence
       FROM per
     """
+
+    oracles["q_media_near_dup"] = """
+      WITH f AS (
+        SELECT doc_id AS media_id,
+               list_extract(['image', 'audio', 'video'], (doc_id % 3)::INT + 1) AS media_type,
+               [round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(1, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(2, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(3, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(4, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(5, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(6, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(7, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4), round(coalesce(list_sum([ascii(substr(text, j, 1)) for j in range(8, length(text) + 1, 8)]), 0) / (255.0::DOUBLE * greatest(length(text), 1)), 4)] AS f
+        FROM documents
+      ),
+      keyed AS (
+        SELECT media_id, media_type, f,
+               floor(f[1] * 200)::BIGINT AS c0,
+               floor(f[2] * 200)::BIGINT AS c1
+        FROM f
+      ),
+      pairs AS (
+        SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+               a.media_type,
+               round(sqrt((0.0::DOUBLE + ((((((((a.f[1] - b.f[1]) * (a.f[1] - b.f[1]) + (a.f[2] - b.f[2]) * (a.f[2] - b.f[2])) + (a.f[3] - b.f[3]) * (a.f[3] - b.f[3])) + (a.f[4] - b.f[4]) * (a.f[4] - b.f[4])) + (a.f[5] - b.f[5]) * (a.f[5] - b.f[5])) + (a.f[6] - b.f[6]) * (a.f[6] - b.f[6])) + (a.f[7] - b.f[7]) * (a.f[7] - b.f[7])) + (a.f[8] - b.f[8]) * (a.f[8] - b.f[8])))), 6) AS l2
+        FROM keyed a JOIN keyed b
+          ON a.media_type = b.media_type AND a.c0 = b.c0 AND a.c1 = b.c1
+         AND a.media_id < b.media_id
+      )
+      SELECT media_id_a, media_id_b, media_type, l2
+      FROM pairs WHERE l2 <= 0.002::DOUBLE
+    """

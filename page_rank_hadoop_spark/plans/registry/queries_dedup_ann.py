@@ -853,3 +853,16 @@ def q_mrl_fidelity(spark, sf):
     the full 64, the audit before serving truncated embeddings."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.mrl_fidelity(emb)
+
+
+def q_media_near_dup(spark, sf):
+    """Round-6c: multimodal near-dup pairs (binary_ops.media_near_dup) —
+    feature-space blocked candidate-then-verify dedup over the decode
+    pipeline's vectors; byte-exact dups land at distance 0."""
+    from page_rank_hadoop_spark.multimodal.binary_ops import (
+        media_from_documents,
+        media_near_dup,
+    )
+
+    media = media_from_documents(_docs(spark, sf))
+    return media_near_dup(media, grid=200, max_l2=0.002)

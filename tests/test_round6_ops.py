@@ -505,3 +505,38 @@ def test_vocab_drift_disjoint_halves_positive_and_bounded(spark):
     r = textstats.vocab_drift(docs).collect()[0]
     assert r["kl_first_second"] > 0 and r["kl_second_first"] > 0
     assert 0 < r["js_divergence"] <= round(math.log(2), 6)
+
+
+def test_media_near_dup_exact_dup_at_zero(spark):
+    """Byte-identical payloads land at distance exactly 0; unrelated
+    payloads in different cells never pair."""
+    from page_rank_hadoop_spark.multimodal.binary_ops import (
+        media_from_documents,
+        media_near_dup,
+    )
+
+    t = "identical payload bytes for both media rows here"
+    docs = spark.createDataFrame(
+        # doc_ids 0 and 3 share media_type 'image' (id % 3)
+        [(0, t), (3, t), (6, "zz" * 200)],
+        ["doc_id", "text"],
+    )
+    media = media_from_documents(docs)
+    out = media_near_dup(media, grid=200, max_l2=0.002).collect()
+    got = {(r["media_id_a"], r["media_id_b"]): r["l2"] for r in out}
+    assert got == {(0, 3): 0.0}
+
+
+def test_media_near_dup_blocking_key_prunes(spark):
+    """Same type but far-apart features (different grid cells) are never
+    even candidates — the blocking guarantee."""
+    from page_rank_hadoop_spark.multimodal.binary_ops import (
+        media_from_documents,
+        media_near_dup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa " * 20), (3, "ZZZZ " * 20)], ["doc_id", "text"]
+    )
+    media = media_from_documents(docs)
+    assert media_near_dup(media, grid=200, max_l2=10.0).count() == 0
