@@ -307,3 +307,121 @@ def test_sorted_neighborhood_matches_naive(spark, docs, w):
             if j >= 0.5:
                 expect.add((min(ida, idb), max(ida, idb), round(j, 6)))
     assert got == expect
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc_words = st.lists(_word, min_size=0, max_size=10)
+
+
+@st.composite
+def _word_docs(draw, min_docs=1, max_docs=5):
+    docs = draw(st.lists(_doc_words, min_size=min_docs, max_size=max_docs))
+    return [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+
+
+@given(docs=_word_docs())
+@settings(**SETTINGS)
+def test_bigram_logprob_matches_naive(spark, docs):
+    """bigram_logprob == the pure-Python formula, including the
+    micro-unit floor mean rule."""
+    import math
+
+    from page_rank_hadoop_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in bigram_logprob(df).collect()}
+
+    toks = {i: t.split() for i, t in docs}
+    bigr = {i: list(zip(ws, ws[1:])) for i, ws in toks.items()}
+    c2: dict = {}
+    for bs in bigr.values():
+        for b in bs:
+            c2[b] = c2.get(b, 0) + 1
+    c1: dict = {}
+    for (w1, _), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+    vocab = {w for ws in toks.values() for w in ws}
+    want = {}
+    for i, bs in bigr.items():
+        if not bs:
+            continue
+        lpm = [
+            round(math.log((c2[b] + 0.5) / (c1[b[0]] + 0.5 * len(vocab))) * 1e6)
+            for b in bs
+        ]
+        want[i] = (len(bs), math.floor(sum(lpm) / len(bs)) / 1e6)
+    assert got == want
+
+
+@given(docs=_word_docs(max_docs=6))
+@settings(**SETTINGS)
+def test_quality_funnel_chain_invariants(spark, docs):
+    """Funnel counts are monotone nonincreasing and n_in chains from the
+    previous stage's n_out, for arbitrary corpora."""
+    from page_rank_hadoop_spark.operators.textstats import quality_funnel
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = sorted(quality_funnel(df).collect(), key=lambda r: r["stage"])
+    assert rows[0]["n_out"] == len(docs)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_out"]
+        assert cur["n_out"] <= cur["n_in"]
+
+
+@given(docs=_word_docs(), phrases=st.lists(
+    st.lists(_word, min_size=1, max_size=3), min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_blocklist_matches_matches_naive(spark, docs, phrases):
+    """blocklist_matches == naive overlapping-occurrence counting."""
+    from page_rank_hadoop_spark.operators.textstats import blocklist_matches
+
+    plist = sorted({" ".join(p) for p in phrases})
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id"], r["phrase"]): r["n_matches"]
+           for r in blocklist_matches(df, plist).collect()}
+    want = {}
+    for i, t in docs:
+        ws = t.split()
+        for p in plist:
+            pw = p.split()
+            n = sum(
+                1
+                for s in range(len(ws) - len(pw) + 1)
+                if ws[s:s + len(pw)] == pw
+            )
+            if n:
+                want[(i, p)] = n
+    assert got == want
+
+
+@given(docs=_word_docs(min_docs=1, max_docs=5))
+@settings(**SETTINGS)
+def test_ngram_novelty_matches_naive(spark, docs):
+    """ngram_novelty (n=3 for small inputs) == naive distinct-gram df."""
+    from page_rank_hadoop_spark.operators.textstats import ngram_novelty
+
+    n = 3
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df, n=n).collect()}
+    grams = {
+        i: {" ".join(ws[s:s + n]) for s in range(len(ws) - n + 1)}
+        for i, t in docs
+        for ws in [t.split()]
+        if len(ws) >= n
+    }
+    dfreq: dict = {}
+    for gs in grams.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    want = {
+        i: (
+            len(gs),
+            sum(1 for g in gs if dfreq[g] == 1),
+            round(sum(1 for g in gs if dfreq[g] == 1) / len(gs), 6),
+        )
+        for i, gs in grams.items()
+        if gs
+    }
+    assert got == want
