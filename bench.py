@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_rrf_fusion",
     "q_vocab_drift",
     "q_media_near_dup",
+    "q_ewma_smoothing",
 ]
 
 

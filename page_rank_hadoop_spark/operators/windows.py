@@ -729,3 +729,36 @@ def time_to_convert(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_s"),
         F.round(F.avg("lat_s"), 6).alias("mean_s"),
     )
+
+
+def ewma_smoothing(events: DataFrame, alpha: float = 0.5, k: int = 8) -> DataFrame:
+    """Per-user bounded-lag EWMA of the event value: a finite-window
+    exponential smoother — ewma_t = Σ_{j<k} α^j·x_{t−j} / Σ_{j<k} α^j
+    over the lags that exist (early rows normalize by the weights
+    actually present, the standard bias correction). The k-lag cutoff
+    is what makes it a WINDOW expression instead of a recursion: state
+    is k lag columns, not an unbounded scan, so it runs identically in
+    batch and (with a k-row state buffer) streaming.
+
+    Scale shape: ONE per-user window (never global) materializing k lag
+    columns; everything after is a map-side arithmetic fold. Engine
+    determinism: α defaults to 0.5 whose powers are exact binary
+    scalings (x·0.5^j only shifts the exponent — no mantissa rounding),
+    the fold is written left-to-right identically in the oracle, and
+    the final quotient rounds 6dp.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(k):
+        lj = F.lag("value", j).over(w)
+        term = F.when(lj.isNotNull(), lj * F.lit(alpha**j)).otherwise(F.lit(0.0))
+        wgt = F.when(lj.isNotNull(), F.lit(alpha**j)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

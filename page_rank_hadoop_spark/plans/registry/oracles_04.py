@@ -743,3 +743,10 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT media_id_a, media_id_b, media_type, l2
       FROM pairs WHERE l2 <= 0.002::DOUBLE
     """
+
+    oracles["q_ewma_smoothing"] = """
+      SELECT user_id, event_id, round(value, 6) AS value,
+             round(((CASE WHEN lag(value, 0) OVER w IS NOT NULL THEN lag(value, 0) OVER w * 1.0::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN lag(value, 1) OVER w * 0.5::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN lag(value, 2) OVER w * 0.25::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN lag(value, 3) OVER w * 0.125::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN lag(value, 4) OVER w * 0.0625::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN lag(value, 5) OVER w * 0.03125::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN lag(value, 6) OVER w * 0.015625::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN lag(value, 7) OVER w * 0.0078125::DOUBLE ELSE 0.0::DOUBLE END)) / ((CASE WHEN lag(value, 0) OVER w IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625::DOUBLE ELSE 0.0::DOUBLE END) + (CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125::DOUBLE ELSE 0.0::DOUBLE END)), 6) AS ewma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """

@@ -901,3 +901,10 @@ def q_vocab_drift(spark, sf):
     (textstats.vocab_drift) — the distribution-shift alarm between
     snapshots; one count aggregate, nano-unit-exact divergence sums."""
     return textstats.vocab_drift(_docs(spark, sf))
+
+
+def q_ewma_smoothing(spark, sf):
+    """Round-6c: per-user bounded-lag EWMA (windows.ewma_smoothing) —
+    the finite-window exponential smoother whose k-lag cutoff makes it
+    a window expression, not a recursion; α=0.5 powers are exact."""
+    return windows.ewma_smoothing(load_table(spark, sf, "events"))

@@ -540,3 +540,22 @@ def test_media_near_dup_blocking_key_prunes(spark):
     )
     media = media_from_documents(docs)
     assert media_near_dup(media, grid=200, max_l2=10.0).count() == 0
+
+
+def test_ewma_smoothing_hand_sequence(spark):
+    """Three events for one user: EWMA with alpha=0.5 normalizes by the
+    weights present, so the first row equals its own value."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, dt.datetime(2026, 1, 1, 0, 0, 0), 10.0),
+        (1, 2, dt.datetime(2026, 1, 1, 0, 1, 0), 20.0),
+        (1, 3, dt.datetime(2026, 1, 1, 0, 2, 0), 30.0),
+    ]
+    from page_rank_hadoop_spark.operators import windows as W
+
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    got = {r["event_id"]: r["ewma"] for r in W.ewma_smoothing(df).collect()}
+    assert got[1] == 10.0
+    assert got[2] == round((20.0 + 0.5 * 10.0) / 1.5, 6)
+    assert got[3] == round((30.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75, 6)
