@@ -560,6 +560,48 @@ def rehearse_compaction(spark, sf_dir: str, out_dir: str,
     drop_table_and_location(spark, table)
 
 
+def rehearse_corpusqa(spark, docs, label: str) -> dict:
+    """Round-6c corpus-QA family at 1x/10x: funnel, novelty, source
+    overlap, blocklist, bigram LM, drift — the shapes are 1-3 keyed
+    shuffles each, so wall should scale ~linearly with the corpus (the
+    novelty/overlap gram tables grow with input, never broadcast)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from page_rank_hadoop_spark.operators import textstats
+    from page_rank_hadoop_spark.plans.registry._shared import BLOCKLIST_PHRASES
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    n = docs.count()
+    out = {"label": label, "n_docs": n}
+    funnel, out["funnel_sec"] = _timed(
+        lambda: textstats.quality_funnel(docs).collect()
+    )
+    out["funnel_kept"] = next(
+        r["n_out"] for r in funnel if r["stage"] == "03_dedup_prefix"
+    )
+    nov, out["novelty_sec"] = _timed(
+        lambda: textstats.ngram_novelty(docs).count()
+    )
+    out["novelty_rows"] = nov
+    ov, out["overlap_sec"] = _timed(
+        lambda: textstats.source_overlap(docs).count()
+    )
+    out["overlap_rows"] = ov
+    bl, out["blocklist_sec"] = _timed(
+        lambda: textstats.blocklist_matches(docs, list(BLOCKLIST_PHRASES)).count()
+    )
+    out["blocklist_rows"] = bl
+    bg, out["bigram_sec"] = _timed(
+        lambda: textstats.bigram_logprob(docs).count()
+    )
+    out["bigram_rows"] = bg
+    _, out["drift_sec"] = _timed(
+        lambda: textstats.vocab_drift(docs).collect()
+    )
+    docs.unpersist()
+    return out
+
+
 def _run_ingest_capture_state(spark, in_dir: str, out: str, ck: str) -> int:
     """run_ingest_to_parquet, but returning the dedup state-store row
     count from the final progress (stateOperators[].numRowsTotal)."""
@@ -630,6 +672,33 @@ def main() -> int:
                 ("jac_plain_pairs", "jac pairs"),
                 ("snm_sec", "SNM s"),
                 ("snm_pairs", "SNM pairs"),
+            ],
+        )
+
+    if mode in ("corpusqa", "all"):
+        p10 = os.path.join(out_dir, "documents_10x.parquet")
+        if not os.path.exists(p10):
+            t0 = time.time()
+            build_10x(spark, sf_dir, p10)
+            print(f"built 10x corpus in {time.time()-t0:.1f}s → {p10}")
+        one = load_table(spark, sf_dir, "documents")
+        ten = spark.read.parquet(p10)
+        rows = [
+            rehearse_corpusqa(spark, one, "1x"),
+            rehearse_corpusqa(spark, ten, "10x"),
+        ]
+        _print_table(
+            rows,
+            [
+                ("n_docs", "docs"),
+                ("funnel_sec", "funnel s"),
+                ("funnel_kept", "kept"),
+                ("novelty_sec", "novelty s"),
+                ("overlap_sec", "overlap s"),
+                ("overlap_rows", "pairs"),
+                ("blocklist_sec", "blockl s"),
+                ("bigram_sec", "bigram s"),
+                ("drift_sec", "drift s"),
             ],
         )
 
