@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_vocab_drift",
     "q_media_near_dup",
     "q_ewma_smoothing",
+    "q_similarity_histogram",
 ]
 
 

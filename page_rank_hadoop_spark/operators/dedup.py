@@ -1142,3 +1142,44 @@ def lsh_verified_pairs(
         )
         .filter(F.col("edit_sim") >= min_edit_sim)
     )
+
+
+def similarity_histogram(
+    documents: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.2,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Pair-similarity histogram: candidate pairs (≥1 shared word
+    n-shingle) bucketed into Jaccard deciles — the threshold-TUNING
+    report run before committing a dedup cutoff (where does the pair
+    mass sit? is there a clean valley between boilerplate and true
+    dups?). ``min_jaccard`` floors the histogram, not the candidates.
+
+    Output: (bin, bin_lo, n_pairs, min_jaccard, max_jaccard) per
+    occupied decile. Decile index comes from exact integer micro-units
+    (floor(round(j·1e6)/1e5)) so bucket edges are arithmetic on
+    integers, not IEEE division of 6dp doubles.
+
+    Scale shape: identical candidate plan to ngram_jaccard_pairs (the
+    shingle inverted-index self-join — production swaps in the PPJoin
+    prefix variant for fanout control); the histogram rollup is one
+    ≤11-row aggregate on top.
+    """
+    pairs = ngram_jaccard_pairs(documents, n=n, min_jaccard=min_jaccard, base=base)
+    b = F.floor(F.round(F.col("jaccard") * 1e6, 0) / F.lit(100000)).cast("int")
+    return (
+        pairs.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * F.lit(0.1), 1).alias("bin_lo"),
+            "n_pairs",
+            "min_jaccard",
+            "max_jaccard",
+        )
+    )

@@ -750,3 +750,33 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
+
+    oracles["q_similarity_histogram"] = """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z]+') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+               ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]
+          END)) AS shingle
+        FROM toks
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      pairs AS (
+        SELECT round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 6) AS jaccard
+        FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE round(i.n_common / (sa.n_shingles + sb.n_shingles - i.n_common), 6) >= 0.2::DOUBLE
+      ),
+      binned AS (
+        SELECT (floor(round(jaccard * 1e6) / 100000))::INT AS bin, jaccard
+        FROM pairs
+      )
+      SELECT bin, round(bin * 0.1::DOUBLE, 1) AS bin_lo,
+             count(*)::BIGINT AS n_pairs,
+             min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+      FROM binned GROUP BY bin
+    """

@@ -866,3 +866,11 @@ def q_media_near_dup(spark, sf):
 
     media = media_from_documents(_docs(spark, sf))
     return media_near_dup(media, grid=200, max_l2=0.002)
+
+
+def q_similarity_histogram(spark, sf):
+    """Round-6c: Jaccard-decile pair histogram (dedup.similarity_histogram)
+    — the dedup-threshold tuning report; shares the session shingle MV."""
+    return dedup.similarity_histogram(
+        _docs(spark, sf), n=3, min_jaccard=0.2, base=_ngram_base(spark, sf)
+    )

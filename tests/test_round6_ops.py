@@ -559,3 +559,23 @@ def test_ewma_smoothing_hand_sequence(spark):
     assert got[1] == 10.0
     assert got[2] == round((20.0 + 0.5 * 10.0) / 1.5, 6)
     assert got[3] == round((30.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75, 6)
+
+
+def test_similarity_histogram_bins(spark):
+    """Hand pairs at known Jaccard levels land in the right deciles;
+    identical docs hit bin 10 (jaccard exactly 1.0)."""
+    from page_rank_hadoop_spark.operators import dedup
+
+    a = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, "one two three nine ten eleven")],
+        ["doc_id", "text"],
+    )
+    rows = {r["bin"]: r for r in
+            dedup.similarity_histogram(docs, n=3, min_jaccard=0.1).collect()}
+    assert rows[10]["n_pairs"] == 1            # (1,2) identical
+    assert rows[10]["min_jaccard"] == 1.0
+    # (1,3)/(2,3): shingles {one two three, two three nine, ...} share 1
+    # of 4+4-1=7 -> j = 1/7 ≈ 0.142857 -> bin 1
+    assert rows[1]["n_pairs"] == 2
+    assert rows[1]["min_jaccard"] == round(1 / 7, 6)
