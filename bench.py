@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_media_near_dup",
     "q_ewma_smoothing",
     "q_similarity_histogram",
+    "q_lsh_precision",
 ]
 
 

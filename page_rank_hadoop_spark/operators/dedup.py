@@ -1119,6 +1119,25 @@ def lsh_verified_pairs(
     column, never full 100 KB docs). No rounding hazard: lengths and
     edit distance are exact integers, the ratio a single IEEE divide.
     """
+    scored = _lsh_edit_scored(
+        documents, verify_prefix, shingle_k, n_hashes, n_bands,
+        max_bucket_size, hash_fn,
+    )
+    return scored.filter(F.col("edit_sim") >= min_edit_sim)
+
+
+def _lsh_edit_scored(
+    documents: DataFrame,
+    verify_prefix: int,
+    shingle_k: int,
+    n_hashes: int,
+    n_bands: int,
+    max_bucket_size: int | None,
+    hash_fn: str,
+) -> DataFrame:
+    """Every LSH candidate pair with its exact prefix edit similarity
+    attached (unfiltered) — shared by lsh_verified_pairs (which gates on
+    it) and lsh_precision (which reports on it)."""
     pairs = minhash_lsh_pairs(
         documents, shingle_k, n_hashes, n_bands, max_bucket_size, hash_fn
     )
@@ -1140,7 +1159,49 @@ def lsh_verified_pairs(
             "n_bands_shared",
             F.round(sim, 6).alias("edit_sim"),
         )
-        .filter(F.col("edit_sim") >= min_edit_sim)
+    )
+
+
+def lsh_precision(
+    documents: DataFrame,
+    min_edit_sim: float = 0.4,
+    verify_prefix: int = 500,
+    shingle_k: int = 8,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """LSH index-health report: per number of shared bands, how many
+    candidate pairs the banding proposed and how many survive the exact
+    edit-distance verifier — the precision curve that tells you whether
+    the (n_hashes, n_bands) operating point is proposing garbage (add
+    rows per band) or missing recall headroom (add bands). Output is at
+    most ``n_bands`` rows.
+
+    Scale shape: identical candidate+verify plan to lsh_verified_pairs
+    (shared builder) plus one ≤n_bands-row conditional aggregate.
+    """
+    scored = _lsh_edit_scored(
+        documents, verify_prefix, shingle_k, n_hashes, n_bands,
+        max_bucket_size, hash_fn,
+    )
+    return (
+        scored.groupBy("n_bands_shared")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum((F.col("edit_sim") >= min_edit_sim).cast("long"))
+            .cast("long")
+            .alias("n_verified"),
+        )
+        .select(
+            "n_bands_shared",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+        )
     )
 
 

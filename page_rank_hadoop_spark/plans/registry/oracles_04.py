@@ -780,3 +780,31 @@ def contribute(oracles: dict[str, str]) -> None:
              min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
       FROM binned GROUP BY bin
     """
+
+    oracles["q_lsh_precision"] = f"""
+      WITH {_sql_minhash_ctes()},
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(DISTINCT a.band)::INT AS n_bands_shared
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      v AS (SELECT doc_id, substr(text, 1, 500) AS vtext FROM documents),
+      scored AS (
+        SELECT p.n_bands_shared,
+               round(CASE WHEN greatest(length(va.vtext), length(vb.vtext)) = 0
+                     THEN 1.0
+                     ELSE 1.0 - levenshtein(va.vtext, vb.vtext)::DOUBLE
+                              / greatest(length(va.vtext), length(vb.vtext))
+                     END, 6) AS edit_sim
+        FROM pairs p
+        JOIN v va ON va.doc_id = p.doc_a
+        JOIN v vb ON vb.doc_id = p.doc_b
+      )
+      SELECT n_bands_shared, count(*)::BIGINT AS n_candidates,
+             sum(CASE WHEN edit_sim >= 0.4::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS n_verified,
+             round(sum(CASE WHEN edit_sim >= 0.4::DOUBLE THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 6) AS precision
+      FROM scored GROUP BY n_bands_shared
+    """

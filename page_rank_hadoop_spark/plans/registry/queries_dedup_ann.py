@@ -838,13 +838,27 @@ def q_dim_profile(spark, sf):
     return similarity.embedding_dim_profile(emb, dim=EMB_DIM)
 
 
+def _lsh_scored(spark, sf):
+    """Shared LSH candidate+edit-sim table (localCheckpoint MV):
+    q_lsh_verified_pairs gates on it, q_lsh_precision reports on it —
+    one banded self-join + levenshtein pass per session, and no
+    double-persist of the banded plan (the round-2 'already cached'
+    collision class)."""
+    key = f"{spark.sparkContext.applicationId}:{sf}:lsh_scored"
+    if key not in _MV_CACHE:
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        _MV_CACHE[key] = dedup._lsh_edit_scored(
+            docs, 500, 8, 12, 4, None, "md5"
+        ).localCheckpoint()
+    return _MV_CACHE[key]
+
+
 def q_lsh_verified_pairs(spark, sf):
     """Round-6c: MinHash-LSH candidates re-scored by exact prefix
     edit-distance (dedup.lsh_verified_pairs) — the candidate-then-verify
     production dedup shape; LSH false positives are dropped by the
     deterministic verifier."""
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return dedup.lsh_verified_pairs(docs, min_edit_sim=0.4, verify_prefix=500)
+    return _lsh_scored(spark, sf).filter(F.col("edit_sim") >= 0.4)
 
 
 def q_mrl_fidelity(spark, sf):
@@ -873,4 +887,29 @@ def q_similarity_histogram(spark, sf):
     — the dedup-threshold tuning report; shares the session shingle MV."""
     return dedup.similarity_histogram(
         _docs(spark, sf), n=3, min_jaccard=0.2, base=_ngram_base(spark, sf)
+    )
+
+
+def q_lsh_precision(spark, sf):
+    """Round-6c: LSH precision curve by shared-band count
+    (dedup.lsh_precision shape over the shared scored MV) — is the
+    (n_hashes, n_bands) operating point proposing garbage or leaving
+    recall headroom?"""
+    scored = _lsh_scored(spark, sf)
+    return (
+        scored.groupBy("n_bands_shared")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum((F.col("edit_sim") >= 0.4).cast("long"))
+            .cast("long")
+            .alias("n_verified"),
+        )
+        .select(
+            "n_bands_shared",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+        )
     )

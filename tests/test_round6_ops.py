@@ -579,3 +579,19 @@ def test_similarity_histogram_bins(spark):
     # of 4+4-1=7 -> j = 1/7 ≈ 0.142857 -> bin 1
     assert rows[1]["n_pairs"] == 2
     assert rows[1]["min_jaccard"] == round(1 / 7, 6)
+
+
+def test_lsh_precision_consistency(spark):
+    """Precision table internally consistent, and n_verified sums to the
+    verified-pairs count for the same corpus and thresholds."""
+    from page_rank_hadoop_spark.operators import dedup
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    prec = dedup.lsh_precision(docs, min_edit_sim=0.4).collect()
+    assert prec
+    for r in prec:
+        assert 1 <= r["n_bands_shared"] <= 4
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert r["precision"] == round(r["n_verified"] / r["n_candidates"], 6)
+    total_verified = sum(r["n_verified"] for r in prec)
+    assert total_verified == dedup.lsh_verified_pairs(docs, min_edit_sim=0.4).count()
