@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "q_ewma_smoothing",
     "q_similarity_histogram",
     "q_lsh_precision",
+    "q_bpe_compression",
+    "q_edge_reciprocity",
 ]
 
 

@@ -646,3 +646,33 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+def edge_reciprocity(edges: DataFrame) -> DataFrame:
+    """Edge reciprocity: the share of directed edges whose reverse edge
+    also exists — for a link graph, high reciprocity flags mutual-link
+    rings (the exchange-scheme signature), near-zero is the organic-web
+    norm. One row: (n_edges, n_reciprocal, reciprocity).
+
+    Scale shape: distinct edge set, one self-semi-join keyed on the
+    swapped pair (both sides hash-partition on the same columns), one
+    1-row aggregate. No window, nothing quadratic.
+    """
+    e = edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                recip.agg(F.count("*").cast("long").alias("n_reciprocal"))
+            )
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )

@@ -1199,3 +1199,50 @@ def vocab_drift(documents: DataFrame, k: float = 0.5) -> DataFrame:
         F.round(F.sum("kba").cast("double") / F.lit(1e9), 6).alias("kl_second_first"),
         F.round(F.sum("js").cast("double") / F.lit(1e9), 6).alias("js_divergence"),
     )
+
+
+def bpe_compression_by_source(
+    documents: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """Tokenizer-efficiency report per source: encode the corpus with
+    the merge table (bpe_encode_stats) and roll pieces/words/chars up
+    by source — pieces-per-word and chars-per-piece are the numbers a
+    tokenizer team watches per domain (a source whose compression is an
+    outlier is under-served by the vocabulary and will burn budget).
+
+    Scale shape: the encode is the existing rules×scan fold; the rollup
+    adds one doc_id join (chars ride the same token explode) and one
+    |sources|-row aggregate. Ratios are exact-integer divides, 6dp.
+    """
+    per_doc = bpe_encode_stats(documents, merges)
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    chars = (
+        ensure_parallel(documents)
+        .select("doc_id", "source", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.length("w")).cast("long").alias("n_chars"))
+    )
+    return (
+        per_doc.join(chars, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            "n_chars",
+            F.round(F.col("n_pieces").cast("double") / F.col("n_words"), 6).alias(
+                "pieces_per_word"
+            ),
+            F.round(F.col("n_chars").cast("double") / F.col("n_pieces"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+    )

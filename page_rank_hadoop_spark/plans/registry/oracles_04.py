@@ -808,3 +808,46 @@ def contribute(oracles: dict[str, str]) -> None:
                    / count(*), 6) AS precision
       FROM scored GROUP BY n_bands_shared
     """
+
+    # per-source BPE compression: reuse the encode chain, wrap per-doc
+    # output as a CTE, join chars and roll up by source
+    _enc = oracles["q_bpe_encode"]
+    _enc_interior, _enc_final = _enc.rsplit("SELECT doc_id, sum(len(seq))", 1)
+    _enc_interior = _enc_interior.strip()
+    assert _enc_interior.startswith("WITH ")
+    oracles["q_bpe_compression"] = (
+        _enc_interior
+        + """, enc AS (SELECT doc_id, sum(len(seq))"""
+        + _enc_final
+        + """),
+      chars AS (
+        SELECT doc_id, source, sum(length(w))::BIGINT AS n_chars
+        FROM (SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(text), '[a-zA-Z]+')) AS w
+              FROM documents) t
+        GROUP BY doc_id, source
+      )
+      SELECT c.source, count(*)::BIGINT AS n_docs,
+             sum(e.n_words)::BIGINT AS n_words,
+             sum(e.n_pieces)::BIGINT AS n_pieces,
+             sum(c.n_chars)::BIGINT AS n_chars,
+             round(sum(e.n_pieces)::DOUBLE / sum(e.n_words), 6) AS pieces_per_word,
+             round(sum(c.n_chars)::DOUBLE / sum(e.n_pieces), 6) AS chars_per_piece
+      FROM enc e JOIN chars c USING (doc_id)
+      GROUP BY c.source
+    """
+    )
+
+    oracles["q_edge_reciprocity"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      e AS (SELECT DISTINCT src, dst FROM kept),
+      r AS (
+        SELECT count(*)::BIGINT AS n_reciprocal
+        FROM e a WHERE EXISTS (
+          SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+      ),
+      n AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+      SELECT n.n_edges, r.n_reciprocal,
+             round(r.n_reciprocal::DOUBLE / n.n_edges, 6) AS reciprocity
+      FROM n CROSS JOIN r
+    """

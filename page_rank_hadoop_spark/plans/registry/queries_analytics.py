@@ -908,3 +908,10 @@ def q_ewma_smoothing(spark, sf):
     the finite-window exponential smoother whose k-lag cutoff makes it
     a window expression, not a recursion; α=0.5 powers are exact."""
     return windows.ewma_smoothing(load_table(spark, sf, "events"))
+
+
+def q_bpe_compression(spark, sf):
+    """Round-6c: per-source BPE compression report
+    (textstats.bpe_compression_by_source) — pieces/word and chars/piece
+    by domain, the tokenizer-efficiency outlier detector."""
+    return textstats.bpe_compression_by_source(_docs(spark, sf))

@@ -631,3 +631,9 @@ def q_degree_assortativity(spark, sf):
     graph (graph.degree_assortativity) — hubs-link-to-hubs is the
     link-farm signature; one moment aggregate over degree-joined edges."""
     return graph.degree_assortativity(_graph(spark, sf)["kept"])
+
+
+def q_edge_reciprocity(spark, sf):
+    """Round-6c: mutual-link share of the resolved graph
+    (graph.edge_reciprocity) — the link-exchange-ring detector."""
+    return graph.edge_reciprocity(_graph(spark, sf)["kept"])

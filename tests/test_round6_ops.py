@@ -595,3 +595,31 @@ def test_lsh_precision_consistency(spark):
         assert r["precision"] == round(r["n_verified"] / r["n_candidates"], 6)
     total_verified = sum(r["n_verified"] for r in prec)
     assert total_verified == dedup.lsh_verified_pairs(docs, min_edit_sim=0.4).count()
+
+
+def test_edge_reciprocity_hand_graph(spark):
+    """2 mutual + 1 one-way edge: reciprocity = 2/3 exactly."""
+    from page_rank_hadoop_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4)], ["src", "dst"]
+    )
+    r = graph.edge_reciprocity(e).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_bpe_compression_consistency(spark):
+    """Per-source rollup sums to the per-doc encode stats; ratios are
+    exact quotients; pieces never exceed chars."""
+    from page_rank_hadoop_spark.operators import textstats as T
+
+    docs = load_table(spark, SF0001, "documents")
+    per_doc = {r["doc_id"]: r for r in T.bpe_encode_stats(docs).collect()}
+    out = T.bpe_compression_by_source(docs).collect()
+    assert sum(r["n_words"] for r in out) == sum(
+        r["n_words"] for r in per_doc.values()
+    )
+    for r in out:
+        assert r["n_pieces"] <= r["n_chars"]
+        assert r["pieces_per_word"] == round(r["n_pieces"] / r["n_words"], 6)
