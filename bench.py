@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q_lsh_precision",
     "q_bpe_compression",
     "q_edge_reciprocity",
+    "q_winsorize_report",
 ]
 
 

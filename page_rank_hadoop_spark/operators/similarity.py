@@ -1060,3 +1060,48 @@ def mrl_fidelity(
         F.col("r.mean_abs_err").alias("mean_abs_err"),
         F.col("r.max_abs_err").alias("max_abs_err"),
     )
+
+
+def winsorize_report(
+    embeddings: DataFrame, p_lo: float = 0.01, p_hi: float = 0.99
+) -> DataFrame:
+    """Per-dimension winsorization report: the (p_lo, p_hi) percentile
+    clip bounds each embedding dimension would be clamped to, and how
+    many values fall outside them — the outlier audit a vector pipeline
+    runs before normalizing/quantizing (a dimension with heavy clip
+    counts means encoder glitches or corrupted rows feeding the index).
+
+    Output: (d, lo, hi, n_below, n_above, clip_rate), one row per dim.
+
+    Scale shape: one posexplode; ONE grouped exact-percentile aggregate
+    (dim-bounded output); the bounds join back onto the same exploded
+    stream by dimension id — a broadcast of dim rows — and the clip
+    counts are a second dim-bounded conditional aggregate. Exact
+    percentile matches DuckDB quantile_cont (the equidepth-histogram
+    precedent); comparisons use the raw interpolated bound on both
+    engines.
+    """
+    x = embeddings.select(F.posexplode("embedding").alias("d", "x")).select(
+        (F.col("d") + 1).alias("d"), F.col("x").cast("double").alias("x")
+    )
+    bounds = x.groupBy("d").agg(
+        F.expr(f"percentile(x, {p_lo})").alias("lo"),
+        F.expr(f"percentile(x, {p_hi})").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        x.join(F.broadcast(bounds), "d")
+        .groupBy("d")
+        .agg(
+            F.round(F.first("lo"), 6).alias("lo"),
+            F.round(F.first("hi"), 6).alias("hi"),
+            F.sum((F.col("x") < F.col("lo")).cast("long")).cast("long").alias("n_below"),
+            F.sum((F.col("x") > F.col("hi")).cast("long")).cast("long").alias("n_above"),
+            F.round(
+                F.sum(((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi"))).cast("long"))
+                .cast("double")
+                / F.first("n"),
+                6,
+            ).alias("clip_rate"),
+        )
+    )

@@ -851,3 +851,25 @@ def contribute(oracles: dict[str, str]) -> None:
              round(r.n_reciprocal::DOUBLE / n.n_edges, 6) AS reciprocity
       FROM n CROSS JOIN r
     """
+
+    oracles["q_winsorize_report"] = """
+      WITH x AS (
+        SELECT (u.s.i)::INT AS d, (u.s.v)::DOUBLE AS x
+        FROM (
+          SELECT [{'i': i, 'v': embedding[i]} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      ),
+      bounds AS (
+        SELECT d, quantile_cont(x, 0.01) AS lo, quantile_cont(x, 0.99) AS hi,
+               count(*)::BIGINT AS n
+        FROM x GROUP BY d
+      )
+      SELECT x.d, round(b.lo, 6) AS lo, round(b.hi, 6) AS hi,
+             sum(CASE WHEN x.x < b.lo THEN 1 ELSE 0 END)::BIGINT AS n_below,
+             sum(CASE WHEN x.x > b.hi THEN 1 ELSE 0 END)::BIGINT AS n_above,
+             round(sum(CASE WHEN x.x < b.lo OR x.x > b.hi THEN 1 ELSE 0 END)::DOUBLE
+                   / b.n, 6) AS clip_rate
+      FROM x JOIN bounds b ON x.d = b.d
+      GROUP BY x.d, b.n, b.lo, b.hi
+    """

@@ -913,3 +913,11 @@ def q_lsh_precision(spark, sf):
             ).alias("precision"),
         )
     )
+
+
+def q_winsorize_report(spark, sf):
+    """Round-6c: per-dimension winsorization audit
+    (similarity.winsorize_report) — p01/p99 clip bounds and outlier
+    counts per embedding dim, the pre-normalization outlier check."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.winsorize_report(emb)

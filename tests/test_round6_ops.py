@@ -623,3 +623,25 @@ def test_bpe_compression_consistency(spark):
     for r in out:
         assert r["n_pieces"] <= r["n_chars"]
         assert r["pieces_per_word"] == round(r["n_pieces"] / r["n_words"], 6)
+
+
+def test_winsorize_report_tiny_exact(spark):
+    """Ten values per dim: p01/p99 interpolated bounds leave exactly the
+    extremes outside; clip counts and rate are exact."""
+    vals = [float(v) for v in range(1, 11)]            # 1..10
+    df = spark.createDataFrame(
+        [(i, [v]) for i, v in enumerate(vals)], ["vec_id", "embedding"]
+    )
+    r = similarity.winsorize_report(df, p_lo=0.1, p_hi=0.9).collect()[0]
+    # percentile(0.1) of 1..10 = 1.9; percentile(0.9) = 9.1
+    assert r["lo"] == 1.9 and r["hi"] == 9.1
+    assert r["n_below"] == 1 and r["n_above"] == 1    # 1.0 and 10.0
+    assert r["clip_rate"] == 0.2
+
+
+def test_winsorize_report_testdata_shape(spark, emb):
+    rows = similarity.winsorize_report(emb).collect()
+    assert len(rows) == DIM
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert 0 <= r["clip_rate"] <= 0.05            # p01/p99 → ~2%
