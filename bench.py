@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q_bpe_compression",
     "q_edge_reciprocity",
     "q_winsorize_report",
+    "q_label_typicality",
 ]
 
 

@@ -1105,3 +1105,42 @@ def winsorize_report(
             ).alias("clip_rate"),
         )
     )
+
+
+def label_typicality(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Per-label prototype selection: the k vectors closest (cosine) to
+    their label's centroid — the "most typical examples" query used for
+    few-shot prompt seeds, labeling-QA spot checks, and class-drift
+    review. Output: (label, vec_id, cos_sim, rnk).
+
+    Scale shape: the centroid aggregate shuffles (label, dim) keys, not
+    vectors; centroids broadcast back onto the corpus (labels·dim
+    doubles — tiny); scoring is one map pass; per-label top-k compiles
+    to WindowGroupLimit (≤k rows per label cross the exchange). Per-dim
+    means are 6dp-prerounded and the oracle's dot/norm sums are ORDERED
+    by dim to match the left-fold (the label_centroids rule).
+    """
+    from page_rank_hadoop_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    per_dim = (
+        embeddings.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    cent = (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_s"))
+        .select("label", F.transform("_s", lambda s: s["m"]).alias("c"))
+    )
+    scored = embeddings.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("c")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("label", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -873,3 +873,29 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM x JOIN bounds b ON x.d = b.d
       GROUP BY x.d, b.n, b.lo, b.hi
     """
+
+    oracles["q_label_typicality"] = """
+      WITH ex AS (
+        SELECT label, vec_id, (u.s.i)::INT AS dim, (u.s.x)::DOUBLE AS x
+        FROM (
+          SELECT label, vec_id,
+                 [{'i': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)] AS ps
+          FROM embeddings
+        ), unnest(ps) u(s)
+      ),
+      cent AS (
+        SELECT label, dim, round(avg(x), 6) AS m FROM ex GROUP BY label, dim
+      ),
+      sc AS (
+        SELECT e.label, e.vec_id,
+               round(sum(e.x * c.m ORDER BY e.dim)
+                     / (sqrt(sum(e.x * e.x ORDER BY e.dim))
+                        * sqrt(sum(c.m * c.m ORDER BY e.dim))), 6) AS cos_sim
+        FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.label, e.vec_id
+      )
+      SELECT label, vec_id, cos_sim, rnk::INT AS rnk FROM (
+        SELECT label, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM sc) WHERE rnk <= 3
+    """

@@ -921,3 +921,10 @@ def q_winsorize_report(spark, sf):
     counts per embedding dim, the pre-normalization outlier check."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.winsorize_report(emb)
+
+
+def q_label_typicality(spark, sf):
+    """Round-6c: per-label prototypes nearest the class centroid
+    (similarity.label_typicality) — few-shot seed / labeling-QA query."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.label_typicality(emb, k=3)

@@ -645,3 +645,28 @@ def test_winsorize_report_testdata_shape(spark, emb):
     for r in rows:
         assert r["lo"] <= r["hi"]
         assert 0 <= r["clip_rate"] <= 0.05            # p01/p99 → ~2%
+
+
+def test_label_typicality_identical_cluster(spark):
+    """A label whose vectors are all identical scores cosine exactly 1.0
+    for every member; ranks tie-break by vec_id ascending."""
+    v = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [(1, "a", v), (2, "a", v), (3, "a", v), (4, "b", [4.0, 3.0, 2.0, 1.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    rows = similarity.label_typicality(df, k=2).collect()
+    got = {(r["label"], r["rnk"]): (r["vec_id"], r["cos_sim"]) for r in rows}
+    assert got[("a", 1)] == (1, 1.0) and got[("a", 2)] == (2, 1.0)
+    assert got[("b", 1)] == (4, 1.0)
+
+
+def test_label_typicality_testdata_topk_shape(spark, emb):
+    out = similarity.label_typicality(emb, k=3).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    for rows in by_label.values():
+        assert len(rows) == 3
+        sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
