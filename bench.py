@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q_edge_reciprocity",
     "q_winsorize_report",
     "q_label_typicality",
+    "q_doc_keywords",
 ]
 
 

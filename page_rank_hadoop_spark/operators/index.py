@@ -360,3 +360,40 @@ def phrase_matches(documents: DataFrame, phrase: list[str]) -> DataFrame:
         .filter(F.col("phrase_tf") > 0)
         .orderBy("doc_id")
     )
+
+
+def doc_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: the k terms with the highest
+    tf·ln(N/df) in each document — the classic summarize/tag/route
+    query (and the representation behind cheap topic clustering).
+    Output: (doc_id, term, score, rnk), ties broken by term.
+
+    Scale shape: one (doc, term) tf shuffle (map-side combined), one
+    df aggregate joined back keyed on term, N rides a collected scalar
+    (count-only job), and the per-doc top-k compiles to
+    WindowGroupLimit — ≤k rows per doc cross the exchange. Scores are
+    6dp-rounded before ranking so both engines order identically.
+    """
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    docs = ensure_parallel(documents)
+    n_docs = float(docs.count())
+    tf = (
+        token_stream(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "score", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -899,3 +899,19 @@ def contribute(oracles: dict[str, str]) -> None:
                row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rnk
         FROM sc) WHERE rnk <= 3
     """
+
+    oracles["q_doc_keywords"] = f"""
+      WITH toks AS (SELECT doc_id, term FROM ({SQL_TOKEN_STREAM})),
+      nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln((SELECT n FROM nn) / dfreq.df), 6) AS score
+        FROM tf JOIN dfreq USING (term)
+      )
+      SELECT doc_id, term, score, rnk::INT AS rnk FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM sc) WHERE rnk <= 3
+    """

@@ -637,3 +637,9 @@ def q_edge_reciprocity(spark, sf):
     """Round-6c: mutual-link share of the resolved graph
     (graph.edge_reciprocity) — the link-exchange-ring detector."""
     return graph.edge_reciprocity(_graph(spark, sf)["kept"])
+
+
+def q_doc_keywords(spark, sf):
+    """Round-6c: per-doc top-3 tf-idf keywords (index.doc_keywords) —
+    the summarize/tag/route query; WindowGroupLimit per-doc top-k."""
+    return index.doc_keywords(_docs(spark, sf), k=3)

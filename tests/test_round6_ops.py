@@ -670,3 +670,23 @@ def test_label_typicality_testdata_topk_shape(spark, emb):
         assert len(rows) == 3
         sims = [r["cos_sim"] for r in sorted(rows, key=lambda r: r["rnk"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_doc_keywords_prefers_rare_terms(spark):
+    """A term unique to one doc outranks a corpus-wide common term with
+    equal tf; ubiquitous terms score ln(1) = 0."""
+    from page_rank_hadoop_spark.operators import index as idx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common other common"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_id"], r["rnk"]): r for r in idx.doc_keywords(docs, k=2).collect()}
+    import math
+    assert rows[(1, 1)]["term"] == "rare"
+    assert rows[(1, 1)]["score"] == round(math.log(2), 6)
+    assert rows[(1, 2)]["term"] == "common"
+    assert rows[(1, 2)]["score"] == 0.0   # df == N -> ln(1) == 0
