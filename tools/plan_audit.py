@@ -229,6 +229,27 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_mrl_fidelity", [("has", r"BroadcastNestedLoopJoin"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
     # vocab growth: window-free prefix semantics via first-occurrence doc
     ("q_vocab_growth", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # --- round-6c wave 2 pins ---
+    # assortativity: moment aggregate over degree-joined edges, no window
+    ("q_degree_assortativity", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # RRF: per-term windows only; full-outer fuse of the two ranked lists
+    ("q_rrf_fusion", [("has", r"WindowGroupLimit|Window"), ("has", r"FullOuter"), ("not", r"CartesianProduct")]),
+    # drift: ONE conditional count agg carries both halves — no half-table join
+    ("q_vocab_drift", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"(SortMergeJoin)")]),
+    # media near-dup: candidates block-keyed (equi-join), decode via Arrow only
+    ("q_media_near_dup", [("not", r"CartesianProduct"), ("not", r"BatchEvalPython")]),
+    # EWMA: per-user window, no global sort
+    ("q_ewma_smoothing", [("has", r"Window"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # histogram: <=11-row rollup on the candidate plan, no window
+    ("q_similarity_histogram", [("has", r"HashAggregate"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # reciprocity: semi-join on the swapped pair
+    ("q_edge_reciprocity", [("has", r"(LeftSemi|left_semi)"), ("not", r"CartesianProduct")]),
+    # winsorize: bounds broadcast back onto the exploded stream
+    ("q_winsorize_report", [("has", r"BroadcastHashJoin"), ("not", r"Window"), ("not", r"CartesianProduct")]),
+    # typicality: centroids broadcast; per-label top-k group-limited
+    ("q_label_typicality", [("has", r"BroadcastHashJoin"), ("has", r"WindowGroupLimit"), ("not", r"CartesianProduct")]),
+    # keywords: per-doc top-k group-limited; tf/df joins keyed
+    ("q_doc_keywords", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
