@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "q_winsorize_report",
     "q_label_typicality",
     "q_doc_keywords",
+    "q_ivf_index_probe",
 ]
 
 

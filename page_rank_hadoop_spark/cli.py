@@ -257,6 +257,50 @@ def cmd_ann_mine(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Persisted IVF index lifecycle (the vector twin of dedup-index):
+    ``build`` writes the corpus partitionBy(centroid) so the directory
+    layout is the index; ``append`` assigns a batch with the same
+    codebook and adds it to the bucket dirs; ``probe`` serves a top-k
+    for a probe vector reading ONLY its bucket (partition pruning)."""
+    from page_rank_hadoop_spark.operators import similarity
+
+    if args.action == "build":
+        emb = spark.read.parquet(args.input)
+        n = similarity.write_ivf_index(
+            emb, args.index, n_centroids=args.centroids, dim=args.dim
+        )
+        print(f"ann-index build: {n} buckets → {args.index}")
+        return 0
+    if args.action == "append":
+        batch = spark.read.parquet(args.input)
+        similarity.append_ivf_index(
+            batch, args.index, n_centroids=args.centroids, dim=args.dim
+        )
+        print(f"ann-index append: {batch.count()} vectors → {args.index}")
+        return 0
+    if args.action == "probe":
+        row = (
+            spark.read.parquet(args.input)
+            .filter(F.col("vec_id") == args.probe_id)
+            .select("embedding")
+            .collect()
+        )
+        if not row:
+            print(f"ann-index probe: vec_id {args.probe_id} not found", file=sys.stderr)
+            return 2
+        probe = [float(x) for x in row[0]["embedding"]]
+        out = similarity.probe_ivf_index(
+            spark, args.index, probe, k=args.k, n_probe=args.n_probe,
+            n_centroids=args.centroids, dim=args.dim,
+        )
+        for r in out.collect():
+            print(f"{r['vec_id']}\t{r['cos_sim']}")
+        return 0
+    print(f"ann-index: unknown action {args.action}", file=sys.stderr)
+    return 2
+
+
 def cmd_prepare(spark: SparkSession, args: argparse.Namespace) -> int:
     """Full training-corpus prep pass as one command: Gopher-style
     quality gate (drop flagged docs) → exact dedup keep-first →
@@ -507,6 +551,17 @@ def build_parser() -> argparse.ArgumentParser:
                      help="int, or 'auto' for the C ∝ n rule")
     pam.add_argument("--dim", type=int, default=64)
     pam.set_defaults(fn=cmd_ann_mine)
+
+    pai = sub.add_parser("ann-index")
+    pai.add_argument("action", choices=("build", "probe", "append"))
+    pai.add_argument("index", help="index directory (partitioned by centroid)")
+    pai.add_argument("input", help="embeddings/batch parquet")
+    pai.add_argument("--centroids", type=int, default=16)
+    pai.add_argument("--dim", type=int, default=64)
+    pai.add_argument("--k", type=int, default=10)
+    pai.add_argument("--n-probe", type=int, default=1)
+    pai.add_argument("--probe-id", type=int, default=0)
+    pai.set_defaults(fn=cmd_ann_index)
 
     pq = sub.add_parser("query", parents=[common])
     pq.add_argument("index_dir")

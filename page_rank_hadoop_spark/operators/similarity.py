@@ -1144,3 +1144,92 @@ def label_typicality(embeddings: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("label", "vec_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> int:
+    """Persist the corpus as an IVF index: vectors written
+    ``partitionBy('centroid')`` so the DIRECTORY LAYOUT is the index —
+    a probe reads only its bucket directories (partition pruning, no
+    file-content filtering needed). The vector analog of the MinHash
+    band-index MV: build once, probe per batch, append to maintain.
+    Returns the number of occupied buckets.
+
+    At 100 TB: the write is one assignment map pass + a partitioned
+    write (shuffle-free with AQE coalescing small buckets); probes are
+    ~n_probe/C of the corpus regardless of corpus size; appends add
+    files to existing bucket dirs (compact with sources.serving
+    machinery when small files accumulate, same cadence rule as the
+    band index).
+    """
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    assigned = ivf_assign(embeddings, dim=dim, centroids=centroids)
+    # index dtype contract: float32 vectors (append batches may arrive
+    # as float64 Python literals — cast or the parquet schemas diverge)
+    assigned.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
+    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
+    spark = embeddings.sparkSession
+    return spark.read.parquet(path).select("centroid").distinct().count()
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    path: str,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> None:
+    """Maintain the persisted IVF index: assign the batch with the SAME
+    codebook and append into the bucket directories. Per-batch work is
+    proportional to the batch, never the index."""
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(batch, n_centroids), dim)
+    assigned = ivf_assign(batch, dim=dim, centroids=centroids)
+    assigned.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
+    ).write.mode("append").partitionBy("centroid").parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    probe: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    n_centroids: int = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """Serve a top-k query from the persisted IVF index: pick the
+    ``n_probe`` nearest centroids driver-side (C floats of math — no
+    data touched), scan ONLY those bucket directories (the centroid
+    filter is a partition filter — plan-pinned), exact cosine re-rank,
+    TakeOrderedAndProject top-k. Identical results to the inline
+    ``ivf_knn_cosine`` — the declared oracle is shared."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = seed_centroids(n_centroids, dim)
+    p = np.asarray(probe, dtype="float64")
+    sims = []
+    for c, cv in centroids:
+        cent = np.asarray(cv, dtype="float64")
+        sims.append(
+            (float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent))), c)
+        )
+    probed = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    pl = _probe_lit(probe)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("centroid").isin(probed))
+        .select("vec_id", F.round(cosine(F.col("embedding"), pl), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

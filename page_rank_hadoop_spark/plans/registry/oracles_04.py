@@ -915,3 +915,7 @@ def contribute(oracles: dict[str, str]) -> None:
                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
         FROM sc) WHERE rnk <= 3
     """
+
+    # the persisted-index probe serves the SAME result as inline IVF —
+    # one oracle, two physical paths (the band-index MV precedent)
+    oracles["q_ivf_index_probe"] = oracles["q_ivf_knn"]

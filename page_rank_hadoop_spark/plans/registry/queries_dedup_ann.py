@@ -928,3 +928,23 @@ def q_label_typicality(spark, sf):
     (similarity.label_typicality) — few-shot seed / labeling-QA query."""
     emb = load_table(spark, sf, "embeddings")
     return similarity.label_typicality(emb, k=3)
+
+
+def q_ivf_index_probe(spark, sf):
+    """Round-6c: top-k served from the PERSISTED IVF index
+    (similarity.write_ivf_index + probe_ivf_index) — the vector analog
+    of the band-index MV: partitionBy('centroid') makes the directory
+    layout the index, probes prune to their buckets (partition filter,
+    plan-pinned), results identical to inline ivf_knn (shared oracle)."""
+    import tempfile
+
+    key = f"{spark.sparkContext.applicationId}:{sf}:ivf_index_dir"
+    if key not in _MV_CACHE:
+        d = tempfile.mkdtemp(prefix="ivf_index_")
+        emb = load_table(spark, sf, "embeddings")
+        similarity.write_ivf_index(emb, d, n_centroids=16, dim=EMB_DIM)
+        _MV_CACHE[key] = d
+    return similarity.probe_ivf_index(
+        spark, _MV_CACHE[key], _probe(spark, sf), k=10, n_probe=1,
+        n_centroids=16, dim=EMB_DIM,
+    )

@@ -270,3 +270,24 @@ def test_cli_analyze_report(spark, tmp_path, capsys):
     assert "sa ~ sb" in text
     funnel = {r["stage"]: r for r in spark.read.parquet(out).collect()}
     assert funnel["00_all"]["n_out"] == 4
+
+
+def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
+    """cli ann-index: build -> probe serves top-k from bucket dirs;
+    append makes the new vector visible."""
+    import math
+
+    vecs = [
+        (i, [math.sin(i * 31 + j * 7) for j in range(8)]) for i in range(20)
+    ]
+    src = str(tmp_path / "emb_src")
+    spark.createDataFrame(vecs, ["vec_id", "embedding"]).write.parquet(src)
+    idx = str(tmp_path / "ivf_idx")
+    assert main(["ann-index", "build", idx, src, "--centroids", "4", "--dim", "8"]) == 0
+    assert "buckets" in capsys.readouterr().out
+    assert main([
+        "ann-index", "probe", idx, src, "--centroids", "4", "--dim", "8",
+        "--k", "3", "--probe-id", "0",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and out[0].startswith("0\t1.0")

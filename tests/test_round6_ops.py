@@ -690,3 +690,40 @@ def test_doc_keywords_prefers_rare_terms(spark):
     assert rows[(1, 1)]["score"] == round(math.log(2), 6)
     assert rows[(1, 2)]["term"] == "common"
     assert rows[(1, 2)]["score"] == 0.0   # df == N -> ln(1) == 0
+
+
+def test_ivf_index_build_probe_append_lifecycle(spark, emb, tmp_path):
+    """Persisted-index probe equals inline IVF; the probe's centroid
+    filter is a PARTITION filter (directory pruning, plan-pinned); an
+    appended batch becomes visible to subsequent probes."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "ivf_idx")
+    n_buckets = similarity.write_ivf_index(emb, d, n_centroids=16, dim=DIM)
+    assert 1 <= n_buckets <= 16
+
+    probe_vec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe_vec = [float(x) for x in probe_vec]
+    served = similarity.probe_ivf_index(
+        spark, d, probe_vec, k=10, n_probe=1, n_centroids=16, dim=DIM
+    )
+    inline = similarity.ivf_knn_cosine(
+        emb, probe_vec, k=10, n_centroids=16, dim=DIM, n_probe=1
+    )
+    assert [tuple(r) for r in served.collect()] == [tuple(r) for r in inline.collect()]
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    # append a synthetic near-duplicate of the probe: must rank #1
+    batch = spark.createDataFrame(
+        [(999_999, [float(x) for x in probe_vec])], ["vec_id", "embedding"]
+    )
+    similarity.append_ivf_index(batch, d, n_centroids=16, dim=DIM)
+    after = similarity.probe_ivf_index(
+        spark, d, probe_vec, k=2, n_probe=1, n_centroids=16, dim=DIM
+    ).collect()
+    assert {r["vec_id"] for r in after} == {0, 999_999}
+    assert all(r["cos_sim"] == 1.0 for r in after)
