@@ -241,3 +241,125 @@ def run_dedup_gated_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def ann_gate_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    min_cosine: float = 0.95,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """One micro-batch through the EMBEDDING near-dup gate riding the
+    persisted IVF index (similarity.write_ivf_index layout) — the
+    vector twin of ``dedup_gate_batch``: assign the batch to its
+    centroids (one map pass), scan ONLY those bucket directories of the
+    index (partition pruning — the index side of the join is
+    ~batch-buckets/C of the index, never the full corpus), drop batch
+    vectors with a stored neighbor at cosine ≥ ``min_cosine``, append
+    the survivors to the index. Returns the surviving batch slice.
+
+    CRASH-SAFETY is simpler than the text gate BY CONSTRUCTION: the
+    index IS the corpus sink for vectors (one artifact, one job-atomic
+    append), so there is no two-write window to protect. At-least-once
+    replay is idempotent: a replayed vector finds ITSELF stored
+    (same vec_id at cosine 1.0 — and only a replay can, since a
+    first-delivery vector with a stored neighbor would have been
+    dropped before ever being appended), is treated as a dup, and is
+    not appended twice.
+    """
+    from pyspark.sql import functions as F2
+
+    from page_rank_hadoop_spark.functions.vectors import cosine as _cos
+    from page_rank_hadoop_spark.operators import similarity as _sim
+
+    sess = batch_df.sparkSession
+    cents = _sim.seed_centroids(n_centroids, dim)
+    assigned = _sim.ivf_assign(batch_df, dim=dim, centroids=cents).localCheckpoint()
+    buckets = [r["centroid"] for r in assigned.select("centroid").distinct().collect()]
+    import os as _os
+
+    if _os.path.isdir(index_dir) and any(
+        e.startswith("centroid=") for e in _os.listdir(index_dir)
+    ):
+        stored = (
+            sess.read.parquet(index_dir)
+            .filter(F2.col("centroid").isin(buckets))
+            .select(
+                F2.col("vec_id").alias("s_id"),
+                F2.col("embedding").alias("s_emb"),
+                "centroid",
+            )
+        )
+        hits = (
+            assigned.join(stored, "centroid")
+            .filter(
+                F2.round(_cos(F2.col("embedding"), F2.col("s_emb")), 6)
+                >= F2.lit(min_cosine)
+            )
+            .groupBy("vec_id")
+            .agg(F2.min("s_id").alias("dup_of"))
+        )
+        fresh = assigned.join(hits, "vec_id", "left_anti")
+    else:
+        fresh = assigned
+    # within-batch keep-first: a vector colliding with a SMALLER vec_id
+    # in its own batch defers to it (the text gate's batch-1 semantics)
+    a = fresh.select("centroid", F2.col("vec_id").alias("a_id"), F2.col("embedding").alias("a_emb"))
+    b = fresh.select("centroid", F2.col("vec_id").alias("b_id"), F2.col("embedding").alias("b_emb"))
+    self_hits = (
+        a.join(b, "centroid")
+        .filter(F2.col("a_id") > F2.col("b_id"))
+        .filter(
+            F2.round(_cos(F2.col("a_emb"), F2.col("b_emb")), 6)
+            >= F2.lit(min_cosine)
+        )
+        .select(F2.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = (
+        fresh.join(self_hits, "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    if survivors.take(1):
+        _sim.append_ivf_index(survivors, index_dir, centroids=cents, dim=dim)
+    return survivors
+
+
+def run_ann_gated_ingest(
+    spark: SparkSession,
+    in_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema,
+    min_cosine: float = 0.95,
+    n_centroids: int = 16,
+    dim: int = 64,
+) -> None:
+    """Embedding-dedup-gated continuous ingestion over the persisted IVF
+    index: every micro-batch probes only its own bucket directories and
+    appends survivors — per-batch cost ∝ batch size + bucket hits at
+    any index size. foreachBatch + checkpoint gives at-least-once batch
+    delivery; the gate's self-collision rule makes replays idempotent
+    (see ann_gate_batch)."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if not batch_df.take(1):
+            return
+        ann_gate_batch(
+            batch_df, index_dir, min_cosine=min_cosine,
+            n_centroids=n_centroids, dim=dim,
+        )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -785,3 +785,46 @@ def test_streaming_crash_heal_equals_uninterrupted(spark, tmp_path):
     assert healed == clean
     # sanity on the semantics themselves: doc 4 (dup of 1) dropped
     assert set(clean) == {1, 2, 3}
+
+
+def test_ann_gated_streaming_ingest(spark, tmp_path):
+    """Embedding near-dup gate over the persisted IVF index: batch 1
+    seeds the index with keep-first self-dedup; batch 2's near-dup of a
+    stored vector is dropped while its novel vector appends; a replayed
+    batch (same vec_ids) appends nothing (self-collision idempotence)."""
+    import math
+
+    from page_rank_hadoop_spark.streaming.ingest import (
+        ann_gate_batch,
+        run_ann_gated_ingest,
+    )
+
+    dim = 8
+    v_a = [math.sin(1 + j) for j in range(dim)]
+    v_far = [math.cos(40 + 3 * j) for j in range(dim)]
+
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "ivf_idx")
+    ckpt = str(tmp_path / "ck")
+    # batch 1: two copies of v_a (keep-first within batch)
+    spark.createDataFrame(
+        [(1, v_a), (2, v_a)], ["vec_id", "embedding"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: near-dup of stored v_a + a genuinely novel vector
+    spark.createDataFrame(
+        [(3, v_a), (4, v_far)], ["vec_id", "embedding"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run_ann_gated_ingest(
+        spark, src, idx, ckpt, "vec_id long, embedding array<double>",
+        min_cosine=0.999, n_centroids=4, dim=dim,
+    )
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(idx).collect())
+    assert 4 in kept and len(kept) == 2
+    assert [d for d in kept if d != 4] in ([1], [3])
+
+    # replay batch-2 content directly through the gate: idempotent no-op
+    replay = spark.createDataFrame([(4, v_far)], ["vec_id", "embedding"])
+    out = ann_gate_batch(replay, idx, min_cosine=0.999, n_centroids=4, dim=dim)
+    assert out.count() == 0
+    assert spark.read.parquet(idx).count() == 2
