@@ -670,3 +670,78 @@ def _sql_pq_report(m: int = 8, n_codes: int = 16, dim: int = 64) -> str:
              round(avg(round(list_min(dl), 6)), 6) AS avg_sq_err
       FROM enc GROUP BY 1, 2
     """
+
+
+def _sql_ann_gate_replay(
+    theta: float = NEAR_DUP_MIN_COSINE,
+    n_centroids: int = N_CENTROIDS,
+    dim: int = EMB_DIM,
+) -> str:
+    """Oracle for the embedding ingest gate replay: the same three-batch
+    unrolling technique as q_dedup_gate_replay's oracle, over the
+    ivf_assign seed-centroid bucketing (_sql_ivf_knn's assignment CTE).
+    Level k keeps a vector iff no KEPT earlier-level vector in its
+    bucket is within theta (the gate's index probe) and no smaller-id
+    same-level vector THAT ITSELF SURVIVED THE PROBE is within theta
+    (the gate's keep-first runs over the probe survivors — `fresh` in
+    streaming/ingest.ann_gate_batch — not over the keep-first output).
+    MATERIALIZED CTEs pin each level against exponential re-inlining."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], {c})" for c in cents
+    ) + "]"
+
+    def near(a: str, b: str) -> str:
+        return f"round(list_cosine_similarity({a}.v, {b}.v), 6) >= {theta}::DOUBLE"
+
+    return f"""
+      WITH assigned AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_position({sims}, list_max({sims})) AS c
+        FROM embeddings
+      ),
+      k0 AS MATERIALIZED (
+        SELECT a.* FROM assigned a WHERE a.vec_id % 3 = 0
+        AND NOT EXISTS (
+          SELECT 1 FROM assigned w
+          WHERE w.vec_id % 3 = 0 AND w.c = a.c AND w.vec_id < a.vec_id
+            AND {near('a', 'w')}
+        )
+      ),
+      f1 AS MATERIALIZED (
+        SELECT a.* FROM assigned a WHERE a.vec_id % 3 = 1
+        AND NOT EXISTS (SELECT 1 FROM k0 s WHERE s.c = a.c AND {near('a', 's')})
+      ),
+      k1 AS MATERIALIZED (
+        SELECT a.* FROM f1 a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM f1 w WHERE w.c = a.c AND w.vec_id < a.vec_id
+            AND {near('a', 'w')}
+        )
+      ),
+      f2 AS MATERIALIZED (
+        SELECT a.* FROM assigned a WHERE a.vec_id % 3 = 2
+        AND NOT EXISTS (
+          SELECT 1 FROM (SELECT c, v FROM k0 UNION ALL SELECT c, v FROM k1) s
+          WHERE s.c = a.c AND {near('a', 's')}
+        )
+      ),
+      k2 AS (
+        SELECT a.* FROM f2 a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM f2 w WHERE w.c = a.c AND w.vec_id < a.vec_id
+            AND {near('a', 'w')}
+        )
+      )
+      SELECT vec_id, (vec_id % 3)::INTEGER AS ingest_batch
+      FROM (
+        SELECT vec_id FROM k0
+        UNION ALL SELECT vec_id FROM k1
+        UNION ALL SELECT vec_id FROM k2
+      )
+    """

@@ -15,6 +15,7 @@ from page_rank_hadoop_spark.plans.registry._shared import (
     SQL_TOKEN_STREAM,
     TFIDF_TERMS,
     _sql_minhash_ctes,
+    _sql_ann_gate_replay,
     _sql_pagerank_iters,
 )
 
@@ -24,6 +25,7 @@ from page_rank_hadoop_spark.plans.registry.queries_analytics import (
 
 
 def contribute(oracles: dict[str, str]) -> None:
+    oracles["q_ann_gate_replay"] = _sql_ann_gate_replay()
     terms_in = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
     lookup_in = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
     pr_iters = _sql_pagerank_iters(10)

@@ -722,6 +722,50 @@ def q_dedup_gate_replay(spark, sf):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_ann_gate_replay(spark, sf):
+    """The EMBEDDING ingest gate's multi-batch semantics, hash-checked —
+    the vector twin of q_dedup_gate_replay: the embeddings table arrives
+    as three batches (vec_id mod 3) through the REAL
+    ``streaming/ingest.ann_gate_batch`` loop — IVF-assign the batch,
+    probe ONLY its bucket directories of the persisted index
+    (partition pruning), drop vectors with a stored neighbor at cosine
+    >= theta, keep-first within the batch's probe survivors, append the
+    rest — and the surviving index content is returned. The oracle
+    derives the same keep-set declaratively (three unrolled MATERIALIZED
+    levels over the identical seed-centroid assignment). This puts
+    ``run_ann_gated_ingest``'s whole per-batch body inside the hash
+    gate; only the foreachBatch transport (pytest-covered:
+    tests/test_windows_streaming.py::test_ann_gated_streaming_ingest)
+    stays outside it."""
+    import shutil
+    import tempfile
+
+    from page_rank_hadoop_spark.streaming.ingest import ann_gate_batch
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="ann_gate_replay_")
+    idx = os.path.join(base, "ivf_index")
+    try:
+        for b in range(3):
+            batch = emb.filter(F.col("vec_id") % 3 == b).localCheckpoint()
+            ann_gate_batch(
+                batch,
+                idx,
+                min_cosine=NEAR_DUP_MIN_COSINE,
+                n_centroids=N_CENTROIDS,
+                dim=EMB_DIM,
+            )
+        return (
+            spark.read.parquet(idx)
+            .select(
+                "vec_id", (F.col("vec_id") % 3).cast("int").alias("ingest_batch")
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_minhash_band_index(spark, sf):
     """The MinHash band index itself as a declared artifact — the
     bucketed-MV content every incremental/streaming dedup batch probes
