@@ -262,9 +262,22 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
     ``build`` writes the corpus partitionBy(centroid) so the directory
     layout is the index; ``append`` assigns a batch with the same
     codebook and adds it to the bucket dirs; ``probe`` serves a top-k
-    for a probe vector reading ONLY its bucket (partition pruning)."""
+    for a probe vector reading ONLY its bucket (partition pruning);
+    ``compact`` rewrites append-fragmented bucket dirs to one file per
+    bucket via a rename-based swap (similarity.compact_ivf_index)."""
     from page_rank_hadoop_spark.operators import similarity
 
+    if args.action == "compact":
+        n = similarity.compact_ivf_index(spark, args.index)
+        print(
+            f"ann-index compact: {args.index} rewritten to 1 file/bucket "
+            f"(was up to {n})"
+        )
+        return 0
+    # every action but compact reads an embeddings/batch parquet
+    if not args.input:
+        print(f"ann-index {args.action}: input parquet required", file=sys.stderr)
+        return 2
     if args.action == "build":
         emb = spark.read.parquet(args.input)
         n = similarity.write_ivf_index(
@@ -553,9 +566,12 @@ def build_parser() -> argparse.ArgumentParser:
     pam.set_defaults(fn=cmd_ann_mine)
 
     pai = sub.add_parser("ann-index")
-    pai.add_argument("action", choices=("build", "probe", "append"))
+    pai.add_argument("action", choices=("build", "probe", "append", "compact"))
     pai.add_argument("index", help="index directory (partitioned by centroid)")
-    pai.add_argument("input", help="embeddings/batch parquet")
+    pai.add_argument(
+        "input", nargs="?", default=None,
+        help="embeddings/batch parquet (not needed for compact)",
+    )
     pai.add_argument("--centroids", type=int, default=16)
     pai.add_argument("--dim", type=int, default=64)
     pai.add_argument("--k", type=int, default=10)

@@ -1197,6 +1197,50 @@ def append_ivf_index(
     ).write.mode("append").partitionBy("centroid").parquet(path)
 
 
+def compact_ivf_index(spark, path: str) -> int:
+    """Rewrite an append-fragmented IVF index to one file per bucket.
+    Every ``append_ivf_index`` batch adds a file to each touched bucket
+    directory, and probe cost grows with file count (one footer open
+    per file), so periodic compaction restores it — the same cadence
+    rule SCALING.md measured for the band index (~32 files/bucket).
+    The swap is RENAME-based so a COMPLETE copy of the index exists on
+    disk at every crash point (the round-5 ADVICE lesson applied to
+    ``compact_band_index``): write staging, rename live → __old,
+    staging → live, delete __old. Returns the max files-per-bucket
+    seen BEFORE compaction (the cadence signal operators alert on).
+
+    At 100 TB: the rewrite is one shuffle-light pass
+    (``repartition('centroid')`` routes each bucket to one task → one
+    output file per bucket) and on an object store the renames become
+    a manifest/pointer swap — the layout and the maintenance cadence
+    are unchanged."""
+    import glob
+    import os
+    import shutil
+
+    before = max(
+        (
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(path, "centroid=*"))
+        ),
+        default=0,
+    )
+    staging, old = path + "__staging", path + "__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition("centroid")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(staging)
+    )
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return before
+
+
 def probe_ivf_index(
     spark,
     path: str,

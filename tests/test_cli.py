@@ -291,3 +291,30 @@ def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 3 and out[0].startswith("0\t1.0")
+
+
+def test_cli_ann_index_compact_and_input_guard(spark, tmp_path, capsys):
+    """cli ann-index compact: restores 1 file/bucket after appends;
+    build/probe/append without the input positional exit 2 with a usage
+    error (compact is the only input-free action)."""
+    import glob
+    import math
+    import os
+
+    vecs = [(i, [math.sin(i * 31 + j * 7) for j in range(8)]) for i in range(20)]
+    src = str(tmp_path / "emb_src")
+    spark.createDataFrame(vecs, ["vec_id", "embedding"]).write.parquet(src)
+    idx = str(tmp_path / "ivf_idx")
+    assert main(["ann-index", "build", idx, src, "--centroids", "4", "--dim", "8"]) == 0
+    assert main(["ann-index", "append", idx, src, "--centroids", "4", "--dim", "8"]) == 0
+    capsys.readouterr()
+    assert main(["ann-index", "compact", idx]) == 0
+    assert "1 file/bucket" in capsys.readouterr().out
+    per_bucket = [
+        len(glob.glob(os.path.join(bd, "*.parquet")))
+        for bd in glob.glob(os.path.join(idx, "centroid=*"))
+    ]
+    assert per_bucket and set(per_bucket) == {1}
+
+    assert main(["ann-index", "build", idx]) == 2
+    assert "input parquet required" in capsys.readouterr().err

@@ -727,3 +727,52 @@ def test_ivf_index_build_probe_append_lifecycle(spark, emb, tmp_path):
     ).collect()
     assert {r["vec_id"] for r in after} == {0, 999_999}
     assert all(r["cos_sim"] == 1.0 for r in after)
+
+
+def test_ivf_index_compaction(spark, emb, tmp_path):
+    """Appends fragment bucket dirs (one file per touched bucket per
+    batch); compact_ivf_index rewrites to ONE file per bucket via the
+    rename-based swap (no staging/__old residue) and probe results are
+    bit-identical before and after."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(emb, d, n_centroids=16, dim=DIM)
+    for b in range(3):
+        batch = emb.filter(F.col("vec_id") % 7 == b).withColumn(
+            "vec_id", F.col("vec_id") + 100_000 * (b + 1)
+        )
+        similarity.append_ivf_index(batch, d, n_centroids=16, dim=DIM)
+
+    def files_per_bucket():
+        return {
+            os.path.basename(bd): len(glob.glob(os.path.join(bd, "*.parquet")))
+            for bd in glob.glob(os.path.join(d, "centroid=*"))
+        }
+
+    frag = files_per_bucket()
+    assert max(frag.values()) > 1  # appends fragmented at least one bucket
+
+    probe_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    before = [
+        tuple(r)
+        for r in similarity.probe_ivf_index(
+            spark, d, probe_vec, k=10, n_probe=2, n_centroids=16, dim=DIM
+        ).collect()
+    ]
+
+    reported = similarity.compact_ivf_index(spark, d)
+    assert reported == max(frag.values())
+    assert set(files_per_bucket().values()) == {1}
+    assert not os.path.exists(d + "__staging") and not os.path.exists(d + "__old")
+
+    after = [
+        tuple(r)
+        for r in similarity.probe_ivf_index(
+            spark, d, probe_vec, k=10, n_probe=2, n_centroids=16, dim=DIM
+        ).collect()
+    ]
+    assert after == before
