@@ -13,6 +13,14 @@ batch/stream split honestly):
   the production answer to at-least-once file/Kafka delivery. A
   duplicate arriving after the horizon passes is kept (late-dup
   tradeoff) — the batch `prepare` pass remains the exact global dedup.
+
+Two MV-gated exact/near-dup gates live below the watermark path:
+- ``dedup_gate_batch``/``run_dedup_gated_ingest`` — TEXT near-dup over
+  the persisted MinHash band index (crash-safe two-write protocol;
+  semantics hash-gated as q_dedup_gate_replay);
+- ``ann_gate_batch``/``run_ann_gated_ingest`` — EMBEDDING near-dup over
+  the persisted IVF index (single-artifact append, replay-idempotent by
+  self-collision; semantics hash-gated as q_ann_gate_replay).
 """
 
 from __future__ import annotations
