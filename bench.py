@@ -330,23 +330,22 @@ def main() -> None:
             fh,
             indent=1,
         )
-    # driver tail capture is 2000 bytes — degrade per-query precision
-    # until the line fits (full precision always lands in
-    # bench_results.json above)
+    # driver tail capture is 2000 bytes and it must contain the WHOLE
+    # JSON line or the driver records `parsed: null` (the r6 artifact
+    # lost the round's official total exactly this way: 119 queries
+    # inline pushed the line past the window and the head was cut).
+    # The stdout line is therefore unconditionally compact: summary
+    # fields + the 10 slowest queries; the full per-query map and
+    # per-run detail always live in bench_results.json next to this
+    # script (written above).
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    payload["queries"] = {k: round(v, 2) for k, v in top10.items()}
+    payload["n_queries"] = len(timings)
+    payload["queries_full"] = "bench_results.json"
     line = json.dumps(payload, separators=(",", ":"))
-    for prec in (1, 0):
-        if len(line) <= 1900:
-            break
-        payload["queries"] = {
-            k: (int(round(v)) if prec == 0 else round(v, prec))
-            for k, v in timings.items()
-        }
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:  # last resort: keep only the >=0.5s queries
-        slow = {k: int(round(v)) for k, v in timings.items() if v >= 0.5}
-        payload["queries"] = slow
-        payload["fast_omitted"] = len(timings) - len(slow)
-        line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= 1500, f"bench stdout line {len(line)}B > 1500B budget"
     print(f"# stdout JSON line: {len(line)} bytes", file=sys.stderr)
     print(line)
 

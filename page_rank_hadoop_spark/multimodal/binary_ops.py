@@ -214,6 +214,16 @@ def media_near_dup(
     dedup with the same candidate-then-verify shape as the text side.
     Exact byte-duplicates land at distance 0 and are included.
 
+    Boundary completeness (round-6 ADVICE fix): a true pair within
+    ``max_l2`` can STRADDLE a cell boundary (cell width 1/grid=0.005 >
+    max_l2=0.002, so neighbors differ by at most ONE cell per dim) —
+    side B therefore explodes into its 3×3 cell neighborhood and side A
+    keeps its home cell. Any qualifying pair matches in EXACTLY one
+    offset combination (A's home cell is a single point of B's
+    neighborhood), so no post-join dedup is needed, and recall is exact
+    for any ``max_l2 <= 1/grid``. Candidate cost is 9× one join side's
+    key stream — still block-local, never all-pairs.
+
     Scale shape: feature extraction is the existing Arrow mapInPandas
     map pass; the self-join keys on the block (never all-pairs
     corpus-wide); the verify is 8 multiply-adds per candidate. Blocking
@@ -244,12 +254,29 @@ def media_near_dup(
         "c1",
         F.col("f").alias("fa"),
     )
-    b = keyed.select(
-        F.col("media_id").alias("media_id_b"),
-        "media_type",
-        "c0",
-        "c1",
-        F.col("f").alias("fb"),
+    offsets = F.array(
+        *[
+            F.struct(F.lit(d0).alias("d0"), F.lit(d1).alias("d1"))
+            for d0 in (-1, 0, 1)
+            for d1 in (-1, 0, 1)
+        ]
+    )
+    b = (
+        keyed.select(
+            F.col("media_id").alias("media_id_b"),
+            "media_type",
+            "c0",
+            "c1",
+            F.col("f").alias("fb"),
+            F.explode(offsets).alias("d"),
+        )
+        .select(
+            "media_id_b",
+            "media_type",
+            (F.col("c0") + F.col("d.d0")).alias("c0"),
+            (F.col("c1") + F.col("d.d1")).alias("c1"),
+            "fb",
+        )
     )
     l2 = F.sqrt(
         F.aggregate(

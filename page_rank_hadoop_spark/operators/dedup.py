@@ -323,12 +323,14 @@ def compact_band_index(spark, table: str, n_buckets: int = 8) -> int:
     RENAME of a managed table moves its directory with it, so at every
     crash point a complete copy of the data exists under a catalog name
     (staging and/or __old); the only exposure is the instant between
-    the two renames where the LIVE name dangles — a re-run of this
-    function (or the gate's bootstrap) recovers, and no window exists
-    where the data itself has been deleted with only a staging copy
-    left (the failure mode a drop-before-rename swap has). Leftover
-    __old / __compacting tables from a crashed run are swept first.
-    Returns the post-compaction file count."""
+    the two renames where the LIVE name dangles — which a re-run now
+    RECOVERS rather than destroys (the round-6 ADVICE fix): before any
+    sweep, if the live name is missing, the dangling copy (__compacting
+    — the finished compaction, written before the first rename — else
+    __old, the pre-compaction index) is renamed back to the live name;
+    only once the live table exists are leftover __old / __compacting
+    tables from a crashed run dropped. Sweeping first would delete the
+    sole surviving copies. Returns the post-compaction file count."""
     import os as _os
 
     staging = f"{table}__compacting"
@@ -339,6 +341,26 @@ def compact_band_index(spark, table: str, n_buckets: int = 8) -> int:
         write_bucketed,
     )
 
+    if not spark.catalog.tableExists(table):
+        if spark.catalog.tableExists(staging):
+            # staging lacks the corpus binding (it is written fresh);
+            # the dangling __old carries the live name's properties —
+            # read it before promotion so the binding rides through
+            rebind = (
+                band_index_binding(spark, old)
+                if spark.catalog.tableExists(old)
+                else None
+            )
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+            if rebind is not None:
+                bind_band_index(spark, table, rebind)
+        elif spark.catalog.tableExists(old):
+            spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        else:
+            raise ValueError(
+                f"band index table {table} missing and no recoverable "
+                f"__compacting/__old copy exists"
+            )
     drop_table_and_location(spark, staging)
     drop_table_and_location(spark, old)
     # Repartition on the BUCKET-ID expression (pmod(murmur3, n) — the

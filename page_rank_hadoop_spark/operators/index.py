@@ -379,7 +379,10 @@ def doc_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     from page_rank_hadoop_spark.sources.catalog import ensure_parallel
 
     docs = ensure_parallel(documents)
-    n_docs = float(docs.count())
+    # N = distinct documents, matching the oracle's count(DISTINCT
+    # doc_id) — a plain count() diverges the moment the table carries a
+    # duplicate doc_id row (round-6 ADVICE)
+    n_docs = float(docs.select("doc_id").distinct().count())
     tf = (
         token_stream(docs)
         .groupBy("doc_id", "term")

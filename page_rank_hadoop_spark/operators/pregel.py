@@ -1,0 +1,309 @@
+"""Pregel-shaped vertex-centric iteration over DataFrames.
+
+The reference runs its link-analysis fixpoint as hand-rolled MapReduce
+rounds (pageRank.scala:250-371: scatter mapper, gather reducer, driver
+loop re-submitting jobs); BASELINE.json names "GraphX Pregel or RDD
+iterative" as the Spark-native re-expression. This module is that
+surface, DataFrame-first: one reusable superstep harness owning ALL the
+loop hygiene the per-algorithm loops in pagerank.py / graph.py proved
+out — pre-partitioned persisted edge frames, id-partitioned state so
+per-round joins never reshuffle the big side, lazy ``localCheckpoint``
+cadence to stop Catalyst's superlinear plan-reanalysis, persist/unpersist
+discipline, and the lazy-persist-chain single materialization for
+fixed-round mode. PageRank, HITS, and LPA re-express through it
+(tests/test_pregel.py pins result equality with the standalone
+operators and the ONE-Exchange-per-round plan shape).
+
+Superstep model (Malewicz et al., "Pregel", SIGMOD 2010; GraphFrames'
+aggregateMessages API is the DataFrame analog):
+
+1. SEND — messages flow along edges: ``send_to_dst`` expressions are
+   evaluated over (edge columns ⨝ source-vertex state) and addressed to
+   the edge's dst; ``send_to_src`` symmetrically. Both directions may be
+   active in one superstep (HITS).
+2. AGGREGATE — per-recipient combine: a list of aggregate Columns (the
+   map-side-combinable fast path) or a callable for
+   non-expression combines like LPA's majority vote.
+3. UPDATE — ``update(joined)`` receives the old state left-joined with
+   the aggregated message columns (NULL where a vertex got no messages)
+   and returns the new state ``(id, ...)``. It may run scalar actions
+   (HITS reads its L1 mass here) — anything bigger belongs in the send
+   or aggregate phase where it stays distributed.
+
+Physical contract (the reason this harness exists): edges are
+repartitioned on the send key ONCE and persisted; state is id-partitioned
+by construction every round (the aggregate's groupBy output), so the
+send join and the update join are both exchange-free and each active
+message direction costs exactly ONE Exchange per superstep — the same
+measured shape as pagerank.py's loop (plan-pinned in
+tests/test_pregel.py::test_pregel_round_single_exchange).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+AggSpec = Union[Sequence[Column], Callable[[DataFrame], DataFrame]]
+
+
+@dataclass
+class PregelResult:
+    vertices: DataFrame  # final state (id, state cols)
+    iterations: int
+    deltas: list[float] = field(default_factory=list)
+
+
+def _aggregate(msgs: DataFrame, agg: AggSpec) -> DataFrame:
+    """Messages (id, msg cols) → one row per id. A Column list goes
+    through groupBy (map-side combinable — the fast path); a callable
+    gets the raw message frame and owns its own shape (LPA's
+    count-then-top1 needs two stages)."""
+    if callable(agg):
+        return agg(msgs)
+    return msgs.groupBy("id").agg(*agg)
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame | None = None,
+    send_to_dst: Sequence[Column] | None = None,
+    agg_to_dst: AggSpec | None = None,
+    send_to_src: Sequence[Column] | None = None,
+    agg_to_src: AggSpec | None = None,
+    update: Callable[[DataFrame], DataFrame] | None = None,
+    n_iter: int | None = None,
+    min_iter: int = 1,
+    max_iter: int = 50,
+    tol: float | None = None,
+    delta_metric: Callable[[DataFrame, DataFrame], float] | None = None,
+    checkpoint_every: int = 3,
+) -> PregelResult:
+    """Run supersteps until ``n_iter`` rounds (fixed mode: no
+    per-round action, lazy persist chain materialized once at the end —
+    the measured ~1.7× win from pagerank.py) or until
+    ``delta_metric(old, new) <= tol`` with the min/max-round policy
+    (adaptive mode: one scalar action per round, the reference's
+    counter-read analog).
+
+    ``vertices``: (id, initial state cols) — static per-vertex
+    attributes (e.g. out-degree) just ride along as state the update
+    re-selects. ``edges``: (src, dst, edge attrs); state column names
+    must not collide with edge column names. Message expressions see
+    the source (resp. dst) vertex's state columns plus the edge's own
+    columns; each must carry an alias — the aggregated frame joins back
+    to the state by those names.
+    """
+    if update is None:
+        raise ValueError("pregel: update callable is required")
+    if send_to_dst is None and send_to_src is None:
+        raise ValueError("pregel: at least one send direction is required")
+    if n_iter is None and (tol is None or delta_metric is None):
+        raise ValueError(
+            "pregel: fixed mode needs n_iter; adaptive mode needs tol + delta_metric"
+        )
+
+    state = vertices.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    e_by_src = e_by_dst = None
+    if send_to_dst is not None:
+        e_by_src = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+        e_by_src.count()
+    if send_to_src is not None:
+        e_by_dst = edges.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+        e_by_dst.count()
+
+    deltas: list[float] = []
+    lazy_persisted: list[DataFrame] = []
+    i = 0
+    limit = n_iter if n_iter is not None else max_iter
+    while i < limit:
+        i += 1
+        joined = state
+        if send_to_dst is not None:
+            msgs = (
+                e_by_src.join(state.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), *send_to_dst)
+            )
+            joined = joined.join(_aggregate(msgs, agg_to_dst), "id", "left")
+        if send_to_src is not None:
+            msgs = (
+                e_by_dst.join(state.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"), *send_to_src)
+            )
+            joined = joined.join(_aggregate(msgs, agg_to_src), "id", "left")
+        new_state = update(joined)
+        if i % checkpoint_every == 0:
+            new_state = new_state.localCheckpoint(eager=False)
+        new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+
+        if n_iter is None:
+            d = delta_metric(state, new_state)
+            deltas.append(d)
+            state.unpersist()
+            state = new_state
+            if i >= min_iter and d <= tol:
+                break
+        else:
+            # fixed mode: predecessors stay persisted until the single
+            # materialization below (unpersisting early would force an
+            # O(i²) recompute chain — pagerank.py's measured lesson)
+            lazy_persisted.append(state)
+            state = new_state
+
+    if n_iter is not None:
+        state.count()
+        for p in lazy_persisted:
+            p.unpersist()
+    for e in (e_by_src, e_by_dst):
+        if e is not None:
+            e.unpersist()
+    return PregelResult(vertices=state, iterations=i, deltas=deltas)
+
+
+# --------------------------------------------------------------------------
+# The three reference-family algorithms re-expressed through the harness.
+# Each is RESULT-IDENTICAL (6dp) to its standalone operator — pinned in
+# tests/test_pregel.py — and exists so users get one surface for custom
+# vertex programs instead of five parallel loops.
+# --------------------------------------------------------------------------
+
+
+def pagerank_pregel(
+    adj: DataFrame,
+    alpha: float = 0.15,
+    n_iter: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """The reference PageRank (pageRank.scala:294,310 — pr' = α/N +
+    (1−α)·Σ pr(w)/outdeg(w)) as a pregel vertex program: vertices carry
+    (pr, out_deg); each superstep sends pr/out_deg along out-edges, sums
+    per recipient, and damps. Dangling vertices (empty/NULL links) send
+    nothing — identical mass semantics to run_pagerank's explode
+    scatter. Returns (id, pr), same values as
+    pagerank.run_pagerank(adj, fixed_iterations=n_iter)."""
+    n = adj.count()
+    verts = adj.select(
+        "id",
+        F.lit(1.0).alias("pr"),
+        F.size("links").cast("double").alias("out_deg"),
+    )
+    edges = adj.select(F.col("id").alias("src"), F.explode("links").alias("dst"))
+
+    def update(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            "id",
+            (
+                F.lit(alpha) * (1.0 / n)
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+            "out_deg",
+        )
+
+    res = pregel(
+        vertices=verts,
+        edges=edges,
+        send_to_dst=[(F.col("pr") / F.col("out_deg")).alias("contrib")],
+        agg_to_dst=[F.sum("contrib").alias("contrib")],
+        update=update,
+        n_iter=n_iter,
+        checkpoint_every=checkpoint_every,
+    )
+    return res.vertices.select("id", "pr")
+
+
+def hits_pregel(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+    """HITS through pregel: both message directions active in one
+    superstep (hub mass flows src→dst into authority, authority flows
+    dst→src into hub); the L1 normalization is the update phase's one
+    scalar action — graph.hits's loop, same values at 6dp."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    verts = nodes.select(
+        "id", (F.lit(1.0) / n).alias("hub"), (F.lit(1.0) / n).alias("authority")
+    )
+
+    def update(joined: DataFrame) -> DataFrame:
+        raw = joined.select(
+            "id",
+            F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+            F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+        ).localCheckpoint(eager=False)
+        mass = raw.agg(
+            F.sum("h_raw").alias("hm"), F.sum("a_raw").alias("am")
+        ).first()
+        return raw.select(
+            "id",
+            (F.col("h_raw") / F.lit(mass["hm"])).alias("hub"),
+            (F.col("a_raw") / F.lit(mass["am"])).alias("authority"),
+        )
+
+    res = pregel(
+        vertices=verts,
+        edges=e,
+        send_to_dst=[F.col("hub").alias("a_msg")],
+        agg_to_dst=[F.sum("a_msg").alias("a_raw")],
+        send_to_src=[F.col("authority").alias("h_msg")],
+        agg_to_src=[F.sum("h_msg").alias("h_raw")],
+        update=update,
+        n_iter=n_iter,
+    )
+    return res.vertices.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def label_propagation_pregel(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Synchronous LPA through pregel: the aggregate phase is the
+    callable form (majority vote = count per (id, label) then top-1 with
+    smallest-label tiebreak — not a single groupBy expression); the
+    symmetrized edge set makes one send direction sufficient. Same
+    values as graph.label_propagation."""
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    verts = sym.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("label")
+    )
+    top1 = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("nbr_label"))
+
+    def vote(msgs: DataFrame) -> DataFrame:
+        return (
+            msgs.groupBy("id", "nbr_label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("nbr_label").alias("voted"))
+        )
+
+    def update(joined: DataFrame) -> DataFrame:
+        # every vertex of a symmetrized edge set receives ≥1 message,
+        # but keep the coalesce as the isolated-vertex guard
+        return joined.select("id", F.coalesce("voted", "label").alias("label"))
+
+    res = pregel(
+        vertices=verts,
+        edges=sym,
+        send_to_dst=[F.col("label").alias("nbr_label")],
+        agg_to_dst=vote,
+        update=update,
+        n_iter=n_iter,
+        checkpoint_every=1,  # the standalone loop checkpoints every round
+    )
+    return res.vertices.select("id", "label")

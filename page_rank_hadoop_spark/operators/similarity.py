@@ -196,6 +196,12 @@ def ivf_assign(
     with_sims = with_norm.select("vec_id", "embedding", sims.alias("sims"))
     idx = F.array_position("sims", F.array_max("sims")).cast("int")  # 1-based
     cid = F.element_at(F.array(*[F.lit(int(c)) for c, _ in centroids]), idx)
+    # Degenerate vectors (zero norm → every cosine is NaN → no argmax →
+    # NULL id) file deterministically under the FIRST codebook entry: a
+    # NULL centroid would land in the __HIVE_DEFAULT_PARTITION__ of a
+    # persisted index, where null join keys make it invisible to every
+    # probe and to the gate's replay guard (round-6 ADVICE).
+    cid = F.coalesce(cid, F.lit(int(centroids[0][0])))
     return with_sims.select(
         "vec_id", "embedding", cid.cast("int").alias("centroid")
     )
@@ -1146,6 +1152,87 @@ def label_typicality(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+_IVF_META = "_ivf_meta.json"
+
+
+def codebook_fingerprint(centroids: Centroids) -> str:
+    """Stable content hash of an (id, vector) codebook — the identity
+    check that keeps an index and its probes on the SAME codebook."""
+    import hashlib
+    import json as _json
+
+    payload = _json.dumps(
+        [[int(c), [float(x) for x in cv]] for c, cv in centroids],
+        separators=(",", ":"),
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def write_ivf_meta(path: str, centroids: Centroids, dim: int) -> None:
+    """Persist the index's codebook next to its data (underscore-prefixed
+    so parquet readers treat it as metadata and skip it). The meta file
+    makes the on-disk index SELF-DESCRIBING: probe/append/gate load the
+    codebook from here instead of trusting per-call parameters — the
+    round-6 ADVICE fix for 'build with --centroids 32, probe with the
+    default 16 silently misfiles'."""
+    import json as _json
+    import os as _os
+
+    meta = {
+        "n_centroids": len(centroids),
+        "dim": dim,
+        "fingerprint": codebook_fingerprint(centroids),
+        "centroids": [[int(c), [float(x) for x in cv]] for c, cv in centroids],
+    }
+    with open(_os.path.join(path, _IVF_META), "w") as fh:
+        _json.dump(meta, fh)
+
+
+def load_ivf_meta(path: str) -> dict | None:
+    """Load the persisted codebook meta (None for a pre-meta legacy
+    index — callers then fall back to their parameters, the old
+    trust-the-caller contract)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, _IVF_META)
+    if not _os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        meta = _json.load(fh)
+    meta["centroids"] = [(int(c), [float(x) for x in cv]) for c, cv in meta["centroids"]]
+    return meta
+
+
+def _resolve_index_codebook(
+    path: str, centroids: Centroids | None, dim: int
+) -> tuple[Centroids, int]:
+    """The codebook an operation against a persisted index must use:
+    the index's own meta when present (validating any caller-supplied
+    codebook against its fingerprint — a MISMATCH is an error, never a
+    silent misfile), else the caller's (legacy index)."""
+    meta = load_ivf_meta(path)
+    if meta is None:
+        if centroids is None:
+            raise ValueError(
+                f"IVF index at {path} has no meta file and no codebook was "
+                f"supplied; pass centroids= (legacy index) or rebuild with "
+                f"write_ivf_index"
+            )
+        return centroids, dim
+    if centroids is not None:
+        got = codebook_fingerprint(centroids)
+        if got != meta["fingerprint"]:
+            raise ValueError(
+                f"codebook mismatch for IVF index at {path}: index was built "
+                f"with fingerprint {meta['fingerprint']} "
+                f"(C={meta['n_centroids']}, dim={meta['dim']}), caller "
+                f"supplied {got} — probing/appending with the wrong codebook "
+                f"silently misfiles vectors, refusing"
+            )
+    return meta["centroids"], meta["dim"]
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -1175,6 +1262,7 @@ def write_ivf_index(
     assigned.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
     ).write.mode("overwrite").partitionBy("centroid").parquet(path)
+    write_ivf_meta(path, centroids, dim)  # index is self-describing from birth
     spark = embeddings.sparkSession
     return spark.read.parquet(path).select("centroid").distinct().count()
 
@@ -1187,14 +1275,33 @@ def append_ivf_index(
     centroids: Centroids | None = None,
 ) -> None:
     """Maintain the persisted IVF index: assign the batch with the SAME
-    codebook and append into the bucket directories. Per-batch work is
-    proportional to the batch, never the index."""
-    if centroids is None:
+    codebook — taken from the index's own meta file when present (a
+    caller-supplied codebook is fingerprint-validated against it; a
+    supplied C/dim that disagrees with the index is an error, never a
+    silent misfile) — and append into the bucket directories. Per-batch
+    work is proportional to the batch, never the index. First append
+    into an empty/missing directory creates the index AND its meta."""
+    import os as _os
+
+    if _os.path.isdir(path) and (
+        load_ivf_meta(path) is not None
+        or any(e.startswith("centroid=") for e in _os.listdir(path))
+    ):
+        if load_ivf_meta(path) is None and centroids is None:
+            # legacy (pre-meta) index: keep the old trust-the-caller
+            # contract, and record the codebook now so future calls
+            # are validated
+            centroids = seed_centroids(resolve_n_centroids(batch, n_centroids), dim)
+            write_ivf_meta(path, centroids, dim)
+        centroids, dim = _resolve_index_codebook(path, centroids, dim)
+    elif centroids is None:
         centroids = seed_centroids(resolve_n_centroids(batch, n_centroids), dim)
     assigned = ivf_assign(batch, dim=dim, centroids=centroids)
     assigned.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
     ).write.mode("append").partitionBy("centroid").parquet(path)
+    if load_ivf_meta(path) is None:  # creation-by-append: record the codebook
+        write_ivf_meta(path, centroids, dim)
 
 
 def compact_ivf_index(spark, path: str) -> int:
@@ -1204,10 +1311,17 @@ def compact_ivf_index(spark, path: str) -> int:
     per file), so periodic compaction restores it — the same cadence
     rule SCALING.md measured for the band index (~32 files/bucket).
     The swap is RENAME-based so a COMPLETE copy of the index exists on
-    disk at every crash point (the round-5 ADVICE lesson applied to
-    ``compact_band_index``): write staging, rename live → __old,
-    staging → live, delete __old. Returns the max files-per-bucket
-    seen BEFORE compaction (the cadence signal operators alert on).
+    disk at every crash point: write staging, rename live → __old,
+    staging → live, delete __old. Crash RECOVERY runs before any
+    sweep (the round-6 ADVICE fix): if the live path is MISSING, a
+    previous run died between the two renames and the only copies are
+    __staging (the finished compaction — its write completed before
+    the first rename, witnessed by _SUCCESS) and __old (the
+    pre-compaction index); the dangling one is renamed back to live
+    FIRST, and leftovers are deleted only once a live index exists.
+    Sweeping first would rmtree the sole surviving copies. Returns the
+    max files-per-bucket seen BEFORE compaction (the cadence signal
+    operators alert on).
 
     At 100 TB: the rewrite is one shuffle-light pass
     (``repartition('centroid')`` routes each bucket to one task → one
@@ -1218,6 +1332,26 @@ def compact_ivf_index(spark, path: str) -> int:
     import os
     import shutil
 
+    staging, old = path + "__staging", path + "__old"
+    if not os.path.isdir(path):
+        # dangling state from a crash between the two renames: restore
+        # a complete copy to the live name BEFORE touching anything.
+        # Prefer the finished compaction (staging is only ever renamed
+        # away AFTER its write completed — require the _SUCCESS marker
+        # so a half-written staging from a mid-write crash never wins);
+        # fall back to the pre-compaction index.
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, path)
+        elif os.path.isdir(old):
+            os.rename(old, path)
+        else:
+            raise FileNotFoundError(
+                f"IVF index missing at {path} and no recoverable "
+                f"__staging/__old copy exists"
+            )
+    # a live index exists at `path` — leftovers are now safe to sweep
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     before = max(
         (
             len(glob.glob(os.path.join(d, "*.parquet")))
@@ -1225,9 +1359,6 @@ def compact_ivf_index(spark, path: str) -> int:
         ),
         default=0,
     )
-    staging, old = path + "__staging", path + "__old"
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     (
         spark.read.parquet(path)
         .repartition("centroid")
@@ -1235,6 +1366,12 @@ def compact_ivf_index(spark, path: str) -> int:
         .partitionBy("centroid")
         .parquet(staging)
     )
+    # the codebook meta rides the swap: copy it into staging BEFORE the
+    # renames so every recoverable copy (staging or old) carries it
+    if os.path.isfile(os.path.join(path, _IVF_META)):
+        shutil.copyfile(
+            os.path.join(path, _IVF_META), os.path.join(staging, _IVF_META)
+        )
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
@@ -1256,10 +1393,17 @@ def probe_ivf_index(
     data touched), scan ONLY those bucket directories (the centroid
     filter is a partition filter — plan-pinned), exact cosine re-rank,
     TakeOrderedAndProject top-k. Identical results to the inline
-    ``ivf_knn_cosine`` — the declared oracle is shared."""
+    ``ivf_knn_cosine`` — the declared oracle is shared.
+
+    The codebook comes from the index's own meta file when present
+    (``n_centroids``/``dim``/``centroids`` parameters are only trusted
+    for legacy pre-meta indexes; a supplied codebook is fingerprint-
+    validated — the round-6 ADVICE fix)."""
     import numpy as np
 
-    if centroids is None:
+    if load_ivf_meta(path) is not None:
+        centroids, dim = _resolve_index_codebook(path, centroids, dim)
+    elif centroids is None:
         centroids = seed_centroids(n_centroids, dim)
     p = np.asarray(probe, dtype="float64")
     sims = []

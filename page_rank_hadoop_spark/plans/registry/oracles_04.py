@@ -734,11 +734,17 @@ def contribute(oracles: dict[str, str]) -> None:
                floor(f[2] * 200)::BIGINT AS c1
         FROM f
       ),
+      expanded AS (
+        SELECT media_id, media_type, f, c0 + d0.d0 AS c0, c1 + d1.d1 AS c1
+        FROM keyed
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d0) d0
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d1) d1
+      ),
       pairs AS (
         SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
                a.media_type,
                round(sqrt((0.0::DOUBLE + ((((((((a.f[1] - b.f[1]) * (a.f[1] - b.f[1]) + (a.f[2] - b.f[2]) * (a.f[2] - b.f[2])) + (a.f[3] - b.f[3]) * (a.f[3] - b.f[3])) + (a.f[4] - b.f[4]) * (a.f[4] - b.f[4])) + (a.f[5] - b.f[5]) * (a.f[5] - b.f[5])) + (a.f[6] - b.f[6]) * (a.f[6] - b.f[6])) + (a.f[7] - b.f[7]) * (a.f[7] - b.f[7])) + (a.f[8] - b.f[8]) * (a.f[8] - b.f[8])))), 6) AS l2
-        FROM keyed a JOIN keyed b
+        FROM keyed a JOIN expanded b
           ON a.media_type = b.media_type AND a.c0 = b.c0 AND a.c1 = b.c1
          AND a.media_id < b.media_id
       )
@@ -921,3 +927,11 @@ def contribute(oracles: dict[str, str]) -> None:
     # the persisted-index probe serves the SAME result as inline IVF —
     # one oracle, two physical paths (the band-index MV precedent)
     oracles["q_ivf_index_probe"] = oracles["q_ivf_knn"]
+
+    # Pregel re-expressions (round 7, VERDICT r6 item 4): the generic
+    # superstep harness must produce EXACTLY what the bespoke loops do,
+    # so each shares its twin's oracle text verbatim — one oracle, two
+    # physical paths (the q_ivf_index_probe precedent).
+    oracles["q_pagerank_pregel"] = oracles["q_pagerank_iterate"]
+    oracles["q_hits_pregel"] = oracles["q_hits"]
+    oracles["q_lpa_pregel"] = oracles["q_label_propagation"]

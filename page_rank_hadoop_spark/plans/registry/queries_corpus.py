@@ -334,6 +334,39 @@ def q_hits(spark, sf):
     return graph.hits(_graph(spark, sf)["kept"], n_iter=8)
 
 
+def q_pagerank_pregel(spark, sf):
+    """Reference PageRank re-expressed through the generic Pregel
+    superstep harness (operators/pregel.py — VERDICT r6 item 4,
+    BASELINE.json's 'GraphX Pregel' wording): same formula, rounds, and
+    dangling-mass semantics as q_pagerank_iterate, driven by the
+    reusable vertex-program surface instead of the bespoke loop. Shares
+    q_pagerank_iterate's oracle SQL verbatim — one oracle, two physical
+    paths."""
+    from page_rank_hadoop_spark.operators.pregel import pagerank_pregel
+
+    return pagerank_pregel(_adjacency(spark, sf), n_iter=10).select(
+        "id", F.round("pr", 6).alias("pr")
+    )
+
+
+def q_hits_pregel(spark, sf):
+    """HITS through the Pregel harness — both message directions active
+    per superstep, L1 normalization as the update phase's one scalar
+    action. Shares q_hits's oracle."""
+    from page_rank_hadoop_spark.operators.pregel import hits_pregel
+
+    return hits_pregel(_graph(spark, sf)["kept"], n_iter=8)
+
+
+def q_lpa_pregel(spark, sf):
+    """Synchronous LPA through the Pregel harness — the aggregate phase
+    is the callable form (majority vote needs count-then-top1, not one
+    groupBy expression). Shares q_label_propagation's oracle."""
+    from page_rank_hadoop_spark.operators.pregel import label_propagation_pregel
+
+    return label_propagation_pregel(_graph(spark, sf)["kept"], n_iter=3)
+
+
 def q_kcore(spark, sf):
     """30-core of the resolved link graph: iterative degree peeling to
     fixpoint (the link-spam / leaf-chain cut web-quality pipelines run

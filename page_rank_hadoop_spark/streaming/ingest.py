@@ -270,11 +270,21 @@ def ann_gate_batch(
     CRASH-SAFETY is simpler than the text gate BY CONSTRUCTION: the
     index IS the corpus sink for vectors (one artifact, one job-atomic
     append), so there is no two-write window to protect. At-least-once
-    replay is idempotent: a replayed vector finds ITSELF stored
-    (same vec_id at cosine 1.0 — and only a replay can, since a
-    first-delivery vector with a stored neighbor would have been
-    dropped before ever being appended), is treated as a dup, and is
-    not appended twice.
+    replay is idempotent via TWO independent drops: (a) a replayed
+    vector finds ITSELF stored (same vec_id at cosine 1.0 — and only a
+    replay can, since a first-delivery vector with a stored neighbor
+    would have been dropped before ever being appended); (b) an EXACT
+    vec_id anti-join against the probed buckets, which also covers the
+    degenerate vectors cosine can't (an all-zero embedding yields NaN
+    cosine — 0/0 — which never passes ``>= min_cosine``, so without
+    the id drop a replayed zero vector would be re-appended on every
+    redelivery; round-6 ADVICE). Deterministic assignment guarantees a
+    replayed vector probes the bucket its first delivery landed in.
+
+    The codebook comes from the index's own meta file when the index
+    exists (``n_centroids``/``dim`` are only used to SEED a brand-new
+    index); a gate pointed at an index built with different parameters
+    fails loudly instead of misfiling.
     """
     from pyspark.sql import functions as F2
 
@@ -282,7 +292,11 @@ def ann_gate_batch(
     from page_rank_hadoop_spark.operators import similarity as _sim
 
     sess = batch_df.sparkSession
-    cents = _sim.seed_centroids(n_centroids, dim)
+    meta = _sim.load_ivf_meta(index_dir)
+    if meta is not None:
+        cents, dim = meta["centroids"], meta["dim"]
+    else:
+        cents = _sim.seed_centroids(n_centroids, dim)
     assigned = _sim.ivf_assign(batch_df, dim=dim, centroids=cents).localCheckpoint()
     buckets = [r["centroid"] for r in assigned.select("centroid").distinct().collect()]
     import os as _os
@@ -308,7 +322,9 @@ def ann_gate_batch(
             .groupBy("vec_id")
             .agg(F2.min("s_id").alias("dup_of"))
         )
-        fresh = assigned.join(hits, "vec_id", "left_anti")
+        fresh = assigned.join(hits, "vec_id", "left_anti").join(
+            stored.select(F2.col("s_id").alias("vec_id")), "vec_id", "left_anti"
+        )
     else:
         fresh = assigned
     # within-batch keep-first: a vector colliding with a SMALLER vec_id

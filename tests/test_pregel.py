@@ -1,0 +1,172 @@
+"""Pregel harness pins (VERDICT r6 item 4): the generic superstep
+surface must reproduce the bespoke loops EXACTLY — PageRank via
+pregel() == run_pagerank (same oracle), HITS and LPA via pregel() ==
+their graph.py twins — and keep the measured loop hygiene: one active
+message direction costs exactly ONE Exchange per superstep (the
+pagerank.py partitioning argument, re-proven for the edge-list form).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import graph, pagerank
+from page_rank_hadoop_spark.operators.pregel import (
+    hits_pregel,
+    label_propagation_pregel,
+    pagerank_pregel,
+    pregel,
+)
+from page_rank_hadoop_spark.sources.corpus import parse_corpus_lines
+
+CORPUS = [
+    "<title>1</title> [[2]] [[4]]",
+    "<title>2</title> [[1]] [[3]]",
+    "<title>4</title>",
+]
+
+
+@pytest.fixture(scope="module")
+def adj(spark):
+    parsed = parse_corpus_lines(
+        spark.createDataFrame([(line,) for line in CORPUS], ["line"])
+    )
+    edges = parsed.select(F.col("title").alias("src"), F.explode("links").alias("dst"))
+    verts = parsed.select(F.col("title").alias("id")).distinct()
+    kept = graph.resolve_edges(edges, verts)
+    return graph.adjacency(kept, verts, null_vid="NULL")
+
+
+@pytest.fixture(scope="module")
+def kept_edges(spark):
+    parsed = parse_corpus_lines(
+        spark.createDataFrame([(line,) for line in CORPUS], ["line"])
+    )
+    edges = parsed.select(F.col("title").alias("src"), F.explode("links").alias("dst"))
+    verts = parsed.select(F.col("title").alias("id")).distinct()
+    return graph.resolve_edges(edges, verts)
+
+
+def test_pagerank_pregel_matches_run_pagerank(adj):
+    """Same formula, same rounds, same dangling-mass semantics — values
+    equal at 9dp (summation order inside one engine's groupBy is already
+    nondeterministic, so exact-bit equality is not the contract; the
+    shared 6dp oracle is)."""
+    want = {
+        r["id"]: r["pr"]
+        for r in pagerank.run_pagerank(adj, fixed_iterations=10).ranks.collect()
+    }
+    got = {r["id"]: r["pr"] for r in pagerank_pregel(adj, n_iter=10).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_pagerank_pregel_one_iteration_formula(adj):
+    """One superstep from uniform pr=1 reproduces the reference formula
+    exactly (the test_fixed_point_formula twin, via the harness)."""
+    got = {r["id"]: r["pr"] for r in pagerank_pregel(adj, n_iter=1).collect()}
+    a, n = 0.15, 4
+    base = a / n
+    assert got["1"] == pytest.approx(base + 0.85 * (1.0 + 1.0 / 3))
+    assert got["2"] == pytest.approx(base + 0.85 * (0.5 + 1.0 / 3))
+    assert got["4"] == pytest.approx(base + 0.85 * (0.5 + 1.0 / 3))
+    assert got["NULL"] == pytest.approx(base + 0.85 * 1.0)
+
+
+def test_hits_pregel_matches_hits(kept_edges):
+    want = {r["id"]: (r["hub"], r["authority"]) for r in graph.hits(kept_edges, n_iter=8).collect()}
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits_pregel(kept_edges, n_iter=8).collect()}
+    assert got == want  # both 6dp-rounded — exact dict equality
+
+
+def test_lpa_pregel_matches_label_propagation(kept_edges):
+    want = {r["id"]: r["label"] for r in graph.label_propagation(kept_edges, n_iter=3).collect()}
+    got = {r["id"]: r["label"] for r in label_propagation_pregel(kept_edges, n_iter=3).collect()}
+    assert got == want
+
+
+def test_pregel_adaptive_stop_policy(adj):
+    """Adaptive mode honors min_iter/tol/max_iter: the tiny graph's
+    delta drops below a huge tol immediately, so the loop must still run
+    exactly min_iter rounds (the reference's min-10 floor, scaled
+    down)."""
+
+    def update(joined):
+        n = 4
+        return joined.select(
+            "id",
+            (
+                F.lit(0.15) * (1.0 / n)
+                + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+            "out_deg",
+        )
+
+    def delta(old, new):
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .agg(F.sum(F.abs(F.col("n.pr") - F.col("o.pr"))).alias("d"))
+            .collect()[0]["d"]
+        )
+
+    verts = adj.select(
+        "id", F.lit(1.0).alias("pr"), F.size("links").cast("double").alias("out_deg")
+    )
+    edges = adj.select(F.col("id").alias("src"), F.explode("links").alias("dst"))
+    res = pregel(
+        vertices=verts,
+        edges=edges,
+        send_to_dst=[(F.col("pr") / F.col("out_deg")).alias("contrib")],
+        agg_to_dst=[F.sum("contrib").alias("contrib")],
+        update=update,
+        min_iter=3,
+        max_iter=50,
+        tol=1e9,
+        delta_metric=delta,
+    )
+    assert res.iterations == 3
+    assert len(res.deltas) == 3
+
+
+from tests.test_pagerank import _count_shuffles
+
+
+def test_pregel_round_single_exchange(spark, adj):
+    """The harness's physical contract, proven for the edge-list form:
+    edges persisted partitioned by src + state id-partitioned ⇒ the send
+    join and the update join are exchange-free and ONE superstep
+    shuffles exactly once (the per-recipient message aggregate) — the
+    same shape test_pagerank.py pins for the adjacency-list loop."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        adj.select(F.col("id").alias("src"), F.explode("links").alias("dst"))
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    state = (
+        adj.select(
+            "id", F.lit(1.0).alias("pr"), F.size("links").cast("double").alias("out_deg")
+        )
+        .repartition("id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state.count()
+    msgs = (
+        edges.join(state.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst").alias("id"), (F.col("pr") / F.col("out_deg")).alias("contrib"))
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("contrib"))
+    )
+    new_state = state.join(msgs, "id", "left").select(
+        "id",
+        (F.lit(0.15) / 4 + 0.85 * F.coalesce("contrib", F.lit(0.0))).alias("pr"),
+        "out_deg",
+    )
+    new_state.count()
+    n_shuffles = _count_shuffles(new_state._jdf.queryExecution().executedPlan())
+    assert n_shuffles == 1, new_state._jdf.queryExecution().executedPlan().toString()
+    edges.unpersist()
+    state.unpersist()

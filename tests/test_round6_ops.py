@@ -528,18 +528,41 @@ def test_media_near_dup_exact_dup_at_zero(spark):
 
 
 def test_media_near_dup_blocking_key_prunes(spark):
-    """Same type but far-apart features (different grid cells) are never
-    even candidates — the blocking guarantee."""
+    """Same type but far-apart features (>1 grid cell apart — 'a' vs 'z'
+    payloads put f1 ~0.0127 apart, >2 cells at grid=200) are never even
+    candidates. The guarantee after the round-6 boundary fix is
+    cells-differ-by-more-than-one → pruned (adjacent cells ARE candidates
+    now, by design)."""
     from page_rank_hadoop_spark.multimodal.binary_ops import (
         media_from_documents,
         media_near_dup,
     )
 
     docs = spark.createDataFrame(
-        [(0, "aaaa " * 20), (3, "ZZZZ " * 20)], ["doc_id", "text"]
+        [(0, "aaaa " * 20), (3, "zzzz " * 20)], ["doc_id", "text"]
     )
     media = media_from_documents(docs)
     assert media_near_dup(media, grid=200, max_l2=10.0).count() == 0
+
+
+def test_media_near_dup_finds_cell_boundary_straddlers(spark):
+    """The round-6 ADVICE recall fix pinned: payloads 'b' (f1=0.3843,
+    cell 76) and 'c' (f1=0.3882, cell 77) are a true near-dup at
+    l2=0.0039 that STRADDLES a grid-cell boundary — the pre-fix
+    home-cell-only blocking silently missed exactly this class. The
+    3×3 neighborhood probe must surface it (and exactly once: one
+    offset combination matches, so no duplicate pair either)."""
+    from page_rank_hadoop_spark.multimodal.binary_ops import (
+        media_from_documents,
+        media_near_dup,
+    )
+
+    docs = spark.createDataFrame([(0, "b"), (3, "c")], ["doc_id", "text"])
+    media = media_from_documents(docs)
+    rows = media_near_dup(media, grid=200, max_l2=0.004).collect()
+    assert len(rows) == 1
+    assert (rows[0]["media_id_a"], rows[0]["media_id_b"]) == (0, 3)
+    assert abs(rows[0]["l2"] - 0.0039) < 1e-9
 
 
 def test_ewma_smoothing_hand_sequence(spark):
