@@ -109,11 +109,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     count. ``decode_stub=False`` (round 6) runs the REAL decode
     (``multimodal/decode.py``: PIL when importable, built-in PNG/WAV
     codecs otherwise — image → luminance histogram, audio → segment
-    RMS) over genuine payload bytes; identical output schema, pinned
-    stub-vs-real by tests/test_multimodal.py. The declared oracle
-    queries keep the stub (their synthetic payloads are not real
-    media). Video payloads still raise at the decode call — the one
-    remaining codec-library hook."""
+    RMS, video → temporal luminance profile over concatenated-frame
+    MJPEG/MPNG containers — round 7) over genuine payload bytes;
+    identical output schema, pinned stub-vs-real by
+    tests/test_multimodal.py. The declared oracle queries keep the stub
+    (their synthetic payloads are not real media). MJPEG pixel decode
+    still needs PIL (capability gate); MPNG and all frame SPLITTING are
+    pure stdlib."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not decode_stub:
@@ -175,11 +177,42 @@ def resize_media(media: DataFrame, factor: int = 4, decode_stub: bool = True) ->
     return media.mapInPandas(op, schema="media_id bigint, media_type string, payload binary")
 
 
-def frame_sample(media: DataFrame, every_n_bytes: int = 1024, frame_len: int = 64) -> DataFrame:
-    """Video-style frame sampling as pure column expressions: slice the
-    payload every N bytes into fixed-length binary 'frames' (explode).
-    Real frame extraction would swap the slicing for a codec call; the
-    partitioning/explode shape is identical."""
+def frame_sample(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    frame_len: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video-style frame sampling. Stub (default, the oracle path): pure
+    column expressions slicing the payload every N bytes into
+    fixed-length binary 'frames' (explode). ``decode_stub=False``
+    (round 7): REAL container-frame extraction — ``decode.
+    split_video_frames`` walks the concatenated-frame structure (MJPEG
+    JPEG-segment walk / MPNG chunk walk, both pure stdlib) inside the
+    same Arrow-batched mapInPandas shape as the other real-decode ops,
+    emitting one row per actual frame with its full bytes. Output
+    schema is identical either way; only frame boundaries differ."""
+    if not decode_stub:
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from page_rank_hadoop_spark.multimodal.decode import (
+                split_video_frames,
+            )
+
+            for pdf in batches:
+                ids, nos, frs = [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    for i, fr in enumerate(split_video_frames(bytes(payload))):
+                        ids.append(mid)
+                        nos.append(i)
+                        frs.append(fr)
+                yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frs})
+
+        return media.mapInPandas(
+            op, schema="media_id bigint, frame_no int, frame binary"
+        )
     n_frames = F.greatest((F.length("payload") / every_n_bytes).cast("int"), F.lit(1))
     frames = F.transform(
         F.sequence(F.lit(0), n_frames - 1),

@@ -5,9 +5,18 @@ Capability-gated like the Avro/Kafka connectors: if PIL is importable it
 decodes images (any format it knows); otherwise a built-in pure-stdlib
 decoder handles PNG (zlib inflate + filter reconstruction — the format
 IS deflate plus five per-line filters, no codec library required).
-Audio is WAV via the stdlib ``wave`` module + numpy. Video stays a
-``NotImplementedError`` hook (no container parser in the stdlib), with
-the byte-slicing frame sampler as its declared stand-in.
+Audio is WAV via the stdlib ``wave`` module + numpy.
+
+Video (round 7, VERDICT r6 item 5): two concatenated-frame container
+flavors behind one splitter — MJPEG (concatenated JPEGs, the classic
+IP-camera/AVI-MJPG stream: frame boundaries found by a real JPEG
+segment walker — entropy-scan with byte-stuffing/RST awareness, not a
+naive FFD9 search) and MPNG (concatenated PNGs, the same shape with a
+fully stdlib-decodable codec). Splitting is ALWAYS pure stdlib;
+per-frame pixel decode is PIL for JPEG (capability-gated — without PIL
+MJPEG raises the declared NotImplementedError) and built-in for PNG.
+The byte-slicing frame sampler remains the oracle-facing stub;
+``frame_sample(decode_stub=False)`` consumes real container frames.
 
 Everything here is per-payload pure-Python/numpy invoked INSIDE the
 Arrow-batched ``mapInPandas`` operators of ``binary_ops`` — the Spark
@@ -35,6 +44,33 @@ def _pil_or_none():
         return Image
     except ImportError:
         return None
+
+
+# The pure-Python filter reconstruction below is ~50× slower than PIL's
+# C path on Sub/Average/Paeth-filtered PNGs (measured — see SCALING.md
+# "stdlib PNG fallback cost"). Fine for tests and small batches;
+# shipping it to a cluster unknowingly is not. Each Python worker logs
+# ONE warning when its cumulative stdlib-decoded payload count crosses
+# the threshold (workers are long-lived, so per-executor this fires
+# once, not per batch).
+STDLIB_PNG_WARN_AT = 1_000
+_stdlib_png_decoded = 0
+
+
+def _note_stdlib_png_decode() -> None:
+    global _stdlib_png_decoded
+    _stdlib_png_decoded += 1
+    if _stdlib_png_decoded == STDLIB_PNG_WARN_AT:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stdlib PNG fallback decoded %d payloads in this worker — PIL "
+            "is not importable and the pure-Python filter reconstruction "
+            "is ~50x slower on Sub/Average/Paeth-filtered PNGs; install "
+            "Pillow on the cluster before running real-decode at scale "
+            "(SCALING.md: stdlib PNG fallback cost)",
+            STDLIB_PNG_WARN_AT,
+        )
 
 
 # ---------------------------------------------------------------- PNG --
@@ -103,23 +139,44 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = line
         elif f == 2:  # Up
             rec = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth need the in-progress line — scalar loop
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = rec[x - channels] if x >= channels else 0
-                b = prev[x]
-                if f == 1:  # Sub
-                    rec[x] = (line[x] + a) & 0xFF
-                elif f == 3:  # Average
-                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
-                elif f == 4:  # Paeth
-                    cc = prev[x - channels] if x >= channels else 0
+        elif f == 1:
+            # Sub is an EXACT per-channel-lane prefix sum mod 256:
+            # rec[x] = Σ line[x, x-ch, x-2ch, ...] & 0xFF — vectorized
+            # (the mod commutes with addition, so one int64 cumsum per
+            # lane reproduces the sequential filter bit-for-bit)
+            rec = np.empty(stride, np.int32)
+            for lane in range(channels):
+                rec[lane::channels] = (
+                    np.cumsum(line[lane::channels], dtype=np.int64) & 0xFF
+                )
+        elif f in (3, 4):
+            # Average/Paeth are sequentially data-dependent (the
+            # predictor reads the in-progress line) — a Python loop is
+            # unavoidable, but over PLAIN INTS: per-element numpy
+            # scalar indexing costs ~30× more than list access (the
+            # round-7 fix for the measured 0.5 MB/s Paeth path)
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
+            ch = channels
+            if f == 3:  # Average
+                for x in range(stride):
+                    a = rec_l[x - ch] if x >= ch else 0
+                    rec_l[x] = (line_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = rec_l[x - ch] if x >= ch else 0
+                    b = prev_l[x]
+                    cc = prev_l[x - ch] if x >= ch else 0
                     p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - cc if p >= cc else cc - p
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                    rec[x] = (line[x] + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter {f}")
+                    rec_l[x] = (line_l[x] + pred) & 0xFF
+            rec = np.asarray(rec_l, np.int32)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[y] = rec.astype(np.uint8)
         prev = rec
     return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
@@ -131,6 +188,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     Image = _pil_or_none()
     if Image is not None:
         return np.asarray(Image.open(io.BytesIO(payload)))
+    _note_stdlib_png_decode()
     return decode_png(payload)
 
 
@@ -178,6 +236,98 @@ def wave_open(payload: bytes):
     return wave.open(io.BytesIO(payload), "rb")
 
 
+# --------------------------------------------------------------- video --
+def _png_frame_end(buf: bytes, start: int) -> int:
+    """End offset (exclusive) of the PNG starting at ``start``: walk
+    chunks (len + type + data + crc) until IEND's crc."""
+    pos = start + len(_PNG_SIG)
+    n = len(buf)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        pos += 8 + ln + 4
+        if typ == b"IEND":
+            return pos
+    raise ValueError("truncated PNG frame")
+
+
+def _jpeg_frame_end(buf: bytes, start: int) -> int:
+    """End offset (exclusive) of the JPEG starting at ``start``: a real
+    segment walk — length-prefixed marker segments, RST/TEM markers
+    (no length), and an entropy scan after SOS honoring 0xFF00 byte
+    stuffing — so an FFD9 inside an APPn segment (EXIF thumbnails) can
+    never be mistaken for the frame's EOI."""
+    pos = start + 2  # past SOI
+    n = len(buf)
+    while pos + 2 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            return pos + 2
+        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):  # RST/TEM/fill
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        (seg_len,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        pos += 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy-coded data until next true marker
+            while pos + 2 <= n:
+                if buf[pos] == 0xFF and buf[pos + 1] != 0x00 and not (
+                    0xD0 <= buf[pos + 1] <= 0xD7
+                ):
+                    if buf[pos + 1] == 0xD9:
+                        return pos + 2
+                    break  # next segment (progressive scans) — outer loop
+                pos += 1
+    raise ValueError("truncated JPEG frame")
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Concatenated-frame video container → per-frame byte slices.
+    Pure stdlib for BOTH flavors (splitting needs structure, not pixel
+    codecs): MPNG (PNG signature) and MJPEG (FFD8 SOI)."""
+    frames: list[bytes] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + len(_PNG_SIG)] == _PNG_SIG:
+            end = _png_frame_end(payload, pos)
+        elif payload[pos : pos + 2] == b"\xff\xd8":
+            end = _jpeg_frame_end(payload, pos)
+        else:
+            raise ValueError(
+                f"not a concatenated-frame video payload at offset {pos} "
+                "(expected PNG signature or JPEG SOI)"
+            )
+        frames.append(payload[pos:end])
+        pos = end
+    if not frames:
+        raise ValueError("empty video payload")
+    return frames
+
+
+def decode_video(payload: bytes) -> list[np.ndarray]:
+    """Video → list of per-frame uint8 arrays. PNG frames decode via the
+    built-in decoder; JPEG frames need PIL (capability gate — the
+    declared hook raises without it, splitting still works)."""
+    frames = split_video_frames(payload)
+    if frames[0][:2] == b"\xff\xd8" and _pil_or_none() is None:
+        raise NotImplementedError(
+            "MJPEG frame decode needs PIL (JPEG entropy decode is not in "
+            "the stdlib) — frame SPLITTING and byte-level sampling still "
+            "work; use MPNG payloads for a codec-free path"
+        )
+    return [decode_image(f) for f in frames]
+
+
+def encode_mpng(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-PNG video encoder (the MPNG flavor) — the re-encode
+    side of video resize and the test-fixture generator."""
+    return b"".join(encode_png(f) for f in frames)
+
+
 # ------------------------------------------------------------ features --
 def real_features(payload: bytes, media_type: str) -> list[float]:
     """Decode → FEATURE_DIM floats in [0, 1]; the real twin of
@@ -199,10 +349,23 @@ def real_features(payload: bytes, media_type: str) -> list[float]:
             mono = np.concatenate([mono, np.zeros(pad)])
         seg = mono.reshape(FEATURE_DIM, -1)
         return np.sqrt((seg**2).mean(axis=1)).tolist()
+    if media_type == "video":
+        # temporal luminance profile: up to FEATURE_DIM evenly-sampled
+        # frames, mean luminance/255 each, zero-padded — the video twin
+        # of the image histogram (round 7)
+        frames = decode_video(payload)
+        idx = np.unique(
+            np.linspace(0, len(frames) - 1, min(FEATURE_DIM, len(frames))).astype(int)
+        )
+        out = []
+        for i in idx:
+            arr = frames[i].astype(np.float64)
+            lum = arr if arr.ndim == 2 else arr[..., : min(3, arr.shape[2])].mean(axis=2)
+            out.append(float(lum.mean()) / 255.0)
+        return out + [0.0] * (FEATURE_DIM - len(out))
     raise NotImplementedError(
-        f"real decode for media_type={media_type!r} needs a codec library "
-        "(video container parsing) — the byte-sliced frame sampler is the "
-        "declared stand-in"
+        f"real decode for media_type={media_type!r} is not a known codec "
+        "(image/audio/video supported)"
     )
 
 
@@ -218,6 +381,12 @@ def real_resize(payload: bytes, media_type: str, factor: int) -> bytes:
     if media_type == "audio":
         samples, rate = decode_wav(payload)
         return encode_wav(samples[::factor], max(rate // factor, 1))
+    if media_type == "video":
+        # temporal decimation: keep every factor-th frame's ORIGINAL
+        # bytes (no transcode — splitting is stdlib for both flavors,
+        # so this works even for MJPEG without PIL)
+        frames = split_video_frames(payload)
+        return b"".join(frames[::factor])
     raise NotImplementedError(
-        f"real resize for media_type={media_type!r} needs a codec library"
+        f"real resize for media_type={media_type!r} is not a known codec"
     )
