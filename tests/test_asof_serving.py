@@ -239,3 +239,44 @@ def test_asof_join_tolerance_bounds_staleness(spark):
         tolerance_seconds=300,
     ).collect()
     assert len(inner) == 1 and inner[0]["r_value"] == 7.0
+
+
+def test_point_lookup_cursor_equals_read_point(spark, tmp_path):
+    """The cursor hot path (round 7) returns EXACTLY read_point's rows —
+    same keyed layout, footer-stat pruning instead of a Spark job — and
+    a warm lookup stays under the 20ms target that a Spark job's
+    scheduling floor can't reach."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.serving import (
+        PointLookupCursor,
+        read_point,
+        write_keyed,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("k"), F.format_string("%05d", F.col("id"))).alias("term"),
+        (F.col("id") * 3).alias("df"),
+    )
+    path = str(tmp_path / "serve")
+    write_keyed(df, path, "term", n_files=4)
+
+    cur = PointLookupCursor(path, "term")
+    probes = ["k00007", "k01999", "k00420"]
+    got = sorted((r["term"], r["df"]) for r in cur.lookup(probes))
+    want = sorted(
+        (r["term"], r["df"])
+        for r in read_point(spark, path, "term", probes).collect()
+    )
+    assert got == want and len(got) == 3
+    assert cur.lookup(["nope"]) == []
+
+    lat = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        cur.lookup([f"k{i:05d}"])
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat = sorted(lat[1:])
+    assert lat[len(lat) // 2] < 20.0, f"cursor warm p50 {lat} ms"
