@@ -266,6 +266,63 @@ def hits_pregel(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     )
 
 
+def k_core_pregel(edges: DataFrame, k: int = 2, max_iter: int = 10) -> DataFrame:
+    """K-core through pregel — the vertex-DEACTIVATION pattern (the
+    fourth shape the harness must express beside gather-sum, dual-
+    direction, and majority-vote): vertices carry (active, degree);
+    each superstep ACTIVE vertices send 1 along the symmetrized edges
+    (inactive senders emit NULL, which the sum ignores — the message
+    gate IS the subgraph induction), the update deactivates anyone
+    whose active-neighbor count fell below k, and the adaptive stop
+    fires when a round flips nobody (peeling shrinks monotonically, so
+    the fixpoint is guaranteed). Same (id, degree) rows as
+    graph.k_core; like it, exhausting ``max_iter`` RAISES rather than
+    returning a non-k-core."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    verts = sym.select("src").distinct().select(
+        F.col("src").alias("id"), F.lit(True).alias("active"), F.lit(0).alias("deg")
+    )
+
+    def update(joined: DataFrame) -> DataFrame:
+        deg = F.coalesce(F.col("n_active_nbrs"), F.lit(0))
+        return joined.select(
+            "id",
+            (F.col("active") & (deg >= k)).alias("active"),
+            deg.cast("int").alias("deg"),
+        )
+
+    def flips(old: DataFrame, new: DataFrame) -> float:
+        return float(
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .filter(F.col("n.active") != F.col("o.active"))
+            .count()
+        )
+
+    res = pregel(
+        vertices=verts,
+        edges=sym,
+        send_to_dst=[F.when(F.col("active"), F.lit(1)).alias("m")],
+        agg_to_dst=[F.sum("m").alias("n_active_nbrs")],
+        update=update,
+        min_iter=1,
+        max_iter=max_iter,
+        tol=0.0,
+        delta_metric=flips,
+        checkpoint_every=1,
+    )
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(
+            f"k_core_pregel: no fixpoint within max_iter={max_iter} rounds"
+        )
+    return res.vertices.filter("active").select(
+        "id", F.col("deg").cast("long").alias("degree")
+    )
+
+
 def label_propagation_pregel(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     """Synchronous LPA through pregel: the aggregate phase is the
     callable form (majority vote = count per (id, label) then top-1 with

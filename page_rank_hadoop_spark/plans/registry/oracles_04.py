@@ -935,3 +935,4 @@ def contribute(oracles: dict[str, str]) -> None:
     oracles["q_pagerank_pregel"] = oracles["q_pagerank_iterate"]
     oracles["q_hits_pregel"] = oracles["q_hits"]
     oracles["q_lpa_pregel"] = oracles["q_label_propagation"]
+    oracles["q_kcore_pregel"] = oracles["q_kcore"]

@@ -358,6 +358,15 @@ def q_hits_pregel(spark, sf):
     return hits_pregel(_graph(spark, sf)["kept"], n_iter=8)
 
 
+def q_kcore_pregel(spark, sf):
+    """30-core through the Pregel harness — the vertex-deactivation
+    shape (active-gated messages induce the subgraph; adaptive stop on
+    zero flips). Shares q_kcore's oracle."""
+    from page_rank_hadoop_spark.operators.pregel import k_core_pregel
+
+    return k_core_pregel(_graph(spark, sf)["kept"], k=30, max_iter=20)
+
+
 def q_lpa_pregel(spark, sf):
     """Synchronous LPA through the Pregel harness — the aggregate phase
     is the callable form (majority vote needs count-then-top1, not one

@@ -298,6 +298,9 @@ def ann_gate_batch(
     else:
         cents = _sim.seed_centroids(n_centroids, dim)
     assigned = _sim.ivf_assign(batch_df, dim=dim, centroids=cents).localCheckpoint()
+    # bounded collect: distinct centroids of ONE micro-batch, ≤ the
+    # codebook size C (≤ a few thousand ints at any corpus scale) — it
+    # exists to turn the probe into a partition-pruning isin filter
     buckets = [r["centroid"] for r in assigned.select("centroid").distinct().collect()]
     import os as _os
 

@@ -170,3 +170,34 @@ def test_pregel_round_single_exchange(spark, adj):
     assert n_shuffles == 1, new_state._jdf.queryExecution().executedPlan().toString()
     edges.unpersist()
     state.unpersist()
+
+
+def test_kcore_pregel_matches_k_core(spark):
+    """The vertex-deactivation shape: k-core via pregel equals
+    graph.k_core on a graph with a known 2-core (a triangle with
+    pendant chains that peel away over multiple rounds)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    from page_rank_hadoop_spark.operators.pregel import k_core_pregel
+
+    want = {
+        (r["id"], r["degree"]) for r in graph.k_core(edges, k=2).collect()
+    }
+    got = {
+        (r["id"], r["degree"]) for r in k_core_pregel(edges, k=2).collect()
+    }
+    assert got == want == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_pregel_raises_without_fixpoint(spark):
+    """max_iter exhaustion raises instead of returning a non-k-core —
+    the same contract as graph.k_core (a long chain peels one vertex
+    per round from each end, so max_iter=1 cannot reach fixpoint)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["src", "dst"]
+    )
+    from page_rank_hadoop_spark.operators.pregel import k_core_pregel
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core_pregel(edges, k=2, max_iter=1)
