@@ -204,6 +204,37 @@ def rehearse_graph(spark, verts, kept, label: str) -> dict:
     return r
 
 
+def rehearse_pregel(spark, verts, kept, label: str) -> dict:
+    """Harness-vs-bespoke parity at rehearsal scale (round 7): PageRank
+    and HITS through operators/pregel.py against their hand-rolled
+    loops on the SAME persisted inputs. The claim under test is that
+    the generic superstep surface adds no per-round scale cost — same
+    exchange count per round (plan-pinned in tests), so wall time must
+    track the bespoke loop at both 1× and 10×."""
+    from pyspark.storagelevel import StorageLevel
+
+    from page_rank_hadoop_spark.operators import graph, pagerank
+    from page_rank_hadoop_spark.operators.pregel import hits_pregel, pagerank_pregel
+
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    r: dict = {"label": label, "verts": verts.count(), "edges": kept.count()}
+    adj = graph.adjacency(kept, verts).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    _, t = _timed(lambda: pagerank.run_pagerank(adj, fixed_iterations=10).ranks.count())
+    r["pr_bespoke_sec"] = t
+    _, t = _timed(lambda: pagerank_pregel(adj, n_iter=10).count())
+    r["pr_pregel_sec"] = t
+    _, t = _timed(lambda: graph.hits(kept, n_iter=8).count())
+    r["hits_bespoke_sec"] = t
+    _, t = _timed(lambda: hits_pregel(kept, n_iter=8).count())
+    r["hits_pregel_sec"] = t
+    adj.unpersist()
+    verts.unpersist()
+    kept.unpersist()
+    return r
+
+
 def rehearse_embeddings(spark, emb, label: str, n_centroids, impl: str = "expr") -> dict:
     """ANN-family scale probe: hard-negative mining cost is
     Σ_buckets n_b² — QUADRATIC in corpus size at fixed centroid count.
@@ -740,6 +771,34 @@ def main() -> int:
 
     if mode in ("compaction", "all"):
         rehearse_compaction(spark, sf_dir, out_dir)
+
+    if mode == "pregel":
+        from page_rank_hadoop_spark.operators import graph as graph_ops
+
+        pv, pe = build_graph_10x(spark, sf_dir, out_dir)
+        d = load_table(spark, sf_dir, "documents")
+        v1 = graph_ops.vertices(d)
+        e1 = graph_ops.resolve_edges(graph_ops.extract_edges(d), v1)
+        tiny_v = v1.limit(50)
+        tiny_e = e1.join(tiny_v.withColumnRenamed("id", "src"), "src", "left_semi")
+        rehearse_pregel(spark, tiny_v, tiny_e, "warmup")  # absorb JIT
+        rows = [
+            rehearse_pregel(spark, v1, e1, "1x"),
+            rehearse_pregel(
+                spark, spark.read.parquet(pv), spark.read.parquet(pe), "10x"
+            ),
+        ]
+        _print_table(
+            rows,
+            [
+                ("verts", "verts"),
+                ("edges", "edges"),
+                ("pr_bespoke_sec", "PR bespoke s"),
+                ("pr_pregel_sec", "PR pregel s"),
+                ("hits_bespoke_sec", "HITS bespoke s"),
+                ("hits_pregel_sec", "HITS pregel s"),
+            ],
+        )
 
     if mode in ("graph", "all"):
         from page_rank_hadoop_spark.operators import graph as graph_ops
