@@ -39,7 +39,8 @@ def test_decode_stub_off_rejects_non_media_bytes(spark):
     the video codec hook, whichever partition errors first), never fake
     features."""
     with pytest.raises(
-        Exception, match="not a PNG|cannot identify|codec library|RIFF"
+        Exception,
+        match="not a PNG|cannot identify|not a concatenated-frame|RIFF",
     ):
         extract_features(_media(spark), decode_stub=False).collect()
 
