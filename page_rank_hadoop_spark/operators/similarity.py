@@ -1341,6 +1341,16 @@ def compact_ivf_index(spark, path: str) -> int:
         # so a half-written staging from a mid-write crash never wins);
         # fall back to the pre-compaction index.
         if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            # staging can be data-complete but meta-less (crash between
+            # the parquet write and the meta copy): carry the codebook
+            # over from __old so the promoted index never silently
+            # downgrades to a legacy (trust-the-caller) index
+            if not os.path.isfile(os.path.join(staging, _IVF_META)) and os.path.isfile(
+                os.path.join(old, _IVF_META)
+            ):
+                shutil.copyfile(
+                    os.path.join(old, _IVF_META), os.path.join(staging, _IVF_META)
+                )
             os.rename(staging, path)
         elif os.path.isdir(old):
             os.rename(old, path)

@@ -176,3 +176,23 @@ def test_ann_gate_zero_vector_replay_is_idempotent(spark, tmp_path):
     assert out2.count() == 0
     stored = spark.read.parquet(idx).groupBy("vec_id").count().collect()
     assert sorted((r["vec_id"], r["count"]) for r in stored) == [(1, 1), (2, 1)]
+
+
+def test_compact_ivf_recovery_carries_meta_from_old(spark, emb, tmp_path):
+    """Crash window between the staging parquet write and the meta copy:
+    staging is data-complete (_SUCCESS) but meta-less. Recovery must
+    carry the codebook meta over from __old so the promoted index never
+    silently downgrades to a legacy (trust-the-caller) index."""
+    d = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(emb, d, n_centroids=32, dim=DIM)
+    want_meta = similarity.load_ivf_meta(d)
+
+    shutil.copytree(d, d + "__staging")
+    os.remove(os.path.join(d + "__staging", similarity._IVF_META))
+    os.rename(d, d + "__old")
+
+    similarity.compact_ivf_index(spark, d)
+    got = similarity.load_ivf_meta(d)
+    assert got is not None
+    assert got["fingerprint"] == want_meta["fingerprint"]
+    assert got["n_centroids"] == 32
