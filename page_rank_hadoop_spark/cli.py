@@ -511,6 +511,30 @@ def cmd_compact(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lookup(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Interactive point lookup against a write_keyed serving table —
+    the reference's HBase Get (Query.scala:109-140) as a CLI verb. The
+    default lane is serving.PointLookupCursor (footer-stat pruning,
+    ~1ms warm, no Spark job — SCALING.md round-7 serving section);
+    ``--via-spark`` serves the same rows through read_point for the
+    distributed path. Output: TSV, columns in schema order."""
+    if args.via_spark:
+        from page_rank_hadoop_spark.sources.serving import read_point
+
+        rows = [
+            r.asDict()
+            for r in read_point(spark, args.table, args.key, args.values).collect()
+        ]
+    else:
+        from page_rank_hadoop_spark.sources.serving import PointLookupCursor
+
+        rows = PointLookupCursor(args.table, args.key).lookup(args.values)
+    for r in rows:
+        print("\t".join(str(v) for v in r.values()))
+    print(f"# {len(rows)} row(s)", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -629,6 +653,17 @@ def build_parser() -> argparse.ArgumentParser:
     pco.add_argument("--target-rows", type=int, default=100_000)
     pco.add_argument("--small-rows", type=int, default=1000)
     pco.set_defaults(fn=cmd_compact)
+
+    plk = sub.add_parser("lookup")
+    plk.add_argument("table", help="write_keyed serving table directory")
+    plk.add_argument("key", help="key column name")
+    plk.add_argument("values", nargs="+", help="key values to fetch")
+    plk.add_argument(
+        "--via-spark",
+        action="store_true",
+        help="serve through read_point (a Spark job) instead of the cursor",
+    )
+    plk.set_defaults(fn=cmd_lookup)
     return p
 
 

@@ -318,3 +318,26 @@ def test_cli_ann_index_compact_and_input_guard(spark, tmp_path, capsys):
 
     assert main(["ann-index", "build", idx]) == 2
     assert "input parquet required" in capsys.readouterr().err
+
+
+def test_cli_lookup_cursor_and_spark_agree(spark, tmp_path, capsys):
+    """cli lookup: the cursor lane and --via-spark serve identical rows
+    from a write_keyed table (round-7 serving hot path as a verb)."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.cli import main
+    from page_rank_hadoop_spark.sources.serving import write_keyed
+
+    df = spark.range(100).select(
+        F.concat(F.lit("t"), F.format_string("%03d", F.col("id"))).alias("term"),
+        (F.col("id") * 2).alias("df"),
+    )
+    path = str(tmp_path / "serve")
+    write_keyed(df, path, "term", n_files=2)
+
+    assert main(["lookup", path, "term", "t007", "t042"]) == 0
+    cur_out = sorted(capsys.readouterr().out.strip().splitlines())
+    assert main(["lookup", path, "term", "t007", "t042", "--via-spark"]) == 0
+    spark_out = sorted(capsys.readouterr().out.strip().splitlines())
+    assert cur_out == spark_out
+    assert len(cur_out) == 2 and cur_out[0].startswith("t007\t")
