@@ -740,8 +740,12 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     the token stream (map-side hash join, the big side never shuffles
     for the join), the corpus total rides a broadcast 1-row aggregate,
     and the per-doc rollup is the only keyed shuffle. Engine
-    determinism: ln(p) is 6dp-prerounded per token and the doc mean
-    6dp-rounded (the linreg moment rule)."""
+    determinism (round 7): ln(p) is snapped to exact integer
+    micro-units and the doc mean is floor(sum/n) over those integers —
+    the bigram_logprob rule. The original 6dp-preround + avg-of-rounded
+    was measured landing exactly on a 6dp half-boundary at sf0.1
+    (hash-mismatch against the oracle on one doc); floor over exact
+    integers cannot disagree."""
     toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("freq"))
     total = vocab.agg(F.sum("freq").cast("bigint").alias("total"))
@@ -750,12 +754,16 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            F.round(F.log(F.col("freq") / F.col("total")), 6).alias("lp"),
+            F.round(F.log(F.col("freq") / F.col("total")) * F.lit(1e6), 0)
+            .cast("long")
+            .alias("lpm"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        (
+            F.floor(F.sum("lpm").cast("double") / F.count("*")) / F.lit(1e6)
+        ).alias("avg_logprob"),
     )
 
 

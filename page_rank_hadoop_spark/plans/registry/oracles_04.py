@@ -447,10 +447,12 @@ def contribute(oracles: dict[str, str]) -> None:
       vocab AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY term),
       tot AS (SELECT sum(freq)::BIGINT AS total FROM vocab),
       scored AS (
-        SELECT t.doc_id, round(ln(v.freq::DOUBLE / (SELECT total FROM tot)), 6) AS lp
+        SELECT t.doc_id,
+               round(ln(v.freq::DOUBLE / (SELECT total FROM tot)) * 1e6)::BIGINT AS lpm
         FROM toks t JOIN vocab v USING (term)
       )
-      SELECT doc_id, count(*)::BIGINT AS n_tokens, round(avg(lp), 6) AS avg_logprob
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             floor(sum(lpm)::DOUBLE / count(*)) / 1e6 AS avg_logprob
       FROM scored GROUP BY doc_id
     """
 
