@@ -535,6 +535,47 @@ def cmd_lookup(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Drive the gated streaming ingestion end-to-end from the shell —
+    the production entry point for the two dedup gates (previously
+    Python-only). ``--gate minhash`` runs the text near-dup gate over a
+    maintained band-index MV (streaming/ingest.run_dedup_gated_ingest);
+    ``--gate ann`` runs the embedding near-dup gate over the persisted
+    IVF index (run_ann_gated_ingest). Both use trigger=availableNow, so
+    the command drains whatever is in ``in_dir`` and exits — cron/batch
+    friendly; the checkpoint makes re-runs pick up where they left off
+    (at-least-once replay is idempotent by the gates' self-collision +
+    exact-id rules)."""
+    from page_rank_hadoop_spark.streaming import ingest as ing
+
+    if args.gate == "minhash":
+        ing.run_dedup_gated_ingest(
+            spark, args.in_dir, args.out, args.checkpoint,
+            "doc_id BIGINT, text STRING",
+            band_table=args.band_table,
+        )
+        n = spark.read.parquet(args.out).count() if os.path.isdir(args.out) else 0
+        print(f"ingest (minhash gate): corpus now {n} docs → {args.out}")
+        return 0
+    if args.gate == "ann":
+        ing.run_ann_gated_ingest(
+            spark, args.in_dir, args.out, args.checkpoint,
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+            min_cosine=args.min_cosine,
+            n_centroids=args.centroids, dim=args.dim,
+        )
+        n = (
+            spark.read.parquet(args.out).count()
+            if os.path.isdir(args.out)
+            and any(e.startswith("centroid=") for e in os.listdir(args.out))
+            else 0
+        )
+        print(f"ingest (ann gate): index now {n} vectors → {args.out}")
+        return 0
+    print(f"ingest: unknown gate {args.gate}", file=sys.stderr)
+    return 2
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="page_rank_hadoop_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -664,6 +705,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="serve through read_point (a Spark job) instead of the cursor",
     )
     plk.set_defaults(fn=cmd_lookup)
+
+    pin = sub.add_parser("ingest")
+    pin.add_argument("in_dir", help="streaming source directory (parquet files)")
+    pin.add_argument("out", help="gated corpus dir (minhash) / IVF index dir (ann)")
+    pin.add_argument("--gate", choices=("minhash", "ann"), default="minhash")
+    pin.add_argument("--checkpoint", required=True)
+    pin.add_argument("--band-table", default="t_ingest_band_index")
+    pin.add_argument("--min-cosine", type=float, default=0.95)
+    pin.add_argument("--centroids", type=int, default=16)
+    pin.add_argument("--dim", type=int, default=64)
+    pin.set_defaults(fn=cmd_ingest)
     return p
 
 

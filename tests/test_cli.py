@@ -341,3 +341,66 @@ def test_cli_lookup_cursor_and_spark_agree(spark, tmp_path, capsys):
     spark_out = sorted(capsys.readouterr().out.strip().splitlines())
     assert cur_out == spark_out
     assert len(cur_out) == 2 and cur_out[0].startswith("t007\t")
+
+
+def test_cli_ingest_ann_gate_end_to_end(spark, tmp_path, capsys):
+    """cli ingest --gate ann: drains the source dir through the
+    embedding gate into a persisted IVF index; a re-run with the same
+    checkpoint is a no-op (nothing new to drain)."""
+    import math
+
+    from page_rank_hadoop_spark.cli import main
+
+    dim = 8
+    src = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    v_a = [math.sin(1 + j) for j in range(dim)]
+    v_far = [math.cos(40 + 3 * j) for j in range(dim)]
+    spark.createDataFrame(
+        [(1, v_a), (2, v_a), (3, v_far)], ["vec_id", "embedding"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    assert main([
+        "ingest", src, idx, "--gate", "ann", "--checkpoint", ck,
+        "--min-cosine", "0.999", "--centroids", "4", "--dim", "8",
+    ]) == 0
+    out1 = capsys.readouterr().out
+    assert "index now 2 vectors" in out1  # within-batch dup of v_a dropped
+
+    # drained checkpoint: second run ingests nothing new
+    assert main([
+        "ingest", src, idx, "--gate", "ann", "--checkpoint", ck,
+        "--min-cosine", "0.999", "--centroids", "4", "--dim", "8",
+    ]) == 0
+    assert "index now 2 vectors" in capsys.readouterr().out
+
+
+def test_cli_ingest_minhash_gate_end_to_end(spark, tmp_path, capsys):
+    """cli ingest --gate minhash: text gate drains the source into the
+    gated corpus, maintaining the band-index MV table."""
+    from page_rank_hadoop_spark.cli import main
+    from tests.conftest import drop_warehouse_table
+
+    table = "t_r7_cli_ingest_band"
+    drop_warehouse_table(spark, table)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (3, "one two three four five six seven eight nine ten eleven"),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    assert main([
+        "ingest", src, out, "--gate", "minhash",
+        "--checkpoint", ck, "--band-table", table,
+    ]) == 0
+    assert "corpus now 2 docs" in capsys.readouterr().out
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept in ([1, 3], [2, 3])  # keep-first within the batch
+    drop_warehouse_table(spark, table)
