@@ -60,6 +60,7 @@ def run_pagerank(
     fixed_iterations: int | None = None,
     checkpoint_every: int = 3,
     teleport: DataFrame | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterate PageRank over an adjacency DataFrame ``(id, links)``.
 
@@ -90,7 +91,20 @@ def run_pagerank(
     PageRank"). The teleport table is tiny: it broadcasts into the
     update join, so the loop's physical shape (ONE Exchange per
     iteration) is unchanged.
+
+    ``initial_ranks`` (round 7) WARM-STARTS the loop from a stored
+    ranks table instead of uniform 1.0 — the incremental-recompute
+    path: a daily link-graph refresh re-ranks from yesterday's stored
+    ranks and converges in a few iterations instead of 10-50 (the
+    iteration chain is identical to continuing the original run, so
+    resume(10-iter ranks, 2) ≡ a straight 12-iteration run —
+    hash-checked as q_pagerank_resume against a 12-round unrolled
+    oracle). Vertices added by the refresh and absent from the stored
+    ranks enter at rank 0 (they earn mass on the first resumed
+    iteration); mutually exclusive with ``teleport``.
     """
+    if teleport is not None and initial_ranks is not None:
+        raise ValueError("run_pagerank: teleport and initial_ranks are exclusive")
     # Pre-partition the adjacency by id ONCE and persist our own copy:
     # every per-iteration join then reshuffles only the small ranks side
     # (the contribs aggregate), never the big adjacency. Persisting a fresh
@@ -119,6 +133,17 @@ def run_pagerank(
             adj.select("id")
             .join(F.broadcast(tel), "id", "left")
             .select("id", F.coalesce("t", F.lit(0.0)).alias("pr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    elif initial_ranks is not None:
+        tel = None
+        # left join onto the graph's vertex set: ranks for ids no longer
+        # in the graph are dropped, new ids start at 0.0 (they earn
+        # contribution mass on the first resumed iteration)
+        ranks = (
+            adj.select("id")
+            .join(initial_ranks.select("id", F.col("pr").cast("double").alias("pr")), "id", "left")
+            .select("id", F.coalesce("pr", F.lit(0.0)).alias("pr"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     else:

@@ -938,3 +938,12 @@ def contribute(oracles: dict[str, str]) -> None:
     oracles["q_hits_pregel"] = oracles["q_hits"]
     oracles["q_lpa_pregel"] = oracles["q_label_propagation"]
     oracles["q_kcore_pregel"] = oracles["q_kcore"]
+
+    # Warm-start PageRank: resuming 2 rounds from the exact 10-round
+    # ranks IS rounds 11-12 of the same chain — oracle = 12 unrolled
+    from page_rank_hadoop_spark.plans.registry._shared import SQL_GRAPH_CTES as _G
+    oracles["q_pagerank_resume"] = f"""
+      WITH {_G},
+      {_sql_pagerank_iters(12)}
+      SELECT id, round(pr, 6) AS pr FROM it12
+    """

@@ -334,6 +334,19 @@ def q_hits(spark, sf):
     return graph.hits(_graph(spark, sf)["kept"], n_iter=8)
 
 
+def q_pagerank_resume(spark, sf):
+    """Warm-start (incremental) PageRank: resume 2 more iterations from
+    the stored 10-iteration ranks MV — the daily-refresh recompute path
+    (run_pagerank(initial_ranks=...)). The chain is identical to a
+    straight 12-iteration run, so the oracle is the 12-round unrolled
+    CTE chain — the warm-start machinery itself is hash-checked."""
+    adj = _adjacency(spark, sf)
+    res = pagerank.run_pagerank(
+        adj, fixed_iterations=2, initial_ranks=_pagerank10(spark, sf)
+    )
+    return res.ranks.select("id", F.round("pr", 6).alias("pr"))
+
+
 def q_pagerank_pregel(spark, sf):
     """Reference PageRank re-expressed through the generic Pregel
     superstep harness (operators/pregel.py — VERDICT r6 item 4,

@@ -150,3 +150,44 @@ def test_personalized_pagerank_mass_and_seed_bias(spark):
     avg_seed = sum(pr[i] for i in seed_ids) / len(seed_ids)
     avg_rest = sum(v for i, v in pr.items() if i not in seed_ids) / (len(pr) - len(seed_ids))
     assert avg_seed > avg_rest * 2
+
+
+def test_warm_start_resume_equals_straight_run(adj):
+    """Incremental recompute (round 7): resuming 2 iterations from the
+    exact 10-iteration ranks equals a straight 12-iteration run — the
+    warm-start chain is the same chain."""
+    base = pagerank.run_pagerank(adj, fixed_iterations=10).ranks
+    resumed = pagerank.run_pagerank(adj, fixed_iterations=2, initial_ranks=base)
+    straight = pagerank.run_pagerank(adj, fixed_iterations=12)
+    got = {r["id"]: r["pr"] for r in resumed.ranks.collect()}
+    want = {r["id"]: r["pr"] for r in straight.ranks.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_warm_start_new_vertices_enter_at_zero(spark):
+    """A vertex added by a graph refresh and absent from the stored
+    ranks starts at 0 and earns mass on the first resumed iteration."""
+    from pyspark.sql import functions as F
+
+    adj = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["a", "c"]), ("c", ["a"])], ["id", "links"]
+    )
+    stored = spark.createDataFrame(
+        [("a", 1.2), ("b", 0.8)], ["id", "pr"]
+    )  # "c" is new
+    res = pagerank.run_pagerank(adj, fixed_iterations=1, initial_ranks=stored)
+    got = {r["id"]: r["pr"] for r in res.ranks.collect()}
+    a, n = 0.15, 3
+    # c receives b's half-share (b had 0.8, outdeg 2); c itself sent 0
+    assert got["c"] == pytest.approx(a / n + 0.85 * 0.4)
+    # a receives from b (0.4) and c (0.0)
+    assert got["a"] == pytest.approx(a / n + 0.85 * 0.4)
+
+
+def test_warm_start_and_teleport_are_exclusive(adj, spark):
+    base = pagerank.run_pagerank(adj, fixed_iterations=1).ranks
+    seeds = adj.select("id").limit(1)
+    with pytest.raises(ValueError, match="exclusive"):
+        pagerank.run_pagerank(adj, initial_ranks=base, teleport=seeds)
