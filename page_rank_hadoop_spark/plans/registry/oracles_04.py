@@ -939,6 +939,13 @@ def contribute(oracles: dict[str, str]) -> None:
     oracles["q_lpa_pregel"] = oracles["q_label_propagation"]
     oracles["q_kcore_pregel"] = oracles["q_kcore"]
 
+    # incremental merge over disjoint slices == from-scratch df over
+    # the union corpus — the oracle IS the rebuild
+    oracles["q_index_delta_merge"] = f"""
+      SELECT term, count(DISTINCT doc_id)::INT AS df
+      FROM ({SQL_TOKEN_STREAM}) GROUP BY term
+    """
+
     # Warm-start PageRank: resuming 2 rounds from the exact 10-round
     # ranks IS rounds 11-12 of the same chain — oracle = 12 unrolled
     from page_rank_hadoop_spark.plans.registry._shared import SQL_GRAPH_CTES as _G

@@ -71,6 +71,19 @@ def q_prefix_lookup(spark, sf):
     return inv.filter(F.col("term").startswith("spa")).select("term", "df")
 
 
+def q_index_delta_merge(spark, sf):
+    """Incremental index maintenance (round 7): the stored dictionary
+    (df over doc_id % 10 != 0) merged with a new batch's counts
+    (doc_id % 10 == 0) via index.merge_df. The doc sets are disjoint,
+    so the merge must EQUAL the from-scratch df over the whole corpus —
+    which is exactly what the oracle computes; the check is
+    incremental == rebuild."""
+    d = _docs(spark, sf)
+    stored = index.document_frequencies(d.filter(F.col("doc_id") % 10 != 0), cutoff=10**9)
+    batch = index.document_frequencies(d.filter(F.col("doc_id") % 10 == 0), cutoff=10**9)
+    return index.merge_df(stored, batch)
+
+
 def q_snippet_window(spark, sf):
     return index.snippet_window(_docs(spark, sf), "spark")
 

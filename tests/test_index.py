@@ -97,3 +97,27 @@ def test_tfidf_scoring_order(spark):
     # df=2, N=2 → ln(1)=0 → score = 0.5·pr: doc 2 first
     assert [r["doc_id"] for r in rows] == [2, 1]
     assert rows[0]["score"] == 0.45
+
+
+def test_merge_df_incremental_equals_rebuild(spark, docs):
+    """Incremental dictionary maintenance (round 7): merging disjoint
+    slices' df counts equals the from-scratch df over the union; a term
+    present in only one side passes through; overlap sums."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.operators import index as idx
+
+    old = idx.document_frequencies(docs.filter(F.col("doc_id") % 10 != 0), cutoff=10**9)
+    batch = idx.document_frequencies(docs.filter(F.col("doc_id") % 10 == 0), cutoff=10**9)
+    merged = {r["term"]: r["df"] for r in idx.merge_df(old, batch).collect()}
+    full = {
+        r["term"]: r["df"]
+        for r in idx.document_frequencies(docs, cutoff=10**9).collect()
+    }
+    assert merged == full
+
+    # hand case: one-sided terms pass through, shared terms sum
+    a = spark.createDataFrame([("x", 3), ("y", 1)], ["term", "df"])
+    b = spark.createDataFrame([("y", 2), ("z", 5)], ["term", "df"])
+    got = {r["term"]: r["df"] for r in idx.merge_df(a, b).collect()}
+    assert got == {"x": 3, "y": 3, "z": 5}
