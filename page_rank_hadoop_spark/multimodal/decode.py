@@ -265,7 +265,10 @@ def _jpeg_frame_end(buf: bytes, start: int) -> int:
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             return pos + 2
-        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):  # RST/TEM/fill
+        if marker == 0xFF:  # fill byte (B.1.1.2): only ONE byte consumed
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RST/TEM: no length
             pos += 2
             continue
         if pos + 4 > n:
@@ -313,7 +316,11 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
     built-in decoder; JPEG frames need PIL (capability gate — the
     declared hook raises without it, splitting still works)."""
     frames = split_video_frames(payload)
-    if frames[0][:2] == b"\xff\xd8" and _pil_or_none() is None:
+    # gate on ANY JPEG frame — the splitter dispatches per frame, so a
+    # mixed MPNG/MJPEG payload must not slip JPEG bytes past the gate
+    # into the PNG decoder (confusing 'not a PNG' instead of the
+    # declared capability error)
+    if any(f[:2] == b"\xff\xd8" for f in frames) and _pil_or_none() is None:
         raise NotImplementedError(
             "MJPEG frame decode needs PIL (JPEG entropy decode is not in "
             "the stdlib) — frame SPLITTING and byte-level sampling still "

@@ -1188,6 +1188,19 @@ def write_ivf_meta(path: str, centroids: Centroids, dim: int) -> None:
         _json.dump(meta, fh)
 
 
+def ivf_index_exists(path: str) -> bool:
+    """Whether a persisted IVF index lives at ``path``: a codebook meta
+    file or at least one centroid= bucket directory. THE shared probe —
+    append/gate/CLI all call this instead of re-deriving the check."""
+    import os as _os
+
+    if not _os.path.isdir(path):
+        return False
+    return _os.path.isfile(_os.path.join(path, _IVF_META)) or any(
+        e.startswith("centroid=") for e in _os.listdir(path)
+    )
+
+
 def load_ivf_meta(path: str) -> dict | None:
     """Load the persisted codebook meta (None for a pre-meta legacy
     index — callers then fall back to their parameters, the old
@@ -1205,13 +1218,15 @@ def load_ivf_meta(path: str) -> dict | None:
 
 
 def _resolve_index_codebook(
-    path: str, centroids: Centroids | None, dim: int
+    path: str, centroids: Centroids | None, dim: int, meta: dict | None = None
 ) -> tuple[Centroids, int]:
     """The codebook an operation against a persisted index must use:
     the index's own meta when present (validating any caller-supplied
     codebook against its fingerprint — a MISMATCH is an error, never a
-    silent misfile), else the caller's (legacy index)."""
-    meta = load_ivf_meta(path)
+    silent misfile), else the caller's (legacy index). Pass ``meta``
+    when already loaded to skip the re-read."""
+    if meta is None:
+        meta = load_ivf_meta(path)
     if meta is None:
         if centroids is None:
             raise ValueError(
@@ -1280,27 +1295,24 @@ def append_ivf_index(
     supplied C/dim that disagrees with the index is an error, never a
     silent misfile) — and append into the bucket directories. Per-batch
     work is proportional to the batch, never the index. First append
-    into an empty/missing directory creates the index AND its meta."""
-    import os as _os
-
-    if _os.path.isdir(path) and (
-        load_ivf_meta(path) is not None
-        or any(e.startswith("centroid=") for e in _os.listdir(path))
-    ):
-        if load_ivf_meta(path) is None and centroids is None:
-            # legacy (pre-meta) index: keep the old trust-the-caller
-            # contract, and record the codebook now so future calls
-            # are validated
-            centroids = seed_centroids(resolve_n_centroids(batch, n_centroids), dim)
-            write_ivf_meta(path, centroids, dim)
-        centroids, dim = _resolve_index_codebook(path, centroids, dim)
+    into an empty/missing directory creates the index AND its meta.
+    Appending to a LEGACY (pre-meta) index keeps the old
+    trust-the-caller contract and deliberately does NOT write a meta
+    file — a codebook guessed from this call's parameters was never
+    validated against the index, and persisting it would make a wrong
+    guess authoritative (rejecting the TRUE codebook forever after);
+    rebuild with write_ivf_index to upgrade a legacy index."""
+    existed = ivf_index_exists(path)
+    meta = load_ivf_meta(path) if existed else None
+    if meta is not None:
+        centroids, dim = _resolve_index_codebook(path, centroids, dim, meta=meta)
     elif centroids is None:
         centroids = seed_centroids(resolve_n_centroids(batch, n_centroids), dim)
     assigned = ivf_assign(batch, dim=dim, centroids=centroids)
     assigned.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
     ).write.mode("append").partitionBy("centroid").parquet(path)
-    if load_ivf_meta(path) is None:  # creation-by-append: record the codebook
+    if not existed:  # creation-by-append: this call's codebook IS the index's
         write_ivf_meta(path, centroids, dim)
 
 
@@ -1411,8 +1423,9 @@ def probe_ivf_index(
     validated — the round-6 ADVICE fix)."""
     import numpy as np
 
-    if load_ivf_meta(path) is not None:
-        centroids, dim = _resolve_index_codebook(path, centroids, dim)
+    meta = load_ivf_meta(path)
+    if meta is not None:
+        centroids, dim = _resolve_index_codebook(path, centroids, dim, meta=meta)
     elif centroids is None:
         centroids = seed_centroids(n_centroids, dim)
     p = np.asarray(probe, dtype="float64")

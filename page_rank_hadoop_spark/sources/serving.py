@@ -164,16 +164,29 @@ class PointLookupCursor:
 
     def __init__(self, path: str, key: str):
         import pyarrow.parquet as pq
+        import pyarrow.types as pat
 
         self._pq = pq
         self.path = path
         self.key = key
+        self._coerce = None  # set from the key column's arrow type
         self._files: list[tuple] = []  # (min_key, max_key, file_path)
         for name in sorted(os.listdir(path)):
             if not name.endswith(".parquet") or name.startswith("_"):
                 continue
             fp = os.path.join(path, name)
-            md = pq.ParquetFile(fp).metadata
+            pf = pq.ParquetFile(fp)
+            md = pf.metadata
+            if self._coerce is None:
+                t = pf.schema_arrow.field(key).type
+                if pat.is_integer(t):
+                    self._coerce = int
+                elif pat.is_floating(t):
+                    self._coerce = float
+                elif pat.is_string(t) or pat.is_large_string(t):
+                    self._coerce = str
+                else:
+                    self._coerce = lambda v: v
             kidx = md.schema.names.index(key)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
@@ -187,10 +200,20 @@ class PointLookupCursor:
                 self._files.append((min(mins), max(maxs), fp))
             else:  # no stats: always a candidate (never silently skip)
                 self._files.append((None, None, fp))
+        if not self._files:
+            # a partitioned (subdirectory) layout would silently return
+            # zero rows where read_point returns data — reject loudly
+            raise ValueError(
+                f"PointLookupCursor: no top-level parquet files at {path} — "
+                "the cursor serves FLAT write_keyed tables; use "
+                "read_point/read_partition for partitioned layouts"
+            )
 
     def lookup(self, values: list) -> list[dict]:
-        """Rows whose key ∈ values, as plain dicts (the serving shape)."""
-        vals = set(values)
+        """Rows whose key ∈ values, as plain dicts (the serving shape).
+        Values are coerced to the key column's type (argv strings from
+        the CLI lookup verb work against bigint keys)."""
+        vals = {self._coerce(v) for v in values}
         out: list[dict] = []
         for lo, hi, fp in self._files:
             if lo is not None and not any(lo <= v <= hi for v in vals):

@@ -306,7 +306,8 @@ def ann_gate_batch(
 
     if _os.path.isdir(index_dir) and any(
         e.startswith("centroid=") for e in _os.listdir(index_dir)
-    ):
+    ):  # data present — ivf_index_exists() would also accept meta-only
+        # (created-but-empty), which has nothing to probe yet
         stored = (
             sess.read.parquet(index_dir)
             .filter(F2.col("centroid").isin(buckets))

@@ -404,3 +404,20 @@ def test_cli_ingest_minhash_gate_end_to_end(spark, tmp_path, capsys):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept in ([1, 3], [2, 3])  # keep-first within the batch
     drop_warehouse_table(spark, table)
+
+
+def test_cli_lookup_numeric_key(spark, tmp_path, capsys):
+    """Argv strings against a bigint-keyed table: the cursor coerces to
+    the key column's type (pre-fix this was a TypeError while
+    --via-spark worked)."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.cli import main
+    from page_rank_hadoop_spark.sources.serving import write_keyed
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"), (F.col("id") * 7).alias("v"))
+    path = str(tmp_path / "serve_num")
+    write_keyed(df, path, "doc_id", n_files=2)
+    assert main(["lookup", path, "doc_id", "42"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "42\t294"

@@ -385,3 +385,34 @@ def test_stdlib_png_fallback_warns_at_threshold(monkeypatch, caplog):
             D.decode_image(payload)
     warns = [r for r in caplog.records if "stdlib PNG fallback" in r.message]
     assert len(warns) == 1  # exactly once per worker, at the crossing
+
+
+def test_jpeg_splitter_handles_fill_bytes():
+    """Spec-valid 0xFF fill bytes before a marker (JPEG B.1.1.2 —
+    odd-length runs included) must not desync the segment walk."""
+    from page_rank_hadoop_spark.multimodal.decode import split_video_frames
+
+    base = _fake_jpeg_frame(b"\x10\x20")
+    # inject ONE fill byte before the EOI: ... entropy FF FF D9
+    filled = base[:-2] + b"\xff" + base[-2:]
+    parts = split_video_frames(filled + base)
+    assert parts == [filled, base]
+
+
+def test_decode_video_mixed_flavor_gates_on_any_jpeg():
+    """A mixed MPNG+MJPEG payload with a PNG FIRST frame must still hit
+    the PIL capability gate (not a confusing 'not a PNG' from feeding
+    JPEG bytes to the PNG decoder)."""
+    from page_rank_hadoop_spark.multimodal.decode import (
+        _pil_or_none,
+        decode_video,
+        encode_png,
+    )
+    import numpy as np
+
+    if _pil_or_none() is not None:
+        pytest.skip("PIL importable: gate open")
+    png = encode_png(np.zeros((2, 2), dtype="uint8"))
+    jpg = _fake_jpeg_frame(b"\x01")
+    with pytest.raises(NotImplementedError, match="needs PIL"):
+        decode_video(png + jpg)

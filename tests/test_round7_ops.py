@@ -196,3 +196,48 @@ def test_compact_ivf_recovery_carries_meta_from_old(spark, emb, tmp_path):
     assert got is not None
     assert got["fingerprint"] == want_meta["fingerprint"]
     assert got["n_centroids"] == 32
+
+
+def test_append_to_legacy_index_does_not_cement_a_guessed_codebook(
+    spark, emb, tmp_path
+):
+    """Appending to a pre-meta (legacy) index keeps the trust-the-caller
+    contract WITHOUT persisting a meta file: a codebook guessed from the
+    append call was never validated against the index, and writing it
+    would make a wrong guess authoritative (hard-rejecting the true
+    codebook forever after)."""
+    d = str(tmp_path / "legacy_idx")
+    similarity.write_ivf_index(emb, d, n_centroids=32, dim=DIM)
+    os.remove(os.path.join(d, similarity._IVF_META))  # forge a legacy index
+
+    batch = spark.createDataFrame([(777, [0.1] * DIM)], ["vec_id", "embedding"])
+    similarity.append_ivf_index(batch, d, n_centroids=16, dim=DIM)
+    assert similarity.load_ivf_meta(d) is None  # still legacy, not cemented
+    # the TRUE codebook still works (explicit, legacy contract)
+    out = similarity.probe_ivf_index(
+        spark, d, [0.1] * DIM, k=3, centroids=similarity.seed_centroids(32, DIM)
+    )
+    assert out.count() == 3
+
+
+def test_cursor_coerces_numeric_keys_and_rejects_partitioned_layouts(
+    spark, emb, tmp_path
+):
+    """String values from argv work against a bigint key (coerced from
+    the arrow schema), and pointing the cursor at a PARTITIONED layout
+    fails loudly instead of silently returning zero rows."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.serving import PointLookupCursor, write_keyed
+
+    df = spark.range(100).select(F.col("id").alias("vec_id"), (F.col("id") * 2).alias("x"))
+    path = str(tmp_path / "numkey")
+    write_keyed(df, path, "vec_id", n_files=2)
+    cur = PointLookupCursor(path, "vec_id")
+    rows = cur.lookup(["42"])  # argv-style string against bigint
+    assert [(r["vec_id"], r["x"]) for r in rows] == [(42, 84)]
+
+    part = str(tmp_path / "part")
+    df.withColumn("p", F.col("vec_id") % 2).write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="FLAT write_keyed"):
+        PointLookupCursor(part, "vec_id")

@@ -32,7 +32,10 @@ REG = os.path.join(REPO, "page_rank_hadoop_spark", "plans", "registry", "__init_
 def last_checked() -> dict[str, int]:
     last: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)", os.path.basename(f)).group(1))
+        m = re.search(r"_r(\d+)", os.path.basename(f))
+        if m is None:  # unexpected artifact name: skip, don't crash
+            continue
+        rnd = int(m.group(1))
         for k in json.load(open(f)):
             last[k] = max(last.get(k, 0), rnd)
     return last
@@ -75,8 +78,15 @@ def main() -> None:
         body.append(f"        # --- staleness tier: {label} ---")
         body.extend(f'        "{k}": {k},' for k in keys)
     body.append("    }")
-    new = m.group(1) + doc + "\n".join(body) + "\n"
-    open(REG, "w").write(src[: m.start()] + new + src[m.end() :])
+    # preserve any code between the docstring and `return {` (group 3
+    # minus its trailing `return {` line) — dropping it would silently
+    # delete future locals/comments added to build_queries()
+    pre = m.group(3)
+    pre = pre[: pre.rfind("return {")].rstrip(" ")
+    new = m.group(1) + doc + pre + "\n".join(body) + "\n"
+    out = src[: m.start()] + new + src[m.end() :]
+    # normalize EOF: repeated runs must not accumulate blank lines
+    open(REG, "w").write(out.rstrip("\n") + "\n")
     counts = {t: len(ks) for t, ks in tiers.items()}
     print(f"rotated {len(entries)} keys; tiers: {counts}")
 
