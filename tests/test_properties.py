@@ -425,3 +425,96 @@ def test_ngram_novelty_matches_naive(spark, docs):
         if gs
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- round 7 --
+@given(
+    frames=st.lists(
+        st.binary(min_size=0, max_size=40), min_size=1, max_size=6
+    ),
+    fills=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_splitter_roundtrip_random_entropy(frames, fills):
+    """Property: concatenating structurally-valid JPEG frames with
+    arbitrary entropy bytes (stuffed) and arbitrary fill-byte runs
+    before EOI always splits back into the exact frame boundaries."""
+    from page_rank_hadoop_spark.multimodal.decode import split_video_frames
+
+    def frame(entropy: bytes, n_fill: int) -> bytes:
+        app0 = b"\xff\xd9\x00"  # EOI bytes inside a segment body (trap)
+        sos = b"\x01\x00\x00"
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+            + b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+            + entropy.replace(b"\xff", b"\xff\x00")
+            + b"\xff" * n_fill
+            + b"\xff\xd9"
+        )
+
+    parts = [frame(e, fills[i % len(fills)]) for i, e in enumerate(frames)]
+    assert split_video_frames(b"".join(parts)) == parts
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 50)),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_df_matches_counter_addition(spark, counts):
+    """Property: merge_df over an arbitrary split of a (term, df)
+    multiset equals plain counter addition, any split point."""
+    import collections
+
+    from page_rank_hadoop_spark.operators.index import merge_df
+
+    cut = len(counts) // 2
+    mk = lambda part: spark.createDataFrame(
+        part or [("__none__", 0)], ["term", "df"]
+    )
+    # merge_df's contract takes (term, df) DICTIONARIES (one row per
+    # term per side) — pre-aggregate each side before the merge
+    agg = {}
+    for t, c in counts:
+        agg[t] = agg.get(t, 0) + c
+    a = {}
+    for t, c in counts[:cut]:
+        a[t] = a.get(t, 0) + c
+    b = {}
+    for t, c in counts[cut:]:
+        b[t] = b.get(t, 0) + c
+    got2 = {
+        r["term"]: r["df"]
+        for r in merge_df(
+            mk(list(a.items())), mk(list(b.items()))
+        ).collect()
+        if r["term"] != "__none__"
+    }
+    assert got2 == agg
+
+
+@given(n=st.integers(1, 40), dim=st.integers(1, 16))
+@settings(max_examples=25, deadline=None)
+def test_codebook_fingerprint_is_content_addressed(n, dim):
+    """Property: fingerprints are stable across recomputation, equal
+    codebooks hash equal, and any single-element perturbation changes
+    the hash."""
+    from page_rank_hadoop_spark.operators.similarity import (
+        codebook_fingerprint,
+        seed_centroids,
+    )
+
+    cb = seed_centroids(n, dim)
+    assert codebook_fingerprint(cb) == codebook_fingerprint(
+        [(c, list(v)) for c, v in cb]
+    )
+    perturbed = [(c, list(v)) for c, v in cb]
+    perturbed[0][1][0] += 1e-9
+    assert codebook_fingerprint(perturbed) != codebook_fingerprint(cb)
