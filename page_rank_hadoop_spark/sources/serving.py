@@ -164,21 +164,41 @@ class PointLookupCursor:
 
     def __init__(self, path: str, key: str):
         import pyarrow.parquet as pq
-        import pyarrow.types as pat
 
         self._pq = pq
         self.path = path
         self.key = key
         self._coerce = None  # set from the key column's arrow type
         self._files: list[tuple] = []  # (min_key, max_key, file_path)
-        for name in sorted(os.listdir(path)):
+        self._indexed: set[str] = set()
+        self.refresh()
+        if not self._files:
+            # a partitioned (subdirectory) layout would silently return
+            # zero rows where read_point returns data — reject loudly
+            raise ValueError(
+                f"PointLookupCursor: no top-level parquet files at {path} — "
+                "the cursor serves FLAT write_keyed tables; use "
+                "read_point/read_partition for partitioned layouts"
+            )
+
+    def refresh(self) -> int:
+        """Index files that appeared since open (appended batches):
+        footer reads for NEW files only — the cheap freshness path
+        between compactions (a compaction REPLACES files; reopen the
+        cursor after one). Returns how many files were newly indexed."""
+        import pyarrow.types as pat
+
+        added = 0
+        for name in sorted(os.listdir(self.path)):
             if not name.endswith(".parquet") or name.startswith("_"):
                 continue
-            fp = os.path.join(path, name)
-            pf = pq.ParquetFile(fp)
+            fp = os.path.join(self.path, name)
+            if fp in self._indexed:
+                continue
+            pf = self._pq.ParquetFile(fp)
             md = pf.metadata
             if self._coerce is None:
-                t = pf.schema_arrow.field(key).type
+                t = pf.schema_arrow.field(self.key).type
                 if pat.is_integer(t):
                     self._coerce = int
                 elif pat.is_floating(t):
@@ -187,7 +207,7 @@ class PointLookupCursor:
                     self._coerce = str
                 else:
                     self._coerce = lambda v: v
-            kidx = md.schema.names.index(key)
+            kidx = md.schema.names.index(self.key)
             mins, maxs = [], []
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(kidx).statistics
@@ -200,14 +220,9 @@ class PointLookupCursor:
                 self._files.append((min(mins), max(maxs), fp))
             else:  # no stats: always a candidate (never silently skip)
                 self._files.append((None, None, fp))
-        if not self._files:
-            # a partitioned (subdirectory) layout would silently return
-            # zero rows where read_point returns data — reject loudly
-            raise ValueError(
-                f"PointLookupCursor: no top-level parquet files at {path} — "
-                "the cursor serves FLAT write_keyed tables; use "
-                "read_point/read_partition for partitioned layouts"
-            )
+            self._indexed.add(fp)
+            added += 1
+        return added
 
     def lookup(self, values: list) -> list[dict]:
         """Rows whose key ∈ values, as plain dicts (the serving shape).

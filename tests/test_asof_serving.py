@@ -280,3 +280,27 @@ def test_point_lookup_cursor_equals_read_point(spark, tmp_path):
         lat.append((time.perf_counter() - t0) * 1000)
     lat = sorted(lat[1:])
     assert lat[len(lat) // 2] < 20.0, f"cursor warm p50 {lat} ms"
+
+
+def test_point_lookup_cursor_refresh_sees_appended_files(spark, tmp_path):
+    """refresh() indexes only newly-appeared files (footer reads for the
+    delta, not the whole table) and lookups then serve the new rows."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.serving import PointLookupCursor, write_keyed
+
+    df = spark.range(100).select(
+        F.concat(F.lit("a"), F.format_string("%04d", F.col("id"))).alias("term"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "serve")
+    write_keyed(df, path, "term", n_files=2)
+    cur = PointLookupCursor(path, "term")
+    assert cur.lookup(["z9999"]) == []
+
+    spark.createDataFrame([("z9999", 777)], ["term", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert cur.refresh() == 1  # only the appended file indexed
+    assert [(r["term"], r["v"]) for r in cur.lookup(["z9999"])] == [("z9999", 777)]
+    assert cur.refresh() == 0  # idempotent
