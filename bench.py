@@ -228,7 +228,7 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             "warm_avg_ms": round(sum(lat_ms[1:]) / max(1, len(lat_ms) - 1), 1),
             "point_lookup_files_touched": files_touched,
             "cursor_open_ms": cursor_open_ms,
-            "cursor_warm_p50_ms": round(statistics.median(cur_ms[1:]), 2),
+            "cursor_warm_p50_ms": round(statistics.median(cur_ms[1:] or cur_ms), 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

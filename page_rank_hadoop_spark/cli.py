@@ -564,12 +564,9 @@ def cmd_ingest(spark: SparkSession, args: argparse.Namespace) -> int:
             min_cosine=args.min_cosine,
             n_centroids=args.centroids, dim=args.dim,
         )
-        n = (
-            spark.read.parquet(args.out).count()
-            if os.path.isdir(args.out)
-            and any(e.startswith("centroid=") for e in os.listdir(args.out))
-            else 0
-        )
+        from page_rank_hadoop_spark.operators.similarity import ivf_index_has_data
+
+        n = spark.read.parquet(args.out).count() if ivf_index_has_data(args.out) else 0
         print(f"ingest (ann gate): index now {n} vectors → {args.out}")
         return 0
     print(f"ingest: unknown gate {args.gate}", file=sys.stderr)

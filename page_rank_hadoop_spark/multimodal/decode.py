@@ -276,14 +276,21 @@ def _jpeg_frame_end(buf: bytes, start: int) -> int:
         (seg_len,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
         pos += 2 + seg_len
         if marker == 0xDA:  # SOS: entropy-coded data until next true marker
-            while pos + 2 <= n:
-                if buf[pos] == 0xFF and buf[pos + 1] != 0x00 and not (
-                    0xD0 <= buf[pos + 1] <= 0xD7
-                ):
-                    if buf[pos + 1] == 0xD9:
-                        return pos + 2
-                    break  # next segment (progressive scans) — outer loop
-                pos += 1
+            # jump between 0xFF candidates with bytes.find — entropy data
+            # is mostly non-FF, so this is ~100× cheaper than a per-byte
+            # Python loop (the Paeth-filter lesson applied here)
+            while True:
+                pos = buf.find(b"\xff", pos)
+                if pos < 0 or pos + 2 > n:
+                    pos = n  # truncated: fall out to the outer loop's end
+                    break
+                nxt = buf[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos += 2  # stuffing / RST: still entropy data
+                    continue
+                if nxt == 0xD9:
+                    return pos + 2
+                break  # next segment (progressive scans) — outer loop
     raise ValueError("truncated JPEG frame")
 
 
@@ -359,14 +366,24 @@ def real_features(payload: bytes, media_type: str) -> list[float]:
     if media_type == "video":
         # temporal luminance profile: up to FEATURE_DIM evenly-sampled
         # frames, mean luminance/255 each, zero-padded — the video twin
-        # of the image histogram (round 7)
-        frames = decode_video(payload)
+        # of the image histogram (round 7). SPLIT everything (cheap
+        # structure walk) but pixel-DECODE only the sampled frames: a
+        # 500-frame payload decodes 8 frames, not 500 (the pure-Python
+        # PNG path makes the difference ~60×)
+        parts = split_video_frames(payload)
         idx = np.unique(
-            np.linspace(0, len(frames) - 1, min(FEATURE_DIM, len(frames))).astype(int)
+            np.linspace(0, len(parts) - 1, min(FEATURE_DIM, len(parts))).astype(int)
         )
+        sampled = [parts[i] for i in idx]
+        if any(f[:2] == b"\xff\xd8" for f in sampled) and _pil_or_none() is None:
+            raise NotImplementedError(
+                "MJPEG frame decode needs PIL (JPEG entropy decode is not "
+                "in the stdlib) — frame SPLITTING and byte-level sampling "
+                "still work; use MPNG payloads for a codec-free path"
+            )
         out = []
-        for i in idx:
-            arr = frames[i].astype(np.float64)
+        for f in sampled:
+            arr = decode_image(f).astype(np.float64)
             lum = arr if arr.ndim == 2 else arr[..., : min(3, arr.shape[2])].mean(axis=2)
             out.append(float(lum.mean()) / 255.0)
         return out + [0.0] * (FEATURE_DIM - len(out))

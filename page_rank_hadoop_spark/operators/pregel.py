@@ -102,6 +102,12 @@ def pregel(
         raise ValueError("pregel: update callable is required")
     if send_to_dst is None and send_to_src is None:
         raise ValueError("pregel: at least one send direction is required")
+    if edges is None:
+        raise ValueError("pregel: edges DataFrame is required to send messages")
+    if send_to_dst is not None and agg_to_dst is None:
+        raise ValueError("pregel: send_to_dst requires agg_to_dst")
+    if send_to_src is not None and agg_to_src is None:
+        raise ValueError("pregel: send_to_src requires agg_to_src")
     if n_iter is None and (tol is None or delta_metric is None):
         raise ValueError(
             "pregel: fixed mode needs n_iter; adaptive mode needs tol + delta_metric"

@@ -1196,7 +1196,17 @@ def ivf_index_exists(path: str) -> bool:
 
     if not _os.path.isdir(path):
         return False
-    return _os.path.isfile(_os.path.join(path, _IVF_META)) or any(
+    return _os.path.isfile(_os.path.join(path, _IVF_META)) or ivf_index_has_data(path)
+
+
+def ivf_index_has_data(path: str) -> bool:
+    """Whether the index has at least one centroid bucket directory —
+    the DATA-presence probe (vs ``ivf_index_exists``, which also
+    accepts a created-but-empty meta-only index). The gate and the CLI
+    use this before probing: a meta-only index has nothing to scan."""
+    import os as _os
+
+    return _os.path.isdir(path) and any(
         e.startswith("centroid=") for e in _os.listdir(path)
     )
 

@@ -182,12 +182,24 @@ class PointLookupCursor:
             )
 
     def refresh(self) -> int:
-        """Index files that appeared since open (appended batches):
-        footer reads for NEW files only — the cheap freshness path
-        between compactions (a compaction REPLACES files; reopen the
-        cursor after one). Returns how many files were newly indexed."""
+        """Re-sync the footer index with the directory: NEW files are
+        indexed (footer reads for the delta only — the cheap freshness
+        path for append-maintained tables) and VANISHED files are
+        dropped (a compaction/overwrite deletes old part files; keeping
+        their entries would either crash the next lookup or, worse,
+        silently serve rows from BOTH generations). Spark part-file
+        names are UUID-unique, so same-name-different-content rewrites
+        cannot occur. Returns how many files were newly indexed."""
         import pyarrow.types as pat
 
+        present = {
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.endswith(".parquet") and not n.startswith("_")
+        }
+        if self._indexed - present:  # files vanished: drop their entries
+            self._files = [t for t in self._files if t[2] in present]
+            self._indexed &= present
         added = 0
         for name in sorted(os.listdir(self.path)):
             if not name.endswith(".parquet") or name.startswith("_"):

@@ -302,12 +302,7 @@ def ann_gate_batch(
     # codebook size C (≤ a few thousand ints at any corpus scale) — it
     # exists to turn the probe into a partition-pruning isin filter
     buckets = [r["centroid"] for r in assigned.select("centroid").distinct().collect()]
-    import os as _os
-
-    if _os.path.isdir(index_dir) and any(
-        e.startswith("centroid=") for e in _os.listdir(index_dir)
-    ):  # data present — ivf_index_exists() would also accept meta-only
-        # (created-but-empty), which has nothing to probe yet
+    if _sim.ivf_index_has_data(index_dir):
         stored = (
             sess.read.parquet(index_dir)
             .filter(F2.col("centroid").isin(buckets))
