@@ -518,3 +518,40 @@ def test_codebook_fingerprint_is_content_addressed(n, dim):
     perturbed = [(c, list(v)) for c, v in cb]
     perturbed[0][1][0] += 1e-9
     assert codebook_fingerprint(perturbed) != codebook_fingerprint(cb)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    ),
+    n_iter=st.integers(1, 4),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pregel_pagerank_mass_recurrence_random_graphs(spark, edges, n_iter):
+    """Property: on any graph where every vertex has outdeg ≥ 1 (dangling
+    vertices get a self-loop), total rank after k pregel supersteps
+    follows the exact recurrence S_k = α + (1−α)·S_{k−1} from S_0 = N —
+    the mass-conservation invariant of the scatter, independent of
+    topology (test_pagerank.test_mass_recurrence generalized to the
+    harness over random graphs)."""
+    from page_rank_hadoop_spark.operators.pregel import pagerank_pregel
+
+    verts = sorted({v for e in edges for v in e})
+    adj_map = {v: sorted({d for s, d in edges if s == v}) or [v] for v in verts}
+    adj = spark.createDataFrame(
+        [(str(v), [str(d) for d in ds]) for v, ds in adj_map.items()],
+        "id STRING, links ARRAY<STRING>",
+    )
+    n = len(verts)
+    total = sum(
+        r["pr"] for r in pagerank_pregel(adj, n_iter=n_iter).collect()
+    )
+    expect = float(n)
+    for _ in range(n_iter):
+        expect = 0.15 + 0.85 * expect
+    assert abs(total - expect) <= 1e-9 * max(1.0, abs(expect)), (total, expect)
