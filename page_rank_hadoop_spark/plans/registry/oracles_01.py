@@ -135,6 +135,11 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM tf JOIN dfreq ON tf.term = dfreq.term JOIN it10 r ON tf.doc_id = r.id
     """
 
+    # round 8: the cursor-served search path shares the tfidf oracle
+    # VERBATIM — one oracle, two physical paths (Spark job vs
+    # PointLookupCursor client scoring), the pregel-twin precedent
+    oracles["q_serving_search"] = oracles["q_tfidf_score"]
+
     oracles["q_text_stats"] = f"""
       SELECT lang, source, count(*) AS n_docs,
              round(avg(n_chars), 6) AS avg_chars,
