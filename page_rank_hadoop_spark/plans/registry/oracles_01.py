@@ -135,6 +135,15 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM tf JOIN dfreq ON tf.term = dfreq.term JOIN it10 r ON tf.doc_id = r.id
     """
 
+    # round 8: Kafka wire round-trip — the decode must reproduce the
+    # documents row plus the doc_id-derived broker timestamp in exact
+    # integer microseconds (the verify-skill µs rule)
+    oracles["q_kafka_feed_parse"] = """
+      SELECT doc_id, text, lang, source, n_chars,
+             (1700000000 + doc_id) * 1000000 AS kafka_ts_us
+      FROM documents
+    """
+
     # round 8: the cursor-served search path shares the tfidf oracle
     # VERBATIM — one oracle, two physical paths (Spark job vs
     # PointLookupCursor client scoring), the pregel-twin precedent
