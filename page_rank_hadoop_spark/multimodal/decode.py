@@ -149,31 +149,56 @@ def decode_png(payload: bytes) -> np.ndarray:
                 rec[lane::channels] = (
                     np.cumsum(line[lane::channels], dtype=np.int64) & 0xFF
                 )
-        elif f in (3, 4):
-            # Average/Paeth are sequentially data-dependent (the
-            # predictor reads the in-progress line) — a Python loop is
-            # unavoidable, but over PLAIN INTS: per-element numpy
-            # scalar indexing costs ~30× more than list access (the
-            # round-7 fix for the measured 0.5 MB/s Paeth path)
+        elif f == 3:
+            # Average is sequentially data-dependent through the left
+            # neighbor. A whole-row fixpoint iteration was tried in
+            # round 8 and REJECTED: a ±1 error entering an even
+            # (a + up) sum survives the floor-halving unchanged, so
+            # flat/gradient rows (the common case) never converge
+            # short of stride/ch passes — measured SLOWER than the
+            # scalar loop on every content class. Plain-int loop with
+            # the branch hoisted out (zip + append, x < ch prologue).
+            ch = channels
             line_l = line.tolist()
             prev_l = prev.tolist()
-            rec_l = [0] * stride
+            rec_l = []
+            ap = rec_l.append
+            for d, b in zip(line_l[:ch], prev_l[:ch]):  # a = 0
+                ap((d + (b >> 1)) & 0xFF)
+            for d, b in zip(line_l[ch:], prev_l[ch:]):
+                ap((d + ((rec_l[-ch] + b) >> 1)) & 0xFF)
+            rec = np.asarray(rec_l, np.int32)
+        elif f == 4:
+            # Paeth is sequentially data-dependent through the
+            # predictor SELECTION (pred can BE the left neighbor, so a
+            # wrong guess propagates undamped — the Average fixpoint
+            # trick does not converge here). Plain-int loop (numpy
+            # scalar indexing costs ~30× more, the round-7 lesson),
+            # with the a-independent terms hoisted OUT vectorized
+            # (round 8): pa = |b-c| and bc = b-c depend only on the
+            # previous row, so the inner loop computes just
+            # pb = |a-c|, pc = |(a-c) + (b-c)| and the selection.
             ch = channels
-            if f == 3:  # Average
-                for x in range(stride):
-                    a = rec_l[x - ch] if x >= ch else 0
-                    rec_l[x] = (line_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
-            else:  # Paeth
-                for x in range(stride):
-                    a = rec_l[x - ch] if x >= ch else 0
-                    b = prev_l[x]
-                    cc = prev_l[x - ch] if x >= ch else 0
-                    p = a + b - cc
-                    pa = p - a if p >= a else a - p
-                    pb = p - b if p >= b else b - p
-                    pc = p - cc if p >= cc else cc - p
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                    rec_l[x] = (line_l[x] + pred) & 0xFF
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            c_l = [0] * ch + prev_l[:-ch] if stride > ch else [0] * stride
+            bc_l = [b - c for b, c in zip(prev_l, c_l)]
+            pa_l = [v if v >= 0 else -v for v in bc_l]
+            rec_l = []
+            ap = rec_l.append
+            for x in range(min(ch, stride)):  # a = c = 0 ⇒ pred = b
+                ap((line_l[x] + prev_l[x]) & 0xFF)
+            # 5-way zip: zero per-element index lookups besides the
+            # rec_l[-ch] left-neighbor read (append keeps it at -ch)
+            for d, b, cc, bc, pa in zip(
+                line_l[ch:], prev_l[ch:], prev_l, bc_l[ch:], pa_l[ch:]
+            ):
+                a = rec_l[-ch]
+                t = a - cc
+                pb = t if t >= 0 else -t
+                u = t + bc
+                pc = u if u >= 0 else -u
+                ap((d + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc))) & 0xFF)
             rec = np.asarray(rec_l, np.int32)
         else:
             raise ValueError(f"bad PNG filter {f}")

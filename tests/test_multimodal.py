@@ -416,3 +416,63 @@ def test_decode_video_mixed_flavor_gates_on_any_jpeg():
     jpg = _fake_jpeg_frame(b"\x01")
     with pytest.raises(NotImplementedError, match="needs PIL"):
         decode_video(png + jpg)
+
+
+def test_png_avg_paeth_exact_across_content_classes():
+    """Round 8: the rewritten Average (hoisted zip/append loop) and
+    Paeth (a-independent terms precomputed vectorized, 5-way zip) paths
+    stay pixel-exact on the content classes that exercise different
+    predictor branches: random (all branches), smooth gradient
+    (left-neighbor runs), and flat (the even-parity case that killed
+    the rejected fixpoint vectorization — see decode.py's filter-3
+    comment)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from page_rank_hadoop_spark.multimodal.decode import _PNG_SIG, decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def encode(arr, f):
+        h, w, ch = arr.shape
+        lines, prev = [], np.zeros(w * ch, np.int32)
+        for y in range(h):
+            cur = arr[y].reshape(-1).astype(np.int32)
+            enc = np.zeros_like(cur)
+            for x in range(len(cur)):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+            lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(3)
+    rand = rng.randint(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    grad = (
+        np.arange(24)[:, None, None] * 4
+        + np.arange(16)[None, :, None] * 4
+        + np.arange(3)[None, None, :]
+    ).astype(np.uint8)
+    flat = np.full((24, 16, 3), 77, np.uint8)
+    for arr in (rand, grad, flat):
+        for f in (3, 4):
+            assert (decode_png(encode(arr, f)) == arr).all()
