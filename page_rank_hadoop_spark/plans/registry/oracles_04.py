@@ -938,8 +938,10 @@ def contribute(oracles: dict[str, str]) -> None:
     oracles["q_hits_pregel"] = oracles["q_hits"]
     oracles["q_lpa_pregel"] = oracles["q_label_propagation"]
     oracles["q_kcore_pregel"] = oracles["q_kcore"]
-    # round 8: BFS through the frontier/vote-to-halt mode (r7 item 4)
+    # round 8: BFS + connected components through the frontier/
+    # vote-to-halt mode (r7 item 4 + §missing 4)
     oracles["q_bfs_pregel"] = oracles["q_shortest_paths"]
+    oracles["q_cc_pregel"] = oracles["q_dedup_components"]
 
     # incremental merge over disjoint slices == from-scratch df over
     # the union corpus — the oracle IS the rebuild

@@ -46,6 +46,23 @@ def q_dedup_components(spark, sf):
     return _components(spark, sf)
 
 
+def q_cc_pregel(spark, sf):
+    """Round 8: connected components over the MinHash pair graph
+    through the pregel FRONTIER mode (operators/pregel.py
+    components_pregel) — with q_bfs_pregel this puts the last bespoke
+    iterative loop on the one vertex-program surface. Shares
+    q_dedup_components' oracle verbatim; the pointer-jumping bespoke
+    loop stays the declared scale path for high-diameter graphs."""
+    from page_rank_hadoop_spark.operators.pregel import components_pregel
+
+    edges = _minhash_pairs(spark, sf).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return components_pregel(edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def q_dedup_report(spark, sf):
     """End-to-end near-dup pipeline report, one row: corpus size,
     candidate pairs, duplicate clusters, docs to drop (cluster members

@@ -261,6 +261,33 @@ def test_bfs_pregel_votes_to_halt_and_tracks_frontier(spark):
     assert lone.iterations == 1 and lone.deltas == [0.0]
 
 
+def test_components_pregel_matches_near_dup_components(spark):
+    """CC via the frontier mode equals the bespoke pointer-jumping loop
+    on a graph with two components, a chain (multi-round propagation)
+    and a triangle: label = min reachable id, pair participants only."""
+    from page_rank_hadoop_spark.operators.dedup import near_dup_components
+    from page_rank_hadoop_spark.operators.pregel import components_pregel
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    want = {(r["doc_id"], r["component_id"]) for r in near_dup_components(pairs).collect()}
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    got = {(r["id"], r["label"]) for r in components_pregel(edges).collect()}
+    assert got == want == {(3, 3), (5, 3), (9, 3), (11, 3), (20, 20), (21, 20), (22, 20)}
+
+
+def test_components_pregel_raises_without_fixpoint(spark):
+    from page_rank_hadoop_spark.operators.pregel import components_pregel
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        components_pregel(chain, max_iter=2)  # a 7-chain needs >2 rounds
+
+
 def test_pregel_frontier_col_must_exist(spark):
     from page_rank_hadoop_spark.operators.pregel import pregel
 
