@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "q_lpa_pregel",
     "q_pagerank_resume",
     "q_index_delta_merge",
+    # round-8 additions: the frontier-mode pregel twins WITH their
+    # bespoke counterparts, so the harness tax stays a tracked pair
+    "q_shortest_paths",
+    "q_bfs_pregel",
+    "q_dedup_components",
+    "q_cc_pregel",
 ]
 
 

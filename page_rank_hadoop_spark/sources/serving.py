@@ -20,18 +20,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def write_keyed(df: DataFrame, path: str, key: str, n_files: int | None = None) -> None:
+def write_keyed(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_files: int | None = None,
+    row_group_mb: int | None = None,
+) -> None:
     """Write ``df`` as a key-ordered parquet serving table.
 
     ``repartitionByRange(key)`` gives disjoint key ranges per file (global
     clustering), ``sortWithinPartitions`` orders rows inside each file so
     row-group stats are tight. n_files defaults to Spark's range-partition
     estimate; pin it for stable file counts in tests.
-    """
+
+    ``row_group_mb`` caps the parquet row-group size (``parquet.block.
+    size``) below the 128 MB default — the serving-latency knob for
+    cursor-fronted tables: a point read decompresses whole row groups,
+    so on a sorted table smaller groups mean tighter min/max pruning
+    and less decode per lookup (PointLookupCursor prunes at row-group
+    granularity from the footer stats). Keep the default for tables
+    consumed by SCANS — more, smaller groups cost scan throughput and
+    footer size; this is precisely the HBase block-size tradeoff
+    (reference S4/S5) in parquet terms."""
     parted = (
         df.repartitionByRange(n_files, key) if n_files else df.repartitionByRange(key)
     )
-    parted.sortWithinPartitions(key).write.mode("overwrite").parquet(path)
+    writer = parted.sortWithinPartitions(key).write.mode("overwrite")
+    if row_group_mb is not None:
+        writer = writer.option("parquet.block.size", row_group_mb * 1024 * 1024)
+    writer.parquet(path)
 
 
 def write_compacted(df: DataFrame, path: str, target_mb: int = 256) -> int:

@@ -304,3 +304,41 @@ def test_point_lookup_cursor_refresh_sees_appended_files(spark, tmp_path):
     assert cur.refresh() == 1  # only the appended file indexed
     assert [(r["term"], r["v"]) for r in cur.lookup(["z9999"])] == [("z9999", 777)]
     assert cur.refresh() == 0  # idempotent
+
+
+def test_write_keyed_row_group_cap_tightens_cursor_pruning(spark, tmp_path):
+    """Round 8: the row_group_mb knob produces multi-row-group files on
+    a keyed table, the cursor indexes per-group stats, and a point
+    lookup reads only the matching group(s) — same rows as read_point."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.serving import (
+        PointLookupCursor,
+        read_point,
+        write_keyed,
+    )
+
+    df = spark.range(120_000).select(
+        F.format_string("k%07d", F.col("id")).alias("term"),
+        F.col("id").alias("v"),
+        F.repeat(F.lit("x"), 64).alias("pad"),
+    )
+    path = str(tmp_path / "serve_rg")
+    write_keyed(df, path, "term", n_files=2, row_group_mb=1)
+
+    import os
+    import pyarrow.parquet as pq
+
+    files = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+    n_rgs = [pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups for f in files]
+    assert len(files) == 2 and all(n > 1 for n in n_rgs), n_rgs
+
+    cur = PointLookupCursor(path, "term")
+    entry = cur._files[0]
+    assert entry["rgs"] is not None and len(entry["rgs"]) == n_rgs[0]
+    probes = ["k0000042", "k0119999", "k0060000"]
+    got = sorted((r["term"], r["v"]) for r in cur.lookup(probes))
+    want = sorted(
+        (r["term"], r["v"]) for r in read_point(spark, path, "term", probes).collect()
+    )
+    assert got == want and len(got) == 3
