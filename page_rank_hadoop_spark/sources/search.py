@@ -32,6 +32,7 @@ paths (the pregel-twin precedent).
 from __future__ import annotations
 
 import json
+import math
 import os
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -123,6 +124,122 @@ def _round6(x: float) -> float:
     decimal — NOT Python's banker's ``round``. Decimal(float) is the
     exact decimal of the binary double, so this matches bit-for-bit."""
     return float(Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+class VectorSearchCursor:
+    """Millisecond ANN top-k over a persisted IVF index
+    (operators/similarity.write_ivf_index: parquet partitioned by
+    ``centroid=<c>/`` + the self-describing ``_ivf_meta.json``
+    codebook) — the VECTOR analog of ``SearchCursor``: same files
+    ``probe_ivf_index`` scans with a Spark job, served by pyarrow
+    partition reads + client scoring instead (round 8).
+
+    Result parity is exact, not approximate: centroid selection
+    reproduces ``probe_ivf_index``'s driver-side codebook ranking, and
+    the cosine is computed as the SAME LEFT FOLD as the declared
+    ``functions/vectors.cosine`` expression (sequential dot and
+    norms), so every candidate's 6dp-rounded score is bit-identical to
+    the Spark path's — pytest-pinned. Per-query work is the probed
+    buckets only (candidates ∝ n/C), the IVF contract.
+
+    Staleness: partition listings + codebook are read at open;
+    ``refresh()`` re-syncs after append/compact (which may also rewrite
+    the codebook meta — refresh reloads it)."""
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        self._pq = pq
+        self.path = path
+        self.meta: dict = {}
+        self._buckets: dict[int, list[str]] = {}
+        self.refresh()
+        if not self._buckets:
+            raise ValueError(
+                f"VectorSearchCursor: no centroid=*/ partitions under {path} — "
+                "not a write_ivf_index directory (or the index is empty)"
+            )
+
+    def refresh(self) -> None:
+        from page_rank_hadoop_spark.operators.similarity import load_ivf_meta
+
+        meta = load_ivf_meta(self.path)
+        if meta is None:
+            raise ValueError(
+                f"VectorSearchCursor: {self.path} has no _ivf_meta.json — the "
+                "cursor serves self-describing indexes only (pre-meta legacy "
+                "indexes go through probe_ivf_index with explicit parameters)"
+            )
+        self.meta = meta
+        buckets: dict[int, list[str]] = {}
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("centroid="):
+                continue
+            c = int(name.split("=", 1)[1])
+            d = os.path.join(self.path, name)
+            buckets[c] = [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+        self._buckets = buckets
+
+    @staticmethod
+    def _fold_cosine(e: list, p: list) -> float:
+        """functions/vectors.cosine as the identical sequential left
+        fold — same summation order ⇒ same double ⇒ same 6dp score as
+        the Spark expression (numpy's pairwise/SIMD reduction is NOT
+        order-identical and can flip a rounding boundary)."""
+        d = 0.0
+        for x, y in zip(e, p):
+            d += x * y
+        na = 0.0
+        for x in e:
+            na += x * x
+        nb = 0.0
+        for y in p:
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    def topk(self, probe: list[float], k: int = 10, n_probe: int = 1) -> list[dict]:
+        """[{vec_id, cos_sim}] — ``probe_ivf_index(spark, path, probe,
+        k, n_probe)`` minus the Spark job: nearest ``n_probe`` centroids
+        by codebook cosine (ties to the smaller id, same rule), exact
+        re-rank within those buckets, (cos_sim desc, vec_id) top-k."""
+        import numpy as np
+
+        p = [float(x) for x in probe]
+        # codebook ranking with the SAME numpy expressions as
+        # probe_ivf_index's driver-side selection — a different
+        # summation order could pick a different bucket on a tie-close
+        # codebook, which changes the candidate set, not just a score
+        pa = np.asarray(p, dtype="float64")
+        sims = sorted(
+            (
+                (
+                    float(pa @ np.asarray(cv, dtype="float64")
+                          / (np.linalg.norm(pa) * np.linalg.norm(np.asarray(cv, dtype="float64")))),
+                    c,
+                )
+                for c, cv in self.meta["centroids"]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed = [c for _, c in sims[:n_probe]]
+        out = []
+        for c in probed:
+            for fp in self._buckets.get(c, ()):
+                for row in self._pq.read_table(
+                    fp, columns=["vec_id", "embedding"]
+                ).to_pylist():
+                    out.append(
+                        {
+                            "vec_id": row["vec_id"],
+                            "cos_sim": _round6(self._fold_cosine(row["embedding"], p)),
+                        }
+                    )
+        out.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        return out[:k]
 
 
 class SearchCursor:

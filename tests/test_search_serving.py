@@ -131,3 +131,44 @@ def test_cli_search_verbs(spark, tmp_path, capsys):
     assert cli.main(["search", out, "spark", "--top-k", "2", "--snippets"]) == 0
     snip = [ln for ln in capsys.readouterr().out.splitlines() if "\t" in ln]
     assert snip and all(len(ln.split("\t")) == 4 for ln in snip)
+
+
+def test_vector_cursor_equals_probe_ivf_index(spark):
+    """VectorSearchCursor (pyarrow partition reads + left-fold client
+    scoring) returns EXACTLY probe_ivf_index's rows — same buckets,
+    same 6dp scores, same (cos_sim desc, vec_id) order — with no Spark
+    job (round 8: the vector analog of the search lane)."""
+    import tempfile
+
+    from page_rank_hadoop_spark.operators.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probe = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    d = tempfile.mkdtemp(prefix="t_vec_cursor_")
+    write_ivf_index(emb, d, n_centroids=8, dim=len(probe))
+
+    cur = VectorSearchCursor(d)
+    for n_probe in (1, 2):
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in probe_ivf_index(spark, d, probe, k=10, n_probe=n_probe).collect()
+        ]
+        tracker = spark.sparkContext.statusTracker()
+        jobs_before = tracker.getJobIdsForGroup(None)
+        got = [(r["vec_id"], r["cos_sim"]) for r in cur.topk(probe, k=10, n_probe=n_probe)]
+        assert tracker.getJobIdsForGroup(None) == jobs_before
+        assert got == want and len(got) == 10
+
+
+def test_vector_cursor_requires_meta_and_refresh_reloads(spark, tmp_path):
+    import pytest as _pytest
+
+    from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+    with _pytest.raises(ValueError, match="centroid|_ivf_meta"):
+        VectorSearchCursor(str(tmp_path))
