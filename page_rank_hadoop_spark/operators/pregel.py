@@ -420,6 +420,56 @@ def bfs_pregel(edges: DataFrame, source, max_hops: int = 10) -> DataFrame:
     return res.vertices.filter(F.col("dist").isNotNull()).select("id", "dist")
 
 
+def sssp_pregel(edges: DataFrame, source, max_rounds: int = 10) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford) through
+    the pregel frontier mode — the RE-ACTIVATION shape BFS doesn't
+    exercise: a vertex whose distance improves re-enters the frontier
+    and re-sends, however often that happens (``active`` is just state;
+    the harness imposes no activate-once rule). ``edges`` must carry
+    (src, dst, weight ≥ 0). After round k every distance equals the
+    min over ≤ k-hop paths — the frontier gating is exact because a
+    non-improved vertex's current distance was already sent (and
+    incorporated) on the round it was acquired — so the ``max_rounds``
+    cap gives hop-bounded Bellman-Ford and the vote-halt fixpoint the
+    true distances. Returns (id, dist) for reached vertices only."""
+    e = edges.select("src", "dst", "weight")
+    spark = e.sparkSession
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    src_df = spark.range(1).select(F.lit(source).cast("long").alias("id"))
+    verts = (
+        nodes.unionByName(src_df)
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0).cast("long")).alias("dist"),
+            (F.col("id") == source).alias("active"),
+        )
+    )
+
+    def update(joined: DataFrame) -> DataFrame:
+        new_dist = F.least("dist", "d")  # Spark least skips NULLs
+        improved = F.col("d").isNotNull() & (
+            F.col("dist").isNull() | (F.col("d") < F.col("dist"))
+        )
+        return joined.select("id", new_dist.alias("dist"), improved.alias("active"))
+
+    res = pregel(
+        vertices=verts,
+        edges=e,
+        send_to_dst=[(F.col("dist") + F.col("weight")).alias("d")],
+        agg_to_dst=[F.min("d").alias("d")],
+        update=update,
+        frontier_col="active",
+        max_iter=max_rounds,
+        checkpoint_every=1,
+    )
+    return res.vertices.filter(F.col("dist").isNotNull()).select("id", "dist")
+
+
 def components_pregel(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """Connected components (min-label propagation) through the pregel
     FRONTIER mode — with BFS the last bespoke iterative loop
@@ -431,13 +481,15 @@ def components_pregel(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     ever holds is sent to all neighbors on the round it was acquired —
     so the min over received values equals the ungated propagation's.
 
+    The update phase ALSO pointer-jumps (label := label's label, one
+    self-join — update callables own their shape, so the harness twin
+    keeps the bespoke loop's O(log diameter) convergence: plain
+    min-propagation alone is O(diameter) and the sf0.1 MinHash pair
+    graph's long chains blow past 30 rounds — found by the sf0.1 gate,
+    which is why NEW iterative queries are verified there too).
     Returns (id, label = min reachable id) for every pair participant —
-    the same contract as dedup.near_dup_components, whose POINTER-
-    JUMPING loop remains the declared scale path (O(log diameter)
-    rounds vs O(diameter) here; near-dup clusters are dense/shallow so
-    both are ~3 rounds on the declared corpus, but an adversarial
-    chain graph wants the bespoke loop — SCALING.md's CC section).
-    Exhausting ``max_iter`` raises, like the bespoke loops."""
+    the same contract as dedup.near_dup_components. Exhausting
+    ``max_iter`` raises, like the bespoke loops."""
     e = edges.select("src", "dst").distinct()
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -449,11 +501,21 @@ def components_pregel(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     )
 
     def update(joined: DataFrame) -> DataFrame:
-        new_label = F.least("label", F.coalesce("m", "label"))
-        return joined.select(
+        stepped = joined.select(
             "id",
-            new_label.alias("label"),
-            (new_label < F.col("label")).alias("active"),
+            F.col("label").alias("_old"),
+            F.least("label", F.coalesce("m", "label")).alias("label"),
+        ).localCheckpoint(eager=False)  # referenced twice below: self-join
+        # pointer jumping: label := label-of-label (the label domain is
+        # vertex ids, so the lookup is total); monotone ⇒ convergence
+        # unaffected, chain depth halves per round
+        parent = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("_pl")
+        )
+        return stepped.join(parent, "label").select(
+            "id",
+            F.col("_pl").alias("label"),
+            (F.col("_pl") < F.col("_old")).alias("active"),
         )
 
     res = pregel(

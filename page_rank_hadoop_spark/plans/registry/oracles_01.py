@@ -304,6 +304,25 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT id, min(dist)::INT AS dist FROM walk GROUP BY id
     """
 
+    # round 8: weighted SSSP (Bellman-Ford via the pregel frontier
+    # mode). Hop-bounded exploration: after k rounds the Spark side
+    # holds the min over ≤ k-hop paths, so the twin walks paths by hop
+    # count (dist states are bounded — weights ≤ 5, hops ≤ 10 — so the
+    # UNION-dedup keeps the state space small)
+    oracles["q_sssp_pregel"] = f"""
+      WITH RECURSIVE {SQL_GRAPH_CTES},
+      walk AS (
+        SELECT 0::BIGINT AS id, 0::BIGINT AS dist, 0 AS hops
+        UNION
+        SELECT k.dst AS id,
+               w.dist + ((k.src + k.dst) % 5 + 1) AS dist,
+               w.hops + 1 AS hops
+        FROM kept k JOIN walk w ON k.src = w.id
+        WHERE w.hops < 10
+      )
+      SELECT id, min(dist)::BIGINT AS dist FROM walk GROUP BY id
+    """
+
     ppr_iters = _sql_ppr_iters(10)
     oracles["q_pagerank_personalized"] = f"""
       WITH {SQL_GRAPH_CTES},

@@ -477,6 +477,23 @@ def q_bfs_pregel(spark, sf):
     return bfs_pregel(_graph(spark, sf)["kept"], source=0, max_hops=10)
 
 
+def q_sssp_pregel(spark, sf):
+    """Round 8: weighted single-source shortest paths (Bellman-Ford)
+    through the pregel frontier mode — the RE-ACTIVATION shape (a
+    vertex re-enters the frontier whenever its distance improves),
+    which BFS's activate-once expansion never exercises. Deterministic
+    weights ((src+dst) mod 5 + 1) so the DuckDB twin rebuilds them;
+    oracle = hop-bounded recursive walk with min-aggregation."""
+    from page_rank_hadoop_spark.operators.pregel import sssp_pregel
+
+    weighted = _graph(spark, sf)["kept"].select(
+        "src",
+        "dst",
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("long").alias("weight"),
+    )
+    return sssp_pregel(weighted, source=0, max_rounds=10)
+
+
 def q_kcore(spark, sf):
     """30-core of the resolved link graph: iterative degree peeling to
     fixpoint (the link-spam / leaf-chain cut web-quality pipelines run

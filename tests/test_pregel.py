@@ -261,6 +261,34 @@ def test_bfs_pregel_votes_to_halt_and_tracks_frontier(spark):
     assert lone.iterations == 1 and lone.deltas == [0.0]
 
 
+def test_sssp_pregel_reactivation(spark):
+    """Weighted SSSP exercises the RE-ACTIVATION shape: vertex 1 is
+    first reached directly (0→1, w=10) and later improved through the
+    longer-hop cheaper path 0→2→3→1 (w=3), which must re-activate it
+    and re-propagate to its out-neighbor 4."""
+    from page_rank_hadoop_spark.operators.pregel import sssp_pregel
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1), (1, 4, 1)],
+        ["src", "dst", "weight"],
+    )
+    got = {(r["id"], r["dist"]) for r in sssp_pregel(edges, source=0).collect()}
+    assert got == {(0, 0), (1, 3), (2, 1), (3, 2), (4, 4)}
+
+
+def test_sssp_pregel_hop_bound(spark):
+    """max_rounds caps the HOP count: with 2 rounds the cheap 3-hop
+    path to vertex 1 is not yet found and the direct edge wins."""
+    from page_rank_hadoop_spark.operators.pregel import sssp_pregel
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1)],
+        ["src", "dst", "weight"],
+    )
+    got = {(r["id"], r["dist"]) for r in sssp_pregel(edges, source=0, max_rounds=2).collect()}
+    assert got == {(0, 0), (1, 10), (2, 1), (3, 2)}
+
+
 def test_components_pregel_matches_near_dup_components(spark):
     """CC via the frontier mode equals the bespoke pointer-jumping loop
     on a graph with two components, a chain (multi-round propagation)
