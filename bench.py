@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_bfs_pregel",
     "q_dedup_components",
     "q_cc_pregel",
+    "q_sssp_pregel",
 ]
 
 
