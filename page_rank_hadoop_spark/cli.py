@@ -303,6 +303,18 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
             print(f"ann-index probe: vec_id {args.probe_id} not found", file=sys.stderr)
             return 2
         probe = [float(x) for x in row[0]["embedding"]]
+        if args.via_cursor:
+            # round 8: the serving lane — pyarrow bucket reads, no
+            # Spark job; exact row+score parity with the Spark path
+            # (pytest-pinned, sources/search.VectorSearchCursor)
+            from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+            rows = VectorSearchCursor(args.index).topk(
+                probe, k=args.k, n_probe=args.n_probe
+            )
+            for r in rows:
+                print(f"{r['vec_id']}\t{r['cos_sim']}")
+            return 0
         out = similarity.probe_ivf_index(
             spark, args.index, probe, k=args.k, n_probe=args.n_probe,
             n_centroids=args.centroids, dim=args.dim,
@@ -677,6 +689,11 @@ def build_parser() -> argparse.ArgumentParser:
     pai.add_argument("--k", type=int, default=10)
     pai.add_argument("--n-probe", type=int, default=1)
     pai.add_argument("--probe-id", type=int, default=0)
+    pai.add_argument(
+        "--via-cursor",
+        action="store_true",
+        help="serve the probe from pyarrow bucket reads (no Spark job)",
+    )
     pai.set_defaults(fn=cmd_ann_index)
 
     pq = sub.add_parser("query", parents=[common])

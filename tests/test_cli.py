@@ -291,6 +291,14 @@ def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 3 and out[0].startswith("0\t1.0")
+    # round 8: same probe through the serving cursor (no Spark job) —
+    # byte-identical TSV to the Spark path (score parity is exact)
+    assert main([
+        "ann-index", "probe", idx, src, "--centroids", "4", "--dim", "8",
+        "--k", "3", "--probe-id", "0", "--via-cursor",
+    ]) == 0
+    out_cur = capsys.readouterr().out.strip().splitlines()
+    assert out_cur == out
 
 
 def test_cli_ann_index_compact_and_input_guard(spark, tmp_path, capsys):
