@@ -267,11 +267,31 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
         search_build_ms = round((time.perf_counter() - t0) * 1000, 1)
         scur = SearchCursor(sdir)
         scur.search_with_snippets("spark", k=10)  # warm footers/readers
+        # probe terms must come from the POSTINGS table, not the raw
+        # term list: the df<3000 cutoff excludes the most common terms,
+        # and a term pruned out of every file range short-circuits to
+        # an empty (µs) search — which is not a search latency at all
+        # (the r8 first cut measured exactly that: p50 0.01ms)
+        import pyarrow.parquet as _pq
+
+        pdir = os.path.join(sdir, "postings")
+        pfile = sorted(
+            f for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )[0]
+        sterms = sorted(
+            set(_pq.read_table(os.path.join(pdir, pfile), columns=["term"])
+                ["term"].to_pylist())
+        )
+        step = max(1, len(sterms) // n_lookups)
+        sterms = sterms[::step][:n_lookups] or ["spark"]
         s_ms: list[float] = []
+        n_hits = 0
         for i in range(n_lookups):
             t0 = time.perf_counter()
-            scur.search_with_snippets(terms[i % len(terms)], k=10)
+            res = scur.search_with_snippets(sterms[i % len(sterms)], k=10)
             s_ms.append((time.perf_counter() - t0) * 1000)
+            n_hits += bool(res)
         return {
             "n_lookups": len(lat_ms),
             "build_ms": build_ms,
@@ -283,12 +303,59 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             "cursor_warm_p50_ms": round(statistics.median(cur_ms[1:] or cur_ms), 2),
             "search_build_ms": search_build_ms,
             "search_warm_p50_ms": round(statistics.median(s_ms), 2),
+            "search_nonempty": n_hits,  # honesty guard: ~all probes must hit
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 LOAD_BOUND = 5.0  # SCALING.md noise protocol: only loadavg ≤5 counts
+
+
+def pregel_tax_bench(spark, sf_dir: str) -> dict:
+    """Like-for-like harness-tax measurement (round 8). The in-list
+    pairs are only like-for-like where BOTH sides run their loop fresh
+    (hits/kcore/bfs/sssp); for pagerank, LPA and CC the declared
+    bespoke query returns a session-cached MV (0.01-0.08s) while the
+    pregel twin reruns its loop — that pairing measures caching, not
+    the harness. This section times the three asymmetric pairs fresh,
+    single run each, same inputs, and reports seconds per side."""
+    from page_rank_hadoop_spark.operators import dedup, graph, pagerank
+    from page_rank_hadoop_spark.operators.pregel import (
+        components_pregel,
+        label_propagation_pregel,
+        pagerank_pregel,
+    )
+    from page_rank_hadoop_spark.plans import registry
+    from pyspark.sql import functions as F
+
+    adj = registry._adjacency(spark, sf_dir)
+    kept = registry._graph(spark, sf_dir)["kept"]
+    pair_edges = registry._minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+
+    def t(fn) -> float:
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    out = {
+        "pagerank10": {
+            "bespoke": t(lambda: pagerank.run_pagerank(adj, fixed_iterations=10).ranks),
+            "pregel": t(lambda: pagerank_pregel(adj, n_iter=10)),
+        },
+        "lpa3": {
+            "bespoke": t(lambda: graph.label_propagation(kept, n_iter=3)),
+            "pregel": t(lambda: label_propagation_pregel(kept, n_iter=3)),
+        },
+        "cc": {
+            "bespoke": t(lambda: dedup.near_dup_components(
+                registry._minhash_pairs(spark, sf_dir))),
+            "pregel": t(lambda: components_pregel(pair_edges)),
+        },
+    }
+    return out
 
 
 def main() -> None:
@@ -395,6 +462,10 @@ def main() -> None:
     serving = serving_latency_bench(spark, sf_dir)
     print(f"# serving latency: {serving}", file=sys.stderr)
 
+    # like-for-like pregel harness tax (fresh loop vs fresh loop)
+    pregel_tax = pregel_tax_bench(spark, sf_dir)
+    print(f"# pregel tax: {pregel_tax}", file=sys.stderr)
+
     total = round(sum(timings.values()) + build_sec, 3)
     # methodology flag (round-4 advisor): best-of-N totals are not
     # comparable with rounds 1-3 single-run numbers — emit the mode AND
@@ -414,6 +485,7 @@ def main() -> None:
         "serving": serving,
         "loadavg": [round(x, 1) for x in (*load_before[:1], *load_after[:1])],
         "load_warn": load_warn or load_before[0] > LOAD_BOUND,
+        "pregel_tax": pregel_tax,
     }
     # full-precision detail (every run, not just the best) for the judge
     with open(
@@ -441,10 +513,15 @@ def main() -> None:
     # (10 → 5 → 0), then drop the serving detail, until the line fits —
     # a too-long line reproduces the r6 parsed:null failure, and an
     # assert would print NOTHING (and vanish under python -O)
-    for n_top, keep_serving in ((10, True), (5, True), (0, True), (0, False)):
+    for n_top, keep_serving, keep_tax in (
+        (10, True, True), (5, True, True), (0, True, True),
+        (0, False, True), (0, False, False),
+    ):
         payload["queries"] = {k: round(v, 2) for k, v in slowest[:n_top]}
         if not keep_serving:
             payload.pop("serving", None)
+        if not keep_tax:
+            payload.pop("pregel_tax", None)
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= 1500:
             break
