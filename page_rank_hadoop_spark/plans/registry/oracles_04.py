@@ -942,6 +942,10 @@ def contribute(oracles: dict[str, str]) -> None:
     # vote-to-halt mode (r7 item 4 + §missing 4)
     oracles["q_bfs_pregel"] = oracles["q_shortest_paths"]
     oracles["q_cc_pregel"] = oracles["q_dedup_components"]
+    # round 8b: the stateful-streaming sessionizer replay must equal the
+    # batch window pass — one oracle, THREE physical paths (DuckDB
+    # window SQL / Spark window / applyInPandasWithState stream)
+    oracles["q_stream_sessionize"] = oracles["q_window_lag_sessionize"]
 
     # incremental merge over disjoint slices == from-scratch df over
     # the union corpus — the oracle IS the rebuild

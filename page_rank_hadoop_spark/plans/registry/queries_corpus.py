@@ -282,6 +282,22 @@ def q_window_lag_sessionize(spark, sf):
     return windows.session_stats(load_table(spark, sf, "events"))
 
 
+def q_stream_sessionize(spark, sf):
+    """The FIRST declared query whose Spark side is a genuine Structured
+    Streaming execution: the events table replayed through the
+    ``applyInPandasWithState`` sessionizer in two time-ordered
+    microbatches (update mode → memory sink), per-user session state
+    carried across the batch boundary, update snapshots reduced to each
+    session's final row. Shares q_window_lag_sessionize's oracle
+    VERBATIM — one batch SQL, three physical paths (DuckDB window pass,
+    Spark window pass, stateful stream) must agree row-for-row."""
+    from page_rank_hadoop_spark.streaming.replay import (
+        run_stateful_sessionize_replay,
+    )
+
+    return run_stateful_sessionize_replay(spark, sf, gap_minutes=30, n_batches=2)
+
+
 def q_tumbling_window(spark, sf):
     return windows.tumbling_window_counts(load_table(spark, sf, "events"))
 

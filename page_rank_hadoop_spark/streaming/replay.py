@@ -180,3 +180,97 @@ def run_replay_to_memory(
         else:
             spark.conf.set(NANOS_CONF, prev)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_stateful_sessionize_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    n_batches: int = 2,
+) -> DataFrame:
+    """Replay the events table through the ``applyInPandasWithState``
+    sessionizer (streaming/stateful.py) in ``n_batches`` TIME-ORDERED
+    microbatches and reduce the update stream to each session's final
+    row — the declared-query vehicle that puts a genuine Structured
+    Streaming execution under the oracle gate (q_stream_sessionize
+    shares q_window_lag_sessionize's batch SQL verbatim: one oracle,
+    one batch window pass, one stateful stream — three physical paths).
+
+    The split is by GLOBAL event time, so every user's events arrive in
+    ts order across batches (a finite replay has no late data) and
+    per-user session state must be carried across the microbatch
+    boundary for any session spanning it — which is exactly the
+    machinery this query pins. Update-mode snapshots only grow
+    n_events within a session, so the final shape is the max
+    (n_events, sum_value) struct per (user_id, session_id).
+
+    Scale: the memory sink is the local test vehicle; production swaps
+    the file source for Kafka and the sink for a keyed upsert — state
+    is (4 scalars × users), event-time-timeout evictable."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.stateful import (
+        streaming_sessionize_stats,
+    )
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="events_stateful_replay_")
+    name = "sessions_" + os.path.basename(tmp).removeprefix("events_stateful_replay_")
+    try:
+        b = events.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        lo, hi = b["lo"], b["hi"]
+        step = max(1, (hi - lo) // n_batches + 1)
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i in range(n_batches):
+            part = events.filter(
+                (F.unix_micros("ts") >= lo + i * step)
+                & (F.unix_micros("ts") < lo + (i + 1) * step)
+            )
+            bdir = os.path.join(tmp, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"b{i}_{f}")
+                    os.link(os.path.join(bdir, f), dst)
+                    # strictly increasing mtimes: the file source orders
+                    # batches by timestamp, so b0 is processed first
+                    os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_sessionize_stats(stream, gap_minutes=gap_minutes)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        updates = spark.table(name)
+        return (
+            updates.groupBy("user_id", "session_id")
+            .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+            .select(
+                "user_id",
+                F.col("session_id").cast("bigint").alias("session_id"),
+                F.col("s.n_events").cast("bigint").alias("n_events"),
+                F.round("s.sum_value", 6).alias("sum_value"),
+            )
+        )
+    finally:
+        # the memory sink holds the rows driver-side; the staged files
+        # and checkpoint are no longer needed once the stream stopped
+        shutil.rmtree(tmp, ignore_errors=True)

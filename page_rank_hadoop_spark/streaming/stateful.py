@@ -53,7 +53,10 @@ def streaming_sessionize_stats(stream: DataFrame, gap_minutes: int = 30) -> Data
         if len(batch) == 0:
             return
 
-        batch = batch.sort_values("ts", kind="mergesort")
+        # ts ties break by event_id — the batch twin's window orders by
+        # (ts, event_id), and a tie crossing a gap comparison must see
+        # the same predecessor on both paths
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()
         vals = batch["value"].to_numpy(dtype="float64")
 

@@ -828,3 +828,18 @@ def test_ann_gated_streaming_ingest(spark, tmp_path):
     out = ann_gate_batch(replay, idx, min_cosine=0.999, n_centroids=4, dim=dim)
     assert out.count() == 0
     assert spark.read.parquet(idx).count() == 2
+
+
+def test_stateful_sessionize_replay_three_batches_matches_batch(spark):
+    """The declared q_stream_sessionize replays TWO microbatches; this
+    pins the helper at THREE (two state-carry boundaries) against the
+    batch window operator on real sf0.001 events — session ids, counts
+    and 6dp sums must agree row-for-row regardless of the split."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.replay import (
+        run_stateful_sessionize_replay,
+    )
+
+    out = run_stateful_sessionize_replay(spark, SF0001, n_batches=3)
+    batch = windows.session_stats(load_table(spark, SF0001, "events"))
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
