@@ -1,0 +1,133 @@
+"""Deterministic, engine-portable sketches built from first principles.
+
+The built-in sketch aggregates (``approx_count_distinct`` = HLL++,
+``approx_percentile`` = KLL) are estimator-IMPLEMENTATION-specific: two
+engines disagree on the estimate even over identical input, which is why
+q_approx_distinct / q_approx_quantiles are rows-only checks and their
+accuracy is pinned separately (q_sketch_error_bounds). This module takes
+the other route the reference's counter-style analytics suggest
+(pageRank.scala's driver-read counters): build the sketch FROM ITS
+DEFINITION with a deterministic hash, so the full estimator — registers
+AND estimate — is reproducible bit-for-bit by any engine, and the DuckDB
+oracle can hash-check the whole thing.
+
+HyperLogLog (Flajolet et al. 2007), p=8 → m=256 registers:
+
+- register index = first ``p`` bits of md5(key); rank ``rho`` = position
+  of the leftmost 1-bit in the next 56 bits (57 if all zero)
+- register value M_j = max rho over rows landing in bucket j — a plain
+  ``groupBy(bucket).agg(max(rho))``, map-side combinable, ONE shuffle of
+  ≤ groups×256 tiny rows whatever the input size. This is the whole
+  scale story: the sketch state is O(m) per group, merged associatively
+  — the same property that makes production HLL mergeable across
+  partitions, days, and clusters.
+- estimate = alpha_m·m²/Z with Z = Σ 2^(−M_j); small-range (linear
+  counting) correction below 2.5·m when empty registers remain.
+
+Engine-determinism choices (the repo's float discipline):
+- 2^(−M) is computed as 1.0 / (1 << M) — an exact power-of-two division,
+  never libm ``pow``.
+- Z folds the present registers in ascending bucket order (Spark
+  ``F.aggregate`` left fold ≡ DuckDB ``SUM(... ORDER BY bucket)``), then
+  adds the empty-register mass as one trailing term — identical
+  association both sides.
+- the linear-counting ``ln(m/V)`` is the one libm call: its argument is
+  an exact small-int ratio and the result is 6dp-rounded BEFORE the
+  multiply (the moment-rounding rule), so a ≤1-ulp libm difference
+  cannot reach the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_distinct(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    p: int = 8,
+) -> DataFrame:
+    """Per-``group`` deterministic-HLL distinct-count estimate of
+    ``key``, beside the exact count and the 3σ accuracy verdict.
+
+    Returns (group, n_exact, v_zero, hll_raw, hll_est, within_3sigma):
+    ``v_zero`` = empty registers, ``hll_raw`` the uncorrected estimator,
+    ``hll_est`` the served estimate (linear counting below 2.5·m),
+    ``within_3sigma`` = |est−exact|/exact ≤ 3·1.04/√m — the published
+    error bound, hash-checked as part of the result."""
+    if not 4 <= p <= 12:
+        raise ValueError(f"hll_distinct: p={p} outside the sane 4..12 range")
+    m = 1 << p
+    n_hex_bucket = p // 4  # p must be a multiple of 4 for the hex slice
+    if n_hex_bucket * 4 != p:
+        raise ValueError(f"hll_distinct: p={p} must be a multiple of 4")
+    w_bits = 56  # 14 hex chars after the bucket slice (md5 has 32)
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, n_hex_bucket), 16, 10).cast("int")
+    w = F.conv(F.substring(h, n_hex_bucket + 1, 14), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    regs = (
+        events.select(F.col(group), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("M"))
+        # 2^-M as an exact power-of-two division (bigint shift, no pow)
+        .withColumn(
+            "term",
+            F.expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), M) as double)"),
+        )
+    )
+    exact = events.groupBy(group).agg(
+        F.countDistinct(key).cast("bigint").alias("n_exact")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = regs.groupBy(group).agg(
+        F.count("*").alias("n_present"),
+        F.array_sort(F.collect_list(F.struct("bucket", "term"))).alias("rs"),
+    )
+    z = (
+        F.aggregate(
+            "rs", F.lit(0.0), lambda acc, r: acc + r["term"]
+        )
+        + (F.lit(float(m)) - F.col("n_present").cast("double"))
+    )
+    v_zero = (F.lit(m) - F.col("n_present")).cast("int")
+    scored = per.select(
+        F.col(group),
+        v_zero.alias("v_zero"),
+        (F.lit(alpha) * m * m / z).alias("raw"),
+    )
+    # linear counting below 2.5·m while empty registers remain; the ln
+    # result is 6dp-prerounded so libm drift cannot reach the output
+    corrected = F.when(
+        (F.col("raw") <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.round(F.log(F.lit(float(m)) / F.col("v_zero")), 6),
+    ).otherwise(F.col("raw"))
+    est = scored.select(
+        group,
+        "v_zero",
+        F.round("raw", 6).alias("hll_raw"),
+        F.round(corrected, 6).alias("hll_est"),
+        corrected.alias("_est_full"),
+    )
+    bound = 3.0 * 1.04 / (m ** 0.5)
+    return (
+        est.join(exact, group)
+        .select(
+            group,
+            "n_exact",
+            "v_zero",
+            "hll_raw",
+            "hll_est",
+            (
+                F.abs(F.col("_est_full") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= F.lit(bound)
+            ).alias("within_3sigma"),
+        )
+    )

@@ -962,3 +962,68 @@ def contribute(oracles: dict[str, str]) -> None:
       {_sql_pagerank_iters(12)}
       SELECT id, round(pr, 6) AS pr FROM it12
     """
+
+    contribute_hll(oracles)
+
+
+def contribute_hll(oracles: dict[str, str]) -> None:
+    """Deterministic-HLL oracle (round 8b): the ENTIRE estimator —
+    md5 bucketing, rank-of-leftmost-one registers, the ordered
+    power-of-two fold, linear-counting correction, and the 3σ verdict —
+    restated in SQL. 2^(−M) is an exact bigint-shift division (never
+    pow); the register fold is SUM(... ORDER BY bucket) + trailing
+    empty-register mass, matching Spark's F.aggregate left fold + one
+    trailing add; ln(m/V) is 6dp-prerounded before the multiply on both
+    sides (operators/sketches.py)."""
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    bound = 3.0 * 1.04 / (m ** 0.5)
+    oracles["q_hll_sketch"] = f"""
+      WITH hx AS (
+        SELECT event_type, md5(user_id::VARCHAR) AS h FROM events
+      ),
+      rr AS (
+        SELECT event_type,
+               ('0x' || substr(h, 1, 2))::INT AS bucket,
+               ('0x' || substr(h, 3, 14))::BIGINT AS w
+        FROM hx
+      ),
+      regs AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 57
+                        ELSE 57 - length(bin(w)) END)::INT AS m_reg
+        FROM rr GROUP BY 1, 2
+      ),
+      folds AS (
+        SELECT event_type,
+               count(*) AS n_present,
+               sum(1.0::DOUBLE / ((1::BIGINT << m_reg)::DOUBLE)
+                   ORDER BY bucket) AS z_present
+        FROM regs GROUP BY 1
+      ),
+      scored AS (
+        SELECT event_type,
+               ({m} - n_present)::INT AS v_zero,
+               {alpha!r}::DOUBLE * {m} * {m}
+                 / (z_present + ({m}.0::DOUBLE - n_present::DOUBLE)) AS raw
+        FROM folds
+      ),
+      est AS (
+        SELECT event_type, v_zero, raw,
+               CASE WHEN raw <= {2.5 * m!r}::DOUBLE AND v_zero > 0
+                    THEN {m}.0::DOUBLE
+                         * round(ln({m}.0::DOUBLE / v_zero), 6)
+                    ELSE raw END AS est_full
+        FROM scored
+      ),
+      exact AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+        FROM events GROUP BY 1
+      )
+      SELECT e.event_type, x.n_exact, e.v_zero,
+             round(e.raw, 6) AS hll_raw,
+             round(e.est_full, 6) AS hll_est,
+             (abs(e.est_full - x.n_exact) / x.n_exact
+                <= {bound!r}::DOUBLE) AS within_3sigma
+      FROM est e JOIN exact x USING (event_type)
+    """

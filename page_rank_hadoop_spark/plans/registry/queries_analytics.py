@@ -915,3 +915,16 @@ def q_bpe_compression(spark, sf):
     (textstats.bpe_compression_by_source) — pieces/word and chars/piece
     by domain, the tokenizer-efficiency outlier detector."""
     return textstats.bpe_compression_by_source(_docs(spark, sf))
+
+
+def q_hll_sketch(spark, sf):
+    """Deterministic HyperLogLog (p=8, md5-bucketed) per event_type:
+    registers, raw + corrected estimate, and the 3-sigma accuracy
+    verdict, ALL hash-checked — the from-definition sketch whose whole
+    estimator the oracle reproduces bit-for-bit (unlike the built-in
+    HLL++/KLL sketches, which are rows-only by contract). Sketch state
+    is O(256) per group however large the input — the mergeable-across-
+    partitions property production HLL relies on."""
+    from page_rank_hadoop_spark.operators import sketches
+
+    return sketches.hll_distinct(load_table(spark, sf, "events"))
