@@ -1454,3 +1454,331 @@ def probe_ivf_index(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+def _pq_code_mats(books: dict[int, Centroids]):
+    """Codebooks as numpy matrices + id arrays (books order preserved,
+    so position semantics match the expression path's arrays)."""
+    import numpy as np
+
+    mats = {s: np.array([cv for _, cv in book], dtype="float64") for s, book in books.items()}
+    ids = {s: np.array([int(c) for c, _ in book], dtype="int64") for s, book in books.items()}
+    return mats, ids
+
+
+def _pq_argmin(X, cb):
+    """Row-wise argmin POSITION (0-based) of squared-L2 against the
+    codebook rows, with each distance accumulated LEFT-TO-RIGHT over
+    dimensions — bit-identical to the JVM/SQL 0.0-seeded fold (not
+    ~1-ulp-close like a BLAS pairwise sum), so the Arrow and expression
+    paths and the DuckDB oracle agree EXACTLY, ties included
+    (np.argmin = first-of-min = the code-ascending tie rule)."""
+    import numpy as np
+
+    d = np.empty((X.shape[0], cb.shape[0]), dtype="float64")
+    for kk in range(cb.shape[0]):
+        t = X[:, 0] - cb[kk, 0]
+        acc = t * t
+        for j in range(1, X.shape[1]):
+            t = X[:, j] - cb[kk, j]
+            acc = acc + t * t
+        d[:, kk] = acc
+    return d.argmin(axis=1)
+
+
+def pq_adc_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_probes: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_centroids: int | str = 16,
+    centroids: Centroids | None = None,
+    books: dict[int, Centroids] | None = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF-PQ search with Asymmetric Distance Computation (Jégou et al.
+    2011 §IV) — the composition that serves billion-vector ANN from
+    memory: candidates come from the probe's IVF bucket (equi-join,
+    never n²), each candidate is represented by its ``m`` PQ codes
+    (m bytes, 32× smaller than the float vector), and the probe stays
+    FULL precision — its distance to a candidate is Σ_s qd_s[code_s],
+    where qd_s is the probe's precomputed distance table to subspace
+    ``s``'s ``n_codes`` codebook entries. One table of m·n_codes floats
+    per probe replaces every per-candidate vector read; at 100 TB the
+    codes ride in the index partitions and the scan never touches the
+    raw vectors.
+
+    Probes are the first ``n_probes`` corpus vectors (the ivf_recall
+    convention: self-contained + oracle-checkable); a probe's IVF
+    bucket is its own centroid assignment, n_probe=1. Returns
+    (probe_id, rn, vec_id, adc_dist, exact_cos): ADC-ranked top-k per
+    probe with the true cosine beside it — the per-hit fidelity signal
+    an ADC deployment audits (rank by approximation, verify the
+    approximation against ground truth).
+
+    Engine determinism (the pq_quantization_report discipline): sub-
+    vectors and distance arrays are materialized columns; every
+    distance is a left fold of (x−c)² terms; the m-term ADC sum is an
+    explicit left-associated addition chain; adc is 6dp-rounded BEFORE
+    ranking with a vec_id tie-break. The per-pair work is a length-m
+    array lookup + m−1 adds — no vector math touches candidates."""
+    from functools import reduce
+
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    subdim = dim // m
+    if books is None:
+        books = pq_codebook(m, n_codes, subdim)
+    assigned = ivf_assign(embeddings, dim=dim, centroids=centroids)
+
+    subs = assigned.select(
+        "vec_id",
+        "embedding",
+        "centroid",
+        *[
+            F.slice(F.col("embedding"), s * subdim + 1, subdim).alias(f"_s{s}")
+            for s in range(m)
+        ],
+    )
+
+    def dists_of(s: int, col: str):
+        # ONE transform over the 2-D codebook literal instead of
+        # n_codes separate folds: 16× smaller expression tree (the
+        # plan-analysis cost at m·n_codes scale), same per-distance
+        # zip_with/fold arithmetic so every value (and the oracle
+        # hash) is unchanged
+        cb = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in books[s]])
+        return F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(col), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+
+    with_d = subs.select(
+        "vec_id", "embedding", "centroid",
+        *[dists_of(s, f"_s{s}").alias(f"_d{s}") for s in range(m)],
+    )
+    if impl == "arrow":
+        # corpus-side encode goes through ONE Arrow pass (_pq_argmin —
+        # exact-left-fold distances, so positions match the expression
+        # path bit-for-bit; pinned in tests/test_sketches.py): the
+        # m·n_codes expression tree only ever executes on the n_probes
+        # probe rows below
+        import numpy as np
+        import pandas as pd
+
+        mats, _ = _pq_code_mats(books)
+        enc_schema = (
+            "vec_id long, embedding array<float>, centroid int, "
+            + ", ".join(f"_c{s} int" for s in range(m))
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.array(pdf["embedding"].tolist(), dtype="float32").astype(
+                    "float64"
+                )
+                cols = {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "centroid": pdf["centroid"],
+                }
+                for s in range(m):
+                    cols[f"_c{s}"] = _pq_argmin(
+                        E[:, s * subdim : (s + 1) * subdim], mats[s]
+                    ).astype("int32")
+                yield pd.DataFrame(cols)
+
+        codes = assigned.mapInPandas(enc, schema=enc_schema)
+    else:
+        codes = with_d.select(
+            "vec_id", "embedding", "centroid",
+            *[
+                (F.array_position(f"_d{s}", F.array_min(f"_d{s}")) - 1)
+                .cast("int")
+                .alias(f"_c{s}")
+                for s in range(m)
+            ],
+        )
+    # probe rows: full-precision vector + the m distance TABLES (the _d
+    # arrays ARE the ADC tables — distance of the probe subvector to
+    # every codebook entry); n_probes rows broadcast to the bucket join
+    probes = with_d.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("_p"),
+        F.col("centroid").alias("_pc"),
+        *[F.col(f"_d{s}").alias(f"_qd{s}") for s in range(m)],
+    )
+    cand = codes.join(
+        F.broadcast(probes), codes["centroid"] == probes["_pc"]
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    adc = reduce(
+        lambda a, b: a + b,
+        [F.get(F.col(f"_qd{s}"), F.col(f"_c{s}")) for s in range(m)],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.round(adc, 6).asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id",
+            "rn",
+            "vec_id",
+            F.round(adc, 6).alias("adc_dist"),
+            F.round(cosine(F.col("embedding"), F.col("_p")), 6).alias("exact_cos"),
+        )
+    )
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    n_iter: int = 3,
+    scale: float = 0.2,
+    impl: str = "arrow",
+) -> dict[int, Centroids]:
+    """Per-subspace Lloyd training of the PQ codebooks — the step that
+    turns pq_adc_knn from a deterministic stand-in into the production
+    IVF-PQ shape (Jégou et al. 2011 §III: sub-quantizers are k-means in
+    each subspace). Seeds are the sin() family scaled by ``scale`` to
+    the data shell (unit-norm vectors → subvector norms ≈ √(subdim/dim);
+    the unscaled seeds sit ~5× outside it and training recovers slowly).
+
+    ALL subspaces train in ONE job per round: the corpus explodes once
+    to (s, subvector) rows — m·n rows of subdim floats, NOT m passes —
+    each round assigns every row to its nearest code via one transform
+    over the 3-D codebook literal (argmin = first-of-min over
+    code-ascending candidates) and collects the new per-(s, code, dim)
+    means. Driver traffic per round is m·n_codes·subdim ≈ 2k floats
+    (the kmeans_train C×dim rule); means are 6dp-rounded before
+    re-embedding as literals (the cross-engine moment rule); codes that
+    lose all members drop out on both engines. Returns the trained
+    ``books`` for ``pq_adc_knn(books=...)``."""
+    import math
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    subdim = dim // m
+    books: dict[int, Centroids] = {
+        s: [
+            (
+                kk,
+                [
+                    scale * math.sin((s * n_codes + kk) * 2971 + j * 7919)
+                    for j in range(subdim)
+                ],
+            )
+            for kk in range(n_codes)
+        ]
+        for s in range(m)
+    }
+    long = (
+        ensure_parallel(embeddings)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("embedding", s * subdim + 1, subdim).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(n_iter):
+            if impl == "arrow":
+                # one Arrow pass assigns every (s, subvector) row via the
+                # exact-left-fold numpy argmin (_pq_argmin) — the per-round
+                # codebook literals change, so the expression path would
+                # re-pay plan analysis of an m·n_codes HOF tree every
+                # round; the Arrow plan is constant-size
+                import numpy as np
+                import pandas as pd
+
+                mats, ids = _pq_code_mats(books)
+
+                def assign(batches, mats=mats, ids=ids):
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        parts = []
+                        for sv_s, grp in pdf.groupby("s"):
+                            X = np.array(
+                                grp["sv"].tolist(), dtype="float32"
+                            ).astype("float64")
+                            pos = _pq_argmin(X, mats[int(sv_s)])
+                            parts.append(
+                                pd.DataFrame(
+                                    {
+                                        "s": grp["s"],
+                                        "code": ids[int(sv_s)][pos].astype("int32"),
+                                        "sv": grp["sv"],
+                                    }
+                                )
+                            )
+                        yield pd.concat(parts, ignore_index=True)
+
+                assigned = long.mapInPandas(
+                    assign, schema="s int, code int, sv array<float>"
+                )
+            else:
+                cb3 = F.array(
+                    *[
+                        F.array(
+                            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in books[s]]
+                        )
+                        for s in range(m)
+                    ]
+                )
+                cids = F.array(
+                    *[F.array(*[F.lit(int(c)) for c, _ in books[s]]) for s in range(m)]
+                )
+                dl = F.transform(
+                    F.element_at(cb3, F.col("s") + 1),
+                    lambda c: F.aggregate(
+                        F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                )
+                code = F.element_at(
+                    F.element_at(cids, F.col("s") + 1),
+                    F.array_position(dl, F.array_min(dl)).cast("int"),
+                )
+                assigned = long.select("s", code.alias("code"), "sv")
+            rows = (
+                assigned.select("s", "code", F.posexplode("sv").alias("j", "x"))
+                .groupBy("s", "code", "j")
+                .agg(F.round(F.avg("x"), 6).alias("mv"))
+                .collect()
+            )
+            acc: dict[int, dict[int, dict[int, float]]] = {}
+            for r in rows:
+                acc.setdefault(r["s"], {}).setdefault(r["code"], {})[r["j"]] = r["mv"]
+            books = {
+                s: [
+                    (c, [d[j] for j in range(subdim)])
+                    for c, d in sorted(acc[s].items())
+                ]
+                for s in sorted(acc)
+            }
+    finally:
+        long.unpersist()
+    return books

@@ -745,3 +745,138 @@ def _sql_ann_gate_replay(
         UNION ALL SELECT vec_id FROM k2
       )
     """
+
+
+def _sql_pq_adc_knn(
+    k: int = 5,
+    n_probes: int = 8,
+    m: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = 3,
+    scale: float = 0.2,
+) -> str:
+    """Trained IVF-PQ ADC oracle: the scaled sin() SEED codebooks as one
+    VALUES table, ``n_iter`` unrolled Lloyd rounds (assign = per-row
+    row_number over (dist ASC, code ASC) — the first-of-min tie-break of
+    Spark's code-ascending argmin; means 6dp-rounded per round), then
+    encode + per-probe distance tables + the ADC rank. Each squared-L2
+    distance is list_reduce over list_transform — the identical
+    left-fold association as Spark's 0.0-seeded F.aggregate (the +0.0
+    identity on non-negative terms); the m-term ADC sum is
+    SUM(d ORDER BY s), matching Spark's reduce(+) chain."""
+    import math
+
+    subdim = dim // m
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(
+        f"list_cosine_similarity(v, {c})" for c in cents
+    ) + "]"
+    seed_rows = ",\n          ".join(
+        f"({s}, {kk}, ["
+        + ", ".join(
+            repr(scale * math.sin((s * n_codes + kk) * 2971 + j * 7919))
+            for j in range(subdim)
+        )
+        + "]::DOUBLE[])"
+        for s in range(m)
+        for kk in range(n_codes)
+    )
+    dist = (
+        f"list_reduce(list_transform(range(1, {subdim + 1}), "
+        "j -> ({sv}[j] - {cl}[j]) * ({sv}[j] - {cl}[j])), (a, b) -> a + b)"
+    )
+    sub_arms = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, v[{s * subdim + 1}:{(s + 1) * subdim}] AS sv FROM e"
+        for s in range(m)
+    )
+    rounds = []
+    prev_cb = "cb0"
+    for r in range(1, n_iter + 1):
+        d = dist.format(sv="t.sv", cl="c.cl")
+        rounds.append(f"""d{r} AS (
+        SELECT t.vec_id, t.s, t.sv, c.code, {d} AS d
+        FROM sub t JOIN {prev_cb} c ON t.s = c.s
+      ),
+      a{r} AS MATERIALIZED (
+        SELECT vec_id, s, sv, code FROM (
+          SELECT vec_id, s, sv, code,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY d ASC, code ASC) AS rn
+          FROM d{r}) WHERE rn = 1
+      ),
+      e{r} AS (
+        SELECT s, code, generate_subscripts(sv, 1) AS j, unnest(sv) AS x
+        FROM a{r}
+      ),
+      m{r} AS (
+        SELECT s, code, j, round(avg(x), 6) AS mv FROM e{r} GROUP BY s, code, j
+      ),
+      cb{r} AS MATERIALIZED (
+        SELECT s, code, list(mv ORDER BY j) AS cl FROM m{r} GROUP BY s, code
+      )""")
+        prev_cb = f"cb{r}"
+    rounds_sql = ",\n      ".join(rounds)
+    d_enc = dist.format(sv="t.sv", cl="c.cl")
+    d_qd = dist.format(sv="p.sv", cl="c.cl")
+    return f"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, v,
+               (list_position({sims}, list_max({sims})) - 1)::INT AS cent
+        FROM e
+      ),
+      sub AS MATERIALIZED (
+        {sub_arms}
+      ),
+      cb0(s, code, cl) AS (
+        VALUES {seed_rows}
+      ),
+      {rounds_sql},
+      enc_d AS (
+        SELECT t.vec_id, t.s, c.code, {d_enc} AS d
+        FROM sub t JOIN {prev_cb} c ON t.s = c.s
+      ),
+      codes_final AS MATERIALIZED (
+        SELECT vec_id, s, code FROM (
+          SELECT vec_id, s, code,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY d ASC, code ASC) AS rn
+          FROM enc_d) WHERE rn = 1
+      ),
+      qd AS MATERIALIZED (
+        SELECT p.vec_id AS probe_id, c.s, c.code, {d_qd} AS d
+        FROM (SELECT * FROM sub WHERE vec_id < {n_probes}) p
+        JOIN {prev_cb} c ON p.s = c.s
+      ),
+      pcent AS (
+        SELECT vec_id AS probe_id, cent AS pc, v AS pv
+        FROM assigned WHERE vec_id < {n_probes}
+      ),
+      adc AS (
+        SELECT p.probe_id, a.vec_id, sum(q.d ORDER BY q.s) AS adc_d
+        FROM assigned a
+        JOIN pcent p ON a.cent = p.pc AND a.vec_id <> p.probe_id
+        JOIN codes_final cf ON cf.vec_id = a.vec_id
+        JOIN qd q ON q.probe_id = p.probe_id AND q.s = cf.s AND q.code = cf.code
+        GROUP BY p.probe_id, a.vec_id
+      ),
+      ranked AS (
+        SELECT probe_id, vec_id, round(adc_d, 6) AS adc_dist,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY round(adc_d, 6) ASC, vec_id ASC) AS rn
+        FROM adc
+      )
+      SELECT r.probe_id, r.rn::INT AS rn, r.vec_id, r.adc_dist,
+             round(list_cosine_similarity(av.v, p.pv), 6) AS exact_cos
+      FROM ranked r
+      JOIN assigned av ON av.vec_id = r.vec_id
+      JOIN pcent p ON p.probe_id = r.probe_id
+      WHERE r.rn <= {k}
+    """

@@ -963,6 +963,11 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT id, round(pr, 6) AS pr FROM it12
     """
 
+    # round 8b: IVF-PQ asymmetric-distance search — same sin codebooks,
+    # explicit left-associated distance/ADC sums, first-of-min codes
+    from page_rank_hadoop_spark.plans.registry._shared import _sql_pq_adc_knn
+    oracles["q_pq_adc_knn"] = _sql_pq_adc_knn()
+
     contribute_hll(oracles)
 
 

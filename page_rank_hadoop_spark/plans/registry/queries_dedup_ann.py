@@ -1009,3 +1009,44 @@ def q_ivf_index_probe(spark, sf):
         spark, _MV_CACHE[key], _probe(spark, sf), k=10, n_probe=1,
         n_centroids=16, dim=EMB_DIM,
     )
+
+
+def q_pq_adc_knn(spark, sf):
+    """IVF-PQ asymmetric-distance search end-to-end, TRAINED: 3 Lloyd
+    rounds fit each subspace's 32-code sub-quantizer (one job per round
+    for all 8 subspaces), candidates come from the probe's IVF bucket,
+    and are ranked by the sum of per-subspace distance-table lookups
+    over their m PQ codes (the probe stays full-precision), true cosine
+    beside every hit as the fidelity signal. Completes the ANN lane:
+    brute-force (q_knn_cosine) -> IVF (q_ivf_knn) -> persisted index
+    (q_ivf_index_probe) -> memory-bound trained IVF-PQ serving (this).
+    The oracle replays the WHOLE chain in SQL — seed codebooks, 3
+    unrolled training rounds (6dp-rounded means), encode, distance
+    tables, ADC rank (the q_trained_hard_negatives precedent)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pq_adc_knn(
+        emb, k=5, n_probes=8, dim=EMB_DIM, books=_pq_books(spark, sf)
+    )
+
+
+_PQ_BOOKS_CACHE: dict[str, dict] = {}
+
+
+def _pq_books(spark, sf):
+    """Session-cached trained PQ codebooks (the _minhash_pairs MV
+    treatment, driver-side because books are m x n_codes x subdim
+    floats, not a frame): production trains the sub-quantizers ONCE and
+    every encode/search serves from the artifact — repeat-callers
+    paying only the serve cost is the true shape, and the bench's
+    fresh-vs-cached asymmetry note covers it like every other MV."""
+    key = f"{sf}::pq_books"
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = similarity.pq_train_codebooks(
+            load_table(spark, sf, "embeddings"),
+            m=8,
+            n_codes=32,
+            dim=EMB_DIM,
+            n_iter=3,
+            scale=0.2,
+        )
+    return _PQ_BOOKS_CACHE[key]
