@@ -946,6 +946,9 @@ def contribute(oracles: dict[str, str]) -> None:
     # batch window pass — one oracle, THREE physical paths (DuckDB
     # window SQL / Spark window / applyInPandasWithState stream)
     oracles["q_stream_sessionize"] = oracles["q_window_lag_sessionize"]
+    # round 8b: same aggregation served from an ORC rewrite of lineitem
+    # — one oracle, two source formats
+    oracles["q_orc_roundtrip"] = oracles["q_pricing_summary"]
 
     # incremental merge over disjoint slices == from-scratch df over
     # the union corpus — the oracle IS the rebuild

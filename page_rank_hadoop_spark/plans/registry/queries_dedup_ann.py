@@ -1050,3 +1050,24 @@ def _pq_books(spark, sf):
             scale=0.2,
         )
     return _PQ_BOOKS_CACHE[key]
+
+
+def q_orc_roundtrip(spark, sf):
+    """The pricing summary (TPC-H Q1 shape) served from an ORC copy of
+    lineitem — Spark's second native columnar format exercised through
+    the oracle gate: write once per session (the serving-table MV
+    treatment), read back with the ORC reader, aggregate. Shares
+    q_pricing_summary's oracle VERBATIM — one oracle, two source
+    FORMATS; any ORC writer/reader drift (type mapping, timestamp
+    semantics, compression) hash-mismatches. Predicate pushdown into
+    the ORC scan is pytest-pinned (test_sources)."""
+    import tempfile
+
+    key = f"{sf}::orc_lineitem"
+    if key not in _MV_CACHE:
+        d = tempfile.mkdtemp(prefix="orc_lineitem_")
+        load_table(spark, sf, "lineitem").write.format("orc").mode(
+            "overwrite"
+        ).save(d)
+        _MV_CACHE[key] = d
+    return relational.pricing_summary(spark.read.format("orc").load(_MV_CACHE[key]))
