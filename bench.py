@@ -176,6 +176,16 @@ BENCH_QUERIES = [
     "q_dedup_components",
     "q_cc_pregel",
     "q_sssp_pregel",
+    # round-8b additions: the genuine-streaming sessionizer (its batch
+    # twin q_window_lag_sessionize is benched above — streaming overhead
+    # stays a tracked pair), the trained IVF-PQ ADC chain (most
+    # expensive ANN-lane member), the deterministic-HLL sketch, and the
+    # ORC-roundtrip twin of q_pricing_summary (format overhead pair)
+    "q_stream_sessionize",
+    "q_watermark_late_drop",
+    "q_pq_adc_knn",
+    "q_hll_sketch",
+    "q_orc_roundtrip",
 ]
 
 

@@ -950,6 +950,22 @@ def contribute(oracles: dict[str, str]) -> None:
     # — one oracle, two source formats
     oracles["q_orc_roundtrip"] = oracles["q_pricing_summary"]
 
+    # round 8b: watermark late-drop semantics — append output must equal
+    # "on-time-bulk rows in windows ending <= max_ts - delay", all
+    # boundaries exact integer µs (see replay.run_watermark_replay)
+    oracles["q_watermark_late_drop"] = """
+      WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+      )
+      SELECT strftime(to_timestamp((epoch_us(ts) // 900000000) * 900),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      FROM events, bounds
+      WHERE epoch_us(ts) <= lo + (hi - lo) * 8 // 10
+        AND ((epoch_us(ts) // 900000000) + 1) * 900000000 <= hi - 1800000000
+      GROUP BY 1, 2
+    """
+
     # incremental merge over disjoint slices == from-scratch df over
     # the union corpus — the oracle IS the rebuild
     oracles["q_index_delta_merge"] = f"""

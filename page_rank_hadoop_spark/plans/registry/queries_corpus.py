@@ -819,3 +819,17 @@ def q_doc_keywords(spark, sf):
     """Round-6c: per-doc top-3 tf-idf keywords (index.doc_keywords) —
     the summarize/tag/route query; WindowGroupLimit per-doc top-k."""
     return index.doc_keywords(_docs(spark, sf), k=3)
+
+
+def q_watermark_late_drop(spark, sf):
+    """Watermark late-data semantics hash-checked: events replayed as
+    four staged microbatches (on-time bulk / watermark advance /
+    neutral / late middle slice, boundaries in exact integer µs)
+    through the watermarked append-mode tumbling aggregation —
+    finalized windows only, late rows provably dropped. The oracle states the EXPECTED
+    semantics independently: b0 rows only, windows ending ≤ max_ts −
+    delay (the measured-inclusive boundary). Any drift in Spark's
+    drop/finalize rules is a hash mismatch, not a silent difference."""
+    from page_rank_hadoop_spark.streaming.replay import run_watermark_replay
+
+    return run_watermark_replay(spark, sf, minutes=15, delay_minutes=30)

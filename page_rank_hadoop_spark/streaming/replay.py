@@ -274,3 +274,92 @@ def run_stateful_sessionize_replay(
         # the memory sink holds the rows driver-side; the staged files
         # and checkpoint are no longer needed once the stream stopped
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_watermark_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 15,
+    delay_minutes: int = 30,
+) -> DataFrame:
+    """Watermark LATE-DATA semantics under the oracle gate: replay the
+    events table as four staged microbatches so the watermark provably
+    drops a known set of rows, and return the append-mode (finalized
+    windows only) tumbling aggregation.
+
+    Staging (all boundaries exact integer µs, so the oracle reproduces
+    the partition with zero float risk): b0 = the oldest 80% of the
+    time span (on-time bulk), b1 = the newest minute (advances the
+    watermark to max_ts − delay), b2 = a NEUTRAL re-send of the max-ts
+    row(s) (its window never finalizes, so the duplicate is invisible
+    in append output), b3 = the middle slice — now LATE. The drop
+    decisions all happen at b3 with the fully-advanced watermark: a b3
+    row whose window end ≤ watermark is dropped, and exactly the
+    windows with end ≤ watermark finalize (boundary measured INCLUSIVE
+    — test_watermark_boundary_inclusive). Append output therefore
+    equals: b0 rows only, in windows ending ≤ max_ts − delay — the
+    oracle SQL, stated independently in integer µs. Any drift in
+    Spark's drop/finalize semantics hash-mismatches."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+    split_us = lo + (hi - lo) * 8 // 10
+    adv_us = hi - 60_000_000  # the advance batch: the newest minute
+    us = F.unix_micros("ts")
+    # the neutral batch between advance and late matters: the drop
+    # filter applies the watermark one full trigger AFTER the advance
+    # (measured — a late slice arriving in the very next trigger still
+    # merged), so without it the "late" rows aggregate instead of
+    # dropping. The neutral batch re-sends the max-ts row(s): their
+    # window ends past the final watermark, so the duplicate is never
+    # emitted and the append output is unaffected.
+    batches = [
+        events.filter(us <= split_us),
+        events.filter(us > adv_us),
+        events.filter(us == hi),
+        events.filter((us > split_us) & (us <= adv_us)),
+    ]
+    tmp = tempfile.mkdtemp(prefix="events_watermark_replay_")
+    name = "wm_" + os.path.basename(tmp).removeprefix("events_watermark_replay_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i, part in enumerate(batches):
+            bdir = os.path.join(tmp, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"b{i}_{f}")
+                    os.link(os.path.join(bdir, f), dst)
+                    os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = streaming_tumbling_counts(
+            stream, minutes, watermark=f"{delay_minutes} minutes"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

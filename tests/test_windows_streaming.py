@@ -843,3 +843,47 @@ def test_stateful_sessionize_replay_three_batches_matches_batch(spark):
     out = run_stateful_sessionize_replay(spark, SF0001, n_batches=3)
     batch = windows.session_stats(load_table(spark, SF0001, "events"))
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_watermark_boundary_inclusive(spark, tmp_path):
+    """A window whose END equals the watermark EXACTLY is finalized and
+    emitted — the inclusive boundary q_watermark_late_drop's oracle
+    states (window_end <= max_ts - delay)."""
+    import time
+
+    from page_rank_hadoop_spark.streaming.replay import streaming_tumbling_counts
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batches = [
+        [(1, t0 + dt.timedelta(minutes=1), "click", 1.0)],
+        # advance: watermark becomes exactly 00:15 == the first window's end
+        [(4, t0 + dt.timedelta(minutes=45), "click", 1.0)],
+        [(6, t0 + dt.timedelta(minutes=46), "click", 1.0)],  # neutral enforce
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = f"{src}/b{i}_{f}"
+                os.link(f"{d}/{f}", dst)
+                os.utime(dst, (now + i, now + i))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = streaming_tumbling_counts(stream, minutes=15, watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm_boundary")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["window_start"]: r["n"] for r in spark.table("t_wm_boundary").collect()}
+    assert rows.get("2024-06-01 00:00:00") == 1  # end == watermark → emitted
