@@ -386,6 +386,7 @@ def hard_negatives(
     two_level: bool = False,
     impl: str = "expr",
     centroids: Centroids | None = None,
+    pair_impl: str = "expr",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every vector,
     its ``k`` most-similar vectors with a DIFFERENT label — the
@@ -440,27 +441,55 @@ def hard_negatives(
     assigned = base_assign.join(
         embeddings.select("vec_id", "label"), "vec_id"
     )
-    a = assigned.select(
-        "centroid",
-        F.col("vec_id").alias("vec_id"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("va"),
-    )
-    b = assigned.select(
-        "centroid",
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-    )
-    pairs = (
-        a.join(b, "centroid")
-        .filter(F.col("label_a") != F.col("label_b"))
-        .select(
-            "vec_id",
-            "neg_id",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    if pair_impl == "arrow":
+        # per-bucket BLAS scoring: ONE n_b x n_b gram matrix per bucket
+        # replaces n_b^2 interpreted 64-dim cosine folds (the measured
+        # hot stage at any C — the pair COUNT is the blocked design's
+        # accepted cost, so doing the dots as a matmul is strictly
+        # better). Raw cosines come back and the 6dp round + window
+        # top-k stay JVM-side, so the rounding implementation (and the
+        # oracle contract) is unchanged; BLAS-vs-fold is ~1 ulp on the
+        # RAW value, absorbed by the same 6dp pre-rank round the
+        # DuckDB twin already relies on.
+        import numpy as np
+        import pandas as pd
+
+        def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            X = np.array(pdf["embedding"].tolist(), dtype="float32").astype("float64")
+            norms = np.linalg.norm(X, axis=1)
+            S = (X @ X.T) / (norms[:, None] * norms[None, :])
+            labels = pdf["label"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            ii, jj = np.where(labels[:, None] != labels[None, :])
+            return pd.DataFrame(
+                {"vec_id": ids[ii], "neg_id": ids[jj], "raw_cos": S[ii, jj]}
+            )
+
+        pairs = assigned.groupBy("centroid").applyInPandas(
+            lambda _k, pdf: score(pdf), "vec_id long, neg_id long, raw_cos double"
+        ).select("vec_id", "neg_id", F.round("raw_cos", 6).alias("cos_sim"))
+    else:
+        a = assigned.select(
+            "centroid",
+            F.col("vec_id").alias("vec_id"),
+            F.col("label").alias("label_a"),
+            F.col("embedding").alias("va"),
         )
-    )
+        b = assigned.select(
+            "centroid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("label_b"),
+            F.col("embedding").alias("vb"),
+        )
+        pairs = (
+            a.join(b, "centroid")
+            .filter(F.col("label_a") != F.col("label_b"))
+            .select(
+                "vec_id",
+                "neg_id",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
@@ -615,7 +644,11 @@ def ivf_balance(
 
 
 def kmeans_train(
-    embeddings: DataFrame, n_iter: int = 3, n_centroids: int = 16, dim: int = 64
+    embeddings: DataFrame,
+    n_iter: int = 3,
+    n_centroids: int = 16,
+    dim: int = 64,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Full Lloyd's k-means over the embedding corpus: ``n_iter``
     assign-then-update rounds from the deterministic ``ivf_assign`` seed
@@ -650,6 +683,39 @@ def kmeans_train(
     cands: Centroids = seed_centroids(n_centroids, dim)
 
     def assign(cands_now):
+        if impl == "arrow":
+            # per-round Arrow assignment (the ivf_assign_arrow treatment):
+            # each round's centroid literals change, so the expression
+            # path re-pays analysis of a C-dot HOF tree per round; the
+            # matmul plan is constant-size and the BLAS ~1-ulp sim
+            # difference can only flip an argmax if two centroid sims
+            # coincide to 1 ulp — which the 6dp-rounded means make as
+            # unlikely as the seed case, and the oracle gate would catch
+            import numpy as np
+            import pandas as pd
+
+            cents_m = np.array([cv for _, cv in cands_now], dtype="float64")
+            ids_m = np.array([int(c) for c, _ in cands_now], dtype="int32")
+            cn = np.linalg.norm(cents_m, axis=1)
+
+            def it(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    x = np.array(pdf["embedding"].tolist(), dtype="float32").astype(
+                        "float64"
+                    )
+                    sims = (x @ cents_m.T) / (
+                        np.linalg.norm(x, axis=1, keepdims=True) * cn[None, :]
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "embedding": pdf["embedding"],
+                            "centroid": ids_m[np.argmax(sims, axis=1)],
+                        }
+                    )
+
+            return emb.mapInPandas(it, "embedding array<float>, centroid int")
         cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in cands_now]
         sims = F.array(
             *[
@@ -720,7 +786,9 @@ def train_assign_mine(
             dim=dim,
         )
         cents = centroids_from_kmeans(km, dim)
-        out = hard_negatives(embeddings, k=k, dim=dim, centroids=cents)
+        out = hard_negatives(
+            embeddings, k=k, dim=dim, centroids=cents, pair_impl="arrow"
+        )
         return out.localCheckpoint()
     finally:
         embeddings.unpersist()

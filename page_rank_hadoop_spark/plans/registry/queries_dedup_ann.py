@@ -648,7 +648,9 @@ def q_hard_negatives(spark, sf):
     different-label vectors per anchor, IVF-bucket-blocked (no n^2
     self-join); per-anchor rank compiles to WindowGroupLimit."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.hard_negatives(emb, k=3, n_centroids=16, dim=EMB_DIM)
+    return similarity.hard_negatives(
+        emb, k=3, n_centroids=16, dim=EMB_DIM, pair_impl="arrow"
+    )
 
 
 def q_trained_hard_negatives(spark, sf):

@@ -80,3 +80,18 @@ def test_adc_recall_floor(spark, emb, books):
     )
     hits = adc.join(exact, ["probe_id", "vec_id"]).count()
     assert hits / 40 >= 0.45
+
+
+def test_hard_negatives_pair_impl_parity(spark, emb):
+    """BLAS bucket-matmul pair scoring must reproduce the expression
+    path exactly: the 6dp pre-rank round + (cos desc, neg_id) tie-break
+    absorb the ~1-ulp raw-cosine difference."""
+    a = similarity.hard_negatives(emb, k=3, n_centroids=16, dim=64)
+    b = similarity.hard_negatives(emb, k=3, n_centroids=16, dim=64, pair_impl="arrow")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_train_impl_parity(spark, emb):
+    a = similarity.kmeans_train(emb, n_iter=2, impl="expr")
+    b = similarity.kmeans_train(emb, n_iter=2, impl="arrow")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
