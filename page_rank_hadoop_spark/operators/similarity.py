@@ -1006,19 +1006,19 @@ def pq_quantization_report(
     # materialized array; argmin = first position of the min (same
     # tie-break as the oracle's list_position).
     def dists_of(s: int):
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(f"_s{s}"),
-                        F.array(*[F.lit(c) for c in cv]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                )
-                for _, cv in books[s]
-            ]
+        # ONE transform over the 2-D codebook literal instead of n_codes
+        # separate folds — 16× smaller expression tree (the measured
+        # plan-analysis cost at m·n_codes scale, see pq_adc_knn), same
+        # per-distance zip_with/fold arithmetic so every value (and the
+        # oracle hash) is unchanged
+        cb = F.array(*[F.array(*[F.lit(c) for c in cv]) for _, cv in books[s]])
+        return F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(f"_s{s}"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
         )
 
     with_d = subs.select(
