@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     # expensive ANN-lane member), the deterministic-HLL sketch, and the
     # ORC-roundtrip twin of q_pricing_summary (format overhead pair)
     "q_stream_sessionize",
+    "q_stream_zscore",
     "q_watermark_late_drop",
     "q_pq_adc_knn",
     "q_hll_sketch",

@@ -946,6 +946,9 @@ def contribute(oracles: dict[str, str]) -> None:
     # batch window pass — one oracle, THREE physical paths (DuckDB
     # window SQL / Spark window / applyInPandasWithState stream)
     oracles["q_stream_sessionize"] = oracles["q_window_lag_sessionize"]
+    # ... and the alert-stream counterpart: the stateful zscore monitor
+    # replay must equal the batch expanding-window pass bit-exactly
+    oracles["q_stream_zscore"] = oracles["q_expanding_zscore"]
     # round 8b: same aggregation served from an ORC rewrite of lineitem
     # — one oracle, two source formats
     oracles["q_orc_roundtrip"] = oracles["q_pricing_summary"]

@@ -833,3 +833,17 @@ def q_watermark_late_drop(spark, sf):
     from page_rank_hadoop_spark.streaming.replay import run_watermark_replay
 
     return run_watermark_replay(spark, sf, minutes=15, delay_minutes=30)
+
+
+def q_stream_zscore(spark, sf):
+    """The anomaly ALERT stream as a declared genuine-streaming query:
+    events replayed through the applyInPandasWithState expanding-zscore
+    monitor in two time-ordered microbatches, per-user (n, Σv, Σv²)
+    moments carried across the boundary, append-mode alert rows
+    returned as-is. Shares q_expanding_zscore's oracle VERBATIM — the
+    handler's sequential accumulation is bit-exact with the batch
+    window pass, so one SQL gates batch, window, and stateful-stream
+    paths alike."""
+    from page_rank_hadoop_spark.streaming.replay import run_stateful_zscore_replay
+
+    return run_stateful_zscore_replay(spark, sf)

@@ -363,3 +363,73 @@ def run_watermark_replay(
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_stateful_zscore_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    z: float = 3.0,
+    min_history: int = 5,
+    n_batches: int = 2,
+) -> DataFrame:
+    """Replay the events table through the ``applyInPandasWithState``
+    expanding-zscore anomaly monitor (streaming/stateful.py) in
+    ``n_batches`` time-ordered microbatches — the ALERT-stream
+    counterpart of run_stateful_sessionize_replay, and the second
+    genuine-streaming declared query (q_stream_zscore shares
+    q_expanding_zscore's oracle verbatim). Each user's (n, Σv, Σv²)
+    moments carry across the batch boundary; the handler's sequential
+    numpy accumulation reproduces the batch window's running sums
+    bit-exactly (tested), so the append-mode alert rows equal the batch
+    operator row-for-row — no snapshot reduction needed."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.stateful import streaming_zscore_monitor
+    import time as _time
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="events_zscore_replay_")
+    name = "zscore_" + os.path.basename(tmp).removeprefix("events_zscore_replay_")
+    try:
+        b = events.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        lo, hi = b["lo"], b["hi"]
+        step = max(1, (hi - lo) // n_batches + 1)
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i in range(n_batches):
+            part = events.filter(
+                (F.unix_micros("ts") >= lo + i * step)
+                & (F.unix_micros("ts") < lo + (i + 1) * step)
+            )
+            bdir = os.path.join(tmp, f"b{i}")
+            part.coalesce(1).write.parquet(bdir)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"b{i}_{f}")
+                    os.link(os.path.join(bdir, f), dst)
+                    os.utime(dst, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_zscore_monitor(stream, z=z, min_history=min_history)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
