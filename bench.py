@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     # ORC-roundtrip twin of q_pricing_summary (format overhead pair)
     "q_stream_sessionize",
     "q_stream_zscore",
+    "q_stream_join",
     "q_watermark_late_drop",
     "q_pq_adc_knn",
     "q_hll_sketch",

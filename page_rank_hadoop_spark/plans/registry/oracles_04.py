@@ -949,6 +949,9 @@ def contribute(oracles: dict[str, str]) -> None:
     # ... and the alert-stream counterpart: the stateful zscore monitor
     # replay must equal the batch expanding-window pass bit-exactly
     oracles["q_stream_zscore"] = oracles["q_expanding_zscore"]
+    # ... and the stream-stream join: two-batch replay with cross-batch
+    # state carry must equal the batch interval join
+    oracles["q_stream_join"] = oracles["q_click_attribution"]
     # round 8b: same aggregation served from an ORC rewrite of lineitem
     # — one oracle, two source formats
     oracles["q_orc_roundtrip"] = oracles["q_pricing_summary"]

@@ -847,3 +847,18 @@ def q_stream_zscore(spark, sf):
     from page_rank_hadoop_spark.streaming.replay import run_stateful_zscore_replay
 
     return run_stateful_zscore_replay(spark, sf)
+
+
+def q_stream_join(spark, sf):
+    """The watermarked stream-stream attribution join as a declared
+    genuine-streaming query: events replayed in two time-ordered
+    microbatches, so cross-batch (click b0, purchase b1) matches force
+    the join state store to carry clicks over the boundary (retention
+    bounded by watermark + horizon — the production eviction contract).
+    Shares q_click_attribution's oracle VERBATIM — with the stateful
+    agg, sessionizer and alert stream this puts every major Structured
+    Streaming stateful operator under the same SQL gate as its batch
+    twin."""
+    from page_rank_hadoop_spark.streaming.replay import run_stream_join_replay
+
+    return run_stream_join_replay(spark, sf, horizon_minutes=30, n_batches=2)

@@ -182,6 +182,39 @@ def run_replay_to_memory(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stage_time_batches(events: DataFrame, tmp: str, n_batches: int) -> str:
+    """Write ``events`` as ``n_batches`` single-file parquet microbatches
+    split by GLOBAL event time (exact integer µs boundaries) with
+    strictly increasing mtimes, so a maxFilesPerTrigger=1 file source
+    replays them oldest-first — every user's rows arrive in ts order
+    across batches (a finite replay with no late data). Returns the
+    staged source directory."""
+    import time as _time
+
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+    step = max(1, (hi - lo) // n_batches + 1)
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    now = _time.time()
+    for i in range(n_batches):
+        part = events.filter(
+            (F.unix_micros("ts") >= lo + i * step)
+            & (F.unix_micros("ts") < lo + (i + 1) * step)
+        )
+        bdir = os.path.join(tmp, f"b{i}")
+        part.coalesce(1).write.parquet(bdir)
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"b{i}_{f}")
+                os.link(os.path.join(bdir, f), dst)
+                os.utime(dst, (now + i, now + i))
+    return src
+
+
 def run_stateful_sessionize_replay(
     spark: SparkSession,
     sf_dir: str,
@@ -211,7 +244,6 @@ def run_stateful_sessionize_replay(
     from page_rank_hadoop_spark.streaming.stateful import (
         streaming_sessionize_stats,
     )
-    import time as _time
 
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -219,29 +251,7 @@ def run_stateful_sessionize_replay(
     tmp = tempfile.mkdtemp(prefix="events_stateful_replay_")
     name = "sessions_" + os.path.basename(tmp).removeprefix("events_stateful_replay_")
     try:
-        b = events.agg(
-            F.min(F.unix_micros("ts")).alias("lo"),
-            F.max(F.unix_micros("ts")).alias("hi"),
-        ).first()
-        lo, hi = b["lo"], b["hi"]
-        step = max(1, (hi - lo) // n_batches + 1)
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        now = _time.time()
-        for i in range(n_batches):
-            part = events.filter(
-                (F.unix_micros("ts") >= lo + i * step)
-                & (F.unix_micros("ts") < lo + (i + 1) * step)
-            )
-            bdir = os.path.join(tmp, f"b{i}")
-            part.coalesce(1).write.parquet(bdir)
-            for f in os.listdir(bdir):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(src, f"b{i}_{f}")
-                    os.link(os.path.join(bdir, f), dst)
-                    # strictly increasing mtimes: the file source orders
-                    # batches by timestamp, so b0 is processed first
-                    os.utime(dst, (now + i, now + i))
+        src = _stage_time_batches(events, tmp, n_batches)
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -384,7 +394,6 @@ def run_stateful_zscore_replay(
     operator row-for-row — no snapshot reduction needed."""
     from page_rank_hadoop_spark.sources.catalog import load_table
     from page_rank_hadoop_spark.streaming.stateful import streaming_zscore_monitor
-    import time as _time
 
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
@@ -392,27 +401,7 @@ def run_stateful_zscore_replay(
     tmp = tempfile.mkdtemp(prefix="events_zscore_replay_")
     name = "zscore_" + os.path.basename(tmp).removeprefix("events_zscore_replay_")
     try:
-        b = events.agg(
-            F.min(F.unix_micros("ts")).alias("lo"),
-            F.max(F.unix_micros("ts")).alias("hi"),
-        ).first()
-        lo, hi = b["lo"], b["hi"]
-        step = max(1, (hi - lo) // n_batches + 1)
-        src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        now = _time.time()
-        for i in range(n_batches):
-            part = events.filter(
-                (F.unix_micros("ts") >= lo + i * step)
-                & (F.unix_micros("ts") < lo + (i + 1) * step)
-            )
-            bdir = os.path.join(tmp, f"b{i}")
-            part.coalesce(1).write.parquet(bdir)
-            for f in os.listdir(bdir):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(src, f"b{i}_{f}")
-                    os.link(os.path.join(bdir, f), dst)
-                    os.utime(dst, (now + i, now + i))
+        src = _stage_time_batches(events, tmp, n_batches)
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -421,6 +410,53 @@ def run_stateful_zscore_replay(
         out = streaming_zscore_monitor(stream, z=z, min_history=min_history)
         q = (
             out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_stream_join_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_minutes: int = 30,
+    n_batches: int = 2,
+) -> DataFrame:
+    """Replay events through the watermarked STREAM-STREAM attribution
+    join (streaming/join.py) in ``n_batches`` time-ordered microbatches
+    — the third genuine-streaming declared lane beside the stateful
+    aggregation and sessionizer (q_stream_join shares
+    q_click_attribution's oracle verbatim). The time split forces
+    cross-batch matches: a click in b0 pairs with a purchase in b1, so
+    the join's state store must hold b0's clicks across the boundary —
+    exactly the machinery (state retention bounded by watermark +
+    horizon) the batch twin cannot exercise."""
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.streaming.join import click_purchase_join_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="events_join_staged_")
+    name = "sjoin_" + os.path.basename(tmp).removeprefix("events_join_staged_")
+    try:
+        src = _stage_time_batches(events, tmp, n_batches)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        joined = click_purchase_join_stream(stream, horizon_minutes)
+        q = (
+            joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
