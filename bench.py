@@ -304,6 +304,34 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             res = scur.search_with_snippets(sterms[i % len(sterms)], k=10)
             s_ms.append((time.perf_counter() - t0) * 1000)
             n_hits += bool(res)
+        # round 8b: the VECTOR serving lane — trained IVF-PQ index, ADC
+        # top-k from codes-only cursor reads (no Spark job); probes are
+        # corpus vectors so every lookup does real candidate work
+        from page_rank_hadoop_spark.operators.similarity import (
+            pq_train_codebooks,
+            write_ivf_index,
+        )
+        from page_rank_hadoop_spark.sources.catalog import load_table
+        from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        vdir = os.path.join(tmp, "ivf_pq")
+        t0 = time.perf_counter()
+        write_ivf_index(emb, vdir, pq_books=pq_train_codebooks(emb))
+        adc_build_ms = round((time.perf_counter() - t0) * 1000, 1)
+        vcur = VectorSearchCursor(vdir)
+        vprobes = [
+            [float(x) for x in r["embedding"]]
+            for r in _pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                columns=["vec_id", "embedding"],
+            ).to_pylist()[:n_lookups]
+        ]
+        a_ms: list[float] = []
+        for i in range(n_lookups):
+            t0 = time.perf_counter()
+            vcur.adc_topk(vprobes[i % len(vprobes)], k=5)
+            a_ms.append((time.perf_counter() - t0) * 1000)
         return {
             "n_lookups": len(lat_ms),
             "build_ms": build_ms,
@@ -316,6 +344,8 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             "search_build_ms": search_build_ms,
             "search_warm_p50_ms": round(statistics.median(s_ms), 2),
             "search_nonempty": n_hits,  # honesty guard: ~all probes must hit
+            "adc_build_ms": adc_build_ms,
+            "adc_warm_p50_ms": round(statistics.median(a_ms[1:] or a_ms), 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

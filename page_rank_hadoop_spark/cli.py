@@ -280,10 +280,19 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
         return 2
     if args.action == "build":
         emb = spark.read.parquet(args.input)
+        books = None
+        if args.pq:
+            # ADC-capable index: train the sub-quantizers on the corpus
+            # and persist codes + books (similarity.pq_train_codebooks)
+            books = similarity.pq_train_codebooks(
+                emb, n_codes=args.pq_codes, dim=args.dim
+            )
         n = similarity.write_ivf_index(
-            emb, args.index, n_centroids=args.centroids, dim=args.dim
+            emb, args.index, n_centroids=args.centroids, dim=args.dim,
+            pq_books=books,
         )
-        print(f"ann-index build: {n} buckets → {args.index}")
+        tag = " (+PQ codes)" if books is not None else ""
+        print(f"ann-index build: {n} buckets{tag} → {args.index}")
         return 0
     if args.action == "append":
         batch = spark.read.parquet(args.input)
@@ -309,11 +318,20 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
             # (pytest-pinned, sources/search.VectorSearchCursor)
             from page_rank_hadoop_spark.sources.search import VectorSearchCursor
 
-            rows = VectorSearchCursor(args.index).topk(
-                probe, k=args.k, n_probe=args.n_probe
+            cur = VectorSearchCursor(args.index)
+            if args.adc:
+                for r in cur.adc_topk(probe, k=args.k, n_probe=args.n_probe):
+                    print(f"{r['vec_id']}\t{r['adc_dist']}")
+            else:
+                for r in cur.topk(probe, k=args.k, n_probe=args.n_probe):
+                    print(f"{r['vec_id']}\t{r['cos_sim']}")
+            return 0
+        if args.adc:
+            out = similarity.probe_ivf_index_adc(
+                spark, args.index, probe, k=args.k, n_probe=args.n_probe
             )
-            for r in rows:
-                print(f"{r['vec_id']}\t{r['cos_sim']}")
+            for r in out.collect():
+                print(f"{r['vec_id']}\t{r['adc_dist']}")
             return 0
         out = similarity.probe_ivf_index(
             spark, args.index, probe, k=args.k, n_probe=args.n_probe,
@@ -693,6 +711,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--via-cursor",
         action="store_true",
         help="serve the probe from pyarrow bucket reads (no Spark job)",
+    )
+    pai.add_argument(
+        "--pq",
+        action="store_true",
+        help="build: train PQ sub-quantizers and persist codes + books (ADC-capable index)",
+    )
+    pai.add_argument("--pq-codes", type=int, default=32)
+    pai.add_argument(
+        "--adc",
+        action="store_true",
+        help="probe: rank by PQ asymmetric distance (codes-only scan; needs a --pq index)",
     )
     pai.set_defaults(fn=cmd_ann_index)
 

@@ -1236,7 +1236,12 @@ def codebook_fingerprint(centroids: Centroids) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def write_ivf_meta(path: str, centroids: Centroids, dim: int) -> None:
+def write_ivf_meta(
+    path: str,
+    centroids: Centroids,
+    dim: int,
+    pq_books: dict[int, Centroids] | None = None,
+) -> None:
     """Persist the index's codebook next to its data (underscore-prefixed
     so parquet readers treat it as metadata and skip it). The meta file
     makes the on-disk index SELF-DESCRIBING: probe/append/gate load the
@@ -1252,6 +1257,19 @@ def write_ivf_meta(path: str, centroids: Centroids, dim: int) -> None:
         "fingerprint": codebook_fingerprint(centroids),
         "centroids": [[int(c), [float(x) for x in cv]] for c, cv in centroids],
     }
+    if pq_books is not None:
+        # the PQ sub-codebooks ride in the same meta (json round-trips
+        # Python floats exactly), making an ADC-capable index
+        # self-describing too: probes/cursors score against the books
+        # the CODES were written with, never caller parameters
+        meta["pq"] = {
+            "m": len(pq_books),
+            "subdim": len(pq_books[0][0][1]),
+            "books": [
+                [int(sp), [[int(c), [float(x) for x in cv]] for c, cv in book]]
+                for sp, book in sorted(pq_books.items())
+            ],
+        }
     with open(_os.path.join(path, _IVF_META), "w") as fh:
         _json.dump(meta, fh)
 
@@ -1292,6 +1310,11 @@ def load_ivf_meta(path: str) -> dict | None:
     with open(p) as fh:
         meta = _json.load(fh)
     meta["centroids"] = [(int(c), [float(x) for x in cv]) for c, cv in meta["centroids"]]
+    if "pq" in meta:
+        meta["pq"]["books"] = {
+            int(sp): [(int(c), [float(x) for x in cv]) for c, cv in book]
+            for sp, book in meta["pq"]["books"]
+        }
     return meta
 
 
@@ -1332,6 +1355,7 @@ def write_ivf_index(
     n_centroids: int | str = 16,
     dim: int = 64,
     centroids: Centroids | None = None,
+    pq_books: dict[int, Centroids] | None = None,
 ) -> int:
     """Persist the corpus as an IVF index: vectors written
     ``partitionBy('centroid')`` so the DIRECTORY LAYOUT is the index —
@@ -1352,10 +1376,16 @@ def write_ivf_index(
     assigned = ivf_assign(embeddings, dim=dim, centroids=centroids)
     # index dtype contract: float32 vectors (append batches may arrive
     # as float64 Python literals — cast or the parquet schemas diverge)
-    assigned.select(
+    out = assigned.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
-    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
-    write_ivf_meta(path, centroids, dim)  # index is self-describing from birth
+    )
+    if pq_books is not None:
+        # ADC-capable index: PQ codes ride beside the vectors so a
+        # probe can scan codes-only columns (32× less IO) and the books
+        # persist in the meta — probe_ivf_index_adc / the vector cursor
+        out = _pq_encode_codes(out, pq_books, dim)
+    out.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    write_ivf_meta(path, centroids, dim, pq_books=pq_books)  # self-describing from birth
     spark = embeddings.sparkSession
     return spark.read.parquet(path).select("centroid").distinct().count()
 
@@ -1387,9 +1417,15 @@ def append_ivf_index(
     elif centroids is None:
         centroids = seed_centroids(resolve_n_centroids(batch, n_centroids), dim)
     assigned = ivf_assign(batch, dim=dim, centroids=centroids)
-    assigned.select(
+    out = assigned.select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "centroid"
-    ).write.mode("append").partitionBy("centroid").parquet(path)
+    )
+    if meta is not None and "pq" in meta:
+        # an ADC-capable index stays ADC-capable: appended batches are
+        # encoded with the INDEX'S books (meta), never caller state —
+        # a codes-less append would silently break every future probe
+        out = _pq_encode_codes(out, meta["pq"]["books"], meta["dim"])
+    out.write.mode("append").partitionBy("centroid").parquet(path)
     if not existed:  # creation-by-append: this call's codebook IS the index's
         write_ivf_meta(path, centroids, dim)
 
@@ -1850,3 +1886,122 @@ def pq_train_codebooks(
     finally:
         long.unpersist()
     return books
+
+
+def _pq_encode_codes(assigned: DataFrame, books: dict[int, Centroids], dim: int) -> DataFrame:
+    """Add a ``codes array<int>`` column (0-based POSITION per subspace,
+    books order) to an ivf_assign output frame — one Arrow pass with the
+    exact-left-fold argmin (_pq_argmin), the same encode pq_adc_knn
+    runs inline. Positions (not code ids) are stored because the ADC
+    lookup is positional into the distance tables; the books live in
+    the index meta, so position↔code is stable by construction."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    subdim = dim // m
+    mats, _ = _pq_code_mats(books)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype="float32").astype("float64")
+            codes = np.stack(
+                [
+                    _pq_argmin(E[:, sp * subdim : (sp + 1) * subdim], mats[sp])
+                    for sp in range(m)
+                ],
+                axis=1,
+            ).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "centroid": pdf["centroid"],
+                    "codes": list(codes),
+                }
+            )
+
+    return assigned.mapInPandas(
+        enc, schema="vec_id long, embedding array<float>, centroid int, codes array<int>"
+    )
+
+
+def _adc_tables(probe: list[float], books: dict[int, Centroids]) -> list[list[float]]:
+    """Per-subspace distance tables of a FULL-PRECISION probe to every
+    codebook entry, each squared-L2 accumulated as the exact sequential
+    left fold — the same doubles the Spark fold and the DuckDB oracle
+    produce, so a cursor and a Spark job scoring the same codes get
+    bit-identical ADC sums."""
+    m = len(books)
+    subdim = len(books[0][0][1])
+    out: list[list[float]] = []
+    for sp in range(m):
+        sub = [float(x) for x in probe[sp * subdim : (sp + 1) * subdim]]
+        row = []
+        for _c, cv in books[sp]:
+            acc = 0.0
+            for x, y in zip(sub, cv):
+                t = x - y
+                acc += t * t
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def probe_ivf_index_adc(
+    spark,
+    path: str,
+    probe: list[float],
+    k: int = 5,
+    n_probe: int = 1,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k from a persisted PQ-capable IVF index: nearest
+    ``n_probe`` buckets driver-side (the probe_ivf_index rule), then a
+    CODES-ONLY scan of those buckets — the memory-bound serving shape:
+    the query never reads the float vectors, each candidate costs m
+    array lookups + m−1 adds against the probe's precomputed distance
+    tables (driver literals, m·n_codes doubles). Returns
+    (vec_id, adc_dist) ranked (adc asc 6dp, vec_id asc). Requires the
+    index meta to carry PQ books (write_ivf_index(pq_books=...))."""
+    from functools import reduce
+
+    import numpy as np
+
+    meta = load_ivf_meta(path)
+    if meta is None or "pq" not in meta:
+        raise ValueError(
+            f"IVF index at {path} has no PQ books in its meta — rebuild with "
+            "write_ivf_index(pq_books=pq_train_codebooks(...)) to serve ADC"
+        )
+    books = meta["pq"]["books"]
+    centroids = meta["centroids"]
+    p = np.asarray(probe, dtype="float64")
+    sims = []
+    for c, cv in centroids:
+        cent = np.asarray(cv, dtype="float64")
+        sims.append((float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent))), c))
+    probed = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    qd = _adc_tables([float(x) for x in probe], books)
+    m = len(books)
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.get(F.array(*[F.lit(v) for v in qd[sp]]), F.get("codes", sp))
+            for sp in range(m)
+        ],
+    )
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid").isin(probed))
+        .select("vec_id", "codes")
+    )
+    if exclude_vec_id is not None:
+        df = df.filter(F.col("vec_id") != int(exclude_vec_id))
+    return (
+        df.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )

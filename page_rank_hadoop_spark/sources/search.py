@@ -171,6 +171,7 @@ class VectorSearchCursor:
                 "indexes go through probe_ivf_index with explicit parameters)"
             )
         self.meta = meta
+        self._codes_cache: dict[int, tuple] = {}
         buckets: dict[int, list[str]] = {}
         for name in sorted(os.listdir(self.path)):
             if not name.startswith("centroid="):
@@ -239,6 +240,91 @@ class VectorSearchCursor:
                         }
                     )
         out.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        return out[:k]
+
+    def adc_topk(
+        self,
+        probe: list[float],
+        k: int = 5,
+        n_probe: int = 1,
+        exclude_vec_id: int | None = None,
+    ) -> list[dict]:
+        """[{vec_id, adc_dist}] — ``probe_ivf_index_adc`` minus the
+        Spark job: the memory-bound IVF-PQ serving read. The probed
+        buckets are scanned CODES-ONLY (the vectors never leave disk —
+        m ints per candidate instead of dim floats), each candidate
+        costs m positional lookups + m−1 adds against the probe's
+        distance tables, and every arithmetic step (the per-code
+        squared-L2 left fold via ``_adc_tables``, the s-ordered ADC
+        sum, the 6dp round) is the identical sequential computation the
+        Spark path runs — so rows AND scores are bit-equal,
+        pytest-pinned. Requires an ADC-capable index
+        (``write_ivf_index(pq_books=...)``)."""
+        import numpy as np
+
+        from page_rank_hadoop_spark.operators.similarity import _adc_tables
+
+        if "pq" not in self.meta:
+            raise ValueError(
+                f"VectorSearchCursor: index at {self.path} has no PQ books in "
+                "its meta — rebuild with write_ivf_index(pq_books=...) to "
+                "serve ADC"
+            )
+        books = self.meta["pq"]["books"]
+        p = [float(x) for x in probe]
+        pa = np.asarray(p, dtype="float64")
+        sims = sorted(
+            (
+                (
+                    float(pa @ np.asarray(cv, dtype="float64")
+                          / (np.linalg.norm(pa) * np.linalg.norm(np.asarray(cv, dtype="float64")))),
+                    c,
+                )
+                for c, cv in self.meta["centroids"]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed = [c for _, c in sims[:n_probe]]
+        qd = [np.asarray(row, dtype="float64") for row in _adc_tables(p, books)]
+        out = []
+        for c in probed:
+            cached = self._codes_cache.get(c)
+            if cached is None:
+                ids_parts, code_parts = [], []
+                for fp in self._buckets.get(c, ()):
+                    t = self._pq.read_table(fp, columns=["vec_id", "codes"])
+                    ids_parts.append(t["vec_id"].to_numpy(zero_copy_only=False))
+                    code_parts.append(
+                        np.stack(t["codes"].to_pylist()).astype("int64")
+                        if t.num_rows
+                        else np.empty((0, len(qd)), dtype="int64")
+                    )
+                cached = (
+                    np.concatenate(ids_parts) if ids_parts else np.empty(0, dtype="int64"),
+                    np.concatenate(code_parts)
+                    if code_parts
+                    else np.empty((0, len(qd)), dtype="int64"),
+                )
+                # codes are m ints per vector (32× under the floats) —
+                # the lazily-built per-bucket cache is the probed
+                # working set, refresh() drops it
+                self._codes_cache[c] = cached
+            ids, codes = cached
+            if ids.size == 0:
+                continue
+            # vectorized ADC in the SAME s-ascending left-fold order as
+            # the Spark reduce chain: acc = t0; acc = acc + t_s — each
+            # element's double sequence is identical, so scores stay
+            # bit-equal to the Spark path
+            acc = qd[0][codes[:, 0]]
+            for sp in range(1, len(qd)):
+                acc = acc + qd[sp][codes[:, sp]]
+            for i in range(ids.size):
+                vid = int(ids[i])
+                if exclude_vec_id is not None and vid == exclude_vec_id:
+                    continue
+                out.append({"vec_id": vid, "adc_dist": _round6(float(acc[i]))})
+        out.sort(key=lambda r: (r["adc_dist"], r["vec_id"]))
         return out[:k]
 
 

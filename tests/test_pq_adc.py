@@ -95,3 +95,66 @@ def test_kmeans_train_impl_parity(spark, emb):
     a = similarity.kmeans_train(emb, n_iter=2, impl="expr")
     b = similarity.kmeans_train(emb, n_iter=2, impl="arrow")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_adc_index_probe_and_cursor_parity(spark, emb, books, tmp_path):
+    """The ADC serving lane three ways — inline pq_adc_knn, the
+    codes-only Spark probe over the persisted index, and the
+    VectorSearchCursor (no Spark job) — must agree on rows AND scores
+    exactly: same books, same exact-left-fold distance tables, same
+    s-ordered ADC sum, same 6dp round and tie-break."""
+    import pyarrow.parquet as pq
+
+    from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+    path = str(tmp_path / "ivf_pq")
+    similarity.write_ivf_index(emb, path, pq_books=books)
+
+    inline = similarity.pq_adc_knn(emb, k=5, n_probes=4, books=books).collect()
+    by_probe = {}
+    for r in inline:
+        by_probe.setdefault(r.probe_id, []).append((r.vec_id, r.adc_dist))
+    for rs in by_probe.values():
+        rs.sort()
+
+    probes = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ).to_pylist()
+        if r["vec_id"] < 4
+    }
+    cur = VectorSearchCursor(path)
+    for pid, vec in probes.items():
+        spark_rows = sorted(
+            (r.vec_id, r.adc_dist)
+            for r in similarity.probe_ivf_index_adc(
+                spark, path, vec, k=5, exclude_vec_id=pid
+            ).collect()
+        )
+        cur_rows = sorted(
+            (r["vec_id"], r["adc_dist"])
+            for r in cur.adc_topk(vec, k=5, exclude_vec_id=pid)
+        )
+        assert spark_rows == cur_rows == by_probe[pid], f"probe {pid}"
+
+
+def test_adc_append_keeps_codes(spark, emb, books, tmp_path):
+    """Appending to an ADC-capable index encodes the batch with the
+    INDEX'S books from meta — cursor results over build+append equal a
+    one-shot build over the union."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    similarity.write_ivf_index(first, a, pq_books=books)
+    similarity.append_ivf_index(rest, a)
+    similarity.write_ivf_index(emb, b, pq_books=books)
+    probe = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    ca, cb = VectorSearchCursor(a), VectorSearchCursor(b)
+    assert ca.adc_topk(probe, k=5) == cb.adc_topk(probe, k=5)
