@@ -268,6 +268,50 @@ def rehearse_embeddings(spark, emb, label: str, n_centroids, impl: str = "expr")
     return r
 
 
+def rehearse_adc(spark, emb, label: str, out_dir: str) -> dict:
+    """IVF-PQ ADC serving lane at scale (round 8b): train books, build
+    the ADC-capable index (codes + books persisted), then measure the
+    cursor's per-query cost. The scale contract under test: per-query
+    work is the PROBED BUCKET's codes (∝ n/C), so at 10x rows with C
+    scaled by the C ∝ n rule the p50 should stay ~flat, while 10x rows
+    at FIXED C grows ~linearly — the same dial every IVF deployment
+    turns."""
+    import statistics
+
+    from pyspark.storagelevel import StorageLevel
+
+    from page_rank_hadoop_spark.operators import similarity
+    from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    n = emb.count()
+    c_eff = similarity.resolve_n_centroids(emb, "auto")
+    r: dict = {"label": label, "n_vecs": n, "C": c_eff}
+    path = os.path.join(out_dir, f"ivf_pq_{label.replace(' ', '_').replace('=', '')}")
+    t0 = time.time()
+    books = similarity.pq_train_codebooks(emb)
+    r["train_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    cents = similarity.seed_centroids(c_eff, 64)
+    similarity.write_ivf_index(emb, path, centroids=cents, pq_books=books)
+    r["build_sec"] = round(time.time() - t0, 2)
+    probes = [
+        [float(x) for x in row["embedding"]]
+        for row in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    cur = VectorSearchCursor(path)
+    cur.adc_topk(probes[0], k=5)  # warm the probed-bucket cache
+    ms = []
+    for i in range(64):
+        t0 = time.perf_counter()
+        cur.adc_topk(probes[i % len(probes)], k=5)
+        ms.append((time.perf_counter() - t0) * 1000)
+    r["adc_p50_ms"] = round(statistics.median(ms), 2)
+    r["adc_p99_ms"] = round(sorted(ms)[int(len(ms) * 0.99)], 2)
+    emb.unpersist()
+    return r
+
+
 def rehearse_streaming(spark, sf_dir: str, out_dir: str, n_batches: int = 6,
                        batch_rows: int = 3000) -> None:
     """Streaming-family scale evidence (round-5, judge item 6) — the two
@@ -760,6 +804,34 @@ def main() -> int:
                 ("bucket_pairs", "bucket pairs"),
                 ("hn_rows", "hn rows"),
                 ("hn_sec", "hn s"),
+            ],
+        )
+
+    if mode in ("adc", "all"):
+        emb1 = load_table(spark, sf_dir, "embeddings")
+        shift = 1_000_000
+        copies = [
+            emb1.select(
+                (F.col("vec_id") + k * shift).alias("vec_id"), "embedding", "label"
+            )
+            for k in range(10)
+        ]
+        emb10 = copies[0]
+        for c in copies[1:]:
+            emb10 = emb10.unionByName(c)
+        rows = [
+            rehearse_adc(spark, emb1, "1x", out_dir),
+            rehearse_adc(spark, emb10, "10x", out_dir),
+        ]
+        _print_table(
+            rows,
+            [
+                ("n_vecs", "vecs"),
+                ("C", "C"),
+                ("train_sec", "train s"),
+                ("build_sec", "build s"),
+                ("adc_p50_ms", "adc p50 ms"),
+                ("adc_p99_ms", "adc p99 ms"),
             ],
         )
 
