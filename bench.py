@@ -327,6 +327,15 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
                 columns=["vec_id", "embedding"],
             ).to_pylist()[:n_lookups]
         ]
+        # cold pass = first touch of each probe's bucket (the cache
+        # load); the steady-state server number is the SECOND pass —
+        # without the split, 20 distinct probes over ≤C buckets make
+        # the "warm" median a cold load (measured 30ms vs 0.5ms)
+        a_cold: list[float] = []
+        for v in vprobes:
+            t0 = time.perf_counter()
+            vcur.adc_topk(v, k=5)
+            a_cold.append((time.perf_counter() - t0) * 1000)
         a_ms: list[float] = []
         for i in range(n_lookups):
             t0 = time.perf_counter()
@@ -345,7 +354,8 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             "search_warm_p50_ms": round(statistics.median(s_ms), 2),
             "search_nonempty": n_hits,  # honesty guard: ~all probes must hit
             "adc_build_ms": adc_build_ms,
-            "adc_warm_p50_ms": round(statistics.median(a_ms[1:] or a_ms), 2),
+            "adc_cold_p50_ms": round(statistics.median(a_cold), 2),
+            "adc_warm_p50_ms": round(statistics.median(a_ms), 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
