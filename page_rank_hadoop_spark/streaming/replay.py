@@ -215,6 +215,28 @@ def _stage_time_batches(events: DataFrame, tmp: str, n_batches: int) -> str:
     return src
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _replay_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Bound the replay's state-store partition count: the conf is read
+    at stream START, and 32 state partitions over a test-scale
+    microbatch is pure per-trigger overhead (tasks + state files), not
+    parallelism. Results are unchanged — state partitioning is a
+    physical choice the oracle gate re-verifies — and production sizes
+    this to the cluster, not to this local default. Restored on exit;
+    the declared replays run one stream at a time, so the temporary
+    session value cannot leak into a concurrent plan."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_stateful_sessionize_replay(
     spark: SparkSession,
     sf_dir: str,
@@ -258,17 +280,18 @@ def run_stateful_sessionize_replay(
             .parquet(src)
         )
         out = streaming_sessionize_stats(stream, gap_minutes=gap_minutes)
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         updates = spark.table(name)
         return (
             updates.groupBy("user_id", "session_id")
@@ -359,17 +382,18 @@ def run_watermark_replay(
         agg = streaming_tumbling_counts(
             stream, minutes, watermark=f"{delay_minutes} minutes"
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -408,17 +432,18 @@ def run_stateful_zscore_replay(
             .parquet(src)
         )
         out = streaming_zscore_monitor(stream, z=z, min_history=min_history)
-        q = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -455,17 +480,18 @@ def run_stream_join_replay(
             .parquet(src)
         )
         joined = click_purchase_join_stream(stream, horizon_minutes)
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _replay_shuffle_partitions(spark):
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
