@@ -57,12 +57,29 @@ def hll_distinct(
     ``hll_est`` the served estimate (linear counting below 2.5·m),
     ``within_3sigma`` = |est−exact|/exact ≤ 3·1.04/√m — the published
     error bound, hash-checked as part of the result."""
+    regs = hll_registers(events, key=key, group=group, p=p)
+    exact = events.groupBy(group).agg(
+        F.countDistinct(key).cast("bigint").alias("n_exact")
+    )
+    return hll_finish(regs, exact, group=group, p=p)
+
+
+def hll_registers(
+    events: DataFrame,
+    key: str = "user_id",
+    group: str = "event_type",
+    p: int = 8,
+) -> DataFrame:
+    """The sketch STATE: per (group, bucket) max rank — O(m) rows per
+    group whatever the input, merged associatively with a plain
+    ``max`` (hll_merge). This split is the production shape: registers
+    are what you persist per partition/day/source; the estimate is a
+    cheap finishing pass."""
     if not 4 <= p <= 12:
-        raise ValueError(f"hll_distinct: p={p} outside the sane 4..12 range")
-    m = 1 << p
+        raise ValueError(f"hll_registers: p={p} outside the sane 4..12 range")
     n_hex_bucket = p // 4  # p must be a multiple of 4 for the hex slice
     if n_hex_bucket * 4 != p:
-        raise ValueError(f"hll_distinct: p={p} must be a multiple of 4")
+        raise ValueError(f"hll_registers: p={p} must be a multiple of 4")
     w_bits = 56  # 14 hex chars after the bucket slice (md5 has 32)
     h = F.md5(F.col(key).cast("string"))
     bucket = F.conv(F.substring(h, 1, n_hex_bucket), 16, 10).cast("int")
@@ -72,18 +89,40 @@ def hll_distinct(
         .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
         .cast("int")
     )
-    regs = (
+    return (
         events.select(F.col(group), bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(group, "bucket")
         .agg(F.max("rho").alias("M"))
-        # 2^-M as an exact power-of-two division (bigint shift, no pow)
-        .withColumn(
-            "term",
-            F.expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), M) as double)"),
-        )
     )
-    exact = events.groupBy(group).agg(
-        F.countDistinct(key).cast("bigint").alias("n_exact")
+
+
+def hll_merge(*register_frames: DataFrame, group: str = "event_type") -> DataFrame:
+    """Merge independently-built register tables register-wise
+    (max per (group, bucket)) — HLL's defining property: the merged
+    sketch IS the sketch of the union, exactly. q_hll_merge proves it
+    cross-engine by sharing q_hll_sketch's oracle verbatim: the oracle
+    sketches the union directly, Spark merges per-slice sketches, and
+    the hashes must coincide."""
+    merged = register_frames[0]
+    for r in register_frames[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy(group, "bucket").agg(F.max("M").alias("M"))
+
+
+def hll_finish(
+    regs: DataFrame,
+    exact: DataFrame,
+    group: str = "event_type",
+    p: int = 8,
+) -> DataFrame:
+    """Registers → served estimate (the hll_distinct output contract):
+    ordered power-of-two fold, linear-counting correction, 3σ verdict
+    against the supplied exact counts."""
+    m = 1 << p
+    regs = regs.withColumn(
+        # 2^-M as an exact power-of-two division (bigint shift, no pow)
+        "term",
+        F.expr("cast(1.0 as double) / cast(shiftleft(cast(1 as bigint), M) as double)"),
     )
     alpha = 0.7213 / (1.0 + 1.079 / m)
     per = regs.groupBy(group).agg(

@@ -1057,3 +1057,6 @@ def contribute_hll(oracles: dict[str, str]) -> None:
                 <= {bound!r}::DOUBLE) AS within_3sigma
       FROM est e JOIN exact x USING (event_type)
     """
+    # merged-partial HLL == direct HLL — the oracle sketches the union
+    # once; Spark merges three independent slice sketches (q_hll_merge)
+    oracles["q_hll_merge"] = oracles["q_hll_sketch"]

@@ -928,3 +928,24 @@ def q_hll_sketch(spark, sf):
     from page_rank_hadoop_spark.operators import sketches
 
     return sketches.hll_distinct(load_table(spark, sf, "events"))
+
+
+def q_hll_merge(spark, sf):
+    """HLL MERGEABILITY under the gate: the events table split into
+    three disjoint slices (event_id % 3), each sketched INDEPENDENTLY
+    (hll_registers), the register tables merged with a plain max
+    (hll_merge), then finished. Shares q_hll_sketch's oracle VERBATIM —
+    the oracle sketches the union directly, so the hash match IS the
+    proof that merged-partial == direct, the property that lets
+    production HLL merge across partitions, days and clusters."""
+    from page_rank_hadoop_spark.operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = sketches.hll_merge(
+        *[sketches.hll_registers(sl) for sl in slices]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return sketches.hll_finish(merged, exact)

@@ -53,3 +53,18 @@ def test_hll_p_validation(spark):
         hll_distinct(df, p=3)
     with pytest.raises(ValueError):
         hll_distinct(df, p=10)  # not a multiple of 4 → hex slice invalid
+
+
+def test_hll_merge_equals_direct(spark):
+    """Register-wise max over independently-sketched slices equals the
+    direct sketch of the union — the mergeability property, on an
+    adversarial split (each slice sees a different key range)."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.operators import sketches
+
+    base = _keyed_range(spark, 5000)
+    slices = [base.filter(F.col("user_id") % 4 == i) for i in range(4)]
+    merged = sketches.hll_merge(*[sketches.hll_registers(s) for s in slices])
+    direct = sketches.hll_registers(base)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
