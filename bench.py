@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q_rfm_segments",
     "q_repeated_chunks",
     "q_sorted_neighborhood",
+    "q_substring_dedup",
     "q_cusum_changepoints",
     "q_equidepth_histogram",
     "q_linreg",

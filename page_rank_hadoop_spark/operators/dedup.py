@@ -1266,3 +1266,80 @@ def similarity_histogram(
             "max_jaccard",
         )
     )
+
+
+def exact_substring_spans(
+    documents: DataFrame, min_len: int = 40, min_count: int = 2
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr family): the
+    maximal byte-exact SPANS of each document whose every ``min_len``-
+    char window occurs at least ``min_count`` times corpus-wide
+    (within-doc repeats count, as in the paper). These are the ranges
+    ExactSubstr CUTS from training text; the shingle/MinHash families
+    approximate containment, this detects byte-identical reuse exactly.
+
+    Spark-first equivalent of the paper's suffix array: a duplicated
+    substring of length ≥ min_len exists iff some min_len-window
+    repeats, so (1) explode every window (pos, gram) — the corpus's
+    rank-1 suffix-array neighborhood test re-expressed as a groupBy,
+    (2) keep grams with total count ≥ min_count (one map-side-combined
+    aggregate), (3) semi-join hits back and merge overlapping windows
+    per doc into maximal spans with the gaps-and-islands window (break
+    when the next hit starts more than min_len after the previous —
+    [p, p+L) and [q, q+L) overlap-or-touch iff q − p ≤ L).
+
+    Output: (doc_id, span_start 1-based, span_end inclusive, span_len,
+    n_windows) ordered by (doc_id, span_start).
+
+    100 TB shape: the window explode is the corpus × L-byte blowup the
+    paper's suffix array avoids; the scale path hashes each window to 8
+    bytes (xxhash64 rolling) BEFORE the shuffle and verifies survivors
+    against the raw text, or shards a distributed suffix array (pDC3).
+    The aggregate itself is partial-agg friendly (hot boilerplate grams
+    combine map-side); see SCALING.md round-9 note. Span merging is a
+    per-doc window — partitioned, no global sort.
+    """
+    L = int(min_len)
+    base = ensure_parallel(documents).select("doc_id", "text").filter(
+        F.length("text") >= L
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", "pos", F.col("text").substr(F.col("pos"), F.lit(L)).alias("gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > L, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.select("doc_id", "pos").withColumn("_brk", brk).withColumn(
+        "_grp", F.sum("_brk").over(
+            Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + L - 1).cast("int").alias("span_end"),
+            (F.max("pos") + L - F.min("pos")).cast("int").alias("span_len"),
+            F.count("*").cast("int").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )

@@ -184,6 +184,10 @@ PROX_TERMS, PROX_DIST = ("key", "sort"), 2  # 125/338 both-term docs match
 # at sf0.001 (77/304 at sf0.01) — the distance filter is observably active
 # in both directions at every SF.
 CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+# exact-substring dedup (Lee et al. 2022 ExactSubstr, round 9): window
+# length 40 chars, duplicated = >=2 occurrences corpus-wide (within-doc
+# repeats count, as in the paper); ~6k duplicated 40-grams at sf0.001
+SUBSTR_LEN, SUBSTR_MIN_COUNT = 40, 2
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 Q7_NATIONS = ("NATION_1", "NATION_2")
 Q19_CASES = (
