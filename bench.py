@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "q_stream_join",
     "q_watermark_late_drop",
     "q_pq_adc_knn",
+    "q_pq_refined_knn",
     "q_hll_sketch",
     "q_hll_merge",
     "q_orc_roundtrip",
