@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "q_repeated_chunks",
     "q_sorted_neighborhood",
     "q_substring_dedup",
+    "q_substring_dedup_hashed",
+    "q_substring_dedup_clean",
     "q_cusum_changepoints",
     "q_equidepth_histogram",
     "q_linreg",

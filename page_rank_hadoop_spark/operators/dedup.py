@@ -1318,7 +1318,13 @@ def exact_substring_spans(
         .select("gram")
     )
     hits = grams.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    return _merge_window_spans(hits, L)
 
+
+def _merge_window_spans(hits: DataFrame, L: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into
+    maximal per-doc spans — shared by the exact-gram and rolling-hash
+    ExactSubstr variants (partitioned window, no global sort)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1343,3 +1349,110 @@ def exact_substring_spans(
         .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
         .orderBy("doc_id", "span_start")
     )
+
+
+def exact_substring_spans_hashed(
+    documents: DataFrame, min_len: int = 40, min_count: int = 2
+) -> DataFrame:
+    """The 100 TB physical plan for ``exact_substring_spans`` — SAME
+    output, byte-exact (q_substring_dedup's oracle verbatim; the
+    pregel-twin precedent): the heavy corpus-wide aggregate groups
+    8-byte ``xxhash64(window)`` values instead of L-byte gram strings
+    (the shuffle carries ~L/8× fewer bytes and the map-side combine is
+    on a fixed-width key), then ONLY the hash survivors — the tiny
+    duplicated fraction — re-group by their RAW gram to erase hash
+    collisions exactly: all occurrences of a given gram share its hash,
+    so the survivor set contains every occurrence of every truly
+    duplicated gram, and the raw recount applies the same
+    count ≥ min_count rule collision-free. Two passes, both
+    partial-agg friendly; never all-pairs (SCALING.md round-9 note,
+    "scale path 1" made real)."""
+    L = int(min_len)
+    base = ensure_parallel(documents).select("doc_id", "text").filter(
+        F.length("text") >= L
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - L + 1)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("text").substr(F.col("pos"), F.lit(L)).alias("gram"),
+    ).select("doc_id", "pos", "gram", F.xxhash64("gram").alias("_gh"))
+    # pass 1: candidate hashes (8-byte shuffle key, map-side combined)
+    dup_h = (
+        grams.groupBy("_gh")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_gh")
+    )
+    survivors = grams.join(dup_h, "_gh", "left_semi")
+    # pass 2: exact recount on the raw gram — removes collisions only
+    dup = (
+        survivors.groupBy("gram")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gram")
+    )
+    hits = survivors.join(dup, "gram", "left_semi").select("doc_id", "pos")
+    return _merge_window_spans(hits, L)
+
+
+def cut_duplicate_spans(
+    documents: DataFrame, min_len: int = 40, min_count: int = 2
+) -> DataFrame:
+    """The ACTION half of ExactSubstr dedup (Lee et al. 2022 cut the
+    detected ranges out of the training text): per doc, the text with
+    every duplicated span removed, plus the bookkeeping a pipeline
+    logs — span count, chars removed, and the md5 fingerprint of the
+    cleaned text (NULL text stays possible when a whole doc is
+    duplicated boilerplate; the fingerprint keys the downstream exact
+    dedup). Docs with no duplicated spans pass through unchanged.
+
+    Plan: the span table is doc-grouped into a sorted array, and the
+    cleaned text is a JVM-side aggregate fold over the spans (substring
+    concatenation — no Python, no explode-back); one extra broadcast-
+    scale join against the span table on top of the detector's cost."""
+    L = int(min_len)
+    spans = exact_substring_spans(documents, min_len=min_len, min_count=min_count)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_sp"),
+        F.count("*").cast("int").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("int").alias(
+            "chars_removed"
+        ),
+    )
+    d = ensure_parallel(documents).select("doc_id", "text").join(
+        per_doc, "doc_id", "left"
+    )
+    # fold the sorted spans left-to-right: acc = (kept_text, cursor);
+    # each span appends text[cursor, span_start) and advances past it
+    folded = F.aggregate(
+        F.coalesce("_sp", F.array()),
+        F.struct(F.lit("").alias("kept"), F.lit(1).alias("cur")),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["kept"],
+                F.col("text").substr(
+                    acc["cur"], F.greatest(sp["span_start"] - acc["cur"], F.lit(0))
+                ),
+            ).alias("kept"),
+            F.greatest(sp["span_end"] + 1, acc["cur"]).alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["kept"], F.col("text").substr(acc["cur"], F.length("text"))
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+        folded.alias("clean_text"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "chars_removed",
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.when(F.length("clean_text") > 0, F.md5("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")

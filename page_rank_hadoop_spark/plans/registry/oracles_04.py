@@ -1006,7 +1006,7 @@ def contribute(oracles: dict[str, str]) -> None:
     )
 
     L = SUBSTR_LEN
-    oracles["q_substring_dedup"] = f"""
+    span_ctes = f"""
       WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= {L}),
       w AS (
         SELECT doc_id, text,
@@ -1032,14 +1032,55 @@ def contribute(oracles: dict[str, str]) -> None:
                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS grp
         FROM i
+      ),
+      spans AS MATERIALIZED (
+        SELECT doc_id,
+               min(pos)::INT AS span_start,
+               (max(pos) + {L} - 1)::INT AS span_end,
+               (max(pos) + {L} - min(pos))::INT AS span_len,
+               count(*)::INT AS n_windows
+        FROM s GROUP BY doc_id, grp
+      )"""
+    oracles["q_substring_dedup"] = span_ctes + """
+      SELECT doc_id, span_start, span_end, span_len, n_windows
+      FROM spans ORDER BY doc_id, span_start
+    """
+    # the rolling-hash physical plan produces the SAME spans — one
+    # oracle, two physical strategies (the pregel-twin precedent)
+    oracles["q_substring_dedup_hashed"] = oracles["q_substring_dedup"]
+    # the cut stage: rebuild each doc's text minus its (disjoint,
+    # sorted) spans as a left-fold of kept segments, fingerprint it
+    seg_start = "CASE WHEN i = 1 THEN 1 ELSE sp[i - 1].e + 1 END"
+    seg_end = "CASE WHEN i = len(sp) + 1 THEN len(text) ELSE sp[i].s - 1 END"
+    rebuild = (
+        "list_reduce(list_transform(range(1, len(sp) + 2), "
+        f"i -> substr(text, {seg_start}, "
+        f"greatest(({seg_end}) - ({seg_start}) + 1, 0))), "
+        "(a, b) -> a || b)"
+    )
+    oracles["q_substring_dedup_clean"] = span_ctes + f""",
+      agg AS (
+        SELECT doc_id,
+               list({{'s': span_start, 'e': span_end}} ORDER BY span_start) AS sp,
+               count(*)::INT AS n_spans,
+               sum(span_end - span_start + 1)::INT AS chars_removed
+        FROM spans GROUP BY doc_id
+      ),
+      j AS (
+        SELECT dd.doc_id, dd.text, a.sp,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.chars_removed, 0) AS chars_removed
+        FROM documents dd LEFT JOIN agg a USING (doc_id)
+      ),
+      clean AS (
+        SELECT doc_id, n_spans, chars_removed,
+               CASE WHEN sp IS NULL THEN text ELSE {rebuild} END AS ct
+        FROM j
       )
-      SELECT doc_id,
-             min(pos)::INT AS span_start,
-             (max(pos) + {L} - 1)::INT AS span_end,
-             (max(pos) + {L} - min(pos))::INT AS span_len,
-             count(*)::INT AS n_windows
-      FROM s GROUP BY doc_id, grp
-      ORDER BY doc_id, span_start
+      SELECT doc_id, n_spans, chars_removed,
+             len(ct)::INT AS clean_len,
+             CASE WHEN len(ct) > 0 THEN md5(ct) END AS clean_md5
+      FROM clean ORDER BY doc_id
     """
 
     contribute_hll(oracles)

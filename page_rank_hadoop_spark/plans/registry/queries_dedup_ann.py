@@ -417,6 +417,39 @@ def q_substring_dedup(spark, sf):
     )
 
 
+def q_substring_dedup_hashed(spark, sf):
+    """Round 9: the 100 TB PHYSICAL plan for exact-substring dedup —
+    the corpus-wide aggregate groups 8-byte xxhash64(window) keys
+    (L/8× fewer shuffled bytes), and only the duplicated-hash survivors
+    re-group by raw gram to erase collisions exactly. Byte-identical
+    spans: shares q_substring_dedup's oracle VERBATIM (one oracle, two
+    physical strategies — the pregel-twin precedent)."""
+    from page_rank_hadoop_spark.plans.registry._shared import (
+        SUBSTR_LEN,
+        SUBSTR_MIN_COUNT,
+    )
+
+    return dedup.exact_substring_spans_hashed(
+        _docs(spark, sf), min_len=SUBSTR_LEN, min_count=SUBSTR_MIN_COUNT
+    )
+
+
+def q_substring_dedup_clean(spark, sf):
+    """Round 9: the CUT stage of ExactSubstr (Lee et al. 2022 remove
+    the duplicated ranges from training text): per doc, span count,
+    chars removed, cleaned length and the md5 fingerprint of the
+    rebuilt text — a JVM-side fold over the sorted span array, no
+    Python, no explode-back."""
+    from page_rank_hadoop_spark.plans.registry._shared import (
+        SUBSTR_LEN,
+        SUBSTR_MIN_COUNT,
+    )
+
+    return dedup.cut_duplicate_spans(
+        _docs(spark, sf), min_len=SUBSTR_LEN, min_count=SUBSTR_MIN_COUNT
+    )
+
+
 def q_cube_stats(spark, sf):
     return relational.cube_stats(_docs(spark, sf))
 

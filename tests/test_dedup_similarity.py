@@ -518,3 +518,61 @@ def test_exact_substring_spans_short_docs_excluded(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
     )
     assert exact_substring_spans(df, min_len=20).collect() == []
+
+
+def test_exact_substring_hashed_equals_exact(spark):
+    """Round 9: the rolling-hash two-pass plan (hash the corpus-wide
+    aggregate, recount survivors on the raw gram) must produce the
+    EXACT same spans as the gram-keyed plan — byte-exact by
+    construction, pinned over the real corpus."""
+    from page_rank_hadoop_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_spans_hashed,
+    )
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = exact_substring_spans(docs, min_len=40).collect()
+    b = exact_substring_spans_hashed(docs, min_len=40).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_cut_duplicate_spans_semantics(spark):
+    """The cut stage removes exactly the detected spans: rebuilt text ==
+    manual reconstruction, untouched docs keep their text (0 spans),
+    all-duplicate docs fingerprint NULL on empty remains."""
+    from page_rank_hadoop_spark.operators.dedup import (
+        cut_duplicate_spans,
+        exact_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, "AAA " + shared + " unique tail one xxxxxxxxxxxx"),
+        (2, "totally different head " + shared + " zzz"),
+        (3, "no duplicated content here at all, just singular prose words"),
+        (4, shared),  # the whole doc IS the duplicate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {}
+    for r in exact_substring_spans(df, min_len=20).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    out = {r["doc_id"]: r for r in cut_duplicate_spans(df, min_len=20).collect()}
+
+    import hashlib
+
+    for doc_id, text in rows:
+        expect = text
+        for s, e in sorted(spans.get(doc_id, []), reverse=True):
+            expect = expect[: s - 1] + expect[e:]
+        r = out[doc_id]
+        assert r["clean_len"] == len(expect), (doc_id, r)
+        assert r["n_spans"] == len(spans.get(doc_id, []))
+        assert r["chars_removed"] == len(text) - len(expect)
+        if expect:
+            assert r["clean_md5"] == hashlib.md5(expect.encode()).hexdigest()
+        else:
+            assert r["clean_md5"] is None
+    assert out[3]["n_spans"] == 0 and out[3]["chars_removed"] == 0
+    assert out[4]["clean_len"] == 0 and out[4]["clean_md5"] is None
