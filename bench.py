@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "q_substring_dedup",
     "q_substring_dedup_hashed",
     "q_substring_dedup_clean",
+    "q_dedup_keep_best",
+    "q_token_budget_mixture",
     "q_cusum_changepoints",
     "q_equidepth_histogram",
     "q_linreg",

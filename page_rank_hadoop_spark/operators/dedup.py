@@ -1456,3 +1456,52 @@ def cut_duplicate_spans(
         F.length("clean_text").cast("int").alias("clean_len"),
         F.when(F.length("clean_text") > 0, F.md5("clean_text")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+def dedup_keep_best(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Quality-aware near-dup representative selection (round 9): given
+    candidate pairs, pick each cluster's LONGEST member (token count,
+    ties → smallest doc_id) instead of ``dedup_keep_first``'s min-id
+    rule — production pipelines keep the most complete copy of a
+    near-dup group, not an arbitrary one (the keep-longest heuristic of
+    CCNet/RefinedWeb-style dedup). Docs in no pair are their own
+    singleton cluster and keep themselves.
+
+    Output: (component_id, keep_doc_id, keep_tokens, cluster_size)
+    ordered by component_id. Plan shape: the components fixpoint (the
+    shared pair-graph machinery), one token-count projection, one
+    per-cluster WindowGroupLimit — ≤1 row per cluster crosses the final
+    exchange."""
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.functions.text import token_count
+
+    comp = near_dup_components(pairs)
+    members = (
+        ensure_parallel(documents)
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            "n_tokens",
+        )
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    sizes = members.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(sizes, "component_id")
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_tokens").cast("int").alias("keep_tokens"),
+            "cluster_size",
+        )
+        .orderBy("component_id")
+    )

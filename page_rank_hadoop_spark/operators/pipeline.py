@@ -584,3 +584,49 @@ def forget_keys(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Token-budget-bounded mixture assembly (round 9): per source,
+    take documents in deterministic ``key`` order until the source's
+    token budget is reached — the "N billion tokens per source" recipe
+    step of an LLM training mix (mixture_sample weights by PROBABILITY;
+    this caps by VOLUME, which is what data recipes actually specify).
+    Greedy prefix rule: a doc is kept iff the tokens BEFORE it are under
+    the budget, so the last kept doc may overshoot (deterministic and
+    engine-portable; no fractional doc splitting).
+
+    Output: kept rows (source, doc_id, n_tokens, tokens_before). One
+    partitioned running-sum window per source — n_sources independent
+    streams at full parallelism, no global sort (the
+    q_pack_sequences_sharded scale shape)."""
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.functions.text import token_count
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    d = ensure_parallel(df).select(
+        F.col(group_col).alias("source"),
+        F.col(key).alias("doc_id"),
+        token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            before.cast("int").alias("tokens_before"),
+        )
+        .filter(F.col("tokens_before") < budget)
+        .orderBy("source", "doc_id")
+    )

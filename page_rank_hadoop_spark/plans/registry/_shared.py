@@ -188,6 +188,11 @@ CHUNK_SIZE, CHUNK_STRIDE = 64, 48
 # length 40 chars, duplicated = >=2 occurrences corpus-wide (within-doc
 # repeats count, as in the paper); ~6k duplicated 40-grams at sf0.001
 SUBSTR_LEN, SUBSTR_MIN_COUNT = 40, 2
+# token-budget mixture (round 9): per-source token cap — sources carry
+# ~1.3k tokens at sf0.001/sf0.01 and ~13.5k at sf0.1, so 700 keeps ~half
+# at the small SFs and ~5% at sf0.1: the cut is observably active at
+# every SF in both directions (some kept, some dropped, per source)
+TOKEN_MIX_BUDGET = 700
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 Q7_NATIONS = ("NATION_1", "NATION_2")
 Q19_CASES = (

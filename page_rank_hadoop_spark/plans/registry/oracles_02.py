@@ -952,6 +952,34 @@ def contribute(oracles: dict[str, str]) -> None:
              count(DISTINCT other_id)::BIGINT AS n_matches
       FROM cand GROUP BY doc_id
     """
+    # round 9: keep-longest representative per component (singletons =
+    # their own cluster); token count = the declared tokenizer's length
+    oracles["q_dedup_keep_best"] = (
+        oracles["q_dedup_components"].replace(
+            "SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id",
+            f""", comp AS (SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id),
+      toks AS (SELECT doc_id, len({SQL_TOKENS})::INT AS n_tokens FROM documents),
+      members AS (
+        SELECT t.doc_id, coalesce(c.component_id, t.doc_id) AS component_id,
+               t.n_tokens
+        FROM toks t LEFT JOIN comp c USING (doc_id)
+      ),
+      sizes AS (SELECT component_id, count(*)::BIGINT AS cluster_size
+                FROM members GROUP BY 1),
+      best AS (
+        SELECT component_id, doc_id, n_tokens FROM (
+          SELECT component_id, doc_id, n_tokens,
+                 row_number() OVER (PARTITION BY component_id
+                   ORDER BY n_tokens DESC, doc_id ASC) AS rn
+          FROM members) WHERE rn = 1
+      )
+      SELECT b.component_id, b.doc_id AS keep_doc_id,
+             b.n_tokens AS keep_tokens, s.cluster_size
+      FROM best b JOIN sizes s USING (component_id)
+      ORDER BY component_id""",
+        )
+    )
+
     oracles["q_dedup_cluster_sizes"] = (
         oracles["q_dedup_components"].replace(
             "SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id",

@@ -1083,6 +1083,25 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM clean ORDER BY doc_id
     """
 
+    from page_rank_hadoop_spark.plans.registry._shared import TOKEN_MIX_BUDGET
+
+    oracles["q_token_budget_mixture"] = f"""
+      WITH t AS (
+        SELECT source, doc_id, len({SQL_TOKENS})::INT AS n_tokens
+        FROM documents
+      ),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT
+                 AS tokens_before
+        FROM t
+      )
+      SELECT source, doc_id, n_tokens, tokens_before
+      FROM c WHERE tokens_before < {TOKEN_MIX_BUDGET}
+      ORDER BY source, doc_id
+    """
+
     contribute_hll(oracles)
 
 

@@ -406,6 +406,17 @@ def q_doc_chunks(spark, sf):
     return textstats.chunk_documents(_docs(spark, sf), CHUNK_SIZE, CHUNK_STRIDE)
 
 
+def q_token_budget_mixture(spark, sf):
+    """Round 9: token-budget-bounded mixture assembly — per source, docs
+    in doc_id order until the source's token budget fills (kept iff
+    tokens_before < budget; the volume-capped recipe step probability
+    sampling can't express). One partitioned running-sum window per
+    source."""
+    from page_rank_hadoop_spark.plans.registry._shared import TOKEN_MIX_BUDGET
+
+    return pipeline.token_budget_mixture(_docs(spark, sf), TOKEN_MIX_BUDGET)
+
+
 def q_mixture_sample(spark, sf):
     """Deterministic per-source mixture sampling (md5-coin vs a literal
     rate map) — the LLM training-mix assembly step."""

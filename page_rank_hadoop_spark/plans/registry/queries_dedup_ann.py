@@ -400,6 +400,15 @@ def q_dedup_keep_first(spark, sf):
     return dedup.dedup_keep_first(_docs(spark, sf)).select("doc_id")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Round 9: quality-aware near-dup representative selection — each
+    cluster keeps its LONGEST member (token count, ties to the smaller
+    doc_id), singletons keep themselves; the keep-longest rule of
+    CCNet/RefinedWeb-style dedup vs q_dedup_keep_first's min-id rule.
+    Components fixpoint + one WindowGroupLimit per cluster."""
+    return dedup.dedup_keep_best(_docs(spark, sf), _minhash_pairs(spark, sf))
+
+
 def q_substring_dedup(spark, sf):
     """Round 9 (judge r8 item 2): exact-substring dedup — the Lee et
     al. 2022 ExactSubstr family the shingle/MinHash lanes approximate.

@@ -576,3 +576,45 @@ def test_cut_duplicate_spans_semantics(spark):
             assert r["clean_md5"] is None
     assert out[3]["n_spans"] == 0 and out[3]["chars_removed"] == 0
     assert out[4]["clean_len"] == 0 and out[4]["clean_md5"] is None
+
+
+def test_dedup_keep_best_longest_wins(spark):
+    """Keep-longest representative: the cluster keeps its most complete
+    member (not the min id), singletons keep themselves, cluster sizes
+    carried."""
+    from page_rank_hadoop_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short copy"),
+            (2, "the much longer and more complete copy of the text"),
+            (3, "middle length copy of text"),
+            (10, "a lone document with no duplicates anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r["component_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert out[1]["keep_doc_id"] == 2  # longest, NOT min id
+    assert out[1]["cluster_size"] == 3
+    assert out[10]["keep_doc_id"] == 10 and out[10]["cluster_size"] == 1
+
+
+def test_token_budget_mixture_per_source_prefix(spark):
+    """Greedy prefix per source: kept iff tokens_before < budget; the
+    boundary doc may overshoot; later docs drop; sources independent."""
+    from page_rank_hadoop_spark.operators.pipeline import token_budget_mixture
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),        # 4 tokens, before=0 keep
+            (2, "a", "five six seven"),            # before=4 keep (overshoots)
+            (3, "a", "eight nine"),                # before=7 >= 6 drop
+            (11, "b", "just two"),                 # before=0 keep
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_mixture(docs, budget=6, group_col="source", key="doc_id")
+    rows = {(r["source"], r["doc_id"]): r for r in out.collect()}
+    assert set(rows) == {("a", 1), ("a", 2), ("b", 11)}
+    assert rows[("a", 2)]["tokens_before"] == 4
