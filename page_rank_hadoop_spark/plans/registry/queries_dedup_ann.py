@@ -406,7 +406,9 @@ def q_dedup_keep_best(spark, sf):
     doc_id), singletons keep themselves; the keep-longest rule of
     CCNet/RefinedWeb-style dedup vs q_dedup_keep_first's min-id rule.
     Components fixpoint + one WindowGroupLimit per cluster."""
-    return dedup.dedup_keep_best(_docs(spark, sf), _minhash_pairs(spark, sf))
+    return dedup.dedup_keep_best(
+        _docs(spark, sf), components=_components(spark, sf)
+    )
 
 
 def q_substring_dedup(spark, sf):
