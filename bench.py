@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_asof_tolerance",
     "q_variant_extract",
     "q_hard_negatives",
+    "q_hard_negatives_multiprobe",
     "q_ivf_two_level",
     "q_semantic_dedup",
     "q_incremental_dedup",

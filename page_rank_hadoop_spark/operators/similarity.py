@@ -506,6 +506,118 @@ def hard_negatives(
     )
 
 
+def ivf_assign_multiprobe(
+    embeddings: DataFrame,
+    n_probe: int = 2,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """Top-``n_probe`` IVF assignment (round 9): every vector lands in
+    its ``n_probe`` NEAREST buckets, with its rank — the candidate-side
+    replication behind multi-probe search (FAISS nprobe applied to the
+    index side): a near-boundary vector is findable from both adjacent
+    buckets, trading n_probe× candidate rows for cross-bucket recall.
+    Deterministic rank rule: (cosine DESC, centroid id ASC), evaluated
+    as one comparator-sorted struct array per row — no window, no
+    shuffle; the explode is the only row-count change.
+
+    Output: (vec_id, embedding, centroid, probe_rank 1-based)."""
+    import math
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    if centroids is None:
+        centroids = seed_centroids(resolve_n_centroids(embeddings, n_centroids), dim)
+    cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in centroids]
+    with_norm = ensure_parallel(embeddings).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_vn")
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("_vn") * F.lit(cn))
+                ).alias("sim"),
+                F.lit(int(c)).alias("cid"),
+            )
+            for (c, cv), cn in zip(centroids, cnorms)
+        ]
+    )
+    comparator = lambda x, y: (
+        F.when(x["sim"] > y["sim"], F.lit(-1))
+        .when(x["sim"] < y["sim"], F.lit(1))
+        .otherwise(x["cid"] - y["cid"])
+        .cast("int")
+    )
+    top = F.slice(F.array_sort(cands, comparator), 1, int(n_probe))
+    return with_norm.select(
+        "vec_id", "embedding", F.posexplode(top).alias("_p", "_c")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("_c.cid").cast("int").alias("centroid"),
+        (F.col("_p") + 1).cast("int").alias("probe_rank"),
+    )
+
+
+def hard_negatives_multiprobe(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    n_centroids: int | str = 16,
+    dim: int = 64,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """Hard-negative mining with MULTI-PROBE blocking (round 9): the
+    single-bucket ``hard_negatives`` misses a negative that sits just
+    across a Voronoi boundary from its anchor; here every vector also
+    enters its 2nd..n_probe-th nearest buckets as a CANDIDATE (anchors
+    stay top-1 — the standard IVF search asymmetry), so an anchor meets
+    every neighbor within one boundary hop. Candidate rows grow
+    n_probe×, per-bucket pair cost unchanged in shape; with
+    n_probe = n_centroids this is EXACT brute-force different-label
+    top-k (pytest-pinned — the recall knob's ceiling is the ground
+    truth). Same output contract as ``hard_negatives``:
+    (vec_id, neg_id, cos_sim 6dp, rnk), (cos desc, neg_id) tie-break."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign_multiprobe(embeddings, n_probe, n_centroids, dim, centroids)
+    lab = embeddings.select("vec_id", "label")
+    a = assigned.filter(F.col("probe_rank") == 1).join(lab, "vec_id").select(
+        "centroid",
+        F.col("vec_id"),
+        F.col("label").alias("_la"),
+        F.col("embedding").alias("_va"),
+    )
+    b = assigned.join(lab, "vec_id").select(
+        "centroid",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("_lb"),
+        F.col("embedding").alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            "vec_id",
+            "neg_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        # a (anchor, candidate) pair can meet in several shared buckets;
+        # the cosine is identical in each, so min() just dedups
+        .groupBy("vec_id", "neg_id")
+        .agg(F.min("cos_sim").alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "neg_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def ivf_knn_cosine(
     embeddings: DataFrame,
     probe: list[float],

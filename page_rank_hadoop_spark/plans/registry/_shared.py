@@ -471,6 +471,50 @@ def _sql_hard_negatives(k: int = 3, n_centroids: int = N_CENTROIDS, dim: int = 6
     """
 
 
+def _sql_hard_negatives_multiprobe(
+    k: int = 3, n_probe: int = 2, n_centroids: int = N_CENTROIDS, dim: int = 64
+) -> str:
+    """Multi-probe hard-negative oracle (round 9): per-vector centroid
+    ranking by (sim DESC, centroid ASC) over the same sin codebook,
+    anchors = rank 1, candidates = rank <= n_probe, pairs deduped
+    across shared buckets, 6dp cosine, (cos desc, neg_id) top-k."""
+    import math
+
+    cents = [
+        "[" + ", ".join(repr(math.sin(c * 2971 + j * 7919)) for j in range(dim)) + "]"
+        for c in range(n_centroids)
+    ]
+    sims = "[" + ", ".join(f"list_cosine_similarity(v, {c})" for c in cents) + "]"
+    return f"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      ),
+      sims AS MATERIALIZED (
+        SELECT vec_id, label, v, {sims} AS s FROM e
+      ),
+      rankedc AS MATERIALIZED (
+        SELECT vec_id, label, v, (cid - 1)::INT AS cent,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s[cid::INT] DESC, cid ASC) AS rnkc
+        FROM sims CROSS JOIN range(1, {n_centroids + 1}) t(cid)
+      ),
+      pairs AS (
+        SELECT DISTINCT a.vec_id, b.vec_id AS neg_id,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        FROM rankedc a JOIN rankedc b
+          ON a.cent = b.cent AND a.label <> b.label
+        WHERE a.rnkc = 1 AND b.rnkc <= {n_probe}
+      ),
+      ranked AS (
+        SELECT vec_id, neg_id, cos_sim,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos_sim DESC, neg_id) AS rnk
+        FROM pairs
+      )
+      SELECT vec_id, neg_id, cos_sim, rnk::INT AS rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
 def _sql_trained_hard_negatives(
     k: int = 3, n_iter: int = 2, n_centroids: int = N_CENTROIDS, dim: int = 64
 ) -> str:

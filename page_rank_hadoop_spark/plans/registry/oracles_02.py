@@ -38,6 +38,7 @@ from page_rank_hadoop_spark.plans.registry._shared import (
     TFIDF_TERMS,
     _lookup_terms_sql,
     _sql_hard_negatives,
+    _sql_hard_negatives_multiprobe,
     _sql_hyperplane_bucket,
     _sql_ivf_knn,
     _sql_ivf_two_level_hist,
@@ -451,6 +452,9 @@ def contribute(oracles: dict[str, str]) -> None:
 
     oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
     oracles["q_hard_negatives"] = _sql_hard_negatives(k=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+    oracles["q_hard_negatives_multiprobe"] = _sql_hard_negatives_multiprobe(
+        k=3, n_probe=2, n_centroids=N_CENTROIDS, dim=EMB_DIM
+    )
     oracles["q_trained_hard_negatives"] = _sql_trained_hard_negatives(
         k=3, n_iter=2, n_centroids=N_CENTROIDS, dim=EMB_DIM
     )

@@ -400,6 +400,17 @@ def q_dedup_keep_first(spark, sf):
     return dedup.dedup_keep_first(_docs(spark, sf)).select("doc_id")
 
 
+def q_hard_negatives_multiprobe(spark, sf):
+    """Round 9: hard-negative mining with MULTI-PROBE blocking — every
+    vector also enters its 2nd-nearest bucket as a candidate, so anchors
+    meet negatives across the Voronoi boundary single-bucket IVF misses
+    (the nprobe recall knob applied to the mining side; n_probe=C is
+    pinned exactly equal to brute force in pytest)."""
+    return similarity.hard_negatives_multiprobe(
+        load_table(spark, sf, "embeddings"), k=3, n_probe=2, dim=EMB_DIM
+    )
+
+
 def q_dedup_keep_best(spark, sf):
     """Round 9: quality-aware near-dup representative selection — each
     cluster keeps its LONGEST member (token count, ties to the smaller

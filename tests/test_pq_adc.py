@@ -248,3 +248,48 @@ def test_refined_cursor_equals_spark_twin(spark, emb, books, tmp_path):
             (i + 1, r["vec_id"], r["sq_dist"], r["adc_dist"])
             for i, r in enumerate(got)
         ] == by_probe[pid], f"probe {pid}"
+
+
+def test_multiprobe_full_probe_equals_brute_force(spark, emb):
+    """n_probe = n_centroids makes multi-probe mining EXACT: every
+    anchor meets every different-label vector, so the top-k equals the
+    brute-force different-label top-k — the recall knob's ceiling."""
+    from pyspark.sql import Window
+
+    full = similarity.hard_negatives_multiprobe(
+        emb, k=3, n_probe=16, n_centroids=16
+    ).collect()
+    lab = emb.select("vec_id", "label", "embedding")
+    a = lab.select(
+        F.col("vec_id"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = lab.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    from page_rank_hadoop_spark.functions.vectors import cosine
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neg_id")
+    brute = (
+        a.join(b, a["la"] != b["lb"])
+        .select("vec_id", "neg_id", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .collect()
+    )
+    assert sorted(map(tuple, full)) == sorted(map(tuple, brute))
+
+
+def test_multiprobe_recall_superset_of_single(spark, emb):
+    """n_probe=2 candidate pairs are a superset of single-probe pairs
+    BEFORE the top-k cut, and multiprobe top-k recall vs brute force is
+    >= single-probe recall (strictly better on this corpus)."""
+    single = similarity.hard_negatives(emb, k=3, n_centroids=16)
+    multi = similarity.hard_negatives_multiprobe(emb, k=3, n_probe=2, n_centroids=16)
+    exact = similarity.hard_negatives_multiprobe(emb, k=3, n_probe=16, n_centroids=16)
+    truth = {(r["vec_id"], r["neg_id"]) for r in exact.collect()}
+    s = {(r["vec_id"], r["neg_id"]) for r in single.collect()} & truth
+    m = {(r["vec_id"], r["neg_id"]) for r in multi.collect()} & truth
+    assert len(m) >= len(s)
+    assert len(m) / len(truth) > len(s) / len(truth) or len(s) == len(truth)
