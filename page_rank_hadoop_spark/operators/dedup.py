@@ -515,7 +515,30 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Only documents appearing in ≥1 pair are returned — singletons are
     their own component by definition.
+
+    Loop-scoped shuffle partitions (round 9b — pregel's lever): the
+    label rounds re-plan at the static session setting and each eager
+    localCheckpoint freezes it, so a small pair graph pays rounds ×
+    partitions empty-task overhead. Sized ~50k rows/partition from the
+    pair count (floor 4, capped at the session setting — a 100 TB pair
+    table keeps cluster-sized exchanges); min-label is partition-count
+    INSENSITIVE, so labels are bit-identical at any count.
     """
+    spark = pairs.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(4, (2 * pairs.count()) // 50_000 + 1))
+    if loop_parts == session_parts:
+        return _near_dup_components_loop(pairs, max_iter)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _near_dup_components_loop(pairs, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+
+
+def _near_dup_components_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """The min-label + pointer-jump rounds proper (see
+    ``near_dup_components``, whose shuffle-partition pin wraps this)."""
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = (
         edges.unionByName(
@@ -591,7 +614,25 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 25) -> DataFrame
     variant usually wins on constants; this one exists for (and is
     tested against) deep-chain shapes, and both are driver-gated
     against the same recursive-CTE oracle.
+
+    Same loop-scoped shuffle-partition pin as ``near_dup_components``
+    (min-combines: partition-count insensitive, bit-identical labels).
     """
+    spark = pairs.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(4, (2 * pairs.count()) // 50_000 + 1))
+    if loop_parts == session_parts:
+        return _connected_components_star_loop(pairs, max_iter)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _connected_components_star_loop(pairs, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+
+
+def _connected_components_star_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """The alternating large-star/small-star rounds proper (see
+    ``connected_components_star``, whose partition pin wraps this)."""
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     cur = (
         edges.filter(F.col("u") != F.col("v"))

@@ -61,6 +61,7 @@ def run_pagerank(
     checkpoint_every: int = 3,
     teleport: DataFrame | None = None,
     initial_ranks: DataFrame | None = None,
+    shuffle_partitions: int | str | None = "auto",
 ) -> PageRankResult:
     """Iterate PageRank over an adjacency DataFrame ``(id, links)``.
 
@@ -114,6 +115,50 @@ def run_pagerank(
     # graph cache (the 'already cached' warning in round-1 bench logs).
     adj = adj.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
     n = adj.count()  # action; also materializes the persist
+
+    # Loop-scoped shuffle partitions (round 9b — the pregel() lever
+    # applied to the bespoke loop): each iteration re-plans with the
+    # static session spark.sql.shuffle.partitions and localCheckpoint
+    # freezes it, so on a small graph rounds × partitions empty tasks
+    # are pure scheduling overhead. 'auto' sizes ~50k rows/partition
+    # (floor 4, capped at the session setting — a 100 TB adjacency
+    # keeps cluster-sized exchanges). Float-sum reorder is absorbed by
+    # the declared 6dp rounding — the same tolerance that already
+    # absorbs DuckDB-vs-Spark summation order (validated across SFs ×
+    # repeats; SCALING.md round-9b). The adjacency is re-laid at the
+    # loop count so the per-iteration join stays side-aligned
+    # (ONE Exchange per iteration — plan audit unchanged).
+    spark = adj.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if shuffle_partitions == "auto":
+        loop_parts = min(session_parts, max(4, n // 50_000 + 1))
+    elif shuffle_partitions is not None:
+        loop_parts = min(session_parts, int(shuffle_partitions))
+    else:
+        loop_parts = None
+    pinned = loop_parts is not None and loop_parts != session_parts
+    if pinned:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        relaid = adj.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
+        relaid.count()
+        adj.unpersist()
+        adj = relaid
+    try:
+        return _run_pagerank_loop(
+            adj, n, alpha, min_iter, max_iter, tol, fixed_iterations,
+            checkpoint_every, teleport, initial_ranks,
+        )
+    finally:
+        if pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+
+
+def _run_pagerank_loop(
+    adj, n, alpha, min_iter, max_iter, tol, fixed_iterations,
+    checkpoint_every, teleport, initial_ranks,
+) -> PageRankResult:
+    """The iteration loop proper — split out so the shuffle-partition
+    pin is restored exception-safely without indenting the loop."""
     if teleport is not None:
         # Restart mass is spread over teleport ids PRESENT in the graph:
         # normalizing by the raw teleport count would silently lose the

@@ -124,10 +124,15 @@ def pregel(
     vs 4.5s at 8). ``'auto'`` sizes from the materialized vertex/edge
     counts (~50k rows/partition, floor 4, never above the session
     setting — a 100 TB graph keeps its cluster-sized exchanges; only
-    provably small loops shrink). Only safe for partition-count-
-    INSENSITIVE combines (min/max/count/int-sum); float sums reorder
-    partial aggregation and can drift a 6dp rounding boundary, so
-    pagerank/HITS deliberately don't set it.
+    provably small loops shrink). Round 9b extends it to the FLOAT-SUM
+    combines (pagerank/HITS) too: partial-agg merge order is already
+    nondeterministic run-to-run (reduce-side fetch order) and the
+    oracle is a different engine (DuckDB) summing in its own order, so
+    the declared 6dp rounding must — and does — absorb ulp-level
+    reorder regardless of partition count; changing the count moves
+    sums within that same already-tolerated class. Validated
+    empirically: pagerank/HITS hashes stable across repeated runs at
+    all three SFs (see SCALING.md round-9b note).
     """
     if update is None:
         raise ValueError("pregel: update callable is required")
@@ -171,6 +176,15 @@ def pregel(
         loop_parts = min(session_parts, int(shuffle_partitions))
     else:
         loop_parts = None
+
+    # Pin-only, no input re-lay: re-laying the persisted state/edge
+    # caches at loop_parts before the loop was measured a NET LOSS
+    # (sf0.1, warm best-of-2: pagerank_pregel 5.9s relaid vs 4.0s
+    # pin-only; hits_pregel 7.5s vs 6.3s) — the two repartition+persist
+    # passes cost more than the per-round small-side exchange they
+    # remove, because the loop's expensive side (the persisted edges)
+    # is joined cache-resident either way and only the aggregated
+    # message frame re-shuffles at the pinned count.
 
     deltas: list[float] = []
     lazy_persisted: list[DataFrame] = []
@@ -272,6 +286,7 @@ def pagerank_pregel(
     alpha: float = 0.15,
     n_iter: int = 10,
     checkpoint_every: int = 3,
+    shuffle_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """The reference PageRank (pageRank.scala:294,310 — pr' = α/N +
     (1−α)·Σ pr(w)/outdeg(w)) as a pregel vertex program: vertices carry
@@ -306,11 +321,16 @@ def pagerank_pregel(
         update=update,
         n_iter=n_iter,
         checkpoint_every=checkpoint_every,
+        shuffle_partitions=shuffle_partitions,  # float-sum reorder absorbed by 6dp round
     )
     return res.vertices.select("id", "pr")
 
 
-def hits_pregel(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+def hits_pregel(
+    edges: DataFrame,
+    n_iter: int = 8,
+    shuffle_partitions: int | str | None = "auto",
+) -> DataFrame:
     """HITS through pregel: both message directions active in one
     superstep (hub mass flows src→dst into authority, authority flows
     dst→src into hub); the L1 normalization is the update phase's one
@@ -354,6 +374,7 @@ def hits_pregel(edges: DataFrame, n_iter: int = 8) -> DataFrame:
         agg_to_src=[F.sum("h_msg").alias("h_raw")],
         update=update,
         n_iter=n_iter,
+        shuffle_partitions=shuffle_partitions,  # float-sum reorder absorbed by 6dp round
     )
     return res.vertices.select(
         "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
