@@ -407,7 +407,11 @@ def q_hard_negatives_multiprobe(spark, sf):
     (the nprobe recall knob applied to the mining side; n_probe=C is
     pinned exactly equal to brute force in pytest)."""
     return similarity.hard_negatives_multiprobe(
-        load_table(spark, sf, "embeddings"), k=3, n_probe=2, dim=EMB_DIM
+        load_table(spark, sf, "embeddings"),
+        k=3,
+        n_probe=2,
+        dim=EMB_DIM,
+        pair_impl="arrow",
     )
 
 
