@@ -264,7 +264,11 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
     codebook and adds it to the bucket dirs; ``probe`` serves a top-k
     for a probe vector reading ONLY its bucket (partition pruning);
     ``compact`` rewrites append-fragmented bucket dirs to one file per
-    bucket via a rename-based swap (similarity.compact_ivf_index)."""
+    bucket via a rename-based swap (similarity.compact_ivf_index) and
+    applies tombstones physically; ``delete`` tombstones vec_ids (from
+    ``--ids`` or an input parquet's vec_id column) so probes/cursors
+    stop serving them — the GDPR forget lane
+    (similarity.delete_from_ivf_index)."""
     from page_rank_hadoop_spark.operators import similarity
 
     if args.action == "compact":
@@ -273,6 +277,17 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
             f"ann-index compact: {args.index} rewritten to 1 file/bucket "
             f"(was up to {n})"
         )
+        return 0
+    if args.action == "delete":
+        if args.ids:
+            doomed = [int(x) for x in args.ids.split(",")]
+        elif args.input:
+            doomed = spark.read.parquet(args.input).select("vec_id")
+        else:
+            print("ann-index delete: --ids or an input parquet required", file=sys.stderr)
+            return 2
+        n = similarity.delete_from_ivf_index(spark, args.index, doomed)
+        print(f"ann-index delete: {n} ids tombstoned in {args.index} (compact to apply)")
         return 0
     # every action but compact reads an embeddings/batch parquet
     if not args.input:
@@ -740,11 +755,15 @@ def build_parser() -> argparse.ArgumentParser:
     pam.set_defaults(fn=cmd_ann_mine)
 
     pai = sub.add_parser("ann-index")
-    pai.add_argument("action", choices=("build", "probe", "append", "compact"))
+    pai.add_argument("action", choices=("build", "probe", "append", "compact", "delete"))
     pai.add_argument("index", help="index directory (partitioned by centroid)")
     pai.add_argument(
         "input", nargs="?", default=None,
-        help="embeddings/batch parquet (not needed for compact)",
+        help="embeddings/batch parquet (not needed for compact/delete --ids)",
+    )
+    pai.add_argument(
+        "--ids", default=None,
+        help="delete: comma-separated vec_ids to tombstone",
     )
     pai.add_argument("--centroids", type=int, default=16)
     pai.add_argument("--dim", type=int, default=64)

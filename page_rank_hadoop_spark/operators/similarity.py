@@ -1597,6 +1597,89 @@ def append_ivf_index(
         write_ivf_meta(path, centroids, dim)
 
 
+_IVF_TOMBSTONES = "_tombstones"
+
+
+def delete_from_ivf_index(spark, path: str, vec_ids) -> int:
+    """DELETE vectors from a persisted IVF index by tombstone — the
+    GDPR/right-to-be-forgotten lane the document side already has
+    (``q_forget_users``), applied to embeddings: a forget request (or a
+    dedup decision) must remove vectors from ANN serving without
+    rewriting a 100 TB index synchronously.
+
+    Mechanics: deleted ids are APPENDED as parquet under
+    ``<index>/_tombstones/`` — an underscore-prefixed directory, so
+    every ``spark.read.parquet(index)`` (probe, compact, gate) ignores
+    it as data automatically. Readers (``probe_ivf_index``,
+    ``probe_ivf_index_adc``, ``VectorSearchCursor``) exclude tombstoned
+    ids at serve time; ``compact_ivf_index`` applies them PHYSICALLY
+    (the rewrite drops the rows and the fresh index carries no
+    tombstone directory) — the standard tombstone-then-compact
+    lifecycle (Lucene deletes / Iceberg delete files). Deletion cost is
+    ∝ the delete batch, never the index.
+
+    Contract notes: ids absent from the index tombstone harmlessly;
+    re-appending a previously deleted vec_id is UNDEFINED until a
+    compact clears the tombstones (readers would still hide it) — run
+    ``compact_ivf_index`` between a delete and a re-add of the same id.
+    Returns the number of distinct ids in this delete batch.
+
+    ``vec_ids``: an iterable of ints, or a DataFrame with a ``vec_id``
+    column (e.g. the forget-request table itself).
+    """
+    import os as _os
+
+    if not ivf_index_exists(path):
+        raise FileNotFoundError(f"no IVF index at {path}")
+    if isinstance(vec_ids, DataFrame):
+        ids_df = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+    else:
+        ids = sorted({int(v) for v in vec_ids})
+        if not ids:
+            return 0
+        # spark.range-based literal frame (never createDataFrame in a
+        # serving path — Python-RDD scan; see the repo-wide rule)
+        ids_df = (
+            spark.range(len(ids))
+            .select(
+                F.get(
+                    F.array(*[F.lit(v) for v in ids]), F.col("id").cast("int")
+                )
+                .cast("long")  # one schema for every tombstone file,
+                .alias("vec_id")  # whatever width the literals inferred
+            )
+        )
+    ids_df.write.mode("append").parquet(_os.path.join(path, _IVF_TOMBSTONES))
+    return ids_df.count()
+
+
+def load_ivf_tombstones(spark, path: str) -> list[int]:
+    """Sorted distinct tombstoned vec_ids of an index ([] when none) —
+    the read-side helper every probe path shares. Tombstone sets are
+    small by contract (compaction is the pressure valve; the band-index
+    cadence rule applies), so they travel driver-side into an
+    ``isin``/client-side filter."""
+    import glob as _glob
+    import os as _os
+
+    d = _os.path.join(path, _IVF_TOMBSTONES)
+    files = _glob.glob(_os.path.join(d, "*.parquet"))
+    if not files:
+        return []
+    # the EXPLICIT file list, not the directory: a read rooted at an
+    # underscore-named dir is ignored wholesale by Spark's file index
+    # ("All paths were ignored") — the same hidden-path rule that makes
+    # the main index read skip it as data
+    return [
+        r["vec_id"]
+        for r in spark.read.parquet(*sorted(files))
+        .select(F.col("vec_id").cast("long"))
+        .distinct()
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
 def compact_ivf_index(spark, path: str) -> int:
     """Rewrite an append-fragmented IVF index to one file per bucket.
     Every ``append_ivf_index`` batch adds a file to each touched bucket
@@ -1662,8 +1745,17 @@ def compact_ivf_index(spark, path: str) -> int:
         ),
         default=0,
     )
+    # tombstones are applied PHYSICALLY here (delete_from_ivf_index's
+    # contract): the rewrite drops deleted rows and the fresh index
+    # carries no _tombstones directory (it rides into __old with the
+    # rename and is swept). spark.read.parquet skips the underscore
+    # directory as data automatically.
+    dead = load_ivf_tombstones(spark, path)
+    live = spark.read.parquet(path)
+    if dead:
+        live = live.filter(~F.col("vec_id").isin(dead))
     (
-        spark.read.parquet(path)
+        live
         .repartition("centroid")
         .write.mode("overwrite")
         .partitionBy("centroid")
@@ -1718,9 +1810,12 @@ def probe_ivf_index(
         )
     probed = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
     pl = _probe_lit(probe)
+    df = spark.read.parquet(path).filter(F.col("centroid").isin(probed))
+    dead = load_ivf_tombstones(spark, path)
+    if dead:  # serve-time tombstone exclusion (delete_from_ivf_index)
+        df = df.filter(~F.col("vec_id").isin(dead))
     return (
-        spark.read.parquet(path)
-        .filter(F.col("centroid").isin(probed))
+        df
         .select("vec_id", F.round(cosine(F.col("embedding"), pl), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -2239,6 +2334,9 @@ def probe_ivf_index_adc(
     )
     if exclude_vec_id is not None:
         df = df.filter(F.col("vec_id") != int(exclude_vec_id))
+    dead = load_ivf_tombstones(spark, path)
+    if dead:  # serve-time tombstone exclusion (delete_from_ivf_index)
+        df = df.filter(~F.col("vec_id").isin(dead))
     return (
         df.select("vec_id", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))

@@ -370,10 +370,20 @@ def _sql_kmeans_train(n_iter: int, n_centroids: int, dim: int) -> str:
     )
 
 
-def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> str:
+def _sql_ivf_knn(
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    dim: int = 64,
+    forget_mod: int | None = None,
+) -> str:
     """IVF oracle: centroid literals match operators/similarity.ivf_assign;
     first-occurrence-of-max (list_position of list_max) mirrors the Spark
-    strictly-greater when-chain's first-wins tie behavior."""
+    strictly-greater when-chain's first-wins tie behavior.
+
+    ``forget_mod`` (q_ann_forget): candidates exclude vec_id %
+    forget_mod == 0 — the SQL restatement of the tombstone-deleted id
+    set; the probe CTE stays unfiltered (the probe VECTOR is a query
+    argument, not an index row)."""
     import math
 
     cents = [
@@ -381,6 +391,7 @@ def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> 
         for c in range(n_centroids)
     ]
     sims_of = lambda v: "[" + ", ".join(f"list_cosine_similarity({v}, {c})" for c in cents) + "]"
+    keep = f"WHERE vec_id % {forget_mod} != 0" if forget_mod is not None else ""
     return f"""
       WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
       probe_c AS (
@@ -390,7 +401,7 @@ def _sql_ivf_knn(k: int = 10, n_centroids: int = N_CENTROIDS, dim: int = 64) -> 
         SELECT vec_id, embedding::DOUBLE[] AS v,
                list_position({sims_of('embedding::DOUBLE[]')},
                              list_max({sims_of('embedding::DOUBLE[]')})) AS c
-        FROM embeddings
+        FROM embeddings {keep}
       )
       SELECT a.vec_id,
              round(list_cosine_similarity(a.v, (SELECT p FROM probe)), 6) AS cos_sim

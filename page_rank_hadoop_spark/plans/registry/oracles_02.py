@@ -451,6 +451,10 @@ def contribute(oracles: dict[str, str]) -> None:
     """
 
     oracles["q_ivf_knn"] = _sql_ivf_knn(k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM)
+    # q_ann_forget: same probe, candidates minus the tombstoned id set
+    oracles["q_ann_forget"] = _sql_ivf_knn(
+        k=10, n_centroids=N_CENTROIDS, dim=EMB_DIM, forget_mod=97
+    )
     oracles["q_hard_negatives"] = _sql_hard_negatives(k=3, n_centroids=N_CENTROIDS, dim=EMB_DIM)
     oracles["q_hard_negatives_multiprobe"] = _sql_hard_negatives_multiprobe(
         k=3, n_probe=2, n_centroids=N_CENTROIDS, dim=EMB_DIM

@@ -1089,6 +1089,33 @@ def q_ivf_index_probe(spark, sf):
     )
 
 
+def q_ann_forget(spark, sf):
+    """GDPR forget lane for ANN SERVING (the embeddings analog of
+    q_forget_users): tombstone-delete every vec_id % 97 == 0 from a
+    persisted IVF index (similarity.delete_from_ivf_index — an
+    underscore-dir parquet append, cost ∝ the delete batch, never the
+    index), then serve the standard top-10 probe; deleted ids must
+    vanish from the answer (including vec_id 0 — the probe's own old
+    #1 hit). compact_ivf_index applies tombstones physically on the
+    maintenance cadence (pytest-pinned); the oracle restates the
+    surviving-candidate set with a WHERE vec_id % 97 != 0."""
+    import tempfile
+
+    key = f"{spark.sparkContext.applicationId}:{sf}:ivf_forget_dir"
+    if key not in _MV_CACHE:
+        d = tempfile.mkdtemp(prefix="ivf_forget_")
+        emb = load_table(spark, sf, "embeddings")
+        similarity.write_ivf_index(emb, d, n_centroids=16, dim=EMB_DIM)
+        similarity.delete_from_ivf_index(
+            spark, d, emb.select("vec_id").filter(F.col("vec_id") % 97 == 0)
+        )
+        _MV_CACHE[key] = d
+    return similarity.probe_ivf_index(
+        spark, _MV_CACHE[key], _probe(spark, sf), k=10, n_probe=1,
+        n_centroids=16, dim=EMB_DIM,
+    )
+
+
 def q_pq_adc_knn(spark, sf):
     """IVF-PQ asymmetric-distance search end-to-end, TRAINED: 3 Lloyd
     rounds fit each subspace's 32-code sub-quantizer (one job per round

@@ -210,6 +210,19 @@ class VectorSearchCursor:
                 if f.endswith(".parquet") and not f.startswith("_")
             ]
         self._buckets = buckets
+        # tombstoned ids (similarity.delete_from_ivf_index): excluded
+        # from every answer until a compact applies them physically.
+        # Read here (not per query) — the delete/refresh cadence is the
+        # same staleness contract as the partition listing above.
+        self._dead: set = set()
+        tomb = os.path.join(self.path, "_tombstones")
+        if os.path.isdir(tomb):
+            for f in sorted(os.listdir(tomb)):
+                if f.endswith(".parquet") and not f.startswith("_"):
+                    col = self._pq.read_table(
+                        os.path.join(tomb, f), columns=["vec_id"]
+                    ).column("vec_id")
+                    self._dead.update(col.to_pylist())
 
     @staticmethod
     def _fold_cosine(e: list, p: list) -> float:
@@ -259,6 +272,8 @@ class VectorSearchCursor:
                 for row in self._pq.read_table(
                     fp, columns=["vec_id", "embedding"]
                 ).to_pylist():
+                    if row["vec_id"] in self._dead:
+                        continue
                     out.append(
                         {
                             "vec_id": row["vec_id"],
@@ -357,6 +372,8 @@ class VectorSearchCursor:
             for i in range(ids.size):
                 vid = int(ids[i])
                 if exclude_vec_id is not None and vid == exclude_vec_id:
+                    continue
+                if vid in self._dead:
                     continue
                 out.append(
                     {
