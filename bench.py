@@ -466,6 +466,14 @@ def main() -> None:
         )
         time.sleep(backoff)
         load_warn = os.getloadavg()[0] > LOAD_BOUND
+    # the AMBIENT sample: taken before the Spark session exists, so it
+    # measures other tenants, not this bench. The old flag re-checked
+    # loadavg after the 32-thread MV-build phase, which flagged the
+    # bench's OWN warm-up as contamination (round 9b: a run started at
+    # 0.6 ambient load stamped load_warn from its build's 8.8) — the
+    # warn now keys on this sample; loadavg before/after the query loop
+    # stay recorded in the artifact for transparency.
+    ambient_load = os.getloadavg()[0]
 
     from page_rank_hadoop_spark import get_spark
 
@@ -572,7 +580,8 @@ def main() -> None:
         "cold_total_sec": cold_total,
         "serving": serving,
         "loadavg": [round(x, 1) for x in (*load_before[:1], *load_after[:1])],
-        "load_warn": load_warn or load_before[0] > LOAD_BOUND,
+        "ambient_load": round(ambient_load, 1),
+        "load_warn": load_warn or ambient_load > LOAD_BOUND,
         "pregel_tax": pregel_tax,
     }
     # full-precision detail (every run, not just the best) for the judge
