@@ -762,3 +762,45 @@ def ewma_smoothing(events: DataFrame, alpha: float = 0.5, k: int = 8) -> DataFra
         F.round("value", 6).alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def autocorrelation(orders: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function (ACF) of the daily-revenue series at
+    calendar lags 1..``max_lag``: acf_l = Pearson corr(rev_d, rev_{d−l})
+    over every day d where both endpoints exist. The series-analysis
+    primitive the reference's batch jobs never had — drift/seasonality
+    detection over ingest volume is the first chart every 100 TB
+    pipeline owner asks for (q_seasonal_profile gives the profile; this
+    gives the dependence structure).
+
+    Spark-first shape: NO global window. The series is first reduced to
+    one row per day (a partial-agg groupBy — days are bounded by the
+    calendar, not the data), lags become an exploded literal array, and
+    each lagged pair is recovered with an equi-JOIN on the shifted date
+    — shuffles scale with #days × max_lag, never with row count, and
+    the big fact scan aggregates map-side before anything moves. corr()
+    is the built-in co-moment aggregate in both engines; rounding to
+    6dp absorbs the engines' accumulation-order difference (the float
+    contract every stats query here uses).
+    """
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    lagged = daily.select(
+        "d",
+        "rev",
+        F.explode(F.array([F.lit(i) for i in range(1, max_lag + 1)])).alias("lag"),
+    )
+    prev = daily.select(F.col("d").alias("d_prev"), F.col("rev").alias("rev_prev"))
+    pairs = lagged.join(
+        prev, F.expr("date_sub(d, lag)") == F.col("d_prev"), "inner"
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.corr("rev", "rev_prev"), 6).alias("acf"),
+        )
+        .select(F.col("lag").cast("int").alias("lag"), "n_pairs", "acf")
+    )

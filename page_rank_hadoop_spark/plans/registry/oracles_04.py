@@ -1102,6 +1102,38 @@ def contribute(oracles: dict[str, str]) -> None:
       ORDER BY source, doc_id
     """
 
+    # ACF of the daily-revenue series: same shape as the Spark plan —
+    # day-reduce, explode lags, equi-join on the shifted date, corr().
+    oracles["q_autocorrelation"] = """
+      WITH daily AS (
+        SELECT o_orderdate::DATE AS d, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+      ),
+      lagged AS (
+        SELECT d, rev, unnest([1, 2, 3, 4, 5, 6, 7]) AS lag FROM daily
+      ),
+      pairs AS (
+        SELECT l.lag, l.rev, p.rev AS rev_prev
+        FROM lagged l JOIN daily p ON l.d - l.lag = p.d
+      )
+      SELECT lag::INT AS lag, count(*)::BIGINT AS n_pairs,
+             round(corr(rev, rev_prev), 6) AS acf
+      FROM pairs GROUP BY lag
+    """
+
+    # Bloom semi-join is exact after the post-filter join, so the
+    # oracle is the plain semi-join — the bloom is a scan-side cost
+    # optimization, not a semantics change.
+    oracles["q_bloom_semijoin"] = """
+      SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+             round(sum(o_totalprice), 6) AS revenue
+      FROM orders
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      )
+      GROUP BY 1
+    """
+
     contribute_hll(oracles)
 
 

@@ -960,3 +960,28 @@ def q_hll_merge(spark, sf):
         F.countDistinct("user_id").cast("bigint").alias("n_exact")
     )
     return sketches.hll_finish(merged, exact)
+
+
+def q_autocorrelation(spark, sf):
+    """ACF of daily order revenue at calendar lags 1..7: day-reduce →
+    lag explode → shifted-date equi-join → corr(). No global window;
+    shuffle scales with #days, not row count."""
+    return windows.autocorrelation(load_table(spark, sf, "orders"))
+
+
+def q_bloom_semijoin(spark, sf):
+    """Runtime bloom-filter semi-join reduction: orders scan pre-filtered
+    by a 2^17-bit bloom over BUILDING-segment customer keys, exact
+    semi-join on the survivors (false positives removed → plain-SQL
+    oracle), monthly rollup. The explicit form of Spark's injected
+    runtime filter, materializable and reusable across queries."""
+    from page_rank_hadoop_spark.operators import bloom
+
+    dim = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    kept = bloom.bloom_semijoin(
+        load_table(spark, sf, "orders"), "o_custkey", dim, "c_custkey"
+    )
+    return kept.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+    )

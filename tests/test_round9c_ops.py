@@ -1,0 +1,93 @@
+"""Round-9c operator pins: bloom-filter semi-join reduction (no false
+negatives ever; measured fp rate within the sizing bound; exact-join
+result identical with and without the bloom pre-filter) and the daily
+ACF (lag-0 sanity, bounds, pair counts).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_rank_hadoop_spark.operators import bloom, windows
+from page_rank_hadoop_spark.sources.catalog import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF0001, "orders")
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return load_table(spark, SF0001, "customer")
+
+
+class TestBloomSemijoin:
+    def test_no_false_negatives_and_fp_bound(self, orders, customer):
+        dim = customer.filter(F.col("c_mktsegment") == "BUILDING")
+        st = bloom.bloom_stats(orders, "o_custkey", dim, "c_custkey")
+        assert st["n_false_neg"] == 0
+        # sizing bound: (1 - e^{-kn/m})^k with n ≈ |dim|, m=2^17, k=4
+        n_keys = dim.select("c_custkey").distinct().count()
+        m, k = bloom.N_BITS_DEFAULT, bloom.N_HASHES_DEFAULT
+        theoretical = (1.0 - math.exp(-k * n_keys / m)) ** k
+        assert st["fp_rate"] <= max(2.0 * theoretical, 0.01)
+
+    def test_exact_vs_plain_semijoin(self, orders, customer):
+        dim = customer.filter(F.col("c_mktsegment") == "BUILDING")
+        via_bloom = bloom.bloom_semijoin(orders, "o_custkey", dim, "c_custkey")
+        plain = orders.join(
+            dim.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            on="o_custkey",
+            how="left_semi",
+        )
+        assert via_bloom.count() == plain.count()
+        assert via_bloom.exceptAll(plain).count() == 0
+
+    def test_might_contain_rejects_most_non_members(self, spark, customer):
+        words = bloom.bloom_build(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey"
+        )
+        # keys far outside the customer id space: none are members
+        probe = spark.range(10_000_000, 10_002_000).select(
+            F.col("id").alias("k"),
+            bloom.might_contain(F.col("id"), words).alias("hit"),
+        )
+        n_hits = probe.filter("hit").count()
+        assert n_hits <= 40  # ~2% of 2000 even at double the sizing bound
+
+    def test_bitmap_is_dense_and_bounded(self, customer):
+        words = bloom.bloom_build(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"), "c_custkey"
+        )
+        assert len(words) == bloom.N_BITS_DEFAULT // 64
+        assert any(w != 0 for w in words)
+
+
+class TestAutocorrelation:
+    def test_shape_and_bounds(self, orders):
+        rows = {
+            r["lag"]: r
+            for r in windows.autocorrelation(orders, max_lag=5).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4, 5}
+        n_days = (
+            orders.select(F.to_date("o_orderdate").alias("d")).distinct().count()
+        )
+        for lag, r in rows.items():
+            assert -1.0 <= r["acf"] <= 1.0
+            # pair count can never exceed days - (missing-day slack)
+            assert 0 < r["n_pairs"] <= n_days - 1
+
+    def test_lag0_identity(self, orders):
+        # corr of the series with itself is exactly 1 — pin via a direct
+        # self-join at lag 0 through the same daily reduction
+        daily = (
+            orders.groupBy(F.to_date("o_orderdate").alias("d"))
+            .agg(F.sum("o_totalprice").alias("rev"))
+        )
+        c = daily.select(F.round(F.corr("rev", "rev"), 6).alias("c")).collect()[0]["c"]
+        assert c == 1.0
