@@ -2342,3 +2342,148 @@ def probe_ivf_index_adc(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Population covariance matrix of the embedding column, upper
+    triangle as (i, j, cov) rows — the one-pass second-moment reduction
+    that feeds PCA (``pca_project``), whitening, and OPQ-style rotation
+    training.
+
+    Spark-first shape: ONE Arrow ``mapInPandas`` pass emits per-batch
+    partial moments — the d×d gram (a BLAS ``X.T @ X``, milliseconds per
+    batch) flattened to its d(d+1)/2 upper-triangle entries plus the
+    per-dimension sum rows (marked j = −1) — so the shuffle carries
+    O(partitions × d²) tiny partial rows, never the vectors themselves.
+    A groupBy-sum combines partials (map-side partial agg), then a
+    64-row broadcast self-join attaches the means. At 100 TB this is
+    the canonical "collect a codebook-sized statistic from a huge scan"
+    plan: data moves once, moments move in KBs.
+
+    Engine-parity contract: input moments (E[xy] and the means) are
+    rounded to 6dp on BOTH sides before the covariance formula, then the
+    result rounds 6dp — the same derived-statistics rule every stats
+    oracle here follows (BLAS vs ordered-SQL summation differ by ~1 ulp;
+    rounding the moments keeps that ulp out of the product term).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    iu = [(i, j) for i in range(dim) for j in range(i, dim)]
+    iu_i = np.array([i for i, _ in iu], dtype="int32")
+    iu_j = np.array([j for _, j in iu], dtype="int32")
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype="float64")
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu_i, np.arange(dim, dtype="int32")]),
+                    "j": np.concatenate(
+                        [iu_j, np.full(dim, -1, dtype="int32")]
+                    ),
+                    "s": np.concatenate([g[iu_i, iu_j], x.sum(axis=0)]),
+                    "n": np.full(len(iu) + dim, len(x), dtype="int64"),
+                }
+            )
+
+    parts = ensure_parallel(embeddings.select("embedding")).mapInPandas(
+        moments, schema="i int, j int, s double, n bigint"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+    means = agg.filter(F.col("j") == -1).select(
+        F.col("i").alias("mi"), F.round(F.col("s") / F.col("n"), 6).alias("mean")
+    )
+    gram = agg.filter(F.col("j") >= 0).withColumn(
+        "exy", F.round(F.col("s") / F.col("n"), 6)
+    )
+    return (
+        gram.join(F.broadcast(means), gram["i"] == means["mi"])
+        .drop("mi")
+        .withColumnRenamed("mean", "mean_i")
+        .join(
+            F.broadcast(means.withColumnRenamed("mean", "mean_j")),
+            gram["j"] == F.col("mi"),
+        )
+        .select(
+            "i",
+            "j",
+            # + 0.0 normalizes IEEE −0.0 (a tiny negative covariance
+            # rounds to −0.0 here but 0.0 in an engine that summed the
+            # other way; the hash preserves the sign)
+            (
+                F.round(F.col("exy") - F.col("mean_i") * F.col("mean_j"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[float]]:
+    """PCA projection of the embedding column onto its top
+    ``n_components`` principal axes. Returns (projected_df,
+    explained_variance) where projected_df is (id_col,
+    components array<double>).
+
+    Split of labor mirrors the k-means codebook design
+    (``centroids_from_kmeans``): the DISTRIBUTED part is the one-pass
+    covariance reduction above (data never leaves the executors); the
+    driver pulls only the d(d+1)/2 + d moment scalars (≈2 KB at d=64),
+    runs ``numpy.linalg.eigh`` on the tiny symmetric matrix, and
+    broadcasts the d×p projection back as a literal into a second Arrow
+    map pass. Eigenvectors get a deterministic sign (the
+    largest-|loading| entry is made positive, first index on ties) so
+    re-runs and resumes produce identical projections.
+
+    No SQL oracle can eigendecompose, so this operator is pinned by
+    pytest instead (orthonormality, eigenvalue/variance agreement,
+    numpy-PCA parity at test scale); its distributed input statistic IS
+    oracle-gated via q_embedding_covariance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    cov_rows = embedding_covariance(embeddings, dim=dim).collect()
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(-vals)[:n_components]
+    w = vecs[:, order]
+    for k in range(w.shape[1]):  # deterministic sign convention
+        col = w[:, k]
+        lead = int(np.argmax(np.abs(col)))
+        if col[lead] < 0:
+            w[:, k] = -col
+    explained = [float(v) for v in vals[order]]
+    w_lit = w.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype="float64")
+            p = x @ w_lit
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "components": list(p)}
+            )
+
+    out = ensure_parallel(embeddings.select(id_col, "embedding")).mapInPandas(
+        project, schema=f"{id_col} bigint, components array<double>"
+    )
+    return out, explained

@@ -1134,6 +1134,26 @@ def contribute(oracles: dict[str, str]) -> None:
       GROUP BY 1
     """
 
+    # Covariance: moments rounded 6dp on both sides before the formula
+    # (the derived-statistics rule); ordered sums pin accumulation.
+    oracles["q_embedding_covariance"] = """
+      WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+      x AS (
+        SELECT vec_id, i.i, embedding[i.i]::DOUBLE AS v
+        FROM embeddings CROSS JOIN idx i
+      ),
+      m AS (SELECT i, round(sum(v) / count(*), 6) AS mean FROM x GROUP BY 1),
+      p AS (
+        SELECT a.i AS i, b.i AS j,
+               round(sum(a.v * b.v) / count(*), 6) AS exy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+      )
+      SELECT (p.i - 1)::INT AS i, (p.j - 1)::INT AS j,
+             round(p.exy - mi.mean * mj.mean, 6) + 0.0::DOUBLE AS cov
+      FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
+    """
+
     contribute_hll(oracles)
 
 

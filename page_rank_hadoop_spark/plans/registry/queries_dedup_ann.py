@@ -1191,3 +1191,11 @@ def q_orc_roundtrip(spark, sf):
         ).save(d)
         _MV_CACHE[key] = d
     return relational.pricing_summary(spark.read.format("orc").load(_MV_CACHE[key]))
+
+
+def q_embedding_covariance(spark, sf):
+    """Upper-triangle covariance matrix of the embedding column: one
+    Arrow moment pass (per-batch BLAS gram + sums), partial-agg combine,
+    broadcast mean join. The distributed statistic behind pca_project
+    (whose eigendecomposition is pytest-pinned — SQL can't eigh)."""
+    return similarity.embedding_covariance(load_table(spark, sf, "embeddings"))

@@ -91,3 +91,51 @@ class TestAutocorrelation:
         )
         c = daily.select(F.round(F.corr("rev", "rev"), 6).alias("c")).collect()[0]["c"]
         assert c == 1.0
+
+
+class TestPCA:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return load_table(spark, SF0001, "embeddings")
+
+    def test_covariance_matches_numpy(self, emb):
+        import numpy as np
+
+        from page_rank_hadoop_spark.operators import similarity
+
+        rows = similarity.embedding_covariance(emb).collect()
+        x = np.array(
+            [r["embedding"] for r in emb.select("embedding").collect()],
+            dtype="float64",
+        )
+        ref = np.cov(x, rowvar=False, bias=True)
+        for r in rows:
+            # operator rounds moments to 6dp before the formula → ±2e-6
+            assert abs(r["cov"] - ref[r["i"], r["j"]]) < 2e-6
+
+    def test_projection_contract(self, emb):
+        import numpy as np
+
+        from page_rank_hadoop_spark.operators import similarity
+
+        out, explained = similarity.pca_project(emb, n_components=8)
+        pdf = out.toPandas()
+        assert len(pdf) == emb.count()
+        p = np.array(pdf["components"].tolist())
+        assert p.shape[1] == 8
+        # eigenvalues sorted desc, and each equals the variance of its
+        # projected coordinate (the defining property of PCA axes)
+        assert explained == sorted(explained, reverse=True)
+        var = p.var(axis=0)  # population
+        for k in range(8):
+            assert abs(var[k] - explained[k]) / max(explained[k], 1e-9) < 1e-3
+
+    def test_deterministic_across_runs(self, emb):
+        from page_rank_hadoop_spark.operators import similarity
+
+        out1, e1 = similarity.pca_project(emb, n_components=4)
+        out2, e2 = similarity.pca_project(emb, n_components=4)
+        assert e1 == e2
+        d1 = {r["vec_id"]: r["components"] for r in out1.collect()}
+        d2 = {r["vec_id"]: r["components"] for r in out2.collect()}
+        assert d1 == d2
