@@ -712,3 +712,186 @@ def edge_reciprocity(edges: DataFrame) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    max_iters: int = 64,
+    shuffle_partitions: int | str | None = "auto",
+    pointer_jump: bool | str = "auto",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge list — (id,
+    scc_id) with scc_id = min member id. The web graph the reference
+    ranks (pageRank.scala:331-393) is directed; undirected CC
+    (near_dup_components, cc_pregel) over-merges it, so SCC is the
+    honest community primitive for link graphs: u and v share a
+    component iff each reaches the other.
+
+    Algorithm: forward-backward coloring (Orzan; the standard
+    distributed SCC — Tarjan's stack is inherently sequential). Each
+    outer round:
+
+    1. FORWARD MIN-LABEL FIXPOINT: f(v) = min id reachable FROM v,
+       via synchronous relaxation f(v) ← min(f(v), min_{v→w} f(w)).
+       Iterations bounded by the remaining graph's diameter.
+    2. PIVOT REACH: pivots are vertices with f(v) = v (they reach no
+       smaller id). For any v with f(v) = c and c →* v, v reaches c
+       (that is what f(v) = c means) and c reaches v — mutually
+       reachable, so SCC(c) = {v : f(v) = c ∧ c →* v}. Every vertex on
+       such a path is itself in SCC(c), so propagation stays correct
+       when RESTRICTED to same-color edges — which also lets all color
+       classes flood in parallel with a single boolean flag.
+    3. PEEL: emit every flagged vertex with scc_id = f(v); drop them
+       and their edges; recurse on the remainder (each round settles
+       ≥ 1 SCC per color class, so termination is guaranteed).
+
+    Physical shape per inner step: one frontier equi-join + one
+    partial-agg'd groupBy (never whole-graph recompute), eager
+    localCheckpoint per step (the 3×-fanout lineage rule every loop
+    here follows), loop-scoped shuffle partitions sized to the live
+    subgraph (the 9b lever — these frontiers are tiny next to the
+    session's scan-sized shuffle width). At 1000-executor scale rounds
+    are the cost driver; the standard accelerators (trim-1 peeling of
+    degree-0 vertices, large-star shortcutting inside step 1) bolt onto
+    the same loop skeleton — documented, not needed at test SFs.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = edges.sparkSession
+    e_all = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = (
+        e_all.select(F.col("src").alias("id"))
+        .unionByName(e_all.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_all = remaining.count()
+
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if shuffle_partitions == "auto":
+        loop_parts = min(session_parts, max(4, n_all // 50_000 + 1))
+    elif shuffle_partitions is not None:
+        loop_parts = min(session_parts, int(shuffle_partitions))
+    else:
+        loop_parts = session_parts
+    pinned = loop_parts != session_parts
+    if pinned:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+
+    done = None
+    try:
+        for _ in range(max_rounds):
+            if remaining.count() == 0:
+                break
+            e = (
+                e_all.join(
+                    remaining.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .repartition("dst")  # the per-iteration relax join key
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # 1. forward min-reach fixpoint. Optionally two relaxations
+            # per step: edges (f(v) ← min over v→w of f(w)) plus pointer
+            # jumping (f(v) ← f(f(v)) — sound because f(v) is by
+            # construction a node v reaches, so v reaches everything
+            # f(v) reaches). The jump makes convergence O(log diameter)
+            # instead of O(diameter) but costs an extra join per step —
+            # measured to LOSE below ~100k vertices (job overhead
+            # dominates; sf0.1 slice: 9.9s with vs 8.9s without), so
+            # 'auto' enables it only where the asymptotics can pay.
+            jump_on = n_all > 100_000 if pointer_jump == "auto" else bool(pointer_jump)
+            lbl = remaining.select("id", F.col("id").alias("f")).localCheckpoint()
+            for _it in range(max_iters):
+                relax = (
+                    e.join(lbl.withColumnRenamed("id", "dst"), "dst")
+                    .groupBy("src")
+                    .agg(F.min("f").alias("fmin"))
+                )
+                nxt = lbl.join(
+                    relax.withColumnRenamed("src", "id"), "id", "left"
+                )
+                if jump_on:
+                    jump = lbl.select(
+                        F.col("id").alias("f"), F.col("f").alias("fjump")
+                    )
+                    nxt = nxt.join(jump, "f", "left").select(
+                        "id",
+                        "f",
+                        F.least(
+                            "f",
+                            F.coalesce("fmin", "f"),
+                            F.coalesce("fjump", "f"),
+                        ).alias("f2"),
+                    )
+                else:
+                    nxt = nxt.select(
+                        "id", "f", F.least("f", F.coalesce("fmin", "f")).alias("f2")
+                    )
+                nxt = nxt.localCheckpoint()
+                n_changed = nxt.filter(F.col("f2") < F.col("f")).count()
+                lbl = nxt.select("id", F.col("f2").alias("f"))
+                if n_changed == 0:
+                    break
+            else:
+                raise RuntimeError("SCC forward pass did not converge")
+            lbl = lbl.localCheckpoint()
+            # 2. flood pivot reachability inside each color class
+            ef = (
+                e.join(
+                    lbl.select(F.col("id").alias("src"), F.col("f").alias("fs")),
+                    "src",
+                )
+                .join(
+                    lbl.select(F.col("id").alias("dst"), F.col("f").alias("fd")),
+                    "dst",
+                )
+                .filter(F.col("fs") == F.col("fd"))
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            reached = lbl.filter(F.col("f") == F.col("id")).select("id")
+            frontier = reached.localCheckpoint()
+            for _it in range(max_iters):
+                frontier = (
+                    ef.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(reached, "id", "left_anti")
+                    .localCheckpoint()
+                )
+                if frontier.count() == 0:
+                    break
+                # no checkpoint: reached is a shallow union of already-
+                # checkpointed frontiers (lineage grows one union node
+                # per iteration, never a recomputation chain)
+                reached = reached.unionByName(frontier)
+            else:
+                raise RuntimeError("SCC pivot flood did not converge")
+            # 3. peel
+            newly = lbl.join(reached, "id", "left_semi").select(
+                "id", F.col("f").alias("scc_id")
+            )
+            done = (
+                newly.localCheckpoint()
+                if done is None
+                else done.unionByName(newly).localCheckpoint()
+            )
+            remaining = (
+                remaining.join(reached, "id", "left_anti").localCheckpoint()
+            )
+            e.unpersist()
+        else:
+            raise RuntimeError("SCC peeling did not converge in max_rounds")
+    finally:
+        if pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+    return done if done is not None else remaining.select(
+        "id", F.col("id").alias("scc_id")
+    )

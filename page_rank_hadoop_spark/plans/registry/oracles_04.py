@@ -1154,6 +1154,35 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
     """
 
+    # SCC via mutual reachability: closure is only tractable because the
+    # declared query slices the graph (ids < 800, residue-thinned) — the
+    # Spark operator is the unbounded path (Tarjan-parity pytest).
+    oracles["q_scc"] = f"""
+      WITH RECURSIVE {SQL_GRAPH_CTES},
+      e AS (
+        SELECT DISTINCT src, dst FROM kept
+        WHERE src < 800 AND dst < 800 AND (src*31 + dst) % 3 = 0
+          AND src <> dst
+      ),
+      vs AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+      ),
+      mutual AS (
+        SELECT a.src AS u, a.dst AS v
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+      ),
+      assign AS (
+        SELECT vs.v AS id, least(vs.v, coalesce(min(m.v), vs.v)) AS scc_id
+        FROM vs LEFT JOIN mutual m ON m.u = vs.v
+        GROUP BY vs.v
+      )
+      SELECT scc_id::BIGINT AS scc_id, count(*)::BIGINT AS n_members
+      FROM assign GROUP BY 1
+    """
+
     contribute_hll(oracles)
 
 

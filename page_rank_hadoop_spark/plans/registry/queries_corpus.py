@@ -905,3 +905,22 @@ def q_stream_join(spark, sf):
     from page_rank_hadoop_spark.streaming.replay import run_stream_join_replay
 
     return run_stream_join_replay(spark, sf, horizon_minutes=30, n_batches=2)
+
+
+def q_scc(spark, sf):
+    """Strongly connected components (forward-backward coloring) of a
+    deterministic bounded+thinned slice of the directed link graph,
+    reported as (scc_id, n_members). The slice (ids < 800, every third
+    (src*31+dst) residue) exists ONLY to keep the DuckDB mutual-
+    reachability closure tractable — the Spark operator itself is
+    unbounded; its Tarjan-parity pytest runs the same slices."""
+    kept = _graph(spark, sf)["kept"]
+    sub = kept.filter(
+        (F.col("src") < 800)
+        & (F.col("dst") < 800)
+        & ((F.col("src") * 31 + F.col("dst")) % 3 == 0)
+    )
+    scc = graph.strongly_connected_components(sub)
+    return scc.groupBy("scc_id").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )

@@ -139,3 +139,127 @@ class TestPCA:
         d1 = {r["vec_id"]: r["components"] for r in out1.collect()}
         d2 = {r["vec_id"]: r["components"] for r in out2.collect()}
         assert d1 == d2
+
+
+def _tarjan_scc(edges):
+    """Reference sequential SCC (iterative Tarjan) for parity pins."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index, low, onstk, stk, out, idx = {}, {}, set(), [], {}, [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = idx[0]
+                idx[0] += 1
+                stk.append(v)
+                onstk.add(v)
+            recurse = False
+            nbrs = adj[v]
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stk.pop()
+                        onstk.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    cid = min(comp)
+                    for w in comp:
+                        out[w] = cid
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+    return out
+
+
+class TestSCC:
+    def test_matches_tarjan_on_link_graph_slice(self, spark):
+        from page_rank_hadoop_spark.operators import graph
+        from page_rank_hadoop_spark.plans.registry.queries_corpus import _graph
+
+        kept = _graph(spark, SF0001)["kept"]
+        sub = kept.filter(
+            (F.col("src") < 800)
+            & (F.col("dst") < 800)
+            & ((F.col("src") * 31 + F.col("dst")) % 3 == 0)
+        )
+        edges = [(r["src"], r["dst"]) for r in sub.collect()]
+        ref = _tarjan_scc(edges)
+        got = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(sub).collect()
+        }
+        assert got == ref
+        # the sf0.001 slice is known to split into exactly 3 SCCs
+        # (332 + 167 + 1) — a structural regression canary
+        from collections import Counter
+
+        assert sorted(Counter(got.values()).values(), reverse=True) == [332, 167, 1]
+
+    def test_two_cycles_bridge(self, spark):
+        # {1,2} and {3,4} are 2-cycles; 2→3 bridges them (one direction)
+        from page_rank_hadoop_spark.operators import graph
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(e).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    def test_dag_is_all_singletons(self, spark):
+        from page_rank_hadoop_spark.operators import graph
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(e).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_pointer_jump_parity(self, spark):
+        # jump on vs off must agree (same fixpoint, different step count)
+        from page_rank_hadoop_spark.operators import graph
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)] + [(12, 1), (5, 20)],
+            ["src", "dst"],
+        )
+        a = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(
+                e, pointer_jump=True
+            ).collect()
+        }
+        b = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(
+                e, pointer_jump=False
+            ).collect()
+        }
+        assert a == b
+        assert a[12] == 1 and a[20] == 20
