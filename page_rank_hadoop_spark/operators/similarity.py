@@ -2487,3 +2487,107 @@ def pca_project(
         project, schema=f"{id_col} bigint, components array<double>"
     )
     return out, explained
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    probes: list[tuple[int, list[float]]],
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    for each probe, greedily build a k-item result that trades query
+    relevance against redundancy — step t picks
+    argmax lam·rel(c) − mu·max_{s∈selected} sim(c, s). The standard
+    retrieval diversifier: plain top-k returns near-duplicate passages;
+    MMR is what a RAG/training-mixture pipeline runs on the shortlist.
+
+    Two-stage Spark shape: (1) DISTRIBUTED pool selection — per-probe
+    map-side cosine + TakeOrderedAndProject top-``pool`` (the same
+    one-pass-no-shuffle plan as knn_cosine; at 100 TB you'd feed the
+    pool from the IVF/ADC index instead — same contract, a (qid,
+    vec_id, rel, embedding) candidate set); (2) the greedy loop runs
+    per-qid inside ONE ``applyInPandas`` group — it is sequential in k
+    by definition, but k·pool is serving-scale, so each group is
+    microseconds of BLAS and all probes diversify in parallel.
+
+    Engine-portable determinism — EXACT INTEGER SCORES: rel and the
+    pairwise sims are rounded to 6dp (the generic float contract), then
+    scaled to integer micro-units R = rel·10⁶, M = max-sim·10⁶, and the
+    step score is the exact integer 7·R − 3·M (for lam=0.7/mu=0.3),
+    emitted as score/10⁷. Floating-point re-rounding is BANNED inside
+    the greedy because 6dp inputs put 0.7·rel − 0.3·ms exactly on 1e-7
+    decimal boundaries ~10% of the time, where Python (half-even),
+    Spark (HALF_UP on decimal repr) and DuckDB (scaled binary) all
+    disagree — integer arithmetic has no boundary to disagree on. Ties
+    break (score desc, id asc). lam/mu must be multiples of 0.1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from page_rank_hadoop_spark.functions.vectors import cosine
+
+    lam10, mu10 = int(round(lam * 10)), int(round(mu * 10))
+    if abs(lam10 / 10 - lam) > 1e-12 or abs(mu10 / 10 - mu) > 1e-12:
+        raise ValueError("lam/mu must be multiples of 0.1 (exact-score contract)")
+
+    pooled = None
+    for qid, vec in probes:
+        s = (
+            embeddings.filter(F.col(id_col) != int(qid))
+            .select(
+                F.lit(int(qid)).alias("qid"),
+                F.col(id_col),
+                "embedding",
+                F.round(cosine(F.col("embedding"), _probe_lit(vec)), 6).alias(
+                    "rel"
+                ),
+            )
+            .orderBy(F.desc("rel"), F.col(id_col))
+            .limit(pool)
+        )
+        pooled = s if pooled is None else pooled.unionByName(s)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col]).reset_index(drop=True)
+        x = np.array(pdf["embedding"].tolist(), dtype="float64")
+        nrm = np.sqrt((x * x).sum(axis=1))
+        # 6dp round then exact micro-unit integers (see docstring)
+        s_micro = np.rint(
+            np.round((x @ x.T) / np.outer(nrm, nrm), 6) * 1e6
+        ).astype("int64")
+        r_micro = np.rint(
+            pdf["rel"].to_numpy(dtype="float64") * 1e6
+        ).astype("int64")
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        for step in range(1, min(k, n) + 1):
+            best = None
+            for i in range(n):
+                if i in selected:
+                    continue
+                m = max(s_micro[i, j] for j in selected) if selected else 0
+                score = lam10 * r_micro[i] - mu10 * m  # exact integer
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, i, score = best
+            selected.append(i)
+            out.append(
+                {
+                    "qid": int(pdf["qid"].iloc[0]),
+                    "step": step,
+                    id_col: int(ids[i]),
+                    "mmr_score": float(score) / 1e7,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return pooled.groupBy("qid").applyInPandas(
+        greedy, schema=f"qid int, step int, {id_col} bigint, mmr_score double"
+    )

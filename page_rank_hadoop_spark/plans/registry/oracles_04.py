@@ -1183,7 +1183,83 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM assign GROUP BY 1
     """
 
+    oracles["q_mmr_rerank"] = _sql_mmr()
+
     contribute_hll(oracles)
+
+
+def _sql_mmr(k: int = 10, pool: int = 30) -> str:
+    """Unrolled MMR greedy: step CTEs s1..sk each pick the per-qid
+    argmax; p_t accumulates the selected set (AS MATERIALIZED — p_t is
+    referenced three times per level, the deep-unroll re-inline trap).
+    Scores are EXACT INTEGER micro-units (7·R − 3·M over rel/sim ·10⁶)
+    mirroring the operator — 6dp inputs put a float 0.7·rel − 0.3·ms
+    exactly on 1e-7 rounding boundaries ~10% of the time, where the
+    engines' rounding modes disagree; integers have no boundary."""
+    steps = [
+        """
+      s1 AS (
+        SELECT qid, vec_id, 7 * rm AS sc, 1 AS step
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY 7 * rm DESC, vec_id) = 1
+      )""",
+        "p1 AS MATERIALIZED (SELECT qid, vec_id FROM s1)",
+    ]
+    for t in range(2, k + 1):
+        steps.append(f"""
+      s{t} AS (
+        SELECT c.qid, c.vec_id, 7 * c.rm - 3 * ms.m AS sc, {t} AS step
+        FROM cand c
+        JOIN (
+          SELECT s.qid, s.ia AS vec_id, max(s.sm) AS m
+          FROM sims s JOIN p{t - 1} p ON s.qid = p.qid AND s.ib = p.vec_id
+          GROUP BY s.qid, s.ia
+        ) ms ON c.qid = ms.qid AND c.vec_id = ms.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p{t - 1} p
+          WHERE p.qid = c.qid AND p.vec_id = c.vec_id
+        )
+        QUALIFY row_number() OVER (PARTITION BY c.qid
+          ORDER BY 7 * c.rm - 3 * ms.m DESC, c.vec_id) = 1
+      )""")
+        steps.append(
+            f"p{t} AS MATERIALIZED (SELECT qid, vec_id FROM p{t - 1} "
+            f"UNION ALL SELECT qid, vec_id FROM s{t})"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT qid::INT AS qid, step::INT AS step, vec_id,"
+        f" sc / 10000000.0::DOUBLE AS mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+      WITH probes AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS pv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)
+      ),
+      scoredall AS (
+        SELECT p.qid, e.vec_id, e.embedding::DOUBLE[] AS emb,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6)
+                 AS rel
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.qid
+      ),
+      cand AS MATERIALIZED (
+        SELECT qid, vec_id, emb,
+               CAST(round(rel * 1000000) AS BIGINT) AS rm
+        FROM scoredall
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY rel DESC, vec_id) <= {pool}
+      ),
+      sims AS MATERIALIZED (
+        SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+               CAST(round(round(list_cosine_similarity(a.emb, b.emb), 6)
+                    * 1000000) AS BIGINT) AS sm
+        FROM cand a JOIN cand b ON a.qid = b.qid
+      ),
+      {','.join(steps)}
+      {union}
+    """
 
 
 def contribute_hll(oracles: dict[str, str]) -> None:

@@ -1199,3 +1199,21 @@ def q_embedding_covariance(spark, sf):
     broadcast mean join. The distributed statistic behind pca_project
     (whose eigendecomposition is pytest-pinned — SQL can't eigh)."""
     return similarity.embedding_covariance(load_table(spark, sf, "embeddings"))
+
+
+def q_mmr_rerank(spark, sf):
+    """MMR diversity re-rank over three probe queries (vec_id 0/1/2):
+    distributed top-30 cosine pools, then the greedy
+    lam·rel − mu·max-sim selection per probe inside one applyInPandas
+    group. Oracle unrolls the 10 greedy steps as chained CTEs."""
+    emb = load_table(spark, sf, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probes = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+    return similarity.mmr_rerank(emb, probes, k=10, pool=30)

@@ -263,3 +263,74 @@ class TestSCC:
         }
         assert a == b
         assert a[12] == 1 and a[20] == 20
+
+
+class TestMMR:
+    @pytest.fixture(scope="class")
+    def ranked(self, spark):
+        from page_rank_hadoop_spark.operators import similarity
+
+        emb = load_table(spark, SF0001, "embeddings")
+        rows = (
+            emb.filter(F.col("vec_id").isin([0, 1]))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        probes = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in sorted(rows, key=lambda r: r["vec_id"])
+        ]
+        out = similarity.mmr_rerank(emb, probes, k=5, pool=20).collect()
+        return emb, probes, out
+
+    def test_first_pick_is_top_relevance(self, ranked):
+        from page_rank_hadoop_spark.operators import similarity
+
+        emb, probes, out = ranked
+        for qid, vec in probes:
+            top = similarity.knn_cosine(
+                emb.filter(F.col("vec_id") != qid), vec, k=1
+            ).collect()[0]
+            first = [r for r in out if r["qid"] == qid and r["step"] == 1][0]
+            assert first["vec_id"] == top["vec_id"]
+
+    def test_k_distinct_picks_scores_bounded(self, ranked):
+        _, probes, out = ranked
+        for qid, _ in probes:
+            picks = [r for r in out if r["qid"] == qid]
+            assert len(picks) == 5
+            assert len({r["vec_id"] for r in picks}) == 5
+            for r in picks:
+                assert -1.0 <= r["mmr_score"] <= 1.0
+
+    def test_less_redundant_than_topk(self, ranked):
+        # mean pairwise cosine of the MMR set must not exceed the plain
+        # top-k set's (diversity is the whole point of the operator)
+        import numpy as np
+
+        emb, probes, out = ranked
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+
+        def mean_pairwise(idset):
+            vs = [vecs[i] / np.linalg.norm(vecs[i]) for i in idset]
+            sims = [
+                float(vs[a] @ vs[b])
+                for a in range(len(vs))
+                for b in range(a + 1, len(vs))
+            ]
+            return sum(sims) / len(sims)
+
+        from page_rank_hadoop_spark.operators import similarity
+
+        for qid, vec in probes:
+            mmr_ids = [r["vec_id"] for r in out if r["qid"] == qid]
+            topk_ids = [
+                r["vec_id"]
+                for r in similarity.knn_cosine(
+                    emb.filter(F.col("vec_id") != qid), vec, k=5
+                ).collect()
+            ]
+            assert mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-9
