@@ -1185,6 +1185,13 @@ def contribute(oracles: dict[str, str]) -> None:
 
     oracles["q_mmr_rerank"] = _sql_mmr()
 
+    # streaming dedup ≡ batch distinct (dup spacing < watermark delay)
+    oracles["q_stream_dedup"] = """
+      SELECT DISTINCT user_id, event_type,
+             date_trunc('hour', ts) AS hour_ts
+      FROM events
+    """
+
     contribute_hll(oracles)
 
 

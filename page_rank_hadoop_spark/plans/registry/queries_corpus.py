@@ -924,3 +924,15 @@ def q_scc(spark, sf):
     return scc.groupBy("scc_id").agg(
         F.count("*").cast("bigint").alias("n_members")
     )
+
+
+def q_stream_dedup(spark, sf):
+    """Streaming exact dedup as a declared genuine-streaming query:
+    dropDuplicatesWithinWatermark over (user_id, event_type, hour) in
+    two time-ordered microbatches — bounded state (the watermark
+    eviction contract), first occurrences emitted in append mode.
+    Oracle is the plain batch DISTINCT (duplicate spacing < 1h ≪ the
+    2h delay, so replay ≡ batch by construction)."""
+    from page_rank_hadoop_spark.streaming.replay import run_stream_dedup_replay
+
+    return run_stream_dedup_replay(spark, sf)

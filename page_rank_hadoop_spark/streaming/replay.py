@@ -501,3 +501,68 @@ def run_stream_join_replay(
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_stream_dedup_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    delay_hours: int = 2,
+    n_batches: int = 2,
+) -> DataFrame:
+    """Streaming EXACT DEDUP with bounded state:
+    ``dropDuplicatesWithinWatermark`` over the natural duplicate key
+    (user_id, event_type, event-hour), replayed in ``n_batches``
+    time-ordered microbatches — the streaming ingest face of the exact
+    dedup family (q_exact_dedup is the batch face; the dedup/ANN ingest
+    gates are the foreachBatch face).
+
+    Why this equals batch DISTINCT (the shared oracle): every duplicate
+    of a key carries a ts inside the same clock hour, so dup spacing is
+    < 1h, while the watermark delay is ``delay_hours`` ≥ 2h — a key's
+    state provably outlives every duplicate that can still arrive in a
+    time-ordered replay (first occurrence t0, dup t1 in the same hour:
+    watermark at t1 is ≤ batch-boundary − delay ≤ t1 − 1h < t0 + delay).
+    That inequality is the PRODUCTION contract too: state size is
+    bounded by keys-per-watermark-window, not stream length — the exact
+    property unbounded ``dropDuplicates`` lacks.
+
+    Dedup is a passthrough filter (not an agg), so append mode emits
+    each first occurrence immediately — no sentinel drain needed.
+    """
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="events_dedup_replay_")
+    name = "dedup_" + os.path.basename(tmp).removeprefix("events_dedup_replay_")
+    try:
+        src = _stage_time_batches(events, tmp, n_batches)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        keyed = (
+            stream.withWatermark("ts", f"{delay_hours} hours")
+            .withColumn("hour_ts", F.date_trunc("hour", "ts"))
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_ts"])
+            .select("user_id", "event_type", "hour_ts")
+        )
+        with _replay_shuffle_partitions(spark):
+            q = (
+                keyed.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        # snapshot driver-side rows into a real frame before the temp
+        # view name is reused by the next replay
+        return spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -334,3 +334,26 @@ class TestMMR:
                 ).collect()
             ]
             assert mean_pairwise(mmr_ids) <= mean_pairwise(topk_ids) + 1e-9
+
+
+class TestStreamDedup:
+    def test_replay_equals_batch_distinct(self, spark, events):
+        from page_rank_hadoop_spark.streaming.replay import (
+            run_stream_dedup_replay,
+        )
+
+        out = run_stream_dedup_replay(spark, SF0001).collect()
+        keys = [(r["user_id"], r["event_type"], r["hour_ts"]) for r in out]
+        # exactly the batch-distinct key set, each exactly once
+        assert len(keys) == len(set(keys))
+        batch = {
+            (r["user_id"], r["event_type"], r["h"])
+            for r in events.select(
+                "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+            )
+            .distinct()
+            .collect()
+        }
+        assert set(keys) == batch
+        # and the stream genuinely deduplicated (events has duplicates)
+        assert events.count() > len(keys)
