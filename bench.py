@@ -373,6 +373,15 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             t0 = time.perf_counter()
             vcur.adc_topk(vprobes[i % len(vprobes)], k=5)
             a_ms.append((time.perf_counter() - t0) * 1000)
+        # round 9c: MMR-diversified serving (full-vector shortlist +
+        # integer-greedy re-rank) — same warm protocol as adc_topk
+        m_ms: list[float] = []
+        for v in vprobes:  # cold/bucket-load pass (uncounted)
+            vcur.mmr_topk(v, k=10, pool=30)
+        for i in range(n_lookups):
+            t0 = time.perf_counter()
+            vcur.mmr_topk(vprobes[i % len(vprobes)], k=10, pool=30)
+            m_ms.append((time.perf_counter() - t0) * 1000)
         return {
             "n_lookups": len(lat_ms),
             "build_ms": build_ms,
@@ -392,6 +401,7 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             "adc_build_ms": adc_build_ms,
             "adc_cold_p50_ms": round(statistics.median(a_cold), 2),
             "adc_warm_p50_ms": round(statistics.median(a_ms), 2),
+            "mmr_warm_p50_ms": round(statistics.median(m_ms), 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

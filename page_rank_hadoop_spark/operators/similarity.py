@@ -2489,6 +2489,33 @@ def pca_project(
     return out, explained
 
 
+def mmr_greedy_micro(ids, r_micro, s_micro, k, lam10=7, mu10=3):
+    """The MMR greedy core over EXACT integer micro-unit scores —
+    shared verbatim by the distributed ``mmr_rerank`` (inside its
+    applyInPandas group) and the serving-lane
+    ``VectorSearchCursor.mmr_topk`` so the two paths are bit-identical
+    by construction. Step t picks argmax(lam10·R − mu10·maxsim_micro)
+    with (score desc, id asc) ties; returns
+    [(step, id, score_micro), ...]."""
+    n = len(ids)
+    selected: list[int] = []
+    out = []
+    for step in range(1, min(k, n) + 1):
+        best = None
+        for i in range(n):
+            if i in selected:
+                continue
+            m = max(s_micro[i][j] for j in selected) if selected else 0
+            score = lam10 * int(r_micro[i]) - mu10 * int(m)
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        _, i, score = best
+        selected.append(i)
+        out.append((step, int(ids[i]), score))
+    return out
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     probes: list[tuple[int, list[float]]],
@@ -2563,29 +2590,18 @@ def mmr_rerank(
             pdf["rel"].to_numpy(dtype="float64") * 1e6
         ).astype("int64")
         ids = pdf[id_col].to_numpy()
-        n = len(pdf)
-        selected: list[int] = []
-        out = []
-        for step in range(1, min(k, n) + 1):
-            best = None
-            for i in range(n):
-                if i in selected:
-                    continue
-                m = max(s_micro[i, j] for j in selected) if selected else 0
-                score = lam10 * r_micro[i] - mu10 * m  # exact integer
-                key = (-score, ids[i])
-                if best is None or key < best[0]:
-                    best = (key, i, score)
-            _, i, score = best
-            selected.append(i)
-            out.append(
-                {
-                    "qid": int(pdf["qid"].iloc[0]),
-                    "step": step,
-                    id_col: int(ids[i]),
-                    "mmr_score": float(score) / 1e7,
-                }
+        qid = int(pdf["qid"].iloc[0])
+        out = [
+            {
+                "qid": qid,
+                "step": step,
+                id_col: vid,
+                "mmr_score": float(score) / 1e7,
+            }
+            for step, vid, score in mmr_greedy_micro(
+                ids, r_micro, s_micro, k, lam10, mu10
             )
+        ]
         return pd.DataFrame(out)
 
     return pooled.groupBy("qid").applyInPandas(

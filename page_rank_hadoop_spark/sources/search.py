@@ -198,6 +198,7 @@ class VectorSearchCursor:
             )
         self.meta = meta
         self._codes_cache: dict[int, tuple] = {}
+        self._vec_cache: dict[int, list] = {}
         buckets: dict[int, list[str]] = {}
         for name in sorted(os.listdir(self.path)):
             if not name.startswith("centroid="):
@@ -241,6 +242,30 @@ class VectorSearchCursor:
             nb += y * y
         return d / (math.sqrt(na) * math.sqrt(nb))
 
+    def _bucket_vectors(self, c: int) -> list[tuple]:
+        """Decoded (vec_id, embedding, fold-norm²) rows for one bucket,
+        cached after first touch — the full-vector twin of the ADC
+        ``_codes_cache`` (same staleness contract: reset by refresh()).
+        Norms are the SAME left fold as ``_fold_cosine``'s ``na`` so a
+        cosine assembled from the cache is bit-identical to the
+        uncached path."""
+        cache = getattr(self, "_vec_cache", None)
+        if cache is None:
+            cache = self._vec_cache = {}
+        if c not in cache:
+            rows = []
+            for fp in self._buckets.get(c, ()):
+                for row in self._pq.read_table(
+                    fp, columns=["vec_id", "embedding"]
+                ).to_pylist():
+                    e = row["embedding"]
+                    na = 0.0
+                    for x in e:
+                        na += x * x
+                    rows.append((int(row["vec_id"]), e, na))
+            cache[c] = rows
+        return cache[c]
+
     def topk(self, probe: list[float], k: int = 10, n_probe: int = 1) -> list[dict]:
         """[{vec_id, cos_sim}] — ``probe_ivf_index(spark, path, probe,
         k, n_probe)`` minus the Spark job: nearest ``n_probe`` centroids
@@ -282,6 +307,86 @@ class VectorSearchCursor:
                     )
         out.sort(key=lambda r: (-r["cos_sim"], r["vec_id"]))
         return out[:k]
+
+    def mmr_topk(
+        self,
+        probe: list[float],
+        k: int = 10,
+        pool: int = 30,
+        n_probe: int = 1,
+        exclude_vec_id: int | None = None,
+        lam10: int = 7,
+        mu10: int = 3,
+    ) -> list[dict]:
+        """MMR-DIVERSIFIED ANN serving: the same probed-bucket candidate
+        walk as ``topk`` (fold-cosine 6dp scores), top-``pool``
+        shortlist, then ``operators/similarity.mmr_greedy_micro`` — the
+        EXACT integer-score greedy the distributed ``mmr_rerank`` runs,
+        shared by import so the serving answer is bit-identical to the
+        Spark path whenever the candidate sets coincide (pytest pins
+        n_probe=C parity). Returns [{step, vec_id, mmr_score}] — the
+        interactive 'give me relevant but not redundant' second query
+        after plain ANN top-k."""
+        import numpy as np
+
+        from page_rank_hadoop_spark.operators.similarity import mmr_greedy_micro
+
+        p = [float(x) for x in probe]
+        pa = np.asarray(p, dtype="float64")
+        csims = sorted(
+            (
+                (
+                    float(
+                        pa
+                        @ np.asarray(cv, dtype="float64")
+                        / (
+                            np.linalg.norm(pa)
+                            * np.linalg.norm(np.asarray(cv, dtype="float64"))
+                        )
+                    ),
+                    c,
+                )
+                for c, cv in self.meta["centroids"]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed = [c for _, c in csims[:n_probe]]
+        nb = 0.0
+        for y in p:
+            nb += y * y
+        nb_sqrt = math.sqrt(nb)
+        cand = []
+        for c in probed:
+            for vid, e, na in self._bucket_vectors(c):
+                if vid in self._dead:
+                    continue
+                if exclude_vec_id is not None and vid == exclude_vec_id:
+                    continue
+                d = 0.0
+                for x, y in zip(e, p):
+                    d += x * y
+                cand.append((vid, e, _round6(d / (math.sqrt(na) * nb_sqrt))))
+        cand.sort(key=lambda t: (-t[2], t[0]))
+        cand = cand[:pool]
+        if not cand:
+            return []
+        # pairwise sims via the IDENTICAL numpy pass as mmr_rerank's
+        # applyInPandas group (round-6 then exact micro ints)
+        x = np.array([e for _, e, _ in cand], dtype="float64")
+        nrm = np.sqrt((x * x).sum(axis=1))
+        s_micro = np.rint(
+            np.round((x @ x.T) / np.outer(nrm, nrm), 6) * 1e6
+        ).astype("int64")
+        r_micro = np.rint(
+            np.array([r for *_, r in cand], dtype="float64") * 1e6
+        ).astype("int64")
+        ids = [v for v, _, _ in cand]
+        return [
+            {"step": s, "vec_id": v, "mmr_score": sc / 1e7}
+            for s, v, sc in mmr_greedy_micro(
+                ids, r_micro, s_micro, k, lam10, mu10
+            )
+        ]
 
     def adc_topk(
         self,

@@ -357,3 +357,47 @@ class TestStreamDedup:
         assert set(keys) == batch
         # and the stream genuinely deduplicated (events has duplicates)
         assert events.count() > len(keys)
+
+
+class TestMMRServing:
+    def test_cursor_matches_spark_mmr(self, spark, tmp_path):
+        from page_rank_hadoop_spark.operators import similarity
+        from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+        emb = load_table(spark, SF0001, "embeddings")
+        d = str(tmp_path / "ivf_mmr")
+        similarity.write_ivf_index(emb, d, n_centroids=16, dim=64)
+        cur = VectorSearchCursor(d)
+
+        probe_row = emb.filter(F.col("vec_id") == 0).first()
+        probe = [float(x) for x in probe_row["embedding"]]
+        # n_probe = all centroids → cursor candidate set == brute force,
+        # so the serving answer must be BIT-identical to the Spark path
+        served = cur.mmr_topk(
+            probe, k=10, pool=30, n_probe=16, exclude_vec_id=0
+        )
+        spark_rows = sorted(
+            similarity.mmr_rerank(emb, [(0, probe)], k=10, pool=30).collect(),
+            key=lambda r: r["step"],
+        )
+        assert [(r["step"], r["vec_id"], r["mmr_score"]) for r in spark_rows] == [
+            (r["step"], r["vec_id"], r["mmr_score"]) for r in served
+        ]
+
+    def test_single_bucket_probe_is_subset_ranked(self, spark, tmp_path):
+        from page_rank_hadoop_spark.operators import similarity
+        from page_rank_hadoop_spark.sources.search import VectorSearchCursor
+
+        emb = load_table(spark, SF0001, "embeddings")
+        d = str(tmp_path / "ivf_mmr2")
+        similarity.write_ivf_index(emb, d, n_centroids=16, dim=64)
+        cur = VectorSearchCursor(d)
+        probe_row = emb.filter(F.col("vec_id") == 1).first()
+        probe = [float(x) for x in probe_row["embedding"]]
+        served = cur.mmr_topk(probe, k=5, pool=20, n_probe=1, exclude_vec_id=1)
+        assert 0 < len(served) <= 5
+        assert [r["step"] for r in served] == list(range(1, len(served) + 1))
+        # step-1 pick is the probed buckets' top-1 (rel argmax)
+        top1 = cur.topk(probe, k=2, n_probe=1)
+        top1 = [r for r in top1 if r["vec_id"] != 1][0]
+        assert served[0]["vec_id"] == top1["vec_id"]
