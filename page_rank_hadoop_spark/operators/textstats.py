@@ -1254,3 +1254,82 @@ def bpe_compression_by_source(
             ),
         )
     )
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    n_iter: int = 10,
+    alpha: float = 0.15,
+    min_len: int = 4,
+    top_k: int = 100,
+) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph — nodes are content terms (letters
+    only, ≥ ``min_len`` chars), undirected edges connect ADJACENT
+    tokens, score is ``n_iter`` fixed PageRank rounds, output the
+    ``top_k`` terms by (6dp score desc, term). Corpus-level keyword
+    extraction: the reference ranks DOCUMENTS with PageRank
+    (pageRank.scala:331-393); this reuses the identical iteration
+    algebra on the co-occurrence graph a doc-profiling pipeline builds
+    anyway.
+
+    Spark shape: token adjacency is a per-doc lead() window (bounded by
+    doc length, never global), the graph is a distinct projection, and
+    each PageRank round is the one-Exchange contribution groupBy of
+    run_pagerank — the word graph is symmetric so there are no dangling
+    nodes and the α-formula needs no NULL-sink augmentation. Loop
+    hygiene: eager localCheckpoint per round; the oracle unrolls the
+    same rounds through _sql_pagerank_iters over the word-graph CTEs.
+    """
+    from pyspark.sql import Window
+
+    from page_rank_hadoop_spark.operators.index import token_stream
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    toks = token_stream(ensure_parallel(documents))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    word_re = f"^[a-z]{{{min_len},}}$"
+    pairs = (
+        toks.select(
+            F.col("term").alias("a"), F.lead("term").over(w).alias("b")
+        )
+        .filter(
+            F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+            & F.col("a").rlike(word_re)
+            & F.col("b").rlike(word_re)
+        )
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    verts = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    n = verts.count()
+    pr = verts.select("id", F.lit(1.0).alias("pr")).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        pr = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(alpha / n)
+                    + F.lit(1.0 - alpha) * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pr.select(F.col("id").alias("term"), F.round("pr", 6).alias("score"))
+        .orderBy(F.desc("score"), "term")
+        .limit(top_k)
+    )

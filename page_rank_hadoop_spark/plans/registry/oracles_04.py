@@ -1154,6 +1154,34 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
     """
 
+    # sampled closeness: bounded recursive BFS from the 8 smallest ids;
+    # distances are exact integers, min() collapses the walk
+    oracles["q_closeness"] = f"""
+      WITH RECURSIVE {SQL_GRAPH_CTES},
+      e AS (SELECT DISTINCT src, dst FROM kept),
+      vs AS (
+        SELECT DISTINCT v AS id
+        FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+      ),
+      seeds AS (SELECT id AS seed FROM vs ORDER BY id LIMIT 8),
+      walk(seed, id, dist) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT w.seed, e.dst, w.dist + 1
+        FROM walk w JOIN e ON w.id = e.src
+        WHERE w.dist < 15
+      ),
+      dmin AS (
+        SELECT seed, id, min(dist) AS dist FROM walk GROUP BY 1, 2
+      ),
+      r AS (SELECT seed, id, dist FROM dmin WHERE dist > 0)
+      SELECT seed, count(*)::BIGINT AS n_reached,
+             sum(dist)::BIGINT AS sum_dist,
+             round(count(*) / sum(dist), 6) AS closeness,
+             round(sum(1.0::DOUBLE / dist), 6) AS harmonic
+      FROM r GROUP BY seed
+    """
+
     # SCC via mutual reachability: closure is only tractable because the
     # declared query slices the graph (ids < 800, residue-thinned) — the
     # Spark operator is the unbounded path (Tarjan-parity pytest).
@@ -1184,6 +1212,36 @@ def contribute(oracles: dict[str, str]) -> None:
     """
 
     oracles["q_mmr_rerank"] = _sql_mmr()
+
+    # TextRank: the word co-occurrence graph is built under the SAME
+    # CTE names the doc-graph PageRank oracle uses (fedges/deg/verts2/
+    # ncount), so _sql_pagerank_iters unrolls the identical 10 rounds.
+    oracles["q_textrank"] = f"""
+      WITH ts AS ({SQL_TOKEN_STREAM}),
+      adj AS (
+        SELECT term AS a,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM ts
+      ),
+      good AS (
+        SELECT a, b FROM adj
+        WHERE b IS NOT NULL AND a <> b
+          AND regexp_full_match(a, '[a-z]{{4,}}')
+          AND regexp_full_match(b, '[a-z]{{4,}}')
+      ),
+      fedges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT a AS src, b AS dst FROM good
+          UNION ALL SELECT b AS src, a AS dst FROM good
+        )
+      ),
+      deg AS (SELECT src, count(*) AS outdeg FROM fedges GROUP BY src),
+      verts2 AS (SELECT DISTINCT src AS id FROM fedges),
+      ncount AS (SELECT count(*) AS n FROM verts2),
+      {_sql_pagerank_iters(10)}
+      SELECT id AS term, round(pr, 6) AS score FROM it10
+      ORDER BY round(pr, 6) DESC, id LIMIT 100
+    """
 
     # streaming dedup ≡ batch distinct (dup spacing < watermark delay)
     oracles["q_stream_dedup"] = """

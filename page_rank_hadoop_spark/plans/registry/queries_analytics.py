@@ -985,3 +985,10 @@ def q_bloom_semijoin(spark, sf):
         F.count("*").cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("revenue"),
     )
+
+
+def q_textrank(spark, sf):
+    """TextRank corpus keywords: PageRank (10 rounds, the reference's
+    iteration algebra) over the adjacent-token co-occurrence graph,
+    top-100 terms by 6dp score."""
+    return textstats.textrank_keywords(load_table(spark, sf, "documents"))

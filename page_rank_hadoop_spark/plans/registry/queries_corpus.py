@@ -936,3 +936,11 @@ def q_stream_dedup(spark, sf):
     from page_rank_hadoop_spark.streaming.replay import run_stream_dedup_replay
 
     return run_stream_dedup_replay(spark, sf)
+
+
+def q_closeness(spark, sf):
+    """Sampled closeness/harmonic centrality: multi-source frontier BFS
+    from the 8 smallest vertex ids of the link graph (the deterministic
+    seed rule both engines share); exact integer distances, 6dp on the
+    single float fold (Σ 1/d)."""
+    return graph.seeded_closeness(_graph(spark, sf)["kept"])

@@ -401,3 +401,67 @@ class TestMMRServing:
         top1 = cur.topk(probe, k=2, n_probe=1)
         top1 = [r for r in top1 if r["vec_id"] != 1][0]
         assert served[0]["vec_id"] == top1["vec_id"]
+
+
+class TestTextRank:
+    def test_keyword_properties(self, spark, docs):
+        from page_rank_hadoop_spark.operators import textstats
+
+        rows = textstats.textrank_keywords(docs, top_k=50).collect()
+        # sf0.001's vocab of ≥4-char terms is smaller than top_k
+        assert 0 < len(rows) <= 50
+        terms = [r["term"] for r in rows]
+        assert all(len(t) >= 4 and t.isalpha() and t.islower() for t in terms)
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+    def test_scores_sum_preserved(self, spark, docs):
+        # PageRank mass conservation on a symmetric graph: total score
+        # equals n·(α/n) + (1−α)·total ⇒ total = n·1? with init 1.0 and
+        # no dangling mass, each round maps total T → α + (1−α)·T per
+        # node average... pin the cheap invariant instead: every node's
+        # score ≥ α/n (the teleport floor)
+        from page_rank_hadoop_spark.operators import textstats
+
+        full = textstats.textrank_keywords(docs, top_k=100000)
+        import pyspark.sql.functions as SF
+
+        n = full.count()
+        floor = 0.15 / n
+        assert full.filter(SF.col("score") < floor - 1e-9).count() == 0
+
+
+class TestCloseness:
+    def test_against_python_bfs(self, spark):
+        from collections import deque
+
+        from page_rank_hadoop_spark.operators import graph
+        from page_rank_hadoop_spark.plans.registry.queries_corpus import _graph
+
+        kept = _graph(spark, SF0001)["kept"]
+        edges = [(r["src"], r["dst"]) for r in kept.collect()]
+        adj = {}
+        nodes = set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            nodes.update((s, d))
+        seeds = sorted(nodes)[:8]
+        got = {r["seed"]: r for r in graph.seeded_closeness(kept).collect()}
+        assert set(got) == set(seeds)
+        for s in seeds:
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= 15:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q.append(v)
+            reach = {v: d for v, d in dist.items() if d > 0}
+            r = got[s]
+            assert r["n_reached"] == len(reach)
+            assert r["sum_dist"] == sum(reach.values())
+            assert abs(r["harmonic"] - round(sum(1.0 / d for d in reach.values()), 6)) < 2e-6
