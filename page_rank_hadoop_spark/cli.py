@@ -334,6 +334,14 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
             from page_rank_hadoop_spark.sources.search import VectorSearchCursor
 
             cur = VectorSearchCursor(args.index)
+            if args.mmr:
+                # round 9c: diversity-aware serving (exact integer-score
+                # greedy, bit-identical to the Spark mmr_rerank path)
+                for r in cur.mmr_topk(
+                    probe, k=args.k, pool=args.mmr_pool, n_probe=args.n_probe
+                ):
+                    print(f"{r['step']}\t{r['vec_id']}\t{r['mmr_score']}")
+                return 0
             if args.adc:
                 for r in cur.adc_topk(probe, k=args.k, n_probe=args.n_probe):
                     print(f"{r['vec_id']}\t{r['adc_dist']}")
@@ -464,6 +472,11 @@ def cmd_communities(spark: SparkSession, args: argparse.Namespace) -> int:
     kept = graph_ops.resolve_edges(graph_ops.extract_edges(docs), verts)
     if args.algorithm == "lpa":
         labels = graph_ops.label_propagation(kept, n_iter=args.iterations)
+    elif args.algorithm == "scc":
+        # directed-graph communities: mutual reachability (round 9c)
+        labels = graph_ops.strongly_connected_components(kept).select(
+            "id", F.col("scc_id").alias("label")
+        )
     else:
         pairs = kept.select(
             F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
@@ -479,6 +492,19 @@ def cmd_communities(spark: SparkSession, args: argparse.Namespace) -> int:
     print(f"communities[{args.algorithm}]: {n_comm} communities → {args.out}")
     for r in top:
         print(f"  label {r['label']}: {r['count']} members")
+    return 0
+
+
+def cmd_keywords(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Corpus keywords via TextRank (PageRank over the adjacent-token
+    co-occurrence graph, operators/textstats.textrank_keywords)."""
+    from page_rank_hadoop_spark.operators.textstats import textrank_keywords
+
+    docs = _load_documents(spark, args.input, args.format)
+    for r in textrank_keywords(
+        docs, n_iter=args.iterations, top_k=args.top_k
+    ).collect():
+        print(f"{r['term']}\t{r['score']}")
     return 0
 
 
@@ -786,6 +812,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="probe: rank by PQ asymmetric distance (codes-only scan; needs a --pq index)",
     )
+    pai.add_argument(
+        "--mmr",
+        action="store_true",
+        help="probe --via-cursor: MMR-diversified top-k (step, vec_id, score)",
+    )
+    pai.add_argument("--mmr-pool", type=int, default=30)
     pai.set_defaults(fn=cmd_ann_index)
 
     pq = sub.add_parser("query", parents=[common])
@@ -805,9 +837,17 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser("communities", parents=[common])
     pc.add_argument("input")
     pc.add_argument("out")
-    pc.add_argument("--algorithm", choices=("lpa", "components"), default="lpa")
+    pc.add_argument(
+        "--algorithm", choices=("lpa", "components", "scc"), default="lpa"
+    )
     pc.add_argument("--iterations", type=int, default=3)
     pc.set_defaults(fn=cmd_communities)
+
+    pk = sub.add_parser("keywords", parents=[common])
+    pk.add_argument("input")
+    pk.add_argument("--iterations", type=int, default=10)
+    pk.add_argument("--top-k", type=int, default=25)
+    pk.set_defaults(fn=cmd_keywords)
 
     pdf = sub.add_parser("diff")
     pdf.add_argument("old")

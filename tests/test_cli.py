@@ -489,3 +489,42 @@ def test_cli_search_phrase_and_near(spark, tmp_path, capsys):
     assert len(out) == len(want) > 0
 
     assert main(["search", d, "a", "b", "c", "--near", "2"]) == 2  # arity guard
+
+
+def test_cli_keywords(spark, capsys):
+    assert main(["keywords", f"{SF0001}/documents.parquet", "--top-k", "5"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert 0 < len(lines) <= 5
+    term, score = lines[0].split("\t")
+    assert term.isalpha() and float(score) > 0
+
+
+def test_cli_communities_scc(spark, tmp_path, capsys):
+    out = str(tmp_path / "scc_labels")
+    assert main(
+        [
+            "communities",
+            f"{SF0001}/documents.parquet",
+            out,
+            "--algorithm",
+            "scc",
+        ]
+    ) == 0
+    assert "communities[scc]:" in capsys.readouterr().out
+
+
+def test_cli_ann_probe_mmr(spark, tmp_path, capsys):
+    idx = str(tmp_path / "ivf_cli_mmr")
+    emb = f"{SF0001}/embeddings.parquet"
+    assert main(["ann-index", "build", idx, emb]) == 0
+    capsys.readouterr()
+    assert main(
+        [
+            "ann-index", "probe", idx, emb,
+            "--probe-id", "0", "--via-cursor", "--mmr", "--k", "5",
+        ]
+    ) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 5
+    steps = [int(l.split("\t")[0]) for l in lines]
+    assert steps == [1, 2, 3, 4, 5]
