@@ -1126,7 +1126,7 @@ def contribute(oracles: dict[str, str]) -> None:
     # optimization, not a semantics change.
     oracles["q_bloom_semijoin"] = """
       SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
-             round(sum(o_totalprice), 6) AS revenue
+             round(sum(o_totalprice), 4) AS revenue
       FROM orders
       WHERE o_custkey IN (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

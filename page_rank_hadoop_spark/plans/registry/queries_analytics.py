@@ -983,7 +983,10 @@ def q_bloom_semijoin(spark, sf):
     )
     return kept.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        # 4dp, not 6: revenue sums reach ~1e9 at sf0.1, where engine
+        # summation-order noise (~1e-15 relative) crosses a 6dp
+        # boundary — the q_pricing_summary big-sum contract
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
 
 
