@@ -196,6 +196,20 @@ BENCH_QUERIES = [
     "q_hll_sketch",
     "q_hll_merge",
     "q_orc_roundtrip",
+    # round-9c additions: SCC and closeness (new iterative loop shapes —
+    # always benched per the selection rule), the bloom semi-join
+    # (scan-reduction family head), MMR (pool scan + pandas greedy),
+    # covariance (Arrow moment pass), TextRank (word-graph pagerank
+    # loop), the fifth genuine-streaming query, and the cheap ACF join
+    # (lag-family pair with q_moving_average)
+    "q_scc",
+    "q_closeness",
+    "q_bloom_semijoin",
+    "q_mmr_rerank",
+    "q_embedding_covariance",
+    "q_textrank",
+    "q_stream_dedup",
+    "q_autocorrelation",
 ]
 
 
