@@ -171,3 +171,50 @@ def bloom_stats(
         "n_false_neg": row["n_false_neg"],
         "fp_rate": (row["n_false_pos"] / non_members) if non_members else 0.0,
     }
+
+
+def write_bloom(
+    words: list[int],
+    path: str,
+    n_hashes: int = N_HASHES_DEFAULT,
+) -> None:
+    """Persist a bloom bitmap as a one-file parquet (word_idx, word) +
+    ``_bloom_meta.json`` (n_bits, n_hashes) — the reuse story the
+    runtime filter can't have: build once per dimension snapshot, apply
+    to every query/batch until the dim changes (the ingest gates' and
+    serving lane's amortization pattern). The artifact is n_bits/8
+    bytes — driver/pyarrow-scale by construction, never a Spark job."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "word_idx": pa.array(range(len(words)), type=pa.int32()),
+                "word": pa.array(words, type=pa.int64()),
+            }
+        ),
+        os.path.join(path, "bloom.parquet"),
+    )
+    with open(os.path.join(path, "_bloom_meta.json"), "w") as f:
+        json.dump({"n_bits": len(words) * 64, "n_hashes": n_hashes}, f)
+
+
+def load_bloom(path: str) -> tuple[list[int], int, int]:
+    """(words, n_bits, n_hashes) from a ``write_bloom`` directory."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, "_bloom_meta.json")) as f:
+        meta = json.load(f)
+    t = pq.read_table(os.path.join(path, "bloom.parquet"))
+    words = [0] * (meta["n_bits"] // 64)
+    for idx, w in zip(t.column("word_idx").to_pylist(), t.column("word").to_pylist()):
+        words[idx] = w
+    return words, meta["n_bits"], meta["n_hashes"]

@@ -2344,28 +2344,15 @@ def probe_ivf_index_adc(
     )
 
 
-def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
-    """Population covariance matrix of the embedding column, upper
-    triangle as (i, j, cov) rows — the one-pass second-moment reduction
-    that feeds PCA (``pca_project``), whitening, and OPQ-style rotation
-    training.
-
-    Spark-first shape: ONE Arrow ``mapInPandas`` pass emits per-batch
-    partial moments — the d×d gram (a BLAS ``X.T @ X``, milliseconds per
-    batch) flattened to its d(d+1)/2 upper-triangle entries plus the
-    per-dimension sum rows (marked j = −1) — so the shuffle carries
-    O(partitions × d²) tiny partial rows, never the vectors themselves.
-    A groupBy-sum combines partials (map-side partial agg), then a
-    64-row broadcast self-join attaches the means. At 100 TB this is
-    the canonical "collect a codebook-sized statistic from a huge scan"
-    plan: data moves once, moments move in KBs.
-
-    Engine-parity contract: input moments (E[xy] and the means) are
-    rounded to 6dp on BOTH sides before the covariance formula, then the
-    result rounds 6dp — the same derived-statistics rule every stats
-    oracle here follows (BLAS vs ordered-SQL summation differ by ~1 ulp;
-    rounding the moments keeps that ulp out of the product term).
-    """
+def covariance_moments(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Reduced second-moment frame for the embedding column: (i, j, s,
+    n) rows where j ≥ 0 carries the upper-triangle gram sum Σxᵢxⱼ and
+    j = −1 the per-dimension sum Σxᵢ. These moments are PURELY ADDITIVE
+    — union two moment frames and re-aggregate and you get exactly the
+    moments of the concatenated corpora — which is what makes the
+    covariance incrementally maintainable (q_covariance_merge pins
+    merged ≡ single-pass under the same oracle, the HLL-merge
+    pattern)."""
     import numpy as np
     import pandas as pd
 
@@ -2395,9 +2382,15 @@ def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     parts = ensure_parallel(embeddings.select("embedding")).mapInPandas(
         moments, schema="i int, j int, s double, n bigint"
     )
-    agg = parts.groupBy("i", "j").agg(
+    return parts.groupBy("i", "j").agg(
         F.sum("s").alias("s"), F.sum("n").alias("n")
     )
+
+
+def covariance_from_moments(agg: DataFrame) -> DataFrame:
+    """(i, j, cov) upper triangle from a ``covariance_moments`` frame —
+    moments rounded 6dp before the formula (the derived-statistics
+    engine-parity rule), −0.0 normalized."""
     means = agg.filter(F.col("j") == -1).select(
         F.col("i").alias("mi"), F.round(F.col("s") / F.col("n"), 6).alias("mean")
     )
@@ -2424,6 +2417,31 @@ def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Population covariance matrix of the embedding column, upper
+    triangle as (i, j, cov) rows — the one-pass second-moment reduction
+    that feeds PCA (``pca_project``), whitening, and OPQ-style rotation
+    training.
+
+    Spark-first shape: ONE Arrow ``mapInPandas`` pass emits per-batch
+    partial moments — the d×d gram (a BLAS ``X.T @ X``, milliseconds per
+    batch) flattened to its d(d+1)/2 upper-triangle entries plus the
+    per-dimension sum rows (marked j = −1) — so the shuffle carries
+    O(partitions × d²) tiny partial rows, never the vectors themselves.
+    A groupBy-sum combines partials (map-side partial agg), then a
+    64-row broadcast self-join attaches the means. At 100 TB this is
+    the canonical "collect a codebook-sized statistic from a huge scan"
+    plan: data moves once, moments move in KBs.
+
+    Engine-parity contract: input moments (E[xy] and the means) are
+    rounded to 6dp on BOTH sides before the covariance formula, then the
+    result rounds 6dp — the same derived-statistics rule every stats
+    oracle here follows (BLAS vs ordered-SQL summation differ by ~1 ulp;
+    rounding the moments keeps that ulp out of the product term).
+    """
+    return covariance_from_moments(covariance_moments(embeddings, dim=dim))
 
 
 def pca_project(

@@ -1213,6 +1213,11 @@ def contribute(oracles: dict[str, str]) -> None:
 
     oracles["q_mmr_rerank"] = _sql_mmr()
 
+    # persistence / incremental twins: same oracle, different physical
+    # path (the hll_merge / orc_roundtrip precedent)
+    oracles["q_bloom_semijoin_stored"] = oracles["q_bloom_semijoin"]
+    oracles["q_covariance_merge"] = oracles["q_embedding_covariance"]
+
     # TextRank: the word co-occurrence graph is built under the SAME
     # CTE names the doc-graph PageRank oracle uses (fedges/deg/verts2/
     # ncount), so _sql_pagerank_iters unrolls the identical 10 rounds.

@@ -995,3 +995,29 @@ def q_textrank(spark, sf):
     iteration algebra) over the adjacent-token co-occurrence graph,
     top-100 terms by 6dp score."""
     return textstats.textrank_keywords(load_table(spark, sf, "documents"))
+
+
+def q_bloom_semijoin_stored(spark, sf):
+    """The bloom REUSE lane: bitmap built once, persisted
+    (bloom.write_bloom — n_bits/8 bytes), reloaded, and applied to the
+    fact scan before the exact semi-join. Shares q_bloom_semijoin's
+    oracle VERBATIM — persistence must not change a single row."""
+    import tempfile
+
+    from page_rank_hadoop_spark.operators import bloom
+
+    dim = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    d = tempfile.mkdtemp(prefix="bloom_store_")
+    words = bloom.bloom_build(dim, "c_custkey")
+    bloom.write_bloom(words, d)
+    loaded, n_bits, n_hashes = bloom.load_bloom(d)
+    orders = load_table(spark, sf, "orders")
+    pre = orders.filter(
+        bloom.might_contain(F.col("o_custkey"), loaded, n_bits, n_hashes)
+    )
+    keys = dim.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    kept = pre.join(keys, on="o_custkey", how="left_semi")
+    return kept.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )

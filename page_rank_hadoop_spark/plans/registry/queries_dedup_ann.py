@@ -1217,3 +1217,21 @@ def q_mmr_rerank(spark, sf):
         for r in sorted(rows, key=lambda r: r["vec_id"])
     ]
     return similarity.mmr_rerank(emb, probes, k=10, pool=30)
+
+
+def q_covariance_merge(spark, sf):
+    """Incremental covariance maintenance: second-moment frames computed
+    on two disjoint halves (vec_id parity), UNIONED and re-aggregated —
+    the moments are purely additive, so the merged statistic must equal
+    the single-pass one. Shares q_embedding_covariance's oracle
+    VERBATIM (the HLL-merge pattern: one oracle, direct and merged
+    physical paths)."""
+    emb = load_table(spark, sf, "embeddings")
+    a = similarity.covariance_moments(emb.filter(F.col("vec_id") % 2 == 0))
+    b = similarity.covariance_moments(emb.filter(F.col("vec_id") % 2 == 1))
+    merged = (
+        a.unionByName(b)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    return similarity.covariance_from_moments(merged)

@@ -465,3 +465,39 @@ class TestCloseness:
             assert r["n_reached"] == len(reach)
             assert r["sum_dist"] == sum(reach.values())
             assert abs(r["harmonic"] - round(sum(1.0 / d for d in reach.values()), 6)) < 2e-6
+
+
+class TestPersistenceTwins:
+    def test_bloom_roundtrip(self, customer, tmp_path):
+        from page_rank_hadoop_spark.operators import bloom
+
+        dim = customer.filter(F.col("c_mktsegment") == "BUILDING")
+        words = bloom.bloom_build(dim, "c_custkey")
+        d = str(tmp_path / "bloom_store")
+        bloom.write_bloom(words, d)
+        loaded, n_bits, n_hashes = bloom.load_bloom(d)
+        assert loaded == words
+        assert n_bits == bloom.N_BITS_DEFAULT and n_hashes == bloom.N_HASHES_DEFAULT
+
+    def test_covariance_merge_equals_single_pass(self, spark):
+        from page_rank_hadoop_spark.operators import similarity
+
+        emb = load_table(spark, SF0001, "embeddings")
+        direct = {
+            (r["i"], r["j"]): r["cov"]
+            for r in similarity.embedding_covariance(emb).collect()
+        }
+        a = similarity.covariance_moments(emb.filter(F.col("vec_id") % 2 == 0))
+        b = similarity.covariance_moments(emb.filter(F.col("vec_id") % 2 == 1))
+        merged_moments = (
+            a.unionByName(b)
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+        merged = {
+            (r["i"], r["j"]): r["cov"]
+            for r in similarity.covariance_from_moments(merged_moments).collect()
+        }
+        assert set(direct) == set(merged)
+        for k in direct:
+            assert abs(direct[k] - merged[k]) < 2e-6
