@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q_textrank",
     "q_stream_dedup",
     "q_autocorrelation",
+    "q_weighted_sssp",  # fixed-round Bellman-Ford loop shape
 ]
 
 

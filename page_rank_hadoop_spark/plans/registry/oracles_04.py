@@ -1154,6 +1154,30 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
     """
 
+    # weighted SSSP: 12 unrolled Bellman-Ford relaxations, all-integer
+    _wsssp = ["d0 AS MATERIALIZED (SELECT s0.v AS id, 0::BIGINT AS dist FROM s0)"]
+    for t in range(1, 13):
+        _wsssp.append(f"""
+      d{t} AS MATERIALIZED (
+        SELECT id, min(d)::BIGINT AS dist FROM (
+          SELECT id, dist AS d FROM d{t - 1}
+          UNION ALL
+          SELECT e.dst AS id,
+                 p.dist + ((e.src*7 + e.dst) % 5 + 1) AS d
+          FROM e JOIN d{t - 1} p ON e.src = p.id
+        ) GROUP BY id
+      )""")
+    oracles["q_weighted_sssp"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      e AS (SELECT DISTINCT src, dst FROM kept),
+      vs AS (
+        SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+      ),
+      s0 AS (SELECT min(v) AS v FROM vs),
+      {','.join(_wsssp)}
+      SELECT id, dist FROM d12
+    """
+
     # sampled closeness: bounded recursive BFS from the 8 smallest ids;
     # distances are exact integers, min() collapses the walk
     oracles["q_closeness"] = f"""

@@ -944,3 +944,21 @@ def q_closeness(spark, sf):
     seed rule both engines share); exact integer distances, 6dp on the
     single float fold (Σ 1/d)."""
     return graph.seeded_closeness(_graph(spark, sf)["kept"])
+
+
+def q_weighted_sssp(spark, sf):
+    """Weighted SSSP (12 fixed Bellman-Ford relaxations) from the
+    smallest vertex id over the link graph with deterministic integer
+    weights w = (src*7 + dst) % 5 + 1 — all-integer arithmetic, no
+    float contract; the oracle unrolls the identical 12 rounds."""
+    kept = _graph(spark, sf)["kept"]
+    wedges = kept.select(
+        "src",
+        "dst",
+        ((F.col("src") * 7 + F.col("dst")) % 5 + 1).cast("long").alias("w"),
+    )
+    verts = kept.select(F.col("src").alias("id")).unionByName(
+        kept.select(F.col("dst").alias("id"))
+    )
+    src0 = verts.agg(F.min("id").alias("m")).first()["m"]
+    return graph.weighted_sssp(wedges, src0)

@@ -501,3 +501,54 @@ class TestPersistenceTwins:
         assert set(direct) == set(merged)
         for k in direct:
             assert abs(direct[k] - merged[k]) < 2e-6
+
+
+class TestWeightedSSSP:
+    def test_against_python_dijkstra(self, spark):
+        import heapq
+
+        from page_rank_hadoop_spark.operators import graph
+        from page_rank_hadoop_spark.plans.registry.queries_corpus import _graph
+
+        kept = _graph(spark, SF0001)["kept"]
+        edges = [(r["src"], r["dst"]) for r in kept.collect()]
+        w = {(s, d): (s * 7 + d) % 5 + 1 for s, d in edges}
+        nodes = sorted({x for e in edges for x in e})
+        src0 = nodes[0]
+        # Dijkstra reference (weights positive)
+        adj = {}
+        for (s, d), ww in w.items():
+            adj.setdefault(s, []).append((d, ww))
+        dist = {src0: 0}
+        pq = [(0, src0)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if du > dist.get(u, 1 << 60):
+                continue
+            for v, ww in adj.get(u, ()):
+                nd = du + ww
+                if nd < dist.get(v, 1 << 60):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        wedges = kept.select(
+            "src",
+            "dst",
+            ((F.col("src") * 7 + F.col("dst")) % 5 + 1).cast("long").alias("w"),
+        )
+        got = {
+            r["id"]: r["dist"]
+            for r in graph.weighted_sssp(wedges, src0).collect()
+        }
+        # 12 rounds cover the sf0.001 weighted diameter, so the partial
+        # fixpoint IS the true shortest-path table here
+        assert got == dist
+
+    def test_weighted_beats_hops_when_cheaper_detour_exists(self, spark):
+        from page_rank_hadoop_spark.operators import graph
+
+        # 1→3 direct costs 10; 1→2→3 costs 2 — weighted must pick 2
+        e = spark.createDataFrame(
+            [(1, 3, 10), (1, 2, 1), (2, 3, 1)], ["src", "dst", "w"]
+        )
+        got = {r["id"]: r["dist"] for r in graph.weighted_sssp(e, 1).collect()}
+        assert got == {1: 0, 2: 1, 3: 2}
