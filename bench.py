@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q_stream_dedup",
     "q_autocorrelation",
     "q_weighted_sssp",  # fixed-round Bellman-Ford loop shape
+    "q_betweenness",  # two-phase (forward sigma + backward delta) loop
 ]
 
 

@@ -1014,3 +1014,124 @@ def weighted_sssp(
         dist = relaxed
     e.unpersist()
     return dist
+
+
+def seeded_betweenness(
+    edges: DataFrame, n_seeds: int = 8, max_hops: int = 12
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, seed-sampled as in
+    Brandes/Pich 2007): for each of the ``n_seeds`` smallest vertex
+    ids, count shortest paths forward (σ) and accumulate dependencies
+    backward (δ(u) = Σ_{v ∈ succ} σu/σv · (1 + δv) over the
+    shortest-path DAG), then report bc(v) = Σ_seeds δ_seed(v) for
+    v ≠ seed. Exact betweenness is all-pairs — O(n·E), the same wall
+    Brandes' own paper hits — so every production stack samples
+    sources; the deterministic smallest-ids rule keeps it
+    oracle-checkable (the closeness contract).
+
+    Physical shape: ONE multi-seed frontier loop forward (levels are
+    (seed, id, σ) frames; σ is an exact BIGINT path count summed over
+    dist-(t−1) predecessors), then one join per level backward down the
+    level stack — per-seed DAG edges are recovered by joining
+    consecutive level frames, never stored. All σ arithmetic is
+    integer-exact; δ is the single float (σu/σv is the same double in
+    any engine — a ratio of identical BIGINTs — so per-level 6dp
+    rounding pins cross-engine parity of the sums).
+
+    Level count is capped at ``max_hops`` on BOTH sides (the oracle
+    unrolls exactly that many level CTEs), so even a graph deeper than
+    the cap yields the identical partial statistic.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").distinct().repartition("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.orderBy("id").limit(n_seeds).select(F.col("id").alias("seed"))
+    l0 = seeds.select(
+        "seed", F.col("seed").alias("id"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint()
+    settled = l0.select("seed", "id").localCheckpoint()
+    levels = [l0]
+    for _t in range(1, max_hops + 1):
+        lt = (
+            e.join(levels[-1].withColumnRenamed("id", "src"), "src")
+            .select("seed", F.col("dst").alias("id"), "sigma")
+            .join(settled, ["seed", "id"], "left_anti")
+            .groupBy("seed", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint()
+        )
+        if lt.count() == 0:
+            break
+        settled = settled.unionByName(lt.select("seed", "id")).localCheckpoint()
+        levels.append(lt)
+    # backward dependency accumulation down the level stack
+    deltas = levels[-1].select(
+        "seed", "id", "sigma", F.lit(0.0).alias("delta")
+    ).localCheckpoint()
+    acc = [deltas] if len(levels) > 1 else []
+    for t in range(len(levels) - 2, -1, -1):
+        u = levels[t]
+        succ = deltas.select(
+            F.col("seed").alias("vseed"),
+            F.col("id").alias("vid"),
+            F.col("sigma").alias("vsigma"),
+            F.col("delta").alias("vdelta"),
+        )
+        contrib = (
+            u.withColumnRenamed("id", "src")
+            .join(e, "src")
+            .join(
+                succ,
+                (F.col("seed") == F.col("vseed")) & (F.col("dst") == F.col("vid")),
+            )
+            .groupBy("seed", F.col("src").alias("id"))
+            .agg(
+                # +1e-9 before rounding: σu/σv ratios with small
+                # denominators (1/2, 1/4…) times 6dp values land
+                # EXACTLY on 0.5e-6 rounding boundaries, where Spark
+                # (HALF_UP on decimal repr) and DuckDB (scaled-binary
+                # nearest) disagree — the ε shifts the boundary off the
+                # structural grid (same class as mmr_rerank's integer
+                # scores; here denominators are data-dependent, so the
+                # ε-shift is the available fix)
+                F.round(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("vsigma").cast("double")
+                        * (F.lit(1.0) + F.col("vdelta"))
+                    )
+                    + F.lit(1e-9),
+                    6,
+                ).alias("d")
+            )
+        )
+        deltas = (
+            u.join(contrib, ["seed", "id"], "left")
+            .select(
+                "seed",
+                "id",
+                "sigma",
+                F.coalesce("d", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint()
+        )
+        if t > 0:  # level-0 rows are the seeds themselves: not endpoints
+            acc.append(deltas)
+    e.unpersist()
+    if not acc:
+        return seeds.select(
+            F.col("seed").alias("id"), F.lit(0.0).alias("betweenness")
+        ).limit(0)
+    out = acc[0]
+    for d in acc[1:]:
+        out = out.unionByName(d)
+    return out.groupBy("id").agg(
+        F.round(F.sum("delta"), 6).alias("betweenness")
+    )

@@ -1178,6 +1178,68 @@ def contribute(oracles: dict[str, str]) -> None:
       SELECT id, dist FROM d12
     """
 
+    # sampled betweenness (Brandes from the 8 smallest ids): unrolled
+    # forward level CTEs carry exact BIGINT path counts; the backward
+    # dependency CTEs round each level's delta at 6dp exactly like the
+    # Spark loop (sigma ratios are ratios of identical BIGINTs — the
+    # same double in any engine)
+    _bw_fwd = [
+        "l0 AS MATERIALIZED (SELECT seed, seed AS id, 1::BIGINT AS sigma FROM seeds)",
+        "s0 AS MATERIALIZED (SELECT seed, id FROM l0)",
+    ]
+    _L = 12
+    for t in range(1, _L + 1):
+        _bw_fwd.append(f"""
+      l{t} AS MATERIALIZED (
+        SELECT c.seed, c.id, sum(c.sigma)::BIGINT AS sigma FROM (
+          SELECT p.seed, e.dst AS id, p.sigma
+          FROM e JOIN l{t - 1} p ON e.src = p.id
+        ) c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s{t - 1} s WHERE s.seed = c.seed AND s.id = c.id
+        )
+        GROUP BY c.seed, c.id
+      )""")
+        _bw_fwd.append(
+            f"s{t} AS MATERIALIZED (SELECT seed, id FROM s{t - 1} "
+            f"UNION ALL SELECT seed, id FROM l{t})"
+        )
+    _bw_bwd = [
+        f"d{_L} AS MATERIALIZED (SELECT seed, id, sigma, 0.0::DOUBLE AS delta FROM l{_L})"
+    ]
+    for t in range(_L - 1, 0, -1):
+        _bw_bwd.append(f"""
+      d{t} AS MATERIALIZED (
+        SELECT u.seed, u.id, u.sigma,
+               round(coalesce(c.d, 0.0::DOUBLE), 6) AS delta
+        FROM l{t} u LEFT JOIN (
+          SELECT u2.seed, u2.id,
+                 sum(u2.sigma::DOUBLE / v.sigma::DOUBLE
+                     * (1.0::DOUBLE + v.delta))
+                   + 0.000000001::DOUBLE AS d
+          FROM l{t} u2
+          JOIN e ON e.src = u2.id
+          JOIN d{t + 1} v ON v.seed = u2.seed AND v.id = e.dst
+          GROUP BY u2.seed, u2.id
+        ) c ON c.seed = u.seed AND c.id = u.id
+      )""")
+    _bw_union = " UNION ALL ".join(
+        f"SELECT seed, id, delta FROM d{t}" for t in range(1, _L + 1)
+    )
+    oracles["q_betweenness"] = f"""
+      WITH {SQL_GRAPH_CTES},
+      e AS (SELECT DISTINCT src, dst FROM kept),
+      vs AS (
+        SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+      ),
+      seeds AS (SELECT v AS seed FROM vs ORDER BY v LIMIT 8),
+      {','.join(_bw_fwd)},
+      {','.join(_bw_bwd)},
+      alld AS ({_bw_union})
+      SELECT id, round(sum(delta), 6) AS betweenness
+      FROM alld GROUP BY id
+    """
+
     # sampled closeness: bounded recursive BFS from the 8 smallest ids;
     # distances are exact integers, min() collapses the walk
     oracles["q_closeness"] = f"""

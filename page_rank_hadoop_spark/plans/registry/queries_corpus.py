@@ -962,3 +962,11 @@ def q_weighted_sssp(spark, sf):
     )
     src0 = verts.agg(F.min("id").alias("m")).first()["m"]
     return graph.weighted_sssp(wedges, src0)
+
+
+def q_betweenness(spark, sf):
+    """Sampled betweenness centrality: Brandes forward σ-count +
+    backward δ-accumulation from the 8 smallest vertex ids (the
+    deterministic seed rule); σ integer-exact, δ rounded 6dp per level
+    on both engines."""
+    return graph.seeded_betweenness(_graph(spark, sf)["kept"])

@@ -552,3 +552,75 @@ class TestWeightedSSSP:
         )
         got = {r["id"]: r["dist"] for r in graph.weighted_sssp(e, 1).collect()}
         assert got == {1: 0, 2: 1, 3: 2}
+
+
+class TestBetweenness:
+    def test_against_python_brandes(self, spark):
+        from collections import defaultdict, deque
+
+        from page_rank_hadoop_spark.operators import graph
+        from page_rank_hadoop_spark.plans.registry.queries_corpus import _graph
+
+        kept = _graph(spark, SF0001)["kept"]
+        edges = [(r["src"], r["dst"]) for r in kept.collect()]
+        adj = defaultdict(list)
+        for s, d in edges:
+            adj[s].append(d)
+        nodes = sorted({x for e in edges for x in e})
+        bc = defaultdict(float)
+        for s in nodes[:8]:
+            dist = {s: 0}
+            sigma = {s: 1}
+            order = [s]
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                if dist[u] >= 12:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0
+                        order.append(v)
+                        q.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+            levels = defaultdict(list)
+            for v in order:
+                levels[dist[v]].append(v)
+            delta = defaultdict(float)
+            for t in range(max(levels) - 1, -1, -1):
+                for u in levels[t]:
+                    acc = 0.0
+                    hit = False
+                    for v in adj.get(u, ()):
+                        if dist.get(v) == t + 1:
+                            acc += sigma[u] / sigma[v] * (1.0 + delta[v])
+                            hit = True
+                    # the operator's ε-shifted per-level rounding
+                    delta[u] = round(acc + 1e-9, 6) if hit else 0.0
+            for v in order:
+                if v != s:
+                    bc[v] += delta[v]
+        ref = {v: round(x, 6) for v, x in bc.items()}
+        got = {
+            r["id"]: r["betweenness"]
+            for r in graph.seeded_betweenness(kept).collect()
+        }
+        mism = [
+            k
+            for k in set(ref) | set(got)
+            if abs(ref.get(k, 0.0) - got.get(k, 0.0)) > 2e-6
+        ]
+        assert mism == []
+
+    def test_path_graph_middle_is_max(self, spark):
+        from page_rank_hadoop_spark.operators import graph
+
+        # 1→2→3→4: from seed 1, delta(2)=2, delta(3)=1, delta(4)=0
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+        got = {
+            r["id"]: r["betweenness"]
+            for r in graph.seeded_betweenness(e, n_seeds=1).collect()
+        }
+        assert got[2] == 2.0 and got[3] == 1.0 and got[4] == 0.0
