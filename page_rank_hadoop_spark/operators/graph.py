@@ -1135,3 +1135,53 @@ def seeded_betweenness(
     return out.groupBy("id").agg(
         F.round(F.sum("delta"), 6).alias("betweenness")
     )
+
+
+def seeded_centrality_features(
+    edges: DataFrame, n_seeds: int = 8, max_hops: int = 15
+) -> DataFrame:
+    """Per-NODE centrality features from the sampled-seed BFS — the
+    transpose of ``seeded_closeness``: for every vertex v reachable
+    from ≥1 seed, (n_seeds_reaching, min_dist, harmonic_est =
+    Σ_seeds 1/d(seed, v)). This is the FEATURE direction — a
+    graph-centrality column a training pipeline joins onto documents
+    (well-connected pages score high) — where seeded_closeness profiles
+    the seeds themselves. Same one multi-seed frontier loop; the rollup
+    just groups by node instead of seed. Distances stay integers; the
+    only float is the final Σ1/d fold, rounded 6dp.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select("src", "dst").distinct().repartition("src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.orderBy("id").limit(n_seeds).select(F.col("id").alias("seed"))
+    settled = seeds.select(
+        "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("seed", F.col("dst").alias("id"))
+            .distinct()
+            .join(settled.select("seed", "id"), ["seed", "id"], "left_anti")
+            .select("seed", "id", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    reached = settled.filter(F.col("dist") > 0)
+    return reached.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_seeds_reaching"),
+        F.min("dist").cast("int").alias("min_dist"),
+        F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("harmonic_est"),
+    )

@@ -1240,6 +1240,33 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM alld GROUP BY id
     """
 
+    # per-node centrality features: same bounded recursive BFS walk,
+    # rolled up by NODE instead of seed (the feature direction)
+    oracles["q_centrality_features"] = f"""
+      WITH RECURSIVE {SQL_GRAPH_CTES},
+      e AS (SELECT DISTINCT src, dst FROM kept),
+      vs AS (
+        SELECT DISTINCT v AS id
+        FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)
+      ),
+      seeds AS (SELECT id AS seed FROM vs ORDER BY id LIMIT 8),
+      walk(seed, id, dist) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT w.seed, e.dst, w.dist + 1
+        FROM walk w JOIN e ON w.id = e.src
+        WHERE w.dist < 15
+      ),
+      dmin AS (
+        SELECT seed, id, min(dist) AS dist FROM walk GROUP BY 1, 2
+      ),
+      r AS (SELECT seed, id, dist FROM dmin WHERE dist > 0)
+      SELECT id, count(*)::BIGINT AS n_seeds_reaching,
+             min(dist)::INT AS min_dist,
+             round(sum(1.0::DOUBLE / dist), 6) AS harmonic_est
+      FROM r GROUP BY id
+    """
+
     # sampled closeness: bounded recursive BFS from the 8 smallest ids;
     # distances are exact integers, min() collapses the walk
     oracles["q_closeness"] = f"""

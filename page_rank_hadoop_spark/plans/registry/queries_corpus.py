@@ -970,3 +970,12 @@ def q_betweenness(spark, sf):
     deterministic seed rule); σ integer-exact, δ rounded 6dp per level
     on both engines."""
     return graph.seeded_betweenness(_graph(spark, sf)["kept"])
+
+
+def q_centrality_features(spark, sf):
+    """Per-node graph-centrality FEATURES from the sampled-seed BFS
+    (the training-data direction of q_closeness): how many of the 8
+    seeds reach each node, at what minimum distance, and the harmonic
+    estimate Σ 1/d — the connectivity column a ranking/quality model
+    joins onto documents."""
+    return graph.seeded_centrality_features(_graph(spark, sf)["kept"])

@@ -624,3 +624,23 @@ class TestBetweenness:
             for r in graph.seeded_betweenness(e, n_seeds=1).collect()
         }
         assert got[2] == 2.0 and got[3] == 1.0 and got[4] == 0.0
+
+
+class TestCentralityFeatures:
+    def test_consistent_with_closeness_walk(self, spark):
+        from page_rank_hadoop_spark.operators import graph
+        from page_rank_hadoop_spark.plans.registry.queries_corpus import _graph
+
+        kept = _graph(spark, SF0001)["kept"]
+        feats = graph.seeded_centrality_features(kept).collect()
+        seeds_view = {r["seed"]: r for r in graph.seeded_closeness(kept).collect()}
+        # the two rollups summarize the SAME walk: total (seed, node)
+        # reach pairs must agree
+        assert sum(r["n_seeds_reaching"] for r in feats) == sum(
+            r["n_reached"] for r in seeds_view.values()
+        )
+        for r in feats:
+            assert 1 <= r["n_seeds_reaching"] <= 8
+            assert r["min_dist"] >= 1
+            # harmonic_est ≤ n_seeds · 1/min_dist (each term ≤ 1/min)
+            assert r["harmonic_est"] <= r["n_seeds_reaching"] / r["min_dist"] + 1e-9
