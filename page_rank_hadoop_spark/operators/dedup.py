@@ -496,12 +496,16 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the step that turns MinHash/SimHash pair output into keep/drop
     decisions (keep component_id, drop the rest).
 
-    Iterative min-label propagation WITH pointer jumping: each round
-    every vertex takes min(own, neighbors') labels, then compresses
-    label := label-of-label (one extra equi-join). Compression halves
-    chain depth per round → O(log diameter) rounds (the same idea as
-    large-star/small-star, Kiveris et al., "Connected Components in
-    MapReduce and Beyond").
+    Iterative min-label propagation WITH star contraction: each round
+    every vertex takes min(own, neighbors') labels, then (a) the whole
+    current label tree adopts the best candidate any member found — the
+    large-star hook, one group-min over live labels + one join — and
+    (b) label := label-of-label (pointer jump / small-star, one extra
+    equi-join). Both moves halve the effective chain depth per round →
+    O(log diameter) rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). The hook was proven in components_pregel
+    first (rounds 17→5 on the sf0.1 MinHash pair graph) and ported here
+    in round 10 so every dedup query sharing this loop gets it.
 
     Physical hygiene differs from the PageRank loop on purpose: the
     labels table is referenced THREE times per round (neighbor join,
@@ -560,13 +564,28 @@ def _near_dup_components_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.col("label").alias("_old"),
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.least("label", F.coalesce("nbr_label", "label")).alias("cand"),
             )
+            .localCheckpoint(eager=False)  # referenced twice: group-min + join back
+        )
+        # large-star hook (round 10, ported from components_pregel where it
+        # cut the sf0.1 pair graph from 17 rounds to 5): the whole current
+        # label TREE adopts the best candidate any member found this round.
+        # The group-min frame has one row per live label — tiny — and the
+        # join key is the old label, so whole trees merge per round instead
+        # of single vertices. Monotone (labels only decrease toward the
+        # component min) ⇒ convergence and final values unchanged.
+        gmin = stepped.groupBy(F.col("_old").alias("_gl")).agg(
+            F.min("cand").alias("_gm")
+        )
+        new_labels = (
+            stepped.join(gmin, stepped["_old"] == gmin["_gl"])
+            .select("id", "_old", F.least("cand", "_gm").alias("label"))
         )
         # pointer jumping: label := label's label (labels' domain is node
         # ids, so the self-join is total). Monotone non-increasing and
