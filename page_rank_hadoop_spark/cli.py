@@ -317,6 +317,15 @@ def cmd_ann_index(spark: SparkSession, args: argparse.Namespace) -> int:
         print(f"ann-index append: {batch.count()} vectors → {args.index}")
         return 0
     if args.action == "probe":
+        if args.mmr and not args.via_cursor:
+            # advice r9: --mmr only has a cursor implementation; silently
+            # falling through to the plain Spark probe ignored the flag
+            print(
+                "ann-index probe: --mmr requires --via-cursor "
+                "(MMR re-ranking is served from the cursor lane)",
+                file=sys.stderr,
+            )
+            return 2
         row = (
             spark.read.parquet(args.input)
             .filter(F.col("vec_id") == args.probe_id)

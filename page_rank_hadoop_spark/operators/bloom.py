@@ -42,10 +42,24 @@ N_BITS_DEFAULT = 1 << 17
 N_HASHES_DEFAULT = 4
 
 
+def _canon(key: Column) -> Column:
+    """Canonicalize the key before hashing. xxhash64 is TYPE-sensitive:
+    int 7 and bigint 7 hash differently, so a fact/dim type mismatch
+    (e.g. int c_custkey vs bigint o_custkey) would silently break the
+    no-false-negatives contract — the pre-filter would drop genuinely
+    matching rows before the exact join ever sees them (advice r9).
+    Integral/float widths collapse through the long cast; non-numeric
+    keys (strings, dates) fall through to their string form. Both build
+    and probe route through this, so equal-under-join values always
+    hash identical bytes; over-collapsing (1.5 → "1") only adds false
+    positives, which the exact join removes."""
+    return F.coalesce(key.cast("long").cast("string"), key.cast("string"))
+
+
 def _positions(key: Column, seed: int, n_bits: int) -> Column:
     """Bit position for one hash: xxhash64 over (key, seed) — the seed
     column makes the k hashes independent draws from one hash family."""
-    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(n_bits))
+    return F.pmod(F.xxhash64(_canon(key), F.lit(seed)), F.lit(n_bits))
 
 
 def bloom_build(
@@ -66,7 +80,7 @@ def bloom_build(
     """
     seeds = F.array([F.lit(s) for s in range(n_hashes)])
     pos = (
-        dim.select(F.col(key_col).alias("k"), F.explode(seeds).alias("seed"))
+        dim.select(_canon(F.col(key_col)).alias("k"), F.explode(seeds).alias("seed"))
         .select(F.pmod(F.xxhash64("k", "seed"), F.lit(n_bits)).alias("pos"))
     )
     rows = (

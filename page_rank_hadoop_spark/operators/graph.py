@@ -840,7 +840,25 @@ def strongly_connected_components(
                 if n_changed == 0:
                     break
             else:
-                raise RuntimeError("SCC forward pass did not converge")
+                # budget exhausted with the LAST iteration still changing —
+                # but that change may have landed exactly on the fixpoint
+                # (advice r9: for/else checks at the top of the next round,
+                # so the effective budget was max_iters-1). Re-test once:
+                # at the edge-relax fixpoint the pointer jump is also a
+                # no-op (f(v) is reachable from v, so f(f(v)) >= f(v)), so
+                # one relax-only probe decides.
+                relax = (
+                    e.join(lbl.withColumnRenamed("id", "dst"), "dst")
+                    .groupBy("src")
+                    .agg(F.min("f").alias("fmin"))
+                )
+                still = (
+                    lbl.join(relax.withColumnRenamed("src", "id"), "id", "left")
+                    .filter(F.coalesce("fmin", "f") < F.col("f"))
+                    .count()
+                )
+                if still:
+                    raise RuntimeError("SCC forward pass did not converge")
             lbl = lbl.localCheckpoint()
             # 2. flood pivot reachability inside each color class
             ef = (
@@ -873,7 +891,16 @@ def strongly_connected_components(
                 # per iteration, never a recomputation chain)
                 reached = reached.unionByName(frontier)
             else:
-                raise RuntimeError("SCC pivot flood did not converge")
+                # same off-by-one as the forward pass: the final union may
+                # have completed the flood. One more expansion step decides.
+                frontier = (
+                    ef.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .join(reached, "id", "left_anti")
+                )
+                if frontier.count() != 0:
+                    raise RuntimeError("SCC pivot flood did not converge")
             # 3. peel
             newly = lbl.join(reached, "id", "left_semi").select(
                 "id", F.col("f").alias("scc_id")
@@ -888,7 +915,11 @@ def strongly_connected_components(
             )
             e.unpersist()
         else:
-            raise RuntimeError("SCC peeling did not converge in max_rounds")
+            # the emptiness check runs at the TOP of each round, so a graph
+            # that fully peels exactly on round max_rounds would exhaust the
+            # range with remaining already empty — re-test before raising.
+            if remaining.count() != 0:
+                raise RuntimeError("SCC peeling did not converge in max_rounds")
     finally:
         if pinned:
             spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))

@@ -1005,12 +1005,17 @@ def q_bloom_semijoin_stored(spark, sf):
     import tempfile
 
     from page_rank_hadoop_spark.operators import bloom
+    from page_rank_hadoop_spark.plans.registry.queries_corpus import _MV_CACHE
 
     dim = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    d = tempfile.mkdtemp(prefix="bloom_store_")
-    words = bloom.bloom_build(dim, "c_custkey")
-    bloom.write_bloom(words, d)
-    loaded, n_bits, n_hashes = bloom.load_bloom(d)
+    # cache the written store per sf (advice r9: a fresh mkdtemp per
+    # invocation leaked one bloom_store_* dir per run across sweeps)
+    key = f"bloom_store::{sf}"
+    if key not in _MV_CACHE:
+        d = tempfile.mkdtemp(prefix="bloom_store_")
+        bloom.write_bloom(bloom.bloom_build(dim, "c_custkey"), d)
+        _MV_CACHE[key] = d
+    loaded, n_bits, n_hashes = bloom.load_bloom(_MV_CACHE[key])
     orders = load_table(spark, sf, "orders")
     pre = orders.filter(
         bloom.might_contain(F.col("o_custkey"), loaded, n_bits, n_hashes)

@@ -66,6 +66,21 @@ class TestBloomSemijoin:
         assert len(words) == bloom.N_BITS_DEFAULT // 64
         assert any(w != 0 for w in words)
 
+    def test_mixed_key_types_no_false_negatives(self, spark):
+        # advice r9: xxhash64 is type-sensitive — an int dim key probed
+        # with a bigint fact key must still satisfy the no-false-negatives
+        # contract (the _canon cast collapses integer widths)
+        dim = spark.range(100, 200).select(F.col("id").cast("int").alias("k"))
+        fact = spark.range(0, 1000).select(F.col("id").cast("long").alias("k"))
+        st = bloom.bloom_stats(fact, "k", dim, "k")
+        assert st["n_false_neg"] == 0
+        assert st["n_member"] == 100
+        # and string-typed keys keep working (fall through the long cast)
+        sdim = spark.range(5).select(F.concat(F.lit("u"), "id").alias("k"))
+        sfact = spark.range(10).select(F.concat(F.lit("u"), "id").alias("k"))
+        st2 = bloom.bloom_stats(sfact, "k", sdim, "k")
+        assert st2["n_false_neg"] == 0 and st2["n_member"] == 5
+
 
 class TestAutocorrelation:
     def test_shape_and_bounds(self, orders):
@@ -263,6 +278,37 @@ class TestSCC:
         }
         assert a == b
         assert a[12] == 1 and a[20] == 20
+
+    def test_exact_budget_boundary(self, spark):
+        # advice r9: the for/else guards checked convergence at the TOP of
+        # the next round, so converging exactly on the last budgeted round
+        # raised RuntimeError. Both boundaries pinned here:
+        from page_rank_hadoop_spark.operators import graph
+
+        # (a) peel completes exactly on round 1 (two 2-cycles + bridge —
+        # both pivots flood their whole class in the first round)
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(e, max_rounds=1).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+        # (b) forward fixpoint's LAST allowed iteration does the final
+        # change: chain 5->4->3->2->1 without pointer jumping moves labels
+        # one hop per iteration, so f(5) reaches 1 exactly at iter 4
+        chain = spark.createDataFrame(
+            [(v, v - 1) for v in range(2, 6)], ["src", "dst"]
+        )
+        got = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(
+                chain, max_iters=4, pointer_jump=False
+            ).collect()
+        }
+        assert got == {v: v for v in range(1, 6)}
 
 
 class TestMMR:
