@@ -279,6 +279,27 @@ class TestSCC:
         assert a == b
         assert a[12] == 1 and a[20] == 20
 
+    def test_hops_parity(self, spark):
+        # the bounded-hop knob (measured-negative for perf, kept as a
+        # lever) must not change values: h=1 vs h=2 vs h=4 agree
+        from page_rank_hadoop_spark.operators import graph
+
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 10)] + [(10, 1), (4, 20), (20, 21)],
+            ["src", "dst"],
+        )
+        base = {
+            r["id"]: r["scc_id"]
+            for r in graph.strongly_connected_components(e, hops=1).collect()
+        }
+        for h in (2, 4):
+            got = {
+                r["id"]: r["scc_id"]
+                for r in graph.strongly_connected_components(e, hops=h).collect()
+            }
+            assert got == base
+        assert base[10] == 1 and base[20] == 20 and base[21] == 21
+
     def test_exact_budget_boundary(self, spark):
         # advice r9: the for/else guards checked convergence at the TOP of
         # the next round, so converging exactly on the last budgeted round
