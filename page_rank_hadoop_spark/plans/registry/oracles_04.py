@@ -1048,6 +1048,8 @@ def contribute(oracles: dict[str, str]) -> None:
     # the rolling-hash physical plan produces the SAME spans — one
     # oracle, two physical strategies (the pregel-twin precedent)
     oracles["q_substring_dedup_hashed"] = oracles["q_substring_dedup"]
+    # ... and the sharded suffix-array plan makes it three (round 10)
+    oracles["q_substring_dedup_sa"] = oracles["q_substring_dedup"]
     # the cut stage: rebuild each doc's text minus its (disjoint,
     # sorted) spans as a left-fold of kept segments, fingerprint it
     seg_start = "CASE WHEN i = 1 THEN 1 ELSE sp[i - 1].e + 1 END"
