@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_sorted_neighborhood",
     "q_substring_dedup",
     "q_substring_dedup_hashed",
+    "q_substring_dedup_sa",
     "q_substring_dedup_clean",
     "q_dedup_keep_best",
     "q_token_budget_mixture",
@@ -193,6 +194,7 @@ BENCH_QUERIES = [
     "q_watermark_late_drop",
     "q_pq_adc_knn",
     "q_pq_refined_knn",
+    "q_sq_knn",
     "q_hll_sketch",
     "q_hll_merge",
     "q_orc_roundtrip",
@@ -580,6 +582,38 @@ def main() -> None:
         )
     load_after = os.getloadavg()
 
+    # Rotating excluded-keys slice (round 10, judge r9 item 8): the
+    # exclusion rule is logged, but a cheap family member could silently
+    # regress forever — so each round additionally times ~10 of the
+    # excluded keys ONCE (single run, not best-of-N; these are cheap
+    # variants, the goal is a regression tripwire not a benchmark).
+    # The slice index derives from the committed BENCH_r*.json count, so
+    # successive driver rounds walk the whole excluded set in ~11 rounds.
+    import glob as _glob
+
+    rotation: dict[str, float] = {}
+    if dropped:
+        rounds_seen = len(
+            _glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+            )
+        )
+        width = 10
+        start = (rounds_seen * width) % len(dropped)
+        slice_keys = [
+            dropped[(start + i) % len(dropped)]
+            for i in range(min(width, len(dropped)))
+        ]
+        for name in slice_keys:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rotation[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# rotation slice (start {start} of {len(dropped)} excluded): "
+            + ", ".join(f"{k}={v:.2f}s" for k, v in rotation.items()),
+            file=sys.stderr,
+        )
+
     # reference M1 twin: point-lookup serving latency (see docstring)
     serving = serving_latency_bench(spark, sf_dir)
     print(f"# serving latency: {serving}", file=sys.stderr)
@@ -609,6 +643,7 @@ def main() -> None:
         "ambient_load": round(ambient_load, 1),
         "load_warn": load_warn or ambient_load > LOAD_BOUND,
         "pregel_tax": pregel_tax,
+        "rotation_slice": rotation,
     }
     # full-precision detail (every run, not just the best) for the judge
     with open(
@@ -632,6 +667,9 @@ def main() -> None:
     slowest = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     payload["n_queries"] = len(timings)
     payload["queries_full"] = "bench_results.json"
+    # the rotation slice lives in bench_results.json; inline only its
+    # count so the compact stdout line can't outgrow the tail capture
+    payload["rotation_slice"] = len(rotation)
     # degrade-to-fit, never abort: shrink the inline slowest-queries map
     # (10 → 5 → 0), then drop the serving detail, until the line fits —
     # a too-long line reproduces the r6 parsed:null failure, and an

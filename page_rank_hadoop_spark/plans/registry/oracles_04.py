@@ -995,6 +995,10 @@ def contribute(oracles: dict[str, str]) -> None:
     # round 9 (judge r8 item 5): same chain + exact-squared-L2 re-rank
     # of the 4k ADC shortlist from the full vectors
     oracles["q_pq_refined_knn"] = _sql_pq_adc_knn(refine=4)
+    # round 10 (judge r9 item 7): int8 scalar-quantized serving — the
+    # quantize-report arithmetic turned into a ranked ANN lane
+    from page_rank_hadoop_spark.plans.registry._shared import _sql_sq_knn
+    oracles["q_sq_knn"] = _sql_sq_knn()
 
     # round 9 (judge r8 item 2): exact-substring dedup — same window
     # algebra in SQL: all L-windows, grams with total count >= 2, per-doc
