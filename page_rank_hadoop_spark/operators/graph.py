@@ -129,26 +129,38 @@ def shortest_paths(edges: DataFrame, source, max_hops: int = 10) -> DataFrame:
     e = edges.select("src", "dst").distinct().repartition("src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    n_edges = e.count()
+    # small-graph loop hints (round 10, the SCC lever generalized):
+    # integer hop counts — partition-count insensitive
+    bc = F.broadcast if n_edges <= 1_000_000 else (lambda df: df)
     spark = edges.sparkSession
-    # spark.range, not createDataFrame: a literal-list frame becomes a
-    # Python-RDD scan that re-spawns workers on every downstream action
-    settled = spark.range(1).select(
-        F.lit(source).cast("long").alias("id"), F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = settled
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(settled.select("id"), "id", "left_anti")
-            .select("id", F.lit(hop).alias("dist"))
-            .localCheckpoint()
-        )
-        if nxt.count() == 0:
-            break
-        settled = settled.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 50_000 + 1))
+    if loop_parts != session_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        # spark.range, not createDataFrame: a literal-list frame becomes a
+        # Python-RDD scan that re-spawns workers on every downstream action
+        settled = spark.range(1).select(
+            F.lit(source).cast("long").alias("id"), F.lit(0).alias("dist")
+        ).localCheckpoint()
+        frontier = settled
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                e.join(bc(frontier.withColumnRenamed("id", "src")), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(bc(settled.select("id")), "id", "left_anti")
+                .select("id", F.lit(hop).alias("dist"))
+                .localCheckpoint(eager=False)  # materialized by the count
+            )
+            if nxt.count() == 0:
+                break
+            settled = settled.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+    finally:
+        if loop_parts != session_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     e.unpersist()
     return settled
 
@@ -1000,31 +1012,48 @@ def seeded_closeness(
     e = edges.select("src", "dst").distinct().repartition("src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    seeds = verts.orderBy("id").limit(n_seeds).select(
-        F.col("id").alias("seed")
-    )
-    settled = seeds.select(
-        "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = settled
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select("seed", F.col("dst").alias("id"))
+    n_edges = e.count()
+    # small-graph loop hints (round 10, the SCC lever generalized):
+    # checkpointed frontier/settled frames are LogicalRDDs with unknown
+    # stats, so AQE never auto-broadcasts them — below the threshold an
+    # explicit broadcast collapses the per-hop exchanges, and loop
+    # shuffles size to the live graph (distances are exact integers, so
+    # values are partition-count insensitive)
+    bc = F.broadcast if n_edges <= 1_000_000 else (lambda df: df)
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 50_000 + 1))
+    if loop_parts != session_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
-            .join(settled.select("seed", "id"), ["seed", "id"], "left_anti")
-            .select("seed", "id", F.lit(hop).alias("dist"))
-            .localCheckpoint()
         )
-        if nxt.count() == 0:
-            break
-        settled = settled.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+        seeds = verts.orderBy("id").limit(n_seeds).select(
+            F.col("id").alias("seed")
+        )
+        settled = seeds.select(
+            "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
+        ).localCheckpoint()
+        frontier = settled
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                e.join(bc(frontier.withColumnRenamed("id", "src")), "src")
+                .select("seed", F.col("dst").alias("id"))
+                .distinct()
+                .join(bc(settled.select("seed", "id")), ["seed", "id"], "left_anti")
+                .select("seed", "id", F.lit(hop).alias("dist"))
+                .localCheckpoint(eager=False)  # materialized by the count
+            )
+            if nxt.count() == 0:
+                break
+            settled = settled.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+    finally:
+        if loop_parts != session_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     e.unpersist()
     reached = settled.filter(F.col("dist") > 0)
     return (
@@ -1074,23 +1103,35 @@ def weighted_sssp(
     e = wedges.select("src", "dst", "w").repartition("src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    n_edges = e.count()
+    # small-graph loop hints (round 10, the SCC lever generalized) —
+    # integer distances, min-combine: partition-count insensitive
+    bc = F.broadcast if n_edges <= 1_000_000 else (lambda df: df)
     spark = wedges.sparkSession
-    dist = spark.range(1).select(
-        F.lit(source).cast("long").alias("id"),
-        F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint()
-    for _ in range(rounds):
-        relaxed = (
-            e.join(dist.withColumnRenamed("id", "src"), "src")
-            .select(
-                F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 50_000 + 1))
+    if loop_parts != session_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        dist = spark.range(1).select(
+            F.lit(source).cast("long").alias("id"),
+            F.lit(0).cast("long").alias("dist"),
+        ).localCheckpoint()
+        for _ in range(rounds):
+            relaxed = (
+                e.join(bc(dist.withColumnRenamed("id", "src")), "src")
+                .select(
+                    F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+                )
+                .unionByName(dist)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
             )
-            .unionByName(dist)
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
-        dist = relaxed
+            dist = relaxed
+    finally:
+        if loop_parts != session_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     e.unpersist()
     return dist
 
@@ -1126,83 +1167,97 @@ def seeded_betweenness(
     e = edges.select("src", "dst").distinct().repartition("src").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    seeds = verts.orderBy("id").limit(n_seeds).select(F.col("id").alias("seed"))
-    l0 = seeds.select(
-        "seed", F.col("seed").alias("id"), F.lit(1).cast("long").alias("sigma")
-    ).localCheckpoint()
-    settled = l0.select("seed", "id").localCheckpoint()
-    levels = [l0]
-    for _t in range(1, max_hops + 1):
-        lt = (
-            e.join(levels[-1].withColumnRenamed("id", "src"), "src")
-            .select("seed", F.col("dst").alias("id"), "sigma")
-            .join(settled, ["seed", "id"], "left_anti")
-            .groupBy("seed", "id")
-            .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint()
+    n_edges = e.count()
+    # small-graph loop hints (round 10, the SCC lever generalized):
+    # sigma counts are exact BIGINTs and delta sums round 6dp per level,
+    # so values survive any partition count; broadcasts collapse the
+    # per-level exchanges below the threshold
+    bc = F.broadcast if n_edges <= 1_000_000 else (lambda df: df)
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 50_000 + 1))
+    if loop_parts != session_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
         )
-        if lt.count() == 0:
-            break
-        settled = settled.unionByName(lt.select("seed", "id")).localCheckpoint()
-        levels.append(lt)
-    # backward dependency accumulation down the level stack
-    deltas = levels[-1].select(
-        "seed", "id", "sigma", F.lit(0.0).alias("delta")
-    ).localCheckpoint()
-    acc = [deltas] if len(levels) > 1 else []
-    for t in range(len(levels) - 2, -1, -1):
-        u = levels[t]
-        succ = deltas.select(
-            F.col("seed").alias("vseed"),
-            F.col("id").alias("vid"),
-            F.col("sigma").alias("vsigma"),
-            F.col("delta").alias("vdelta"),
-        )
-        contrib = (
-            u.withColumnRenamed("id", "src")
-            .join(e, "src")
-            .join(
-                succ,
-                (F.col("seed") == F.col("vseed")) & (F.col("dst") == F.col("vid")),
+        seeds = verts.orderBy("id").limit(n_seeds).select(F.col("id").alias("seed"))
+        l0 = seeds.select(
+            "seed", F.col("seed").alias("id"), F.lit(1).cast("long").alias("sigma")
+        ).localCheckpoint()
+        settled = l0.select("seed", "id").localCheckpoint()
+        levels = [l0]
+        for _t in range(1, max_hops + 1):
+            lt = (
+                e.join(bc(levels[-1].withColumnRenamed("id", "src")), "src")
+                .select("seed", F.col("dst").alias("id"), "sigma")
+                .join(bc(settled), ["seed", "id"], "left_anti")
+                .groupBy("seed", "id")
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint(eager=False)  # materialized by the count
             )
-            .groupBy("seed", F.col("src").alias("id"))
-            .agg(
-                # +1e-9 before rounding: σu/σv ratios with small
-                # denominators (1/2, 1/4…) times 6dp values land
-                # EXACTLY on 0.5e-6 rounding boundaries, where Spark
-                # (HALF_UP on decimal repr) and DuckDB (scaled-binary
-                # nearest) disagree — the ε shifts the boundary off the
-                # structural grid (same class as mmr_rerank's integer
-                # scores; here denominators are data-dependent, so the
-                # ε-shift is the available fix)
-                F.round(
-                    F.sum(
-                        F.col("sigma").cast("double")
-                        / F.col("vsigma").cast("double")
-                        * (F.lit(1.0) + F.col("vdelta"))
-                    )
-                    + F.lit(1e-9),
-                    6,
-                ).alias("d")
+            if lt.count() == 0:
+                break
+            settled = settled.unionByName(lt.select("seed", "id")).localCheckpoint()
+            levels.append(lt)
+        # backward dependency accumulation down the level stack
+        deltas = levels[-1].select(
+            "seed", "id", "sigma", F.lit(0.0).alias("delta")
+        ).localCheckpoint()
+        acc = [deltas] if len(levels) > 1 else []
+        for t in range(len(levels) - 2, -1, -1):
+            u = levels[t]
+            succ = deltas.select(
+                F.col("seed").alias("vseed"),
+                F.col("id").alias("vid"),
+                F.col("sigma").alias("vsigma"),
+                F.col("delta").alias("vdelta"),
             )
-        )
-        deltas = (
-            u.join(contrib, ["seed", "id"], "left")
-            .select(
-                "seed",
-                "id",
-                "sigma",
-                F.coalesce("d", F.lit(0.0)).alias("delta"),
+            contrib = (
+                e.join(bc(u.withColumnRenamed("id", "src")), "src")
+                .join(
+                    bc(succ),
+                    (F.col("seed") == F.col("vseed")) & (F.col("dst") == F.col("vid")),
+                )
+                .groupBy("seed", F.col("src").alias("id"))
+                .agg(
+                    # +1e-9 before rounding: σu/σv ratios with small
+                    # denominators (1/2, 1/4…) times 6dp values land
+                    # EXACTLY on 0.5e-6 rounding boundaries, where Spark
+                    # (HALF_UP on decimal repr) and DuckDB (scaled-binary
+                    # nearest) disagree — the ε shifts the boundary off the
+                    # structural grid (same class as mmr_rerank's integer
+                    # scores; here denominators are data-dependent, so the
+                    # ε-shift is the available fix)
+                    F.round(
+                        F.sum(
+                            F.col("sigma").cast("double")
+                            / F.col("vsigma").cast("double")
+                            * (F.lit(1.0) + F.col("vdelta"))
+                        )
+                        + F.lit(1e-9),
+                        6,
+                    ).alias("d")
+                )
             )
-            .localCheckpoint()
-        )
-        if t > 0:  # level-0 rows are the seeds themselves: not endpoints
-            acc.append(deltas)
+            deltas = (
+                u.join(contrib, ["seed", "id"], "left")
+                .select(
+                    "seed",
+                    "id",
+                    "sigma",
+                    F.coalesce("d", F.lit(0.0)).alias("delta"),
+                )
+                .localCheckpoint()
+            )
+            if t > 0:  # level-0 rows are the seeds themselves: not endpoints
+                acc.append(deltas)
+    finally:
+        if loop_parts != session_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     e.unpersist()
     if not acc:
         return seeds.select(
@@ -1240,23 +1295,35 @@ def seeded_centrality_features(
         .distinct()
     )
     seeds = verts.orderBy("id").limit(n_seeds).select(F.col("id").alias("seed"))
-    settled = seeds.select(
-        "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
-    ).localCheckpoint()
-    frontier = settled
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select("seed", F.col("dst").alias("id"))
-            .distinct()
-            .join(settled.select("seed", "id"), ["seed", "id"], "left_anti")
-            .select("seed", "id", F.lit(hop).alias("dist"))
-            .localCheckpoint()
-        )
-        if nxt.count() == 0:
-            break
-        settled = settled.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+    # small-graph loop hints (round 10, the SCC lever generalized)
+    n_edges = e.count()
+    bc = F.broadcast if n_edges <= 1_000_000 else (lambda df: df)
+    spark = edges.sparkSession
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = min(session_parts, max(1, n_edges // 50_000 + 1))
+    if loop_parts != session_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        settled = seeds.select(
+            "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
+        ).localCheckpoint()
+        frontier = settled
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                e.join(bc(frontier.withColumnRenamed("id", "src")), "src")
+                .select("seed", F.col("dst").alias("id"))
+                .distinct()
+                .join(bc(settled.select("seed", "id")), ["seed", "id"], "left_anti")
+                .select("seed", "id", F.lit(hop).alias("dist"))
+                .localCheckpoint(eager=False)  # materialized by the count
+            )
+            if nxt.count() == 0:
+                break
+            settled = settled.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+    finally:
+        if loop_parts != session_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
     e.unpersist()
     reached = settled.filter(F.col("dist") > 0)
     return reached.groupBy("id").agg(
