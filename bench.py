@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q_pq_adc_knn",
     "q_pq_refined_knn",
     "q_sq_knn",
+    "q_sq_refined_knn",
     "q_hll_sketch",
     "q_hll_merge",
     "q_orc_roundtrip",

@@ -1233,6 +1233,63 @@ def sq_knn(
     )
 
 
+def sq_refined_knn(
+    embeddings: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    n_probes: int = 8,
+    dim: int = 64,
+    n_centroids: int | str = 16,
+    centroids: Centroids | None = None,
+) -> DataFrame:
+    """int8-SQ search with EXACT REFINEMENT — the SQ lane's
+    ``pq_refined_knn`` twin (round 10): the quantized rank becomes a
+    ``refine × k`` shortlist, re-ranked by exact squared L2 from the
+    full vectors; the int8 distance rides beside as the quantization
+    audit. Output: (probe_id, rn, vec_id, exact_dist, sq_dist)."""
+    from pyspark.sql import Window
+
+    short = sq_knn(
+        embeddings,
+        k=refine * k,
+        n_probes=n_probes,
+        dim=dim,
+        n_centroids=n_centroids,
+        centroids=centroids,
+    ).select("probe_id", "vec_id", "sq_dist")
+    cand_vec = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+    )
+    probe_vec = embeddings.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("_pv"),
+    )
+    ex = F.aggregate(
+        F.zip_with(F.col("_cv"), F.col("_pv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    scored = (
+        short.join(cand_vec, "vec_id")
+        .join(F.broadcast(probe_vec), "probe_id")
+        .select("probe_id", "vec_id", "sq_dist", F.round(ex, 6).alias("exact_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id",
+            F.col("rn").cast("int").alias("rn"),
+            "vec_id",
+            "exact_dist",
+            "sq_dist",
+        )
+    )
+
+
 def pq_codebook(m: int = 8, n_codes: int = 16, subdim: int = 8) -> dict[int, Centroids]:
     """Deterministic product-quantization sub-codebooks: subspace ``s``'s
     codebook is the seed-centroid family at id offset ``s·n_codes`` and

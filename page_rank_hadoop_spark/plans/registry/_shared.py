@@ -816,6 +816,7 @@ def _sql_sq_knn(
     n_probes: int = 8,
     dim: int = 64,
     n_centroids: int = N_CENTROIDS,
+    refine: int | None = None,
 ) -> str:
     """int8 scalar-quantized ANN oracle (round 10, judge r9 item 7):
     per-dim bounds → encode round((x−mn)/scale) → dequant → squared-L2
@@ -834,7 +835,7 @@ def _sql_sq_knn(
     sims = "[" + ", ".join(
         f"list_cosine_similarity(v, {c})" for c in cents
     ) + "]"
-    return f"""
+    sql = f"""
       WITH e AS MATERIALIZED (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       ),
@@ -883,6 +884,35 @@ def _sql_sq_knn(
       JOIN assigned av ON av.vec_id = r.vec_id
       JOIN pr p ON p.probe_id = r.probe_id
       WHERE r.rn <= {k}
+    """
+    if refine is None:
+        return sql
+    # round 10: exact-refinement twin — the quantized rank becomes a
+    # refine*k shortlist, re-ranked by exact squared L2 from the full
+    # vectors (same list_reduce left fold as every distance here)
+    ex = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        "j -> (av.v[j] - p.pv[j]) * (av.v[j] - p.pv[j])), (a, b) -> a + b)"
+    )
+    head, _, _ = sql.rpartition("      SELECT r.probe_id,")
+    return head + f"""      , short AS (
+        SELECT probe_id, vec_id, sq_dist FROM ranked WHERE rn <= {refine * k}
+      ),
+      exact AS (
+        SELECT s.probe_id, s.vec_id, s.sq_dist,
+               round({ex}, 6) AS exact_dist
+        FROM short s
+        JOIN assigned av ON av.vec_id = s.vec_id
+        JOIN pr p ON p.probe_id = s.probe_id
+      ),
+      rr AS (
+        SELECT probe_id, vec_id, exact_dist, sq_dist,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY exact_dist ASC, vec_id ASC) AS rn
+        FROM exact
+      )
+      SELECT probe_id, rn::INT AS rn, vec_id, exact_dist, sq_dist
+      FROM rr WHERE rn <= {k}
     """
 
 

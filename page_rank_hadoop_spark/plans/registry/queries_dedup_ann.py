@@ -1164,6 +1164,15 @@ def q_sq_knn(spark, sf):
     return similarity.sq_knn(emb, k=5, n_probes=8, dim=EMB_DIM)
 
 
+def q_sq_refined_knn(spark, sf):
+    """Round 10: the SQ lane's exact-refinement twin (pq_refined_knn's
+    shape) — int8 rank becomes a 4k shortlist re-ranked by exact
+    squared L2 from the full vectors; the quantized distance rides
+    beside as the audit column. Oracle: _sql_sq_knn(refine=4)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.sq_refined_knn(emb, k=5, refine=4, n_probes=8, dim=EMB_DIM)
+
+
 def q_pq_refined_knn(spark, sf):
     """Round 9 (judge r8 item 5): IVF-PQ with RESIDUAL REFINEMENT — the
     FAISS IndexRefineFlat stage on top of the trained ADC chain: codes

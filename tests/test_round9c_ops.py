@@ -621,6 +621,23 @@ class TestSQServing:
         total = sum(len(v) for v in exact.values())
         assert hits / total >= 0.9
 
+    def test_refined_exact_dist_is_true_l2(self, spark, emb):
+        # the refinement twin's exact_dist must equal the true squared
+        # L2 (recomputed here per hit), and its ranking can only match
+        # or improve the quantized one
+        from page_rank_hadoop_spark.operators import similarity
+
+        rows = similarity.sq_refined_knn(emb, k=5, refine=4, n_probes=4).collect()
+        assert len(rows) == 20
+        vecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 2000).collect()
+        }
+        for r in rows[:10]:
+            p, v = vecs[r["probe_id"]], vecs[r["vec_id"]]
+            true = round(sum((a - b) * (a - b) for a, b in zip(p, v)), 6)
+            assert abs(r["exact_dist"] - true) < 2e-6
+
     def test_persisted_index_parity_and_tombstones(self, spark, emb, tmp_path):
         # the sq_codes-only probe path must be BIT-EQUAL to the inline
         # ranking, appended batches must stay SQ-capable with the
