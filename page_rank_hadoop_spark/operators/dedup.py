@@ -529,20 +529,27 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     INSENSITIVE, so labels are bit-identical at any count.
     """
     spark = pairs.sparkSession
+    n_pairs = pairs.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = min(session_parts, max(4, (2 * pairs.count()) // 50_000 + 1))
+    loop_parts = min(session_parts, max(1, (2 * n_pairs) // 50_000 + 1))
+    # explicit broadcast of the label-side frames below the threshold
+    # (round 10, the SCC lever): checkpointed labels are LogicalRDDs
+    # with unknown stats, so AQE never auto-broadcasts them
+    bc = F.broadcast if n_pairs <= 500_000 else (lambda df: df)
     if loop_parts == session_parts:
-        return _near_dup_components_loop(pairs, max_iter)
+        return _near_dup_components_loop(pairs, max_iter, bc)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        return _near_dup_components_loop(pairs, max_iter)
+        return _near_dup_components_loop(pairs, max_iter, bc)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
 
 
-def _near_dup_components_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
-    """The min-label + pointer-jump rounds proper (see
+def _near_dup_components_loop(pairs: DataFrame, max_iter: int, bc=None) -> DataFrame:
+    """The min-label + star-contraction rounds proper (see
     ``near_dup_components``, whose shuffle-partition pin wraps this)."""
+    if bc is None:
+        bc = lambda df: df
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = (
         edges.unionByName(
@@ -560,12 +567,12 @@ def _near_dup_components_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
     )
     for i in range(1, max_iter + 1):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            sym.join(bc(labels.withColumnRenamed("id", "src")), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
         stepped = (
-            labels.join(nbr_min, "id", "left")
+            labels.join(bc(nbr_min), "id", "left")
             .select(
                 "id",
                 F.col("label").alias("_old"),
@@ -584,7 +591,7 @@ def _near_dup_components_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
             F.min("cand").alias("_gm")
         )
         new_labels = (
-            stepped.join(gmin, stepped["_old"] == gmin["_gl"])
+            stepped.join(bc(gmin), stepped["_old"] == gmin["_gl"])
             .select("id", "_old", F.least("cand", "_gm").alias("label"))
         )
         # pointer jumping: label := label's label (labels' domain is node
@@ -592,7 +599,7 @@ def _near_dup_components_loop(pairs: DataFrame, max_iter: int) -> DataFrame:
         # bounded below by the component min → convergence unaffected.
         parent = new_labels.select(F.col("id").alias("label"), F.col("label").alias("_pl"))
         new_labels = (
-            new_labels.join(parent, "label")
+            new_labels.join(bc(parent), "label")
             .select("id", "_old", F.col("_pl").alias("label"))
             .localCheckpoint()  # eager materialization, constant-size plan
         )
