@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_hard_negatives_multiprobe",
     "q_ivf_two_level",
     "q_semantic_dedup",
+    "q_dbscan_clusters",
+    "q_dsir_select",
     "q_incremental_dedup",
     "q_lsh_band_stats",
     "q_lang_confusion",

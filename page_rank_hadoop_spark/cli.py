@@ -171,6 +171,61 @@ def cmd_dedup(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_select(spark: SparkSession, args: argparse.Namespace) -> int:
+    """DSIR data selection (textstats.dsir_select): score every raw doc's
+    hashed-unigram distribution against the target slice, keep the top
+    fraction. Writes <out>/selected (kept corpus rows) and <out>/weights
+    (full per-doc audit table) — the curation pass as one command."""
+    from page_rank_hadoop_spark.operators import textstats
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    docs = _load_documents(spark, args.input, args.format)
+    w = textstats.dsir_select(
+        docs,
+        n_buckets=args.buckets,
+        target_mod=args.target_mod,
+        keep_frac=args.keep_frac,
+    )
+    w = w.localCheckpoint()  # scored once; selected + audit both read it
+    kept = docs.join(w.filter("selected").select("doc_id"), "doc_id", "left_semi")
+    write_compacted(kept, os.path.join(args.out, "selected"))
+    write_compacted(w, os.path.join(args.out, "weights"))
+    print(
+        f"select[dsir]: kept {w.filter('selected').count()} of {w.count()} "
+        f"raw docs → {args.out}"
+    )
+    return 0
+
+
+def cmd_cluster_embeddings(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Bucketed DBSCAN over an embeddings parquet
+    (similarity.dbscan_embeddings): writes (vec_id, role, cluster_id)
+    and prints the core/border/noise census — the density-curation view
+    of the corpus embedding space."""
+    from page_rank_hadoop_spark.operators import similarity
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    emb = spark.read.parquet(args.input)
+    out = similarity.dbscan_embeddings(
+        emb, min_cosine=args.min_cosine, min_pts=args.min_pts
+    )
+    out = out.localCheckpoint()  # written AND censused below
+    write_compacted(out, args.out)
+    census = {
+        r["role"]: r["n"]
+        for r in out.groupBy("role").agg(F.count("*").alias("n")).collect()
+    }
+    n_clusters = out.filter("cluster_id is not null").select(
+        "cluster_id"
+    ).distinct().count()
+    print(
+        f"cluster-embeddings[dbscan]: {census.get('core', 0)} core / "
+        f"{census.get('border', 0)} border / {census.get('noise', 0)} noise "
+        f"in {n_clusters} clusters → {args.out}"
+    )
+    return 0
+
+
 def cmd_dedup_index(spark: SparkSession, args: argparse.Namespace) -> int:
     """Operate the persisted MinHash band-index MV (the 100 TB ingest
     artifact): ``build`` shingles the corpus ONCE into a bucketed
@@ -763,6 +818,22 @@ def build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--max-bucket-size", type=int, default=None,
                      help="hot-band cap for minhash at production scale")
     pd_.set_defaults(fn=cmd_dedup)
+
+    psel = sub.add_parser("select", parents=[common])
+    psel.add_argument("input")
+    psel.add_argument("out")
+    psel.add_argument("--keep-frac", type=float, default=0.25)
+    psel.add_argument("--buckets", type=int, default=512)
+    psel.add_argument("--target-mod", type=int, default=10,
+                      help="doc_id %% N == 0 defines the target slice")
+    psel.set_defaults(fn=cmd_select)
+
+    pce = sub.add_parser("cluster-embeddings")
+    pce.add_argument("input", help="embeddings parquet (vec_id, embedding)")
+    pce.add_argument("out")
+    pce.add_argument("--min-cosine", type=float, default=0.30)
+    pce.add_argument("--min-pts", type=int, default=3)
+    pce.set_defaults(fn=cmd_cluster_embeddings)
 
     pr = sub.add_parser("prepare", parents=[common])
     pr.add_argument("input")

@@ -2887,3 +2887,92 @@ def mmr_rerank(
     return pooled.groupBy("qid").applyInPandas(
         greedy, schema=f"qid int, step int, {id_col} bigint, mmr_score double"
     )
+
+
+def dbscan_embeddings(
+    embeddings: DataFrame,
+    min_cosine: float = 0.30,
+    min_pts: int = 3,
+    n_planes: int = 12,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Bucketed DBSCAN over the embedding column — the density-based
+    complement to semantic_dedup's "collapse everything connected":
+    clusters are dense cores, sparse in-between vectors become BORDER
+    members, and isolated vectors are labeled NOISE instead of being
+    forced into a cluster. The training-data use is curation by density:
+    core = redundant mass (sample it down), border = transitional (keep),
+    noise = outliers (inspect or drop) — the distinction components alone
+    cannot make.
+
+    Neighborhood definition (shared verbatim with the DuckDB oracle):
+    N(v) = same-sign-LSH-bucket vectors with 6dp-rounded cosine ≥
+    ``min_cosine`` — i.e. the standard LSH-approximate DBSCAN (exact
+    eps-neighborhoods are an all-pairs scan; bucketing bounds the
+    candidate join exactly like every other dedup family member).
+    Rules, deterministic throughout:
+
+    - core:   |N(v)| ≥ min_pts − 1 (the point itself completes min_pts)
+    - cluster = connected components of the core-core neighbor graph
+      (min-label pointer-jumping + star contraction —
+      ``dedup.near_dup_components``), cluster_id = min core id; a core
+      with no core neighbor is its own singleton cluster
+    - border: non-core with ≥ 1 core neighbor → MIN core neighbor's
+      cluster_id (the deterministic tie-break for DBSCAN's
+      "first-found" ambiguity)
+    - noise:  everything else → NULL cluster_id
+
+    Shuffle profile: the bucket equi-join (shared pair MV — bench
+    prebuilds it), one degree groupBy, two semi-joins to restrict to
+    core-core edges, the component loop (live set = core vectors only),
+    one border groupBy-min. Nothing quadratic, no global window.
+    """
+    from page_rank_hadoop_spark.operators import dedup as _dedup
+
+    if pairs is None:
+        pairs = embedding_near_dup_pairs(embeddings, min_cosine, n_planes)
+    nbr = pairs.select(
+        F.col("vec_a").alias("id"), F.col("vec_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("id"), F.col("vec_a").alias("nbr"))
+    )
+    nbr = nbr.localCheckpoint()  # referenced 3× (degree, core edges, border)
+    deg = nbr.groupBy("id").agg(F.count("*").alias("d"))
+    core = deg.filter(F.col("d") >= min_pts - 1).select("id")
+    core = core.localCheckpoint()
+    core_edges = (
+        nbr.join(core, "id", "left_semi")
+        .join(core.withColumnRenamed("id", "nbr"), "nbr", "left_semi")
+        .filter(F.col("id") < F.col("nbr"))  # components wants each pair once
+        .select(F.col("id").alias("doc_a"), F.col("nbr").alias("doc_b"))
+    )
+    comps = _dedup.near_dup_components(core_edges)
+    corelab = core.join(
+        comps, core["id"] == comps["doc_id"], "left"
+    ).select(
+        core["id"], F.coalesce("component_id", core["id"]).alias("cluster_id")
+    )
+    corelab = corelab.localCheckpoint()  # border join + final union read it
+    border = (
+        nbr.join(core, "id", "left_anti")  # non-core points only
+        .join(
+            corelab.withColumnRenamed("id", "nbr").withColumnRenamed(
+                "cluster_id", "nbr_cluster"
+            ),
+            "nbr",
+        )
+        .groupBy("id")
+        .agg(F.min("nbr_cluster").alias("cluster_id"))
+    )
+    labeled = corelab.select(
+        "id", F.lit("core").alias("role"), "cluster_id"
+    ).unionByName(border.select("id", F.lit("border").alias("role"), "cluster_id"))
+    return (
+        embeddings.select("vec_id")
+        .join(labeled, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+    )

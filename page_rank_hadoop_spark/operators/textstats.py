@@ -1333,3 +1333,152 @@ def textrank_keywords(
         .orderBy(F.desc("score"), "term")
         .limit(top_k)
     )
+
+
+def dsir_select(
+    documents: DataFrame,
+    n_buckets: int = 512,
+    target_mod: int = 10,
+    keep_frac: float = 0.25,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every RAW document by how target-like its
+    hashed-unigram distribution is, then keep the top ``keep_frac``.
+    The standard pretraining-data curation move when a small trusted
+    slice (here the deterministic ``doc_id % target_mod == 0`` cohort)
+    defines "quality" and the bulk corpus must be filtered toward it.
+
+    Per-bucket importance: tokens hash into ``n_buckets`` md5 buckets
+    (the engine-portable hash — functions/hashing.py); with c_t/c_r the
+    target/raw bucket counts and T_t/T_r their totals, the bucket's
+    log-ratio is
+
+        lr(b) = ln((c_t+1)/(T_t+B)) − ln((c_r+1)/(T_r+B))   (add-1 smoothing)
+
+    stored as INTEGER MICRO-UNITS (round(lr·1e6)) so the per-document
+    score Σ_b n_doc(b)·lr_int(b) is an exact, order-independent integer
+    sum — the q_mmr_rerank precedent for float-free loop arithmetic;
+    the only doubles are one division per doc (exact ints in, same IEEE
+    result in both engines) at the very end. The reported weight is the
+    per-token average (length-normalized, so long documents don't
+    dominate selection).
+
+    Selection is top-k by (weight DESC, doc_id) with
+    k = floor(keep_frac·n_raw) — computed WITHOUT a global window: the
+    k-th row comes from a TakeOrderedAndProject (``orderBy().limit(k)``
+    — the O1 top-k shape, distributed partial top-k per partition) and
+    every doc compares lexicographically against that threshold row.
+
+    Shuffle profile: one (doc, bucket) groupBy over token occurrences,
+    one B-row bucket aggregate (map-side combined; B = 512 rows
+    broadcast back), one per-doc sum, one top-k. Nothing quadratic, no
+    global sort or window; the bucket table is O(B) regardless of
+    corpus size, which is the point of HASHED n-gram DSIR at 100 TB.
+
+    Returns one row per raw doc: (doc_id, n_tokens, dsir_weight,
+    selected); zero-token docs carry NULL weight and are never selected.
+    """
+    from page_rank_hadoop_spark.sources.catalog import ensure_parallel
+
+    is_target = (F.col("doc_id") % target_mod) == 0
+    tok = ensure_parallel(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    db = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count("*").alias("n"))
+    bt = db.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("n")).otherwise(F.lit(0))).alias("ct"),
+        F.sum(F.when(~is_target, F.col("n")).otherwise(F.lit(0))).alias("cr"),
+    )
+    tot = bt.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = (
+        bt.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.lit(1e6)
+                * (
+                    F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + n_buckets))
+                    - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + n_buckets))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("lri"),
+        )
+    )
+    # per-token average in EXACT integer micro-units: avg = round-half-
+    # up(wi / n_tokens) = floor((2·wi + n) / (2·n)), with floor division
+    # built from pmod so truncation-vs-floor semantics can't diverge
+    # between engines on negative sums. The only double anywhere is the
+    # final /1e6 display scaling of an exact integer — bit-identical in
+    # both engines (same int, same single IEEE op).
+    _a = 2 * F.col("wi") + F.col("n_tokens")
+    _b = 2 * F.col("n_tokens")
+    w = (
+        db.filter(~is_target)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lri")).cast("long").alias("wi"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            ((_a - F.pmod(_a, _b)) / _b).cast("long").alias("avg_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_micro",
+            (F.col("avg_micro") / F.lit(1e6)).alias("dsir_weight"),
+        )
+    )
+    # materialize once — the threshold pass and the final projection both
+    # scan it (the embedding_near_dup_pairs lifetime pattern: eager
+    # localCheckpoint, blocks released with the frame, nothing to leak
+    # across repeated calls)
+    w = w.localCheckpoint()
+    n_raw = documents.filter(~is_target).count()
+    k = int(n_raw * keep_frac)
+    # threshold row = k-th in (weight DESC, doc_id ASC) order, via two
+    # TakeOrderedAndProjects (distributed partial top-k — no single-
+    # partition window anywhere); a 1-row collect is a scalar action,
+    # same class as the n/count actions every loop here already takes.
+    thr_rows = (
+        w.orderBy(F.desc("avg_micro"), F.asc("doc_id"))
+        .limit(k)
+        .orderBy(F.asc("avg_micro"), F.desc("doc_id"))
+        .limit(1)
+        .collect()
+        if k > 0
+        else []
+    )
+    if thr_rows:
+        tw, td = thr_rows[0]["avg_micro"], thr_rows[0]["doc_id"]
+        selected = F.when(F.col("avg_micro").isNull(), F.lit(False)).otherwise(
+            (F.col("avg_micro") > F.lit(tw))
+            | ((F.col("avg_micro") == F.lit(tw)) & (F.col("doc_id") <= F.lit(td)))
+        )
+    else:
+        selected = F.lit(False)
+    return (
+        ensure_parallel(documents)
+        .filter(~is_target)
+        .select("doc_id")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "dsir_weight",
+            selected.alias("selected"),
+        )
+    )

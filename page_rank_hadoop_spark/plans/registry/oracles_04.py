@@ -1375,6 +1375,125 @@ def contribute(oracles: dict[str, str]) -> None:
       FROM events
     """
 
+    # round 10: bucketed DBSCAN — same sign-LSH neighborhoods as
+    # q_semantic_dedup's CTEs, plus the density rules (core ≥ min_pts−1
+    # same-bucket cosine neighbors; clusters = recursive closure of the
+    # core-core graph with min-id labels; border = min core neighbor's
+    # cluster; else noise)
+    from page_rank_hadoop_spark.plans.registry._shared import (
+        NEAR_DUP_MIN_COSINE as _NDC,
+        _sql_hyperplane_bucket as _hb,
+    )
+
+    oracles["q_dbscan_clusters"] = f"""
+      WITH RECURSIVE sig AS (
+        SELECT vec_id, embedding, ({_hb()}) AS bucket FROM embeddings
+      ),
+      prs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {_NDC}
+      ),
+      nbr AS MATERIALIZED (
+        SELECT doc_a AS id, doc_b AS nbr FROM prs
+        UNION ALL SELECT doc_b AS id, doc_a AS nbr FROM prs
+      ),
+      core AS MATERIALIZED (
+        SELECT id FROM (SELECT id, count(*) AS d FROM nbr GROUP BY id)
+        WHERE d >= 2
+      ),
+      ce AS MATERIALIZED (
+        SELECT n.id AS src, n.nbr AS dst FROM nbr n
+        WHERE n.id IN (SELECT id FROM core) AND n.nbr IN (SELECT id FROM core)
+      ),
+      reach AS (
+        SELECT src AS id, src AS lab FROM ce
+        UNION
+        SELECT e.src, r.lab FROM ce e JOIN reach r ON e.dst = r.id
+      ),
+      comp AS (SELECT id, min(lab) AS c FROM reach GROUP BY id),
+      corelab AS MATERIALIZED (
+        SELECT core.id, coalesce(comp.c, core.id) AS cluster_id
+        FROM core LEFT JOIN comp ON comp.id = core.id
+      ),
+      border AS MATERIALIZED (
+        SELECT n.id, min(cl.cluster_id) AS cluster_id
+        FROM nbr n JOIN corelab cl ON n.nbr = cl.id
+        WHERE n.id NOT IN (SELECT id FROM core)
+        GROUP BY n.id
+      )
+      SELECT e.vec_id,
+             CASE WHEN cl.id IS NOT NULL THEN 'core'
+                  WHEN b.id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             coalesce(cl.cluster_id, b.cluster_id)::BIGINT AS cluster_id
+      FROM embeddings e
+      LEFT JOIN corelab cl ON cl.id = e.vec_id
+      LEFT JOIN border b ON b.id = e.vec_id
+    """
+
+    # round 10: DSIR importance resampling — hashed-unigram add-1 log
+    # ratios in integer micro-units (exact order-free integer sums; the
+    # only doubles are one division per doc and the final 6dp round,
+    # identical IEEE ops in both engines), rank ≤ floor(0.25·n_raw)
+    oracles["q_dsir_select"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+      ),
+      tb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(term), 1, 8))::BIGINT % 512 AS bucket
+        FROM tok
+      ),
+      db AS MATERIALIZED (
+        SELECT doc_id, bucket, count(*) AS n FROM tb GROUP BY doc_id, bucket
+      ),
+      bt AS (
+        SELECT bucket,
+               sum(CASE WHEN doc_id % 10 = 0 THEN n ELSE 0 END) AS ct,
+               sum(CASE WHEN doc_id % 10 <> 0 THEN n ELSE 0 END) AS cr
+        FROM db GROUP BY bucket
+      ),
+      tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bt),
+      lr AS (
+        SELECT bucket,
+               round(1e6 * (ln((ct + 1)::DOUBLE / (tt + 512))
+                            - ln((cr + 1)::DOUBLE / (tr + 512))))::BIGINT AS lri
+        FROM bt, tot
+      ),
+      w AS (
+        SELECT db.doc_id, sum(db.n)::BIGINT AS n_tokens,
+               sum(db.n * lr.lri)::BIGINT AS wi
+        FROM db JOIN lr USING (bucket)
+        WHERE db.doc_id % 10 <> 0 GROUP BY db.doc_id
+      ),
+      -- per-token average as EXACT integer micro-units: round-half-up
+      -- (wi/n) = floor((2wi+n)/(2n)), floor division via pmod so
+      -- negative-sum semantics match Spark's bit-for-bit
+      am AS (
+        SELECT doc_id, n_tokens,
+               ((2*wi + n_tokens)
+                 - (((2*wi + n_tokens) % (2*n_tokens)) + 2*n_tokens)
+                   % (2*n_tokens)) // (2*n_tokens) AS avg_micro
+        FROM w
+      ),
+      rk AS (
+        SELECT doc_id, n_tokens,
+               (avg_micro / 1e6)::DOUBLE AS dsir_weight,
+               row_number() OVER (ORDER BY avg_micro DESC, doc_id) AS rn
+        FROM am
+      ),
+      nr AS (
+        SELECT floor(count(*) * 0.25)::BIGINT AS k FROM documents
+        WHERE doc_id % 10 <> 0
+      )
+      SELECT d.doc_id, coalesce(rk.n_tokens, 0)::BIGINT AS n_tokens,
+             rk.dsir_weight,
+             coalesce(rk.rn <= (SELECT k FROM nr), FALSE) AS selected
+      FROM documents d LEFT JOIN rk ON rk.doc_id = d.doc_id
+      WHERE d.doc_id % 10 <> 0
+    """
+
     contribute_hll(oracles)
 
 

@@ -1274,3 +1274,30 @@ def q_covariance_merge(spark, sf):
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
     return similarity.covariance_from_moments(merged)
+
+
+def q_dbscan_clusters(spark, sf):
+    """Bucketed DBSCAN over the embeddings (operators/similarity.py
+    dbscan_embeddings): LSH-approximate eps-neighborhoods (the shared
+    sign-LSH pair MV — same neighborhoods the oracle replays), core =
+    ≥ min_pts−1 neighbors, clusters = components of the core-core graph,
+    border = min core neighbor's cluster, rest noise. The density-based
+    curation view (core mass / transitional border / outlier noise)
+    semantic_dedup's flat components cannot express."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.dbscan_embeddings(
+        emb,
+        min_cosine=NEAR_DUP_MIN_COSINE,
+        min_pts=3,
+        n_planes=N_PLANES,
+        pairs=_emb_pairs(spark, sf),
+    )
+
+
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (textstats.dsir_select): hashed-unigram
+    log-ratio weights of every raw doc against the doc_id%10==0 target
+    slice, integer micro-unit scoring, top-25% selection via
+    TakeOrdered threshold (no global window)."""
+    docs = load_table(spark, sf, "documents")
+    return textstats.dsir_select(docs, n_buckets=512, target_mod=10, keep_frac=0.25)

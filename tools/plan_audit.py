@@ -250,6 +250,16 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     ("q_label_typicality", [("has", r"BroadcastHashJoin"), ("has", r"WindowGroupLimit"), ("not", r"CartesianProduct")]),
     # keywords: per-doc top-k group-limited; tf/df joins keyed
     ("q_doc_keywords", [("has", r"WindowGroupLimit"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # DSIR (round 10): the weight table arrives pre-materialized (its
+    # internal 512-row bucket broadcast + 1-row totals NLJ sit behind the
+    # localCheckpoint, invisible here); the returned plan is the keyed
+    # doc join only — no window anywhere (selection = TakeOrdered
+    # threshold, collected before this plan), everything JVM-side
+    ("q_dsir_select", [("not", r"CartesianProduct"), ("not", r"Window"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # bucketed DBSCAN (round 10): the labeled (core∪border) side joins
+    # the vector registry keyed; component labels come pre-checkpointed
+    # (LogicalRDD), no cartesian, no Python in the plan
+    ("q_dbscan_clusters", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"\bSort\b.*global=true")]),
 ]
 
 
