@@ -849,6 +849,49 @@ def rehearse_frontier(spark, sf_dir: str, out_dir: str) -> list[dict]:
     return rows
 
 
+def rehearse_dsir(spark, sf_dir: str, out_dir: str) -> list[dict]:
+    """DSIR selection scale law (round 10): the 100 TB claim is that the
+    importance model is O(B) regardless of corpus (512 bucket rows
+    broadcast back), so the whole pass is two linear scans + one
+    corpus-sized groupBy — time exponent ≈ 1, and the model side
+    CONSTANT. Measured: dsir_select wall + shuffle bytes at 1× and 10×,
+    plus the bucket-table row count (the model size) at both scales."""
+    from page_rank_hadoop_spark.operators import textstats
+
+    p10 = os.path.join(out_dir, "documents_10x.parquet")
+    if not os.path.exists(p10):
+        build_10x(spark, sf_dir, p10)
+    one = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ten = spark.read.parquet(p10).select("doc_id", "text")
+
+    rows = []
+    for label, docs in (("1x", one), ("10x", ten)):
+        r: dict = {"label": label, "n_docs": docs.count()}
+        # warm-up, then measured run with shuffle-byte deltas
+        textstats.dsir_select(docs).filter("selected").count()
+        b0 = _shuffle_write_bytes(spark)
+        n_sel, t = _timed(
+            lambda: textstats.dsir_select(docs).filter("selected").count()
+        )
+        b1 = _shuffle_write_bytes(spark)
+        r["dsir_sec"], r["n_selected"] = t, n_sel
+        r["shuffle_mb"] = (
+            round((b1 - b0) / 1e6, 2) if b0 is not None and b1 is not None else None
+        )
+        rows.append(r)
+    import math
+
+    msg = (
+        f"# scaling exponents (10x step): "
+        f"dsir_time e={math.log10(rows[1]['dsir_sec']/rows[0]['dsir_sec']):.2f}"
+    )
+    if rows[0]["shuffle_mb"] and rows[1]["shuffle_mb"]:
+        msg += f", shuffle_bytes e={math.log10(rows[1]['shuffle_mb']/rows[0]['shuffle_mb']):.2f}"
+    msg += " (model side fixed at 512 bucket rows by construction)"
+    print(msg)
+    return rows
+
+
 def _print_table(rows: list[dict], cols: list[tuple[str, str]]) -> None:
     print("| scale | " + " | ".join(h for _, h in cols) + " |")
     print("|---" * (len(cols) + 1) + "|")
@@ -892,6 +935,18 @@ def main() -> int:
                 ("edges", "edges"),
                 ("kcore_rounds", "rounds"),
                 ("kcore_sec", "k-core s"),
+                ("shuffle_mb", "shuffle MB"),
+            ],
+        )
+
+    if mode in ("dsir", "scalelaw", "all"):
+        rows = rehearse_dsir(spark, sf_dir, out_dir)
+        _print_table(
+            rows,
+            [
+                ("n_docs", "docs"),
+                ("n_selected", "selected"),
+                ("dsir_sec", "dsir s"),
                 ("shuffle_mb", "shuffle MB"),
             ],
         )
