@@ -528,3 +528,37 @@ def test_cli_ann_probe_mmr(spark, tmp_path, capsys):
     assert len(lines) == 5
     steps = [int(l.split("\t")[0]) for l in lines]
     assert steps == [1, 2, 3, 4, 5]
+
+
+def test_cli_select_dsir(spark, tmp_path, capsys):
+    """cli select: DSIR writes selected corpus + per-doc weight audit,
+    selection count = floor(keep_frac * n_raw)."""
+    out = str(tmp_path / "dsir_out")
+    assert main(
+        ["select", f"{SF0001}/documents.parquet", out, "--keep-frac", "0.2"]
+    ) == 0
+    sel = spark.read.parquet(f"{out}/selected")
+    w = spark.read.parquet(f"{out}/weights")
+    n_raw = w.count()
+    assert sel.count() == int(n_raw * 0.2)
+    # selected corpus rows are exactly the selected audit rows
+    assert {r["doc_id"] for r in sel.select("doc_id").collect()} == {
+        r["doc_id"] for r in w.filter("selected").collect()
+    }
+    assert "select[dsir]: kept" in capsys.readouterr().out
+
+
+def test_cli_cluster_embeddings(spark, tmp_path, capsys):
+    """cli cluster-embeddings: DBSCAN census + one labeled row per
+    vector."""
+    out = str(tmp_path / "dbscan_out")
+    assert main(
+        ["cluster-embeddings", f"{SF0001}/embeddings.parquet", out]
+    ) == 0
+    lab = spark.read.parquet(out)
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    assert lab.count() == emb.count()
+    assert {r["role"] for r in lab.select("role").distinct().collect()} <= {
+        "core", "border", "noise"
+    }
+    assert "cluster-embeddings[dbscan]:" in capsys.readouterr().out
