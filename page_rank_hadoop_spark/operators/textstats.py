@@ -1391,6 +1391,11 @@ def dsir_select(
     db = tok.select("doc_id", bucket.alias("bucket")).groupBy(
         "doc_id", "bucket"
     ).agg(F.count("*").alias("n"))
+    # the (doc,bucket) counts feed THREE consumers (bucket totals, the
+    # grand totals behind them, and the per-doc sum) — without a
+    # materialization the tokenize→md5→explode pass re-executes for each;
+    # one eager checkpoint makes it a single corpus scan
+    db = db.localCheckpoint()
     bt = db.groupBy("bucket").agg(
         F.sum(F.when(is_target, F.col("n")).otherwise(F.lit(0))).alias("ct"),
         F.sum(F.when(~is_target, F.col("n")).otherwise(F.lit(0))).alias("cr"),
