@@ -157,3 +157,91 @@ class TestDBSCAN:
             for r in dbscan_embeddings(emb, min_cosine=0.9, min_pts=5, n_planes=4).collect()
         }
         assert set(out2.values()) == {"noise"}
+
+
+def _reference_dbscan(vecs, min_cosine, min_pts, n_planes):
+    """Independent sequential DBSCAN over the SAME LSH-bucketed
+    neighborhood definition (sign-LSH planes sin(i*7919 + j*104729),
+    6dp-rounded cosine) — the Tarjan-parity pattern: a from-scratch
+    reimplementation, not a replay of the operator's plan."""
+    import math
+
+    ids = sorted(vecs)
+    dim = len(next(iter(vecs.values())))
+    planes = [
+        [math.sin(i * 7919 + j * 104729) for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+    def bucket(v):
+        sig = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(v, p)) >= 0:
+                sig |= 1 << i
+        return sig
+
+    buckets = {}
+    for vid in ids:
+        buckets.setdefault(bucket(vecs[vid]), []).append(vid)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 6)
+
+    nbrs = {vid: set() for vid in ids}
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                if cos(vecs[a], vecs[b]) >= min_cosine:
+                    nbrs[a].add(b)
+                    nbrs[b].add(a)
+    core = {v for v in ids if len(nbrs[v]) >= min_pts - 1}
+    # clusters: components of the core-core graph, min-id labels
+    label = {}
+    for v in sorted(core):
+        if v in label:
+            continue
+        stack, comp = [v], []
+        seen = {v}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for w in nbrs[u]:
+                if w in core and w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        cid = min(comp)
+        for u in comp:
+            label[u] = cid
+    out = {}
+    for v in ids:
+        if v in core:
+            out[v] = ("core", label[v])
+        else:
+            core_nb = [label[w] for w in nbrs[v] if w in core]
+            if core_nb:
+                out[v] = ("border", min(core_nb))
+            else:
+                out[v] = ("noise", None)
+    return out
+
+
+class TestDBSCANParity:
+    def test_matches_reference_on_sf0001(self, spark):
+        from page_rank_hadoop_spark.operators.similarity import dbscan_embeddings
+
+        emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        vecs = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.collect()
+        }
+        ref = _reference_dbscan(vecs, min_cosine=0.30, min_pts=3, n_planes=12)
+        got = {
+            r["vec_id"]: (r["role"], r["cluster_id"])
+            for r in dbscan_embeddings(
+                emb, min_cosine=0.30, min_pts=3, n_planes=12
+            ).collect()
+        }
+        assert got == ref
