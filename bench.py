@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "q_sq_refined_knn",
     "q_hll_sketch",
     "q_hll_merge",
+    "q_cms_topk",
+    "q_cms_merge",
     "q_orc_roundtrip",
     # round-9c additions: SCC and closeness (new iterative loop shapes —
     # always benched per the selection rule), the bloom semi-join

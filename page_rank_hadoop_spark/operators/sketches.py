@@ -170,3 +170,132 @@ def hll_finish(
             ).alias("within_3sigma"),
         )
     )
+
+
+def cms_cells(
+    df: DataFrame, key: str = "user_id", d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-Min Sketch state (Cormode & Muthukrishnan 2005): d×w counter
+    cells over ``key`` occurrences — the frequency sketch beside the
+    module's HLL (distinct) and bloom.py (membership). Row r's hash is
+    the salted md5 the whole repo uses for engine portability
+    (functions/hashing.py): bucket_r = int(md5("r|" + key)[:8], 16) mod w.
+
+    Physical shape: one map-side explode to d (r, bucket) rows per input
+    row, then ONE groupBy — the sketch is O(d·w) rows (1024 here) no
+    matter the input size, and merges across slices by plain cell-wise
+    SUM (cms_merge), the property that makes it shippable across
+    partitions/days/sources at 100 TB. Everything is integer arithmetic:
+    the estimator has no floats anywhere to drift between engines.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{r}|"), F.col(key).cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(w),
+                ).alias("b"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_merge(*cell_frames: DataFrame) -> DataFrame:
+    """Merge independently-built CMS cell tables cell-wise (SUM per
+    (r, b)) — CMS's defining linearity: the merged sketch IS the sketch
+    of the concatenated input, exactly. q_cms_merge proves it
+    cross-engine by sharing q_cms_topk's oracle verbatim (the hll_merge
+    pattern)."""
+    merged = cell_frames[0]
+    for f in cell_frames[1:]:
+        merged = merged.unionByName(f)
+    return merged.groupBy("r", "b").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cms_topk_report(
+    df: DataFrame,
+    cells: DataFrame | None = None,
+    key: str = "user_id",
+    k: int = 20,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """CMS accuracy report over the ``k`` heaviest keys (exact count
+    DESC, key ASC — deterministic): per key, the exact count, the CMS
+    estimate (min over its d cells), and two integer verdicts —
+    ``never_undercounts`` (est ≥ exact, the sketch's HARD guarantee:
+    every cell the key hashes to contains its full count plus
+    non-negative collision mass) and ``within_bound``
+    (overcount ≤ 3N/w — wider than the e/w·N Markov bound, determinist-
+    ically replayed by the oracle either way).
+
+    Probe-side shape: top-k exact keys via TakeOrderedAndProject, d
+    probe rows each, equi-joined against the BROADCAST d·w-row cell
+    table, one min-groupBy. All integers end to end.
+    """
+    if cells is None:
+        cells = cms_cells(df, key=key, d=d, w=w)
+    n_total = df.count()
+    bound = (3 * n_total) // w
+    exact = df.groupBy(key).agg(F.count("*").cast("long").alias("n_exact"))
+    probes = exact.orderBy(F.desc("n_exact"), F.asc(key)).limit(k)
+    probe_rows = probes.select(
+        key,
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{r}|"), F.col(key).cast("string")
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key, "n_exact", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        probe_rows.join(F.broadcast(cells), ["r", "b"])
+        .groupBy(key, "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            key,
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") >= F.col("n_exact")).alias("never_undercounts"),
+            ((F.col("cms_est") - F.col("n_exact")) <= F.lit(bound)).alias(
+                "within_bound"
+            ),
+        )
+    )

@@ -1494,6 +1494,37 @@ def contribute(oracles: dict[str, str]) -> None:
       WHERE d.doc_id % 10 <> 0
     """
 
+    # round 10: deterministic Count-Min Sketch — the whole estimator
+    # (salted-md5 cells, min-over-rows estimate, integer verdicts)
+    # replayed in SQL; all-integer arithmetic, nothing to drift
+    oracles["q_cms_topk"] = """
+      WITH n AS (SELECT count(*) AS total FROM events),
+      cells AS MATERIALIZED (
+        SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b,
+               count(*)::BIGINT AS c
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS r)
+        GROUP BY 1, 2
+      ),
+      exact AS (SELECT user_id, count(*)::BIGINT AS n_exact FROM events GROUP BY 1),
+      probes AS (SELECT user_id, n_exact FROM exact ORDER BY n_exact DESC, user_id LIMIT 20),
+      pr AS (
+        SELECT p.user_id, p.n_exact, r.r,
+               ('0x' || substr(md5(r.r::VARCHAR || '|' || p.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS b
+        FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS r) r
+      ),
+      est AS (
+        SELECT pr.user_id, pr.n_exact, min(c.c)::BIGINT AS cms_est
+        FROM pr JOIN cells c ON c.r = pr.r AND c.b = pr.b
+        GROUP BY 1, 2
+      )
+      SELECT user_id, n_exact, cms_est,
+             (cms_est >= n_exact) AS never_undercounts,
+             ((cms_est - n_exact) <= (SELECT (3 * total) // 256 FROM n)) AS within_bound
+      FROM est
+    """
+    # merged-partial CMS == direct CMS — cell-wise sums are linear
+    oracles["q_cms_merge"] = oracles["q_cms_topk"]
+
     contribute_hll(oracles)
 
 

@@ -1026,3 +1026,33 @@ def q_bloom_semijoin_stored(spark, sf):
         F.count("*").cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+def q_cms_topk(spark, sf):
+    """Deterministic Count-Min Sketch (d=4, w=256, salted-md5 rows)
+    accuracy report over the 20 heaviest users: exact count, CMS
+    estimate (min over d cells), the hard never-undercounts guarantee
+    and a 3N/w overcount verdict — all-integer estimator, the whole
+    sketch replayed cell-for-cell by the oracle (the deterministic-HLL
+    pattern applied to the frequency sketch)."""
+    from page_rank_hadoop_spark.operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    return sketches.cms_topk_report(ev, key="user_id", k=20)
+
+
+def q_cms_merge(spark, sf):
+    """CMS LINEARITY under the gate: three disjoint event slices
+    (event_id % 3) sketched independently, cell tables merged by plain
+    SUM, same top-20 report. Shares q_cms_topk's oracle VERBATIM — the
+    oracle sketches the union once, so the hash match proves
+    merged-partial == direct (the q_hll_merge pattern for the frequency
+    sketch)."""
+    from page_rank_hadoop_spark.operators import sketches
+
+    ev = load_table(spark, sf, "events")
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = sketches.cms_merge(
+        *[sketches.cms_cells(sl, key="user_id") for sl in slices]
+    )
+    return sketches.cms_topk_report(ev, cells=merged, key="user_id", k=20)

@@ -68,3 +68,57 @@ def test_hll_merge_equals_direct(spark):
     merged = sketches.hll_merge(*[sketches.hll_registers(s) for s in slices])
     direct = sketches.hll_registers(base)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+class TestCMS:
+    def test_never_undercounts_all_keys(self, spark):
+        """The CMS hard guarantee holds for EVERY key, not just the
+        probed top-k: each of a key's d cells contains its full count
+        plus non-negative collision mass."""
+        from page_rank_hadoop_spark.operators import sketches
+        from page_rank_hadoop_spark.sources.catalog import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        rep = sketches.cms_topk_report(ev, key="user_id", k=10**9)
+        bad = rep.filter(~F.col("never_undercounts")).count()
+        assert bad == 0
+
+    def test_estimate_exact_when_no_collision(self, spark):
+        """A single-key input has nothing to collide with: est == exact."""
+        from page_rank_hadoop_spark.operators import sketches
+
+        df = spark.range(25).select(F.lit(7).alias("user_id"))
+        rep = sketches.cms_topk_report(df, key="user_id", k=5).collect()
+        assert len(rep) == 1
+        assert rep[0]["cms_est"] == rep[0]["n_exact"] == 25
+
+    def test_merge_equals_direct(self, spark):
+        """Cell-wise-summed slice sketches == the one-pass sketch —
+        CMS linearity, the property q_cms_merge gates cross-engine."""
+        from page_rank_hadoop_spark.operators import sketches
+        from page_rank_hadoop_spark.sources.catalog import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        direct = sketches.cms_cells(ev, key="user_id")
+        merged = sketches.cms_merge(
+            *[
+                sketches.cms_cells(
+                    ev.filter(F.col("event_id") % 3 == i), key="user_id"
+                )
+                for i in range(3)
+            ]
+        )
+        d = {(r["r"], r["b"]): r["c"] for r in direct.collect()}
+        m = {(r["r"], r["b"]): r["c"] for r in merged.collect()}
+        assert d == m
+
+    def test_collisions_overcount_but_stay_bounded(self, spark):
+        """Force collisions: 300 distinct keys into w=16 cells — many
+        keys must overcount (pigeonhole), none may undercount, and the
+        report's bound flag replays deterministically."""
+        from page_rank_hadoop_spark.operators import sketches
+
+        df = spark.range(300).select((F.col("id") % 300).alias("user_id"))
+        rep = sketches.cms_topk_report(df, key="user_id", k=300, w=16).collect()
+        assert all(r["never_undercounts"] for r in rep)
+        assert any(r["cms_est"] > r["n_exact"] for r in rep)
