@@ -1422,11 +1422,14 @@ def dsir_select(
     # per-token average in EXACT integer micro-units: avg = round-half-
     # up(wi / n_tokens) = floor((2·wi + n) / (2·n)), with floor division
     # built from pmod so truncation-vs-floor semantics can't diverge
-    # between engines on negative sums. The only double anywhere is the
-    # final /1e6 display scaling of an exact integer — bit-identical in
-    # both engines (same int, same single IEEE op).
-    _a = 2 * F.col("wi") + F.col("n_tokens")
-    _b = 2 * F.col("n_tokens")
+    # between engines on negative sums. The division itself uses the
+    # integer `div` operator on the pmod-aligned numerator (exactly
+    # divisible, so truncate==floor) — the arithmetic stays in 64-bit
+    # integers end to end; a double division here would silently lose
+    # exactness once 2·wi + n_tokens exceeds 2^53 (ADVICE r10). The only
+    # double anywhere is the final /1e6 display scaling of an exact
+    # integer — bit-identical in both engines (same int, same single
+    # IEEE op).
     w = (
         db.filter(~is_target)
         .join(F.broadcast(lr), "bucket")
@@ -1438,7 +1441,10 @@ def dsir_select(
         .select(
             "doc_id",
             "n_tokens",
-            ((_a - F.pmod(_a, _b)) / _b).cast("long").alias("avg_micro"),
+            F.expr(
+                "(2*wi + n_tokens - pmod(2*wi + n_tokens, 2*n_tokens))"
+                " div (2*n_tokens)"
+            ).alias("avg_micro"),
         )
         .select(
             "doc_id",

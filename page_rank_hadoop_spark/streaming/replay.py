@@ -229,13 +229,51 @@ import contextlib
 # re-publish the topic per query. Staging them once per session is the
 # same treatment the bench's shared-MV prebuild gives every other query's
 # static inputs; the per-run stream still starts from a FRESH checkpoint
-# and sink, so the measured execution is the full stateful replay. Dirs
-# are mkdtemp-owned and live for the session (the q_bloom_semijoin_stored
-# cache precedent).
+# and sink, so the measured execution is the full stateful replay.
+# BENCH METHODOLOGY NOTE: staging cost left the warm replay timings in
+# round 10 — round-over-round comparisons of the streaming family across
+# the r9/r10 boundary partly reflect that measurement change, not only
+# engine speedups (flagged in SCALING.md's replay section).
+# Cache keys embed a fingerprint of the source parquet (file count +
+# total size + max mtime), so regenerating sf data mid-session misses
+# the cache instead of silently replaying stale batches; the mkdtemp
+# roots are removed at interpreter exit (ADVICE r10).
 _STAGE_CACHE: dict[tuple, str] = {}
 
 
+def _source_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the events parquet under sf_dir."""
+    path = os.path.join(sf_dir, "events.parquet")
+    files = [path]
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    stats = [os.stat(f) for f in files if os.path.exists(f)]
+    return (
+        len(stats),
+        sum(s.st_size for s in stats),
+        max((s.st_mtime_ns for s in stats), default=0),
+    )
+
+
+def _cleanup_stage_cache() -> None:
+    import shutil
+
+    for src in _STAGE_CACHE.values():
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
+import atexit
+
+atexit.register(_cleanup_stage_cache)
+
+
 def _staged_source(events: DataFrame, key: tuple, n_batches: int) -> str:
+    key = key + (_source_fingerprint(key[0]),)
     if key not in _STAGE_CACHE:
         tmp = tempfile.mkdtemp(prefix="events_replay_stage_")
         _STAGE_CACHE[key] = _stage_time_batches(events, tmp, n_batches)
@@ -396,7 +434,7 @@ def run_watermark_replay(
         # staged batches are a pure function of the sf (the split
         # boundaries derive from lo/hi only) — cache them session-wide
         # like _staged_source; checkpoint + sink stay per-run
-        ckey = (sf_dir, "watermark", len(batches))
+        ckey = (sf_dir, "watermark", len(batches), _source_fingerprint(sf_dir))
         if ckey not in _STAGE_CACHE:
             stage = tempfile.mkdtemp(prefix="events_watermark_stage_")
             src = os.path.join(stage, "src")

@@ -839,7 +839,7 @@ def rehearse_frontier(spark, sf_dir: str, out_dir: str) -> list[dict]:
         rows.append(r)
     import math
 
-    if rows[0]["shuffle_mb"] and rows[1]["shuffle_mb"]:
+    if rows[0]["shuffle_mb"] is not None and rows[1]["shuffle_mb"] is not None:
         print(
             f"# scaling exponents (10x step): "
             f"kcore_time e={math.log10(rows[1]['kcore_sec']/rows[0]['kcore_sec']):.2f}, "
@@ -885,7 +885,7 @@ def rehearse_dsir(spark, sf_dir: str, out_dir: str) -> list[dict]:
         f"# scaling exponents (10x step): "
         f"dsir_time e={math.log10(rows[1]['dsir_sec']/rows[0]['dsir_sec']):.2f}"
     )
-    if rows[0]["shuffle_mb"] and rows[1]["shuffle_mb"]:
+    if rows[0]["shuffle_mb"] is not None and rows[1]["shuffle_mb"] is not None:
         msg += f", shuffle_bytes e={math.log10(rows[1]['shuffle_mb']/rows[0]['shuffle_mb']):.2f}"
     msg += " (model side fixed at 512 bucket rows by construction)"
     print(msg)
