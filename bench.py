@@ -372,7 +372,9 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
         emb = load_table(spark, sf_dir, "embeddings")
         vdir = os.path.join(tmp, "ivf_pq")
         t0 = time.perf_counter()
-        write_ivf_index(emb, vdir, pq_books=pq_train_codebooks(emb))
+        # one index serves both quantized lanes: PQ codes for ADC and
+        # int8 SQ codes (round 11 — the sq_topk cursor twin)
+        write_ivf_index(emb, vdir, pq_books=pq_train_codebooks(emb), sq=True)
         adc_build_ms = round((time.perf_counter() - t0) * 1000, 1)
         vcur = VectorSearchCursor(vdir)
         vprobes = [
@@ -396,6 +398,15 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             t0 = time.perf_counter()
             vcur.adc_topk(vprobes[i % len(vprobes)], k=5)
             a_ms.append((time.perf_counter() - t0) * 1000)
+        # round 11: int8-SQ serving (sq_codes-only cursor reads, the
+        # memory-halving lane) — same cold/warm protocol as adc_topk
+        sq_ms: list[float] = []
+        for v in vprobes:  # cold pass loads each probed bucket's codes
+            vcur.sq_topk(v, k=5)
+        for i in range(n_lookups):
+            t0 = time.perf_counter()
+            vcur.sq_topk(vprobes[i % len(vprobes)], k=5)
+            sq_ms.append((time.perf_counter() - t0) * 1000)
         # round 9c: MMR-diversified serving (full-vector shortlist +
         # integer-greedy re-rank) — same warm protocol as adc_topk
         m_ms: list[float] = []
@@ -424,6 +435,7 @@ def serving_latency_bench(spark, sf_dir: str, n_lookups: int = 20) -> dict:
             "adc_build_ms": adc_build_ms,
             "adc_cold_p50_ms": round(statistics.median(a_cold), 2),
             "adc_warm_p50_ms": round(statistics.median(a_ms), 2),
+            "sq_warm_p50_ms": round(statistics.median(sq_ms), 2),
             "mmr_warm_p50_ms": round(statistics.median(m_ms), 2),
         }
     finally:
