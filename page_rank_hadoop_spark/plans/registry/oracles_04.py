@@ -1524,6 +1524,10 @@ def contribute(oracles: dict[str, str]) -> None:
     """
     # merged-partial CMS == direct CMS — cell-wise sums are linear
     oracles["q_cms_merge"] = oracles["q_cms_topk"]
+    # the streaming maintenance loop computes the same sketch: per-batch
+    # partials merged cell-wise == one-shot (q_cms_alert_stream replays
+    # the microbatch transport; the SQL gates all three physical paths)
+    oracles["q_cms_alert_stream"] = oracles["q_cms_topk"]
 
     contribute_hll(oracles)
 

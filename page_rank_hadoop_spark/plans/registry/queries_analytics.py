@@ -1056,3 +1056,19 @@ def q_cms_merge(spark, sf):
         *[sketches.cms_cells(sl, key="user_id") for sl in slices]
     )
     return sketches.cms_topk_report(ev, cells=merged, key="user_id", k=20)
+
+
+def q_cms_alert_stream(spark, sf):
+    """The heavy-hitter ALERT stream as a declared genuine-streaming
+    query (round 11): events replayed in three time-ordered
+    microbatches through foreachBatch, each batch sketched in isolation
+    (cms_cells — ≤ d·w partial rows per trigger) and appended to a
+    persisted cells MV, post-replay top-20 report from the cell-wise
+    merged MV. Shares q_cms_topk's oracle VERBATIM — CMS linearity
+    makes merged-partials equal the one-shot sketch exactly, so the
+    hash match proves the streaming maintenance loop computes the batch
+    sketch (the q_cms_merge proof, now under the real microbatch
+    transport)."""
+    from page_rank_hadoop_spark.streaming.replay import run_cms_alert_replay
+
+    return run_cms_alert_replay(spark, sf, key="user_id", k=20)
