@@ -490,7 +490,9 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def near_dup_components(
+    pairs: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Candidate pairs → dedup groups: (doc_id, component_id) where
     component_id is the minimum doc_id reachable through the pair graph —
     the step that turns MinHash/SimHash pair output into keep/drop
@@ -537,15 +539,17 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # with unknown stats, so AQE never auto-broadcasts them
     bc = F.broadcast if n_pairs <= 500_000 else (lambda df: df)
     if loop_parts == session_parts:
-        return _near_dup_components_loop(pairs, max_iter, bc)
+        return _near_dup_components_loop(pairs, max_iter, bc, stats)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        return _near_dup_components_loop(pairs, max_iter, bc)
+        return _near_dup_components_loop(pairs, max_iter, bc, stats)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
 
 
-def _near_dup_components_loop(pairs: DataFrame, max_iter: int, bc=None) -> DataFrame:
+def _near_dup_components_loop(
+    pairs: DataFrame, max_iter: int, bc=None, stats: dict | None = None
+) -> DataFrame:
     """The min-label + star-contraction rounds proper (see
     ``near_dup_components``, whose shuffle-partition pin wraps this)."""
     if bc is None:
@@ -610,6 +614,8 @@ def _near_dup_components_loop(pairs: DataFrame, max_iter: int, bc=None) -> DataF
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    if stats is not None:  # observability for the scale-law rehearsal
+        stats["rounds"] = i
     sym.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
 
