@@ -604,29 +604,61 @@ def main() -> None:
     # regress forever — so each round additionally times ~10 of the
     # excluded keys ONCE (single run, not best-of-N; these are cheap
     # variants, the goal is a regression tripwire not a benchmark).
-    # The slice index derives from the committed BENCH_r*.json count, so
-    # successive driver rounds walk the whole excluded set in ~11 rounds.
-    import glob as _glob
-
+    # Round 11 (judge r10 item 8): coverage is tracked in a COMMITTED
+    # ledger (bench_rotation_ledger.json — round-index blobs don't
+    # survive the per-round bench_results overwrite), and the walk is
+    # prioritized by family COST: one member of each expensive excluded
+    # family is benched before any of the cheap single-shuffle tail, so
+    # the keys most able to hide a real regression get a row first.
     rotation: dict[str, float] = {}
     if dropped:
-        rounds_seen = len(
-            _glob.glob(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
-            )
+        ledger_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_rotation_ledger.json"
         )
-        width = 10
-        start = (rounds_seen * width) % len(dropped)
-        slice_keys = [
-            dropped[(start + i) % len(dropped)]
-            for i in range(min(width, len(dropped)))
+        try:
+            with open(ledger_path) as fh:
+                ledger: dict[str, int] = json.load(fh)
+        except (OSError, ValueError):
+            ledger = {}
+        # expensive excluded families, one representative each, in
+        # rough cost order (the cheap single-shuffle tail follows in
+        # declared order): streaming/gate replays, index-MV lifecycles,
+        # graph loops, multimodal and BPE — the excluded keys whose
+        # regressions a cheap-tail-first walk would hide longest
+        priority = [
+            "q_ann_gate_replay",
+            "q_dedup_gate_replay",
+            "q_cms_alert_stream",
+            "q_ann_forget",
+            "q_bloom_semijoin_stored",
+            "q_dedup_components_star",
+            "q_pagerank_converged",
+            "q_triangle_count",
+            "q_simhash_multiprobe",
+            "q_ingest_batch",
+            "q_centrality_features",
+            "q_term_cooccurrence",
+            "q_bpe_encode",
+            "q_media_resize",
+            "q_fuzzy_supplier_match",
         ]
+        order = [k for k in priority if k in dropped] + [
+            k for k in dropped if k not in priority
+        ]
+        # never-benched first (priority members lead by construction),
+        # then the stalest; ties keep the cost order
+        order.sort(key=lambda k: ledger.get(k, -1))
+        slice_keys = order[: min(10, len(order))]
         for name in slice_keys:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             rotation[name] = round(time.perf_counter() - t0, 3)
+        tick = max(ledger.values(), default=0) + 1
+        ledger.update({k: tick for k in rotation})
+        with open(ledger_path, "w") as fh:
+            json.dump(ledger, fh, indent=1, sort_keys=True)
         print(
-            f"# rotation slice (start {start} of {len(dropped)} excluded): "
+            f"# rotation slice ({len(ledger)}/{len(dropped)} excluded covered): "
             + ", ".join(f"{k}={v:.2f}s" for k, v in rotation.items()),
             file=sys.stderr,
         )
