@@ -84,7 +84,7 @@ def pregel(
     checkpoint_every: int = 3,
     frontier_col: str | None = None,
     shuffle_partitions: int | str | None = None,
-    eager_checkpoint: bool = False,
+    eager_checkpoint: bool = True,
     broadcast_state: bool | str = False,
 ) -> PregelResult:
     """Run supersteps until ``n_iter`` rounds (fixed mode: no
@@ -141,15 +141,27 @@ def pregel(
     eager mode replaces the per-round persist with an eager
     ``localCheckpoint`` — every round's state is a materialized
     LogicalRDD with a constant-size plan, the discipline the bespoke
-    loops (SCC, near_dup_components) use. ``broadcast_state`` wraps
-    the vertex-scale frames (the sending state and the aggregated
-    message frames) in an explicit ``F.broadcast`` — checkpointed
-    frames have unknown stats, so AQE never auto-broadcasts them and
-    each round's joins sort/shuffle sides a hash join wouldn't touch.
-    ``'auto'`` enables it when the vertex count is ≤ 100k (the SCC
-    threshold). Broadcasting an UNMATERIALIZED lazy-persist chain
-    re-executes it per broadcast build — the round-10 measured O(i²)
-    loss — so broadcast_state forces eager_checkpoint on.
+    loops (SCC, near_dup_components) use. It is now the DEFAULT: the
+    round-11 A/B measured it a win for EVERY algorithm on the harness
+    (same-tree warm best-of-3 at sf0.1, values bit-identical —
+    pagerank 6.52→3.05s, hits 4.49→3.54, sssp 3.20→2.25, cc
+    2.86→2.50, lpa 2.45→2.05, bfs 1.86→1.45, kcore 1.47→1.23),
+    superseding the early-round "lazy persist chain, one
+    materialization" doctrine — with the round-9b loop-scoped
+    partition sizing, per-round materialization is cheap while the
+    lazy chain's single materialization re-analyzes a depth-n_iter
+    plan. Pass ``eager_checkpoint=False`` to restore the lazy chain.
+    ``broadcast_state`` wraps the vertex-scale frames (the sending
+    state and the aggregated message frames) in an explicit
+    ``F.broadcast`` — checkpointed frames have unknown stats, so AQE
+    never auto-broadcasts them and each round's joins sort/shuffle
+    sides a hash join wouldn't touch. ``'auto'`` enables it when the
+    vertex count is ≤ 100k (the SCC threshold). Broadcasting an
+    UNMATERIALIZED lazy-persist chain re-executes it per broadcast
+    build — the round-10 measured O(i²) loss — so broadcast_state
+    forces eager_checkpoint on. (On hits at this SF the broadcast
+    measured a small loss — per-round broadcast-build sub-jobs — and
+    stays off by default.)
     """
     if update is None:
         raise ValueError("pregel: update callable is required")
