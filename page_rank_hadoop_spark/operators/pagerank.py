@@ -62,6 +62,7 @@ def run_pagerank(
     teleport: DataFrame | None = None,
     initial_ranks: DataFrame | None = None,
     shuffle_partitions: int | str | None = "auto",
+    eager_checkpoint: bool = True,
 ) -> PageRankResult:
     """Iterate PageRank over an adjacency DataFrame ``(id, links)``.
 
@@ -152,7 +153,7 @@ def run_pagerank(
     try:
         return _run_pagerank_loop(
             adj, n, alpha, min_iter, max_iter, tol, fixed_iterations,
-            checkpoint_every, teleport, initial_ranks,
+            checkpoint_every, teleport, initial_ranks, eager_checkpoint,
         )
     finally:
         if pinned:
@@ -161,7 +162,7 @@ def run_pagerank(
 
 def _run_pagerank_loop(
     adj, n, alpha, min_iter, max_iter, tol, fixed_iterations,
-    checkpoint_every, teleport, initial_ranks,
+    checkpoint_every, teleport, initial_ranks, eager_checkpoint=False,
 ) -> PageRankResult:
     """The iteration loop proper — split out so the shuffle-partition
     pin is restored exception-safely without indenting the loop."""
@@ -233,9 +234,12 @@ def _run_pagerank_loop(
                     + F.lit(1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("pr"),
             )
-        if i % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
-        new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager_checkpoint:
+            new_ranks = new_ranks.localCheckpoint()
+        else:
+            if i % checkpoint_every == 0:
+                new_ranks = new_ranks.localCheckpoint(eager=False)
+            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
 
         if fixed_iterations is None:
             delta = (
@@ -246,21 +250,29 @@ def _run_pagerank_loop(
             )
             avg_change = (delta or 0.0) / n
             avg_changes.append(avg_change)
-            ranks.unpersist()
+            if not eager_checkpoint:
+                ranks.unpersist()
             ranks = new_ranks
             if i >= min_iter and avg_change <= tol:
                 break
         else:
-            # Fixed-iteration mode: no per-iteration action. Persists stay
-            # lazy; the single materialization below walks the chain once,
-            # caching each level as it is first computed — 10 actions
-            # collapse into 1 (measured ~1.7× faster at sf0.1).
-            # Predecessors must stay persisted until then: unpersisting
-            # before materialization would force an O(i²) recompute chain.
-            lazy_persisted.append(ranks)
+            # Fixed-iteration mode with the lazy chain (eager_checkpoint=
+            # False): no per-iteration action — persists stay lazy and the
+            # single materialization below walks the chain once. That was
+            # the measured win EARLY ON (~1.7× at sf0.1, pre-round-9b);
+            # with loop-scoped partition sizing the round-11 A/B reversed
+            # it (lazy 3.40s vs eager 2.69s fixed, 4.79 vs 3.30 adaptive —
+            # per-round materialization is a handful of tiny tasks while
+            # the chain's one materialization re-analyzes a depth-n plan),
+            # so eager is now the default; this branch remains for
+            # graphs/SFs where a caller measures the chain faster.
+            # Predecessors must stay persisted until materialization:
+            # unpersisting early would force an O(i²) recompute chain.
+            if not eager_checkpoint:
+                lazy_persisted.append(ranks)
             ranks = new_ranks
 
-    if fixed_iterations is not None:
+    if fixed_iterations is not None and not eager_checkpoint:
         ranks.count()  # materialize the full chain once
         for p in lazy_persisted:
             p.unpersist()
