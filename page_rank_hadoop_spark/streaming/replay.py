@@ -644,6 +644,44 @@ def run_stream_dedup_replay(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cms_alert_gate_batch(
+    batch_df: DataFrame,
+    cells_dir: str,
+    batch_id: int,
+    key: str = "user_id",
+    d: int = 4,
+    w: int = 256,
+) -> None:
+    """One micro-batch through the CMS heavy-hitter gate: sketch the
+    batch in isolation (≤ d·w partial rows) and write the partials to
+    the MV. IDEMPOTENT under foreachBatch's at-least-once redelivery
+    by construction — the write lands at a DETERMINISTIC per-batch
+    path (``batch=<id>``) in overwrite mode, the standard foreachBatch
+    exactly-once trick, so a replayed batch overwrites its own first
+    delivery instead of double-counting its cells (a plain append
+    would silently inflate every estimate after a crash-replay;
+    pytest-pinned by the double-delivery test)."""
+    from page_rank_hadoop_spark.operators import sketches
+
+    if not batch_df.take(1):
+        return
+    sketches.cms_cells(batch_df, key=key, d=d, w=w).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(cells_dir, f"batch={batch_id}"))
+
+
+def read_cms_cells_mv(spark: SparkSession, cells_dir: str) -> DataFrame:
+    """The merged view of the per-batch CMS partials: cell-wise SUM
+    across every ``batch=<id>`` partial (CMS linearity). The alert
+    side serves any key's estimate from this frame — d point lookups
+    + a min — without touching the stream."""
+    return (
+        spark.read.parquet(cells_dir)
+        .groupBy("r", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
 def run_cms_alert_replay(
     spark: SparkSession,
     sf_dir: str,
@@ -688,11 +726,7 @@ def run_cms_alert_replay(
         )
 
         def gate(batch_df: DataFrame, batch_id: int) -> None:
-            if not batch_df.take(1):
-                return
-            sketches.cms_cells(batch_df, key=key, d=d, w=w).write.mode(
-                "append"
-            ).parquet(cells_dir)
+            cms_alert_gate_batch(batch_df, cells_dir, batch_id, key=key, d=d, w=w)
 
         # JVM-only per-batch work (explode + tiny groupBy): the narrow
         # state-partition rule, same as the other non-Python replays
@@ -704,11 +738,7 @@ def run_cms_alert_replay(
                 .start()
             )
             q.awaitTermination()
-        merged = (
-            spark.read.parquet(cells_dir)
-            .groupBy("r", "b")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
+        merged = read_cms_cells_mv(spark, cells_dir)
         report = sketches.cms_topk_report(
             load_table(spark, sf_dir, "events"), cells=merged, key=key, k=k, d=d, w=w
         )

@@ -887,3 +887,36 @@ def test_watermark_boundary_inclusive(spark, tmp_path):
         q.stop()
     rows = {r["window_start"]: r["n"] for r in spark.table("t_wm_boundary").collect()}
     assert rows.get("2024-06-01 00:00:00") == 1  # end == watermark → emitted
+
+
+def test_cms_alert_gate_idempotent_under_redelivery(spark, tmp_path):
+    """foreachBatch gives at-least-once batch delivery; the CMS gate
+    must not double-count a replayed batch (round 11). The gate writes
+    each batch's cell partials to a deterministic batch=<id> path in
+    overwrite mode, so delivering batch 0 TWICE then batch 1 once must
+    yield exactly the sketch of batch0 ∪ batch1 — cell-for-cell equal
+    to a one-shot cms_cells over the union."""
+    from page_rank_hadoop_spark.operators import sketches
+    from page_rank_hadoop_spark.streaming.replay import (
+        cms_alert_gate_batch,
+        read_cms_cells_mv,
+    )
+
+    rows = [(i, f"u{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string")
+    b0 = df.filter("event_id % 2 = 0")
+    b1 = df.filter("event_id % 2 = 1")
+    cells_dir = str(tmp_path / "cms_mv")
+
+    cms_alert_gate_batch(b0, cells_dir, 0, key="user_id", d=4, w=16)
+    cms_alert_gate_batch(b0, cells_dir, 0, key="user_id", d=4, w=16)  # redelivery
+    cms_alert_gate_batch(b1, cells_dir, 1, key="user_id", d=4, w=16)
+
+    merged = {
+        (r["r"], r["b"]): r["c"] for r in read_cms_cells_mv(spark, cells_dir).collect()
+    }
+    direct = {
+        (r["r"], r["b"]): r["c"]
+        for r in sketches.cms_cells(df, key="user_id", d=4, w=16).collect()
+    }
+    assert merged == direct
