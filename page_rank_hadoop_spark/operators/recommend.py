@@ -1,0 +1,144 @@
+"""Collaborative-filtering recommender: rank-1 alternating least
+squares over the customer × part purchase matrix.
+
+The reference engine ranks *pages* by link structure
+(/root/reference/src/main/scala/pageRank.scala:331-393 — iterative
+score propagation to a fixpoint); this module is the same iterative
+DataFrame-loop shape applied to a bipartite user-item graph: factor
+tables take the place of rank vectors, and each half-step is one join
++ one partial-agg'd groupBy instead of a scatter/gather pair.
+
+Rank-1 ALS (one latent factor per user / item, L2 regularization λ):
+
+    u_i ← Σ_j r_ij·v_j / (λ + Σ_j v_j²)       over items i rated
+    v_j ← Σ_i r_ij·u_i / (λ + Σ_i u_i²)       over users that rated j
+
+Unrolled a fixed number of iterations it is pure join+agg relational
+algebra — the DuckDB oracle replays the identical CTE chain (the
+q_hits pattern: deterministic alternating fixpoint, rounded 6dp at
+the output boundary only; all base sums are integer-valued doubles so
+the iteration inputs are exact).
+
+Scale shape (100 TB): every half-step shuffles the RATINGS table once
+on its join key and once for the groupBy — linear in |ratings| with
+map-side partial aggregation; factor tables are dimension-sized and
+never widen. Nothing materializes a user × item cross product: the
+recommend stage scores candidates for an explicit user subset
+(factor join + anti-join on seen pairs), and a full-catalog serving
+path would hand the trained factors to the ANN lane (similarity.py)
+rather than cross-join here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["build_ratings", "als_rank1", "als_recommend"]
+
+
+def build_ratings(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Implicit-feedback ratings: customer × part with total purchased
+    quantity as the rating. The lineitem⋈orders join is co-keyed on
+    orderkey (both sides shuffle once at fact scale); the (u, it)
+    groupBy is partial-agg'd. Quantities are integer-valued, so the
+    summed rating is EXACT in double regardless of partial-agg order —
+    the ALS iteration starts from bit-identical inputs cross-engine.
+    """
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("it"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+
+
+def als_rank1(
+    ratings: DataFrame, iters: int = 2, lam: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Train rank-1 ALS for ``iters`` full alternations from v≡1.0.
+
+    Returns ``(user_factors(u, uf), item_factors(it, v))``. The
+    ratings frame is persisted once (each iteration scans it twice);
+    join strategy is left to AQE — at test scale the factor side
+    broadcasts, at 100 TB both sides are large and the join degrades
+    gracefully to a co-partitioned shuffle join, still linear. The
+    unrolled plan is 2·iters joins deep — shallow enough that no
+    checkpoint relay is needed (contrast the 50-round PageRank loop,
+    pagerank.py:54, which must break lineage).
+    """
+    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    v = ratings.select("it").distinct().select("it", F.lit(1.0).alias("v"))
+    u = None
+    for _ in range(iters):
+        u = (
+            ratings.join(v, "it")
+            .groupBy("u")
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("v"))
+                    / (F.lit(lam) + F.sum(F.col("v") * F.col("v")))
+                ).alias("uf")
+            )
+        )
+        v = (
+            ratings.join(u, "u")
+            .groupBy("it")
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("uf"))
+                    / (F.lit(lam) + F.sum(F.col("uf") * F.col("uf")))
+                ).alias("v")
+            )
+        )
+    return u, v
+
+
+def als_recommend(
+    ratings: DataFrame,
+    n_users: int = 5,
+    top_k: int = 3,
+    iters: int = 2,
+    lam: float = 0.1,
+) -> DataFrame:
+    """Top-k unseen-item recommendations for the ``n_users`` smallest
+    customer keys: score = u_i·v_j over the candidate set (selected
+    users × catalog, minus already-purchased pairs, anti-join on the
+    exact (u, it) key).
+
+    Candidate volume is |selected users| × |items| — bounded by the
+    explicit user subset, never a full bipartite cross product. Scores
+    round to 6dp BEFORE ranking so the top-k cut is deterministic
+    cross-engine (rounded-score desc, item asc tiebreak).
+    """
+    uf, vf = als_rank1(ratings, iters=iters, lam=lam)
+    sel = (
+        ratings.select("u").distinct()
+        .orderBy("u").limit(n_users)
+        .join(uf, "u")
+    )
+    scored = (
+        F.broadcast(sel).crossJoin(vf)
+        .join(ratings.select("u", "it"), ["u", "it"], "left_anti")
+        .select(
+            "u",
+            "it",
+            F.round(F.col("uf") * F.col("v"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("it"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            F.col("u").alias("cust_id"),
+            F.col("it").alias("part_id"),
+            "score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

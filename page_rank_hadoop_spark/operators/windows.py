@@ -731,6 +731,96 @@ def time_to_convert(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def kaplan_meier(events: DataFrame) -> DataFrame:
+    """Kaplan–Meier survival life table for signup→purchase conversion:
+    per user, t0 = first ``signup``, the event = first ``purchase``
+    strictly after t0; users who never convert are right-CENSORED at
+    the corpus max timestamp (they stay in the at-risk set through the
+    end — dropping them is the classic survivorship bias this
+    estimator exists to avoid). Durations are whole elapsed days from
+    exact integer microsecond arithmetic.
+
+    Output: one row per observed event day — at-risk count n_risk,
+    event count d_events, hazard d/n, and the product-limit survival
+    S(t) = Π_{t'≤t}(1 − d/n).
+
+    Scale shape: two user_id-keyed partial-agg passes build the
+    per-user duration table (fact-scale, linear), the life table
+    itself is ≤ #distinct-days rows, so the cumulative-product window
+    runs over a result-sized frame (the cusum/equidepth precedent —
+    never a fact-table global window). Engine determinism: counts and
+    day durations are exact integers; the hazard rounds to 6dp BEFORE
+    entering the product so both engines fold bit-identical factors,
+    and the product runs as exp∘Σ∘ln over an ORDER BY-fixed sequence
+    (ln floored at 1e-12 so a saturated day yields survival 0.0, not
+    Spark's log(0)=NULL vs DuckDB's -inf divergence).
+    """
+    us = F.unix_micros("ts")
+    t0s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(t0s, "user_id")
+        .filter(F.col("p_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("te"))
+    )
+    maxts = events.agg(F.max(us).alias("max_us"))
+    durs = (
+        t0s.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(maxts))
+        .select(
+            F.expr("(coalesce(te, max_us) - t0) div 86400000000").alias("dur"),
+            F.col("te").isNotNull().alias("observed"),
+        )
+    )
+    risk = (
+        durs.groupBy("dur")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "n_risk",
+            F.sum("c").over(
+                Window.orderBy(F.desc("dur")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    evt = (
+        durs.filter("observed")
+        .groupBy("dur")
+        .agg(F.count("*").alias("d_events"))
+    )
+    life = evt.join(risk.select("dur", "n_risk"), "dur").withColumn(
+        "hazard", F.round(F.col("d_events") / F.col("n_risk"), 6)
+    )
+    surv = F.round(
+        F.exp(
+            F.sum(F.log(F.greatest(F.lit(1.0) - F.col("hazard"), F.lit(1e-12)))).over(
+                Window.orderBy("dur").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+        ),
+        6,
+    )
+    return (
+        life.withColumn("survival", surv)
+        .select(
+            F.col("dur").cast("bigint").alias("t_day"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d_events").cast("bigint").alias("d_events"),
+            "hazard",
+            "survival",
+        )
+        .orderBy("t_day")
+    )
+
+
 def ewma_smoothing(events: DataFrame, alpha: float = 0.5, k: int = 8) -> DataFrame:
     """Per-user bounded-lag EWMA of the event value: a finite-window
     exponential smoother — ewma_t = Σ_{j<k} α^j·x_{t−j} / Σ_{j<k} α^j

@@ -1670,3 +1670,95 @@ def contribute_hll(oracles: dict[str, str]) -> None:
     # merged-partial HLL == direct HLL — the oracle sketches the union
     # once; Spark merges three independent slice sketches (q_hll_merge)
     oracles["q_hll_merge"] = oracles["q_hll_sketch"]
+
+    # round 11: rank-1 ALS — the q_hits unrolled-alternation pattern
+    # over the customer×part purchase matrix. Base ratings are
+    # integer-valued-double sums (exact cross-engine); v0 ≡ 1.0 makes
+    # u1 exact-integer / (λ + exact-integer), so divergence enters
+    # only through double-sum ORDER from v1 on (~1e-14 relative by
+    # v2) — absorbed by the 6dp output rounding.
+    _als_ctes = """
+      ratings AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS it,
+               CAST(sum(l.l_quantity) AS DOUBLE) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+      ),
+      v0 AS (SELECT DISTINCT it, 1.0::DOUBLE AS v FROM ratings),
+      u1 AS (SELECT rt.u, sum(rt.r * f.v) / (0.1::DOUBLE + sum(f.v * f.v)) AS uf
+             FROM ratings rt JOIN v0 f ON rt.it = f.it GROUP BY rt.u),
+      v1 AS (SELECT rt.it, sum(rt.r * f.uf) / (0.1::DOUBLE + sum(f.uf * f.uf)) AS v
+             FROM ratings rt JOIN u1 f ON rt.u = f.u GROUP BY rt.it),
+      u2 AS MATERIALIZED (
+             SELECT rt.u, sum(rt.r * f.v) / (0.1::DOUBLE + sum(f.v * f.v)) AS uf
+             FROM ratings rt JOIN v1 f ON rt.it = f.it GROUP BY rt.u),
+      v2 AS MATERIALIZED (
+             SELECT rt.it, sum(rt.r * f.uf) / (0.1::DOUBLE + sum(f.uf * f.uf)) AS v
+             FROM ratings rt JOIN u2 f ON rt.u = f.u GROUP BY rt.it)
+    """
+    oracles["q_als_factors"] = f"""
+      WITH {_als_ctes}
+      SELECT it AS part_id, round(v, 6) AS factor FROM v2
+      ORDER BY factor DESC, part_id LIMIT 20
+    """
+    oracles["q_als_recommend"] = f"""
+      WITH {_als_ctes},
+      sel AS (SELECT u FROM (SELECT DISTINCT u FROM ratings ORDER BY u LIMIT 5)),
+      cand AS (
+        SELECT s.u, v.it, round(f.uf * v.v, 6) AS score
+        FROM sel s JOIN u2 f ON s.u = f.u CROSS JOIN v2 v
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ratings r WHERE r.u = s.u AND r.it = v.it)
+      ),
+      rk AS (
+        SELECT u, it, score,
+               row_number() OVER (PARTITION BY u ORDER BY score DESC, it) AS rk
+        FROM cand
+      )
+      SELECT u AS cust_id, it AS part_id, score, rk::INT AS rk
+      FROM rk WHERE rk <= 3
+    """
+
+    # round 11: Kaplan–Meier signup→purchase life table. Counts and
+    # day durations are exact integers; the hazard rounds 6dp BEFORE
+    # the product-limit fold so both engines fold identical factors
+    # over the same ORDER BY-fixed sequence (ln floored at 1e-12:
+    # saturated day → survival 0.0, sidestepping ln(0) semantics).
+    oracles["q_kaplan_meier"] = """
+      WITH t0s AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+      ),
+      conv AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS te
+        FROM events e JOIN t0s t ON e.user_id = t.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t.t0
+        GROUP BY 1
+      ),
+      mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      durs AS (
+        SELECT (coalesce(c.te, m.max_us) - t.t0) // 86400000000 AS dur,
+               c.te IS NOT NULL AS observed
+        FROM t0s t LEFT JOIN conv c ON t.user_id = c.user_id CROSS JOIN mx m
+      ),
+      risk AS (
+        SELECT dur, sum(count(*)) OVER (
+                 ORDER BY dur DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        FROM durs GROUP BY dur
+      ),
+      evt AS (
+        SELECT dur, count(*) AS d_events FROM durs WHERE observed GROUP BY dur
+      ),
+      life AS (
+        SELECT e.dur, r.n_risk, e.d_events,
+               round(e.d_events / r.n_risk, 6) AS hazard
+        FROM evt e JOIN risk r ON e.dur = r.dur
+      )
+      SELECT dur::BIGINT AS t_day, n_risk::BIGINT AS n_risk,
+             d_events::BIGINT AS d_events, hazard,
+             round(exp(sum(ln(greatest(1.0 - hazard, 1e-12))) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+      FROM life ORDER BY t_day
+    """

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from page_rank_hadoop_spark.operators import asof, dedup, graph, index, pagerank, relational
-from page_rank_hadoop_spark.operators import pipeline, similarity, textstats, windows
+from page_rank_hadoop_spark.operators import pipeline, recommend, similarity, textstats, windows
 from page_rank_hadoop_spark.sources.catalog import load_table
 
 from page_rank_hadoop_spark.plans.registry._shared import (
@@ -32,6 +32,41 @@ from page_rank_hadoop_spark.plans.registry.queries_corpus import (
     _graph,
     _minhash_pairs,
 )
+
+
+def q_als_factors(spark, sf):
+    """Rank-1 ALS item factors over the customer×part purchase matrix
+    (2 alternations, λ=0.1): iterative join+agg loop, top-20 items by
+    rounded factor — the latent-factor recommender readout."""
+    ratings = recommend.build_ratings(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    _, vf = recommend.als_rank1(ratings)
+    return (
+        vf.select(
+            F.col("it").alias("part_id"), F.round("v", 6).alias("factor")
+        )
+        .orderBy(F.desc("factor"), "part_id")
+        .limit(20)
+    )
+
+
+def q_als_recommend(spark, sf):
+    """Top-3 unseen-part recommendations for the 5 smallest customers
+    from the trained rank-1 ALS factors: broadcast user subset ×
+    catalog candidates, anti-join on purchased pairs, rounded-score
+    ranking."""
+    ratings = recommend.build_ratings(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    return recommend.als_recommend(ratings)
+
+
+def q_kaplan_meier(spark, sf):
+    """Kaplan–Meier signup→purchase survival life table with right
+    censoring at corpus end: exact integer day durations, result-sized
+    product-limit window."""
+    return windows.kaplan_meier(load_table(spark, sf, "events"))
 
 
 def q_gap_fill(spark, sf):

@@ -260,6 +260,17 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # the vector registry keyed; component labels come pre-checkpointed
     # (LogicalRDD), no cartesian, no Python in the plan
     ("q_dbscan_clusters", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)"), ("not", r"\bSort\b.*global=true")]),
+    # rank-1 ALS (round 11): alternating join+agg chain ends in a
+    # rounded-factor top-20 — TakeOrdered, never a global sort; all
+    # JVM-side
+    ("q_als_factors", [("has", r"TakeOrderedAndProject"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # ALS recommend: the 5-user candidate fan-out is a BROADCAST
+    # nested-loop against the catalog (bounded side broadcast), with
+    # the seen-pair anti-join keyed; per-user top-k group-limited
+    ("q_als_recommend", [("has", r"BroadcastNestedLoopJoin"), ("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # Kaplan–Meier: fact-scale work is keyed partial aggs; the only
+    # windows run over the ≤#days life table (result-sized frame)
+    ("q_kaplan_meier", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
