@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_label_propagation",
     "q_bpe_train_merges",
     "q_kmeans_train",
+    "q_als_factors",
     "q_pagerank_personalized",
     "q_hits",
     "q_kcore",

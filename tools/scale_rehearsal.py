@@ -945,6 +945,85 @@ def rehearse_components(spark, sf_dir: str, out_dir: str) -> list[dict]:
     return rows
 
 
+def rehearse_als(spark, sf_dir: str, out_dir: str) -> list[dict]:
+    """Rank-1 ALS scale law (round 11): the 100 TB claim is that every
+    alternation is one ratings-sized join + one partial-agg'd groupBy —
+    wall and shuffle exponents ≈ 1 in |ratings| — and that factor
+    tables stay dimension-sized DataFrames (nothing collects to the
+    driver, unlike k-means' C-row centroid collect per round). The 10×
+    step unions ten id-shifted copies of the sf0.1 ratings matrix:
+    users, items and ratings all grow 10× at the same density, so the
+    per-step join fan-out per key is UNCHANGED — the honest scale-up
+    for a bipartite matrix (verbatim mirroring would 10× every key's
+    degree instead)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from page_rank_hadoop_spark.operators import recommend
+
+    one = recommend.build_ratings(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mx = one.agg(F.max("u").alias("mu"), F.max("it").alias("mi")).first()
+
+    def copies(k: int):
+        shifted = [
+            one.select(
+                (F.col("u") + F.lit(i * (mx["mu"] + 1))).alias("u"),
+                (F.col("it") + F.lit(i * (mx["mi"] + 1))).alias("it"),
+                "r",
+            )
+            for i in range(k)
+        ]
+        out = shifted[0]
+        for s in shifted[1:]:
+            out = out.union(s)
+        return out.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # three scales: the 1x→10x step crosses the factor-broadcast cliff
+    # (AQE stops broadcasting the 200k-row factor table, so every
+    # half-step starts shuffling ratings for its join) — the 10x→30x
+    # step is the past-cliff exponent, the one that extrapolates to
+    # 100 TB where factors never fit in a broadcast
+    ten = copies(10)
+    thirty = copies(30)
+
+    rows = []
+    for label, rt in (("1x", one), ("10x", ten), ("30x", thirty)):
+        r: dict = {"label": label, "ratings": rt.count()}
+        # warm-up, then measured full train (2 alternations)
+        recommend.als_rank1(rt)[1].count()
+        b0 = _shuffle_write_bytes(spark)
+        n_items, t = _timed(lambda: recommend.als_rank1(rt)[1].count())
+        b1 = _shuffle_write_bytes(spark)
+        r["als_sec"], r["items"] = t, n_items
+        r["shuffle_mb"] = (
+            round((b1 - b0) / 1e6, 2) if b0 is not None and b1 is not None else None
+        )
+        rows.append(r)
+    one.unpersist()
+    ten.unpersist()
+    thirty.unpersist()
+    import math
+
+    b3 = math.log10(3)
+    msg = (
+        f"# scaling exponents: 1x→10x als_time "
+        f"e={math.log10(rows[1]['als_sec']/rows[0]['als_sec']):.2f} "
+        f"(crosses the broadcast cliff); past-cliff 10x→30x als_time "
+        f"e={math.log10(rows[2]['als_sec']/rows[1]['als_sec'])/b3:.2f}"
+    )
+    if all(r["shuffle_mb"] is not None for r in rows):
+        msg += (
+            f", shuffle_bytes 1x→10x "
+            f"e={math.log10(rows[1]['shuffle_mb']/rows[0]['shuffle_mb']):.2f}"
+            f" / 10x→30x "
+            f"e={math.log10(rows[2]['shuffle_mb']/rows[1]['shuffle_mb'])/b3:.2f}"
+        )
+    msg += " (factor tables dimension-sized, never collected)"
+    print(msg)
+    return rows
+
+
 def _print_table(rows: list[dict], cols: list[tuple[str, str]]) -> None:
     print("| scale | " + " | ".join(h for _, h in cols) + " |")
     print("|---" * (len(cols) + 1) + "|")
@@ -1012,6 +1091,18 @@ def main() -> int:
                 ("n_docs", "docs"),
                 ("n_selected", "selected"),
                 ("dsir_sec", "dsir s"),
+                ("shuffle_mb", "shuffle MB"),
+            ],
+        )
+
+    if mode in ("als", "scalelaw", "all"):
+        rows = rehearse_als(spark, sf_dir, out_dir)
+        _print_table(
+            rows,
+            [
+                ("ratings", "ratings"),
+                ("items", "items"),
+                ("als_sec", "als s"),
                 ("shuffle_mb", "shuffle MB"),
             ],
         )
