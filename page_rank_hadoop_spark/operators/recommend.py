@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["build_ratings", "als_rank1", "als_recommend"]
+__all__ = ["build_ratings", "als_rank1", "als_recommend", "als_rmse"]
 
 
 def build_ratings(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
@@ -97,6 +97,43 @@ def als_rank1(
             )
         )
     return u, v
+
+
+def als_rmse(ratings: DataFrame, iters: int = 2, lam: float = 0.1) -> DataFrame:
+    """Training-set fit of the rank-1 model: RMSE / MAE of û = u_i·v_j
+    against the observed ratings, plus the trivial-baseline (global
+    mean) RMSE it must beat — the evaluate leg of the train /
+    recommend / evaluate triad. One factor join per side then a single
+    partial-agg'd pass over ratings; one output row at any scale.
+
+    The error moments round at 6dp BEFORE the sqrt (the cusum rule:
+    partial-agg summation order differs ~1 ulp between engines; round
+    the moment, then derive).
+    """
+    uf, vf = als_rank1(ratings, iters=iters, lam=lam)
+    scored = (
+        ratings.join(uf, "u")
+        .join(vf, "it")
+        .select("r", (F.col("uf") * F.col("v")).alias("pred"))
+    )
+    mean_r = ratings.agg(F.round(F.avg("r"), 6).alias("mu"))
+    d = F.col("r") - F.col("pred")
+    db = F.col("r") - F.col("mu")
+    return (
+        scored.crossJoin(F.broadcast(mean_r))
+        .agg(
+            F.count("*").cast("bigint").alias("n_ratings"),
+            F.round(F.avg(d * d), 6).alias("mse"),
+            F.round(F.avg(F.abs(d)), 6).alias("mae"),
+            F.round(F.avg(db * db), 6).alias("mse_baseline"),
+        )
+        .select(
+            "n_ratings",
+            F.round(F.sqrt("mse"), 6).alias("rmse"),
+            "mae",
+            F.round(F.sqrt("mse_baseline"), 6).alias("rmse_baseline"),
+        )
+    )
 
 
 def als_recommend(

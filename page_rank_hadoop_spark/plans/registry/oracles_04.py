@@ -1719,6 +1719,35 @@ def contribute_hll(oracles: dict[str, str]) -> None:
       FROM rk WHERE rk <= 3
     """
 
+    # ALS evaluate leg: moments round 6dp BEFORE sqrt (cusum rule);
+    # squared errors written as explicit multiplications, never pow()
+    oracles["q_als_rmse"] = f"""
+      WITH {_als_ctes},
+      mu AS (SELECT round(avg(r), 6) AS mu FROM ratings),
+      scored AS (
+        SELECT rt.r, f.uf * v.v AS pred, m.mu
+        FROM ratings rt
+        JOIN u2 f ON rt.u = f.u
+        JOIN v2 v ON rt.it = v.it
+        CROSS JOIN mu m
+      ),
+      agg AS (
+        SELECT count(*)::BIGINT AS n_ratings,
+               round(avg((r - pred) * (r - pred)), 6) AS mse,
+               round(avg(abs(r - pred)), 6) AS mae,
+               round(avg((r - mu) * (r - mu)), 6) AS mse_baseline
+        FROM scored
+      )
+      SELECT n_ratings, round(sqrt(mse), 6) AS rmse, mae,
+             round(sqrt(mse_baseline), 6) AS rmse_baseline
+      FROM agg
+    """
+
+    # streaming ratings-MV maintenance + retrain == one-shot train:
+    # per-batch (u,it) partials merge by exact integer addition, so the
+    # gate replay shares the factor readout's oracle verbatim
+    oracles["q_als_gate_replay"] = oracles["q_als_factors"]
+
     # round 11: Kaplan–Meier signup→purchase life table. Counts and
     # day durations are exact integers; the hazard rounds 6dp BEFORE
     # the product-limit fold so both engines fold identical factors

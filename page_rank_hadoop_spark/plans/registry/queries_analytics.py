@@ -62,6 +62,16 @@ def q_als_recommend(spark, sf):
     return recommend.als_recommend(ratings)
 
 
+def q_als_rmse(spark, sf):
+    """Training-set RMSE/MAE of the rank-1 ALS model vs the global-mean
+    baseline: the evaluate leg of the recommender triad, one factor
+    join per side + one partial-agg'd pass, single-row output."""
+    ratings = recommend.build_ratings(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    return recommend.als_rmse(ratings)
+
+
 def q_kaplan_meier(spark, sf):
     """Kaplan–Meier signup→purchase survival life table with right
     censoring at corpus end: exact integer day durations, result-sized
@@ -1107,3 +1117,18 @@ def q_cms_alert_stream(spark, sf):
     from page_rank_hadoop_spark.streaming.replay import run_cms_alert_replay
 
     return run_cms_alert_replay(spark, sf, key="user_id", k=20)
+
+
+def q_als_gate_replay(spark, sf):
+    """The recommender's ratings-MV lifecycle as a declared
+    genuine-streaming query (round 11): order-line records replayed in
+    three ship-date-ordered microbatches through foreachBatch, each
+    batch writing its own (u, it) partial quantity sums to a persisted
+    ratings MV (idempotent batch=<id> overwrite), post-replay rank-1
+    ALS retrain from the keyed-SUM merged MV. Shares q_als_factors'
+    oracle VERBATIM — rating additivity makes merged partials equal
+    the one-shot matrix exactly, so the hash match proves the
+    streaming maintenance loop feeds the trainer the batch matrix."""
+    from page_rank_hadoop_spark.streaming.replay import run_als_gate_replay
+
+    return run_als_gate_replay(spark, sf)

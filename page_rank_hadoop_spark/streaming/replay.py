@@ -241,9 +241,9 @@ import contextlib
 _STAGE_CACHE: dict[tuple, str] = {}
 
 
-def _source_fingerprint(sf_dir: str) -> tuple:
-    """Cheap content fingerprint of the events parquet under sf_dir."""
-    path = os.path.join(sf_dir, "events.parquet")
+def _source_fingerprint(sf_dir: str, table: str = "events") -> tuple:
+    """Cheap content fingerprint of the source parquet under sf_dir."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
     files = [path]
     if os.path.isdir(path):
         files = [
@@ -272,8 +272,10 @@ import atexit
 atexit.register(_cleanup_stage_cache)
 
 
-def _staged_source(events: DataFrame, key: tuple, n_batches: int) -> str:
-    key = key + (_source_fingerprint(key[0]),)
+def _staged_source(
+    events: DataFrame, key: tuple, n_batches: int, table: str = "events"
+) -> str:
+    key = key + (_source_fingerprint(key[0], table),)
     if key not in _STAGE_CACHE:
         tmp = tempfile.mkdtemp(prefix="events_replay_stage_")
         _STAGE_CACHE[key] = _stage_time_batches(events, tmp, n_batches)
@@ -741,6 +743,113 @@ def run_cms_alert_replay(
         merged = read_cms_cells_mv(spark, cells_dir)
         report = sketches.cms_topk_report(
             load_table(spark, sf_dir, "events"), cells=merged, key=key, k=k, d=d, w=w
+        )
+        # snapshot before the per-run MV dir is removed
+        return report.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def als_ratings_gate_batch(batch_df: DataFrame, mv_dir: str, batch_id: int) -> None:
+    """One micro-batch of order-line records through the ratings-MV
+    gate: aggregate the batch's OWN (u, it) partial quantity sums (a
+    batch-bounded partial-agg'd groupBy) and land them at a
+    DETERMINISTIC ``batch=<id>`` path in overwrite mode — the CMS
+    gate's exactly-once trick, so an at-least-once redelivery
+    overwrites its own first write instead of double-counting ratings
+    (pytest-pinned by the double-delivery test)."""
+    if not batch_df.take(1):
+        return
+    (
+        batch_df.groupBy("u", "it")
+        .agg(F.sum("r").alias("r"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(mv_dir, f"batch={batch_id}"))
+    )
+
+
+def read_ratings_mv(spark: SparkSession, mv_dir: str) -> DataFrame:
+    """The merged ratings matrix: (u, it)-wise SUM across every
+    ``batch=<id>`` partial. Rating additivity plays CMS linearity's
+    role — quantities are integer-valued doubles, so partials merged
+    in any order equal the one-shot aggregate EXACTLY."""
+    return (
+        spark.read.parquet(mv_dir)
+        .groupBy("u", "it")
+        .agg(F.sum("r").alias("r"))
+    )
+
+
+def run_als_gate_replay(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Streaming ratings-MV maintenance + retrain for the rank-1 ALS
+    recommender (round 11): order-line records (lineitem resolved to
+    its customer — the shape a purchase event naturally arrives in)
+    replayed in ``n_batches`` ship-date-ordered microbatches through
+    ``foreachBatch``; each batch writes its own (u, it) partial sums
+    to a persisted ratings MV, and the post-replay 2-alternation train
+    reads the merged MV. Because per-batch partials are exact integer
+    sums and merge by plain addition, the merged matrix equals
+    ``build_ratings`` on the full table BIT-EXACTLY, so the factor
+    readout shares q_als_factors' DuckDB oracle VERBATIM — the hash
+    match is the proof that the streaming maintenance loop feeds the
+    trainer the batch matrix.
+
+    Scale shape: per-trigger cost is one batch-bounded partial agg; the
+    MV grows by ≤ |distinct (u,it) in batch| rows per batch and
+    compacts by keyed SUM at read (or on the band-index compaction
+    cadence). Retraining is decoupled from ingest — the train runs on
+    the MV at its own cadence, never against the stream. The staged
+    file source and per-run checkpoint are the local test vehicle
+    (production: Kafka source, keyed upsert sink)."""
+    from page_rank_hadoop_spark.operators import recommend
+    from page_rank_hadoop_spark.sources.catalog import load_table
+
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("it"),
+            F.col("l_quantity").cast("double").alias("r"),
+            F.to_timestamp("l_shipdate").alias("ts"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="als_gate_replay_")
+    mv_dir = os.path.join(tmp, "ratings_mv")
+    try:
+        src = _staged_source(
+            lines, (sf_dir, "als", n_batches), n_batches, table="lineitem"
+        )
+        stream = (
+            spark.readStream.schema(lines.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            als_ratings_gate_batch(batch_df, mv_dir, batch_id)
+
+        with _replay_shuffle_partitions(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(gate)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        ratings = read_ratings_mv(spark, mv_dir)
+        _, vf = recommend.als_rank1(ratings)
+        report = (
+            vf.select(
+                F.col("it").alias("part_id"), F.round("v", 6).alias("factor")
+            )
+            .orderBy(F.desc("factor"), "part_id")
+            .limit(20)
         )
         # snapshot before the per-run MV dir is removed
         return report.localCheckpoint()

@@ -96,6 +96,37 @@ class TestALS:
             )
 
 
+def test_als_gate_idempotent_under_redelivery(spark, tmp_path):
+    """foreachBatch gives at-least-once batch delivery; the ratings-MV
+    gate must not double-count a replayed batch. Delivering batch 0
+    TWICE then batch 1 once must yield a merged matrix cell-for-cell
+    equal to the one-shot aggregate over the union (the CMS gate's
+    overwrite-at-batch-path contract, applied to ratings)."""
+    from page_rank_hadoop_spark.streaming.replay import (
+        als_ratings_gate_batch,
+        read_ratings_mv,
+    )
+
+    rows = [(i % 5, i % 11, float(1 + i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "u long, it long, r double")
+    b0 = df.filter("it % 2 = 0")
+    b1 = df.filter("it % 2 = 1")
+    mv_dir = str(tmp_path / "ratings_mv")
+
+    als_ratings_gate_batch(b0, mv_dir, 0)
+    als_ratings_gate_batch(b0, mv_dir, 0)  # redelivery
+    als_ratings_gate_batch(b1, mv_dir, 1)
+
+    merged = {
+        (r["u"], r["it"]): r["r"] for r in read_ratings_mv(spark, mv_dir).collect()
+    }
+    direct = {
+        (r["u"], r["it"]): r["r"]
+        for r in df.groupBy("u", "it").agg(F.sum("r").alias("r")).collect()
+    }
+    assert merged == direct
+
+
 class TestKaplanMeier:
     @pytest.fixture(scope="class")
     def life(self, events):
