@@ -731,6 +731,41 @@ def time_to_convert(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def conversion_durations(events: DataFrame) -> DataFrame:
+    """Shared survival cohort: per user with a ``signup``, t0 = first
+    signup (exact µs), the event = first ``purchase`` strictly after
+    t0, right-censored at the corpus max timestamp. Returns
+    ``(user_id, t0, dur, observed)`` with ``dur`` in whole elapsed days
+    (exact integer µs division). Two user_id-keyed partial-agg passes —
+    fact-scale linear, the base both the Kaplan–Meier life table and
+    the log-rank test ride."""
+    us = F.unix_micros("ts")
+    t0s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(t0s, "user_id")
+        .filter(F.col("p_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("te"))
+    )
+    maxts = events.agg(F.max(us).alias("max_us"))
+    return (
+        t0s.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(maxts))
+        .select(
+            "user_id",
+            "t0",
+            F.expr("(coalesce(te, max_us) - t0) div 86400000000").alias("dur"),
+            F.col("te").isNotNull().alias("observed"),
+        )
+    )
+
+
 def kaplan_meier(events: DataFrame) -> DataFrame:
     """Kaplan–Meier survival life table for signup→purchase conversion:
     per user, t0 = first ``signup``, the event = first ``purchase``
@@ -755,29 +790,7 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
     (ln floored at 1e-12 so a saturated day yields survival 0.0, not
     Spark's log(0)=NULL vs DuckDB's -inf divergence).
     """
-    us = F.unix_micros("ts")
-    t0s = (
-        events.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t0"))
-    )
-    conv = (
-        events.filter(F.col("event_type") == "purchase")
-        .select("user_id", us.alias("p_us"))
-        .join(t0s, "user_id")
-        .filter(F.col("p_us") > F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("p_us").alias("te"))
-    )
-    maxts = events.agg(F.max(us).alias("max_us"))
-    durs = (
-        t0s.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(maxts))
-        .select(
-            F.expr("(coalesce(te, max_us) - t0) div 86400000000").alias("dur"),
-            F.col("te").isNotNull().alias("observed"),
-        )
-    )
+    durs = conversion_durations(events).select("dur", "observed")
     risk = (
         durs.groupBy("dur")
         .agg(F.count("*").alias("c"))
@@ -818,6 +831,94 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
             "survival",
         )
         .orderBy("t_day")
+    )
+
+
+def log_rank_test(events: DataFrame) -> DataFrame:
+    """Log-rank test between two acquisition cohorts' conversion
+    survival curves: users whose first signup lands in the corpus's
+    first half ('early') vs second half ('late'), split at the exact
+    integer-µs midpoint of observed signup times. The classic
+    Kaplan–Meier companion — "do later signups convert at a different
+    rate?" — computed from the pooled life table: at each observed
+    event day, the early cohort's expected events under H0 are
+    d·n₁/n and the hypergeometric variance is
+    d·n₁·(n−n₁)·(n−d) / (n²·(n−1)); χ² = (O₁−E₁)²/V.
+
+    Engine determinism: every per-day term is a product of EXACT
+    integers (counts ≤ 2^53 by construction) over a SINGLE division —
+    bit-identical cross-engine before the 6dp rounding; E₁ and V round
+    after their sums, then χ² derives from the rounded moments (the
+    cusum rule). Scale shape: everything after the fact-scale cohort
+    pass operates on the ≤#days×2 life table; the at-risk suffix sums
+    are a broadcast inequality join of two result-sized frames."""
+    durs = conversion_durations(events)
+    mid = durs.agg(F.expr("(min(t0) + max(t0)) div 2").alias("mid"))
+    g = (
+        durs.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("t0") <= F.col("mid"), "early")
+            .otherwise("late")
+            .alias("g"),
+            "dur",
+            "observed",
+        )
+    )
+    cnt = g.groupBy("g", "dur").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("observed").cast("long")).alias("d"),
+    )
+    days = g.filter("observed").select(F.col("dur").alias("t")).distinct()
+    atrisk = (
+        cnt.join(F.broadcast(days), F.col("dur") >= F.col("t"))
+        .groupBy("t", "g")
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(F.when(F.col("dur") == F.col("t"), F.col("d")).otherwise(0)).alias("d_g"),
+        )
+    )
+    tab = (
+        atrisk.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("g") == "early", F.col("n_g")).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("g") == "late", F.col("n_g")).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col("g") == "early", F.col("d_g")).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("g") == "late", F.col("d_g")).otherwise(0)).alias("d2"),
+        )
+        .select(
+            "d1",
+            (F.col("n1") + F.col("n2")).alias("n"),
+            (F.col("d1") + F.col("d2")).alias("d"),
+            "n1",
+        )
+    )
+    # exact-integer numerators over one division each (bit-identical
+    # cross-engine); the n=1 guard drops degenerate days from V
+    e1 = (F.col("d") * F.col("n1")) / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        (F.col("d") * F.col("n1") * (F.col("n") - F.col("n1")) * (F.col("n") - F.col("d")))
+        / (F.col("n") * F.col("n") * (F.col("n") - 1)),
+    ).otherwise(F.lit(0.0))
+    moments = tab.agg(
+        F.sum("d1").cast("bigint").alias("obs_early"),
+        F.round(F.sum(e1), 6).alias("exp_early"),
+        F.round(F.sum(v), 6).alias("v"),
+    )
+    sizes = g.groupBy().agg(
+        F.sum(F.when(F.col("g") == "early", 1).otherwise(0)).cast("bigint").alias("n_early"),
+        F.sum(F.when(F.col("g") == "late", 1).otherwise(0)).cast("bigint").alias("n_late"),
+    )
+    diff = F.col("obs_early") - F.col("exp_early")
+    return (
+        sizes.crossJoin(F.broadcast(moments))
+        .select(
+            "n_early",
+            "n_late",
+            "obs_early",
+            "exp_early",
+            F.when(F.col("v") > 0, F.round(diff * diff / F.col("v"), 6)).alias("chi2"),
+        )
     )
 
 

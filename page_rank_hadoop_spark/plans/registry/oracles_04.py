@@ -1791,3 +1791,71 @@ def contribute_hll(oracles: dict[str, str]) -> None:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
       FROM life ORDER BY t_day
     """
+
+    # log-rank test between early/late acquisition cohorts: every
+    # per-day term is exact-integer products over ONE division
+    # (bit-identical cross-engine); E1/V round after their sums, χ²
+    # derives from the rounded moments (cusum rule)
+    oracles["q_log_rank"] = """
+      WITH t0s AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+      ),
+      conv AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS te
+        FROM events e JOIN t0s t ON e.user_id = t.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t.t0
+        GROUP BY 1
+      ),
+      mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+      durs AS (
+        SELECT t.t0,
+               (coalesce(c.te, m.max_us) - t.t0) // 86400000000 AS dur,
+               c.te IS NOT NULL AS observed
+        FROM t0s t LEFT JOIN conv c ON t.user_id = c.user_id CROSS JOIN mx m
+      ),
+      mid AS (SELECT (min(t0) + max(t0)) // 2 AS mid FROM durs),
+      g AS (
+        SELECT CASE WHEN d.t0 <= m.mid THEN 'early' ELSE 'late' END AS g,
+               d.dur, d.observed
+        FROM durs d CROSS JOIN mid m
+      ),
+      cnt AS (
+        SELECT g, dur, count(*)::BIGINT AS c,
+               sum(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM g GROUP BY 1, 2
+      ),
+      days AS (SELECT DISTINCT dur AS t FROM g WHERE observed),
+      atrisk AS (
+        SELECT dd.t, c.g, sum(c.c)::BIGINT AS n_g,
+               sum(CASE WHEN c.dur = dd.t THEN c.d ELSE 0 END)::BIGINT AS d_g
+        FROM cnt c JOIN days dd ON c.dur >= dd.t GROUP BY 1, 2
+      ),
+      tab AS (
+        SELECT t,
+               sum(CASE WHEN g = 'early' THEN n_g ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN g = 'late' THEN n_g ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN g = 'early' THEN d_g ELSE 0 END)::BIGINT AS d1,
+               sum(CASE WHEN g = 'late' THEN d_g ELSE 0 END)::BIGINT AS d2
+        FROM atrisk GROUP BY t
+      ),
+      tt AS (SELECT d1, n1, n1 + n2 AS n, d1 + d2 AS d FROM tab),
+      mom AS (
+        SELECT sum(d1)::BIGINT AS obs_early,
+               round(sum((d * n1) / n), 6) AS exp_early,
+               round(sum(CASE WHEN n > 1
+                 THEN (d * n1 * (n - n1) * (n - d)) / (n * n * (n - 1))
+                 ELSE 0.0::DOUBLE END), 6) AS v
+        FROM tt
+      ),
+      sizes AS (
+        SELECT sum(CASE WHEN g = 'early' THEN 1 ELSE 0 END)::BIGINT AS n_early,
+               sum(CASE WHEN g = 'late' THEN 1 ELSE 0 END)::BIGINT AS n_late
+        FROM g
+      )
+      SELECT s.n_early, s.n_late, m.obs_early, m.exp_early,
+             CASE WHEN m.v > 0 THEN round(
+               (m.obs_early - m.exp_early) * (m.obs_early - m.exp_early) / m.v, 6)
+             END AS chi2
+      FROM sizes s CROSS JOIN mom m
+    """

@@ -79,6 +79,13 @@ def q_kaplan_meier(spark, sf):
     return windows.kaplan_meier(load_table(spark, sf, "events"))
 
 
+def q_log_rank(spark, sf):
+    """Log-rank test between early/late acquisition cohorts' conversion
+    survival curves (the Kaplan–Meier companion): pooled life table,
+    exact-integer hypergeometric terms, single-row χ² readout."""
+    return windows.log_rank_test(load_table(spark, sf, "events"))
+
+
 def q_gap_fill(spark, sf):
     """Hourly resample + forward fill per user (time-series gap fill):
     sequence()-generated grid, left join on the reused (user, hour)

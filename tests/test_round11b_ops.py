@@ -96,6 +96,50 @@ class TestALS:
             )
 
 
+class TestLogRank:
+    def test_identical_cohorts_give_zero_chi2(self, spark):
+        # two cohorts with IDENTICAL event patterns: every day's
+        # observed events split exactly as expected under H0
+        # (d1 = d·n1/n), so O1 == E1 and χ² must be exactly 0
+        import datetime
+
+        from page_rank_hadoop_spark.operators.windows import log_rank_test
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for u in range(20):
+            # users 0-9 sign up day 0 (early), 10-19 day 20 (late);
+            # conversion delays are STAGGERED (1 + u%5 days) with the
+            # identical delay distribution in both cohorts, so every
+            # pooled event day splits exactly as H0 expects while the
+            # hypergeometric variance stays positive
+            t0 = base + datetime.timedelta(days=0 if u < 10 else 20)
+            delay = 1 + (u % 5)
+            rows.append((u * 2, t0, u, "signup", 0.0, None))
+            rows.append(
+                (u * 2 + 1, t0 + datetime.timedelta(days=delay), u, "purchase", 1.0, None)
+            )
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        r = log_rank_test(ev).first()
+        assert r["n_early"] == 10 and r["n_late"] == 10
+        assert r["obs_early"] == 10
+        assert r["exp_early"] == 10.0
+        assert r["chi2"] == 0.0
+
+    def test_real_cohort_moments_are_sane(self, events):
+        from page_rank_hadoop_spark.operators.windows import log_rank_test
+
+        r = log_rank_test(events).first()
+        assert r["n_early"] + r["n_late"] > 0
+        assert 0 <= r["obs_early"] <= r["n_early"]
+        assert r["exp_early"] >= 0.0
+        if r["chi2"] is not None:
+            assert r["chi2"] >= 0.0
+
+
 def test_als_gate_idempotent_under_redelivery(spark, tmp_path):
     """foreachBatch gives at-least-once batch delivery; the ratings-MV
     gate must not double-count a replayed batch. Delivering batch 0

@@ -271,6 +271,9 @@ EXPECTATIONS: list[tuple[str, list[tuple[str, str]]]] = [
     # Kaplan–Meier: fact-scale work is keyed partial aggs; the only
     # windows run over the ≤#days life table (result-sized frame)
     ("q_kaplan_meier", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
+    # log-rank: scalar/day-table sides broadcast (1-row midpoint, ≤#days
+    # inequality join) — nested-loop only against broadcast frames
+    ("q_log_rank", [("not", r"CartesianProduct"), ("not", r"(BatchEvalPython|ArrowEvalPython)")]),
 ]
 
 
