@@ -738,7 +738,11 @@ def conversion_durations(events: DataFrame) -> DataFrame:
     ``(user_id, t0, dur, observed)`` with ``dur`` in whole elapsed days
     (exact integer µs division). Two user_id-keyed partial-agg passes —
     fact-scale linear, the base both the Kaplan–Meier life table and
-    the log-rank test ride."""
+    the log-rank test ride. The result is eagerly localCheckpointed:
+    it is user-dimension-sized, and every consumer scans it 2-4× (risk
+    + event legs, cohort split + sizes) — materializing once is the
+    dsir materialize-the-counts rule, without it each leg would re-run
+    the fact-scale cohort join."""
     us = F.unix_micros("ts")
     t0s = (
         events.filter(F.col("event_type") == "signup")
@@ -763,6 +767,7 @@ def conversion_durations(events: DataFrame) -> DataFrame:
             F.expr("(coalesce(te, max_us) - t0) div 86400000000").alias("dur"),
             F.col("te").isNotNull().alias("observed"),
         )
+        .localCheckpoint()
     )
 
 
