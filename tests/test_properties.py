@@ -555,3 +555,104 @@ def test_pregel_pagerank_mass_recurrence_random_graphs(spark, edges, n_iter):
     for _ in range(n_iter):
         expect = 0.15 + 0.85 * expect
     assert abs(total - expect) <= 1e-9 * max(1.0, abs(expect)), (total, expect)
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=1, max_value=5),   # item
+            st.integers(min_value=1, max_value=50),  # quantity
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_als_rank1_matches_naive_alternation(spark, ratings):
+    """als_rank1 must equal the literal alternation u←Σrv/(λ+Σv²),
+    v←Σru/(λ+Σu²) computed in pure Python from v≡1 — including
+    singleton users/items and a user who rated everything."""
+    from page_rank_hadoop_spark.operators.recommend import als_rank1
+
+    df = spark.createDataFrame(
+        [(u, i, float(r)) for u, i, r in ratings], "u long, it long, r double"
+    )
+    uf, vf = als_rank1(df, iters=2, lam=0.1)
+    got_u = {r["u"]: r["uf"] for r in uf.collect()}
+    got_v = {r["it"]: r["v"] for r in vf.collect()}
+
+    v = {i: 1.0 for _, i, _ in ratings}
+    u: dict = {}
+    for _ in range(2):
+        u = {}
+        for uu in {t[0] for t in ratings}:
+            mine = [(i, r) for tu, i, r in ratings if tu == uu]
+            u[uu] = sum(r * v[i] for i, r in mine) / (
+                0.1 + sum(v[i] * v[i] for i, _ in mine)
+            )
+        v = {}
+        for ii in {t[1] for t in ratings}:
+            mine = [(tu, r) for tu, i, r in ratings if i == ii]
+            v[ii] = sum(r * u[tu] for tu, r in mine) / (
+                0.1 + sum(u[tu] * u[tu] for tu, _ in mine)
+            )
+    assert set(got_u) == set(u) and set(got_v) == set(v)
+    for k in u:
+        assert abs(got_u[k] - u[k]) < 1e-9, (k, got_u[k], u[k])
+    for k in v:
+        assert abs(got_v[k] - v[k]) < 1e-9, (k, got_v[k], v[k])
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),                # signup day
+            st.one_of(st.none(), st.integers(min_value=0, max_value=25)),  # purchase delay
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_kaplan_meier_matches_naive(spark, users):
+    """The life table must match a naive reference on random cohorts —
+    same-day signup+purchase (dropped: not strictly after), never-
+    converting users (censored at corpus max), all-convert cohorts."""
+    from page_rank_hadoop_spark.operators.windows import kaplan_meier
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, (sday, delay) in enumerate(users):
+        rows.append((eid, uid, t0 + dt.timedelta(days=sday), "signup", 0.0, None))
+        eid += 1
+        if delay is not None:
+            rows.append(
+                (eid, uid, t0 + dt.timedelta(days=sday, hours=1 + delay * 24),
+                 "purchase", 1.0, None)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string"
+    )
+    got = {
+        r["t_day"]: (r["n_risk"], r["d_events"]) for r in kaplan_meier(ev).collect()
+    }
+
+    max_us = max(ts for _, _, ts, *_ in rows)
+    durs = []
+    for uid, (sday, delay) in enumerate(users):
+        s = t0 + dt.timedelta(days=sday)
+        if delay is not None:
+            te = t0 + dt.timedelta(days=sday, hours=1 + delay * 24)
+            durs.append(((te - s) // dt.timedelta(days=1), True))
+        else:
+            durs.append(((max_us - s) // dt.timedelta(days=1), False))
+    want = {}
+    for t in sorted({d for d, obs in durs if obs}):
+        n = sum(1 for d, _ in durs if d >= t)
+        d_ev = sum(1 for d, obs in durs if obs and d == t)
+        want[t] = (n, d_ev)
+    assert got == want, (got, want, durs)
