@@ -197,6 +197,38 @@ def cmd_select(spark: SparkSession, args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_recommend(spark: SparkSession, args: argparse.Namespace) -> int:
+    """Rank-1 ALS recommender over the customer×part purchase matrix
+    (operators/recommend.py): trains the factor tables, writes
+    <out>/user_factors, <out>/item_factors and <out>/recommendations
+    (top-k unseen items for the --users smallest customers), and
+    prints the training-fit RMSE vs the global-mean baseline — the
+    train/recommend/evaluate triad as one command."""
+    from page_rank_hadoop_spark.operators import recommend
+    from page_rank_hadoop_spark.sources.catalog import load_table
+    from page_rank_hadoop_spark.sources.serving import write_compacted
+
+    ratings = recommend.build_ratings(
+        load_table(spark, args.input, "lineitem"),
+        load_table(spark, args.input, "orders"),
+    ).localCheckpoint()  # train + recommend + evaluate all scan it
+    uf, vf = recommend.als_rank1(ratings, iters=args.iterations, lam=args.lam)
+    write_compacted(uf, os.path.join(args.out, "user_factors"))
+    write_compacted(vf, os.path.join(args.out, "item_factors"))
+    recs = recommend.als_recommend(
+        ratings, n_users=args.users, top_k=args.k,
+        iters=args.iterations, lam=args.lam,
+    )
+    write_compacted(recs, os.path.join(args.out, "recommendations"))
+    fit = recommend.als_rmse(ratings, iters=args.iterations, lam=args.lam).first()
+    print(
+        f"recommend[als]: {fit['n_ratings']} ratings, rmse {fit['rmse']} "
+        f"(baseline {fit['rmse_baseline']}), top-{args.k} for {args.users} "
+        f"users → {args.out}"
+    )
+    return 0
+
+
 def cmd_cluster_embeddings(spark: SparkSession, args: argparse.Namespace) -> int:
     """Bucketed DBSCAN over an embeddings parquet
     (similarity.dbscan_embeddings): writes (vec_id, role, cluster_id)
@@ -827,6 +859,15 @@ def build_parser() -> argparse.ArgumentParser:
     psel.add_argument("--target-mod", type=int, default=10,
                       help="doc_id %% N == 0 defines the target slice")
     psel.set_defaults(fn=cmd_select)
+
+    prec = sub.add_parser("recommend")
+    prec.add_argument("input", help="table dir holding lineitem/orders parquet")
+    prec.add_argument("out")
+    prec.add_argument("--k", type=int, default=3)
+    prec.add_argument("--users", type=int, default=5)
+    prec.add_argument("--iterations", type=int, default=2)
+    prec.add_argument("--lam", type=float, default=0.1)
+    prec.set_defaults(fn=cmd_recommend)
 
     pce = sub.add_parser("cluster-embeddings")
     pce.add_argument("input", help="embeddings parquet (vec_id, embedding)")

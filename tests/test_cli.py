@@ -562,3 +562,17 @@ def test_cli_cluster_embeddings(spark, tmp_path, capsys):
         "core", "border", "noise"
     }
     assert "cluster-embeddings[dbscan]:" in capsys.readouterr().out
+
+
+def test_cli_recommend_als(spark, tmp_path, capsys):
+    """cli recommend: the ALS triad writes factor tables + top-k
+    recommendations and prints a model-beats-baseline fit line."""
+    out = str(tmp_path / "als_out")
+    assert main(["recommend", SF0001, out, "--users", "3", "--k", "2"]) == 0
+    uf = spark.read.parquet(f"{out}/user_factors")
+    vf = spark.read.parquet(f"{out}/item_factors")
+    recs = spark.read.parquet(f"{out}/recommendations")
+    assert uf.count() > 0 and vf.count() > 0
+    assert len({r["cust_id"] for r in recs.select("cust_id").distinct().collect()}) == 3
+    assert recs.groupBy("cust_id").count().filter("count != 2").count() == 0
+    assert "recommend[als]:" in capsys.readouterr().out
