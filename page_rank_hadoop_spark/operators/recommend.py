@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["build_ratings", "als_rank1", "als_recommend", "als_rmse"]
+__all__ = ["build_ratings", "als_rank1", "als_rank2", "als_recommend", "als_rmse"]
 
 
 def build_ratings(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
@@ -96,6 +96,79 @@ def als_rank1(
                 ).alias("v")
             )
         )
+    return u, v
+
+
+def _solve2(s11, s12, s22, b1, b2, lam: float):
+    """Closed-form 2×2 regularized normal-equation solve
+    (A + λI)x = b: the per-entity least-squares step real featurized
+    ALS runs, written as column expressions so it stays inside
+    whole-stage codegen. det ≥ λ·(s11+s22) by Cauchy–Schwarz (the
+    moment matrix is PSD), so the regularizer bounds the denominator
+    away from 0 even for single-rating entities."""
+    a11 = s11 + F.lit(lam)
+    a22 = s22 + F.lit(lam)
+    det = a11 * a22 - s12 * s12
+    return (b1 * a22 - b2 * s12) / det, (b2 * a11 - b1 * s12) / det
+
+
+def als_rank2(
+    ratings: DataFrame, iters: int = 2, lam: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-2 ALS: the k-dimensional generalization of ``als_rank1`` —
+    each half-step aggregates the k(k+1)/2 Gram moments plus k
+    right-hand sides per entity (one partial-agg'd groupBy over the
+    ratings join, exactly rank-1's plan shape with 5 sum columns
+    instead of 2) and solves the regularized 2×2 normal equations in
+    closed form. Init v = (1, ((it mod 19) − 9)/9): the second column's
+    deterministic spread keeps the factor columns independent (an
+    all-constant init would make the Gram matrix rank-1 forever).
+
+    Returns ``(user_factors(u, u1, u2), item_factors(it, v1, v2))``.
+    Scale shape identical to rank-1: one ratings-sized exchange per
+    half-step, factor tables dimension-sized, nothing to the driver;
+    general rank-k is the same plan with k(k+1)/2 moment columns (at
+    which point the solve moves into a small-matrix expression or a
+    Pandas UDF over the per-entity moment rows — still never a
+    per-round collect)."""
+    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    v = ratings.select("it").distinct().select(
+        "it",
+        F.lit(1.0).alias("v1"),
+        ((F.col("it") % 19 - F.lit(9)) / F.lit(9.0)).alias("v2"),
+    )
+    u = None
+    for _ in range(iters):
+        m = (
+            ratings.join(v, "it")
+            .groupBy("u")
+            .agg(
+                F.sum(F.col("v1") * F.col("v1")).alias("s11"),
+                F.sum(F.col("v1") * F.col("v2")).alias("s12"),
+                F.sum(F.col("v2") * F.col("v2")).alias("s22"),
+                F.sum(F.col("r") * F.col("v1")).alias("b1"),
+                F.sum(F.col("r") * F.col("v2")).alias("b2"),
+            )
+        )
+        x1, x2 = _solve2(
+            F.col("s11"), F.col("s12"), F.col("s22"), F.col("b1"), F.col("b2"), lam
+        )
+        u = m.select("u", x1.alias("u1"), x2.alias("u2"))
+        m = (
+            ratings.join(u, "u")
+            .groupBy("it")
+            .agg(
+                F.sum(F.col("u1") * F.col("u1")).alias("s11"),
+                F.sum(F.col("u1") * F.col("u2")).alias("s12"),
+                F.sum(F.col("u2") * F.col("u2")).alias("s22"),
+                F.sum(F.col("r") * F.col("u1")).alias("b1"),
+                F.sum(F.col("r") * F.col("u2")).alias("b2"),
+            )
+        )
+        x1, x2 = _solve2(
+            F.col("s11"), F.col("s12"), F.col("s22"), F.col("b1"), F.col("b2"), lam
+        )
+        v = m.select("it", x1.alias("v1"), x2.alias("v2"))
     return u, v
 
 

@@ -1743,6 +1743,42 @@ def contribute_hll(oracles: dict[str, str]) -> None:
       FROM agg
     """
 
+    # rank-2 ALS: per-entity Gram moments + closed-form regularized
+    # 2×2 solve per half-step; det ≥ λ(s11+s22) (PSD moment matrix)
+    # keeps the denominator bounded; init column 2 is exact-integer/
+    # double (bit-identical both engines)
+    _l = "0.1::DOUBLE"
+    _solve2 = (
+        f"(b1*(s22+{_l}) - b2*s12) / ((s11+{_l})*(s22+{_l}) - s12*s12) AS f1, "
+        f"(b2*(s11+{_l}) - b1*s12) / ((s11+{_l})*(s22+{_l}) - s12*s12) AS f2"
+    )
+    _mom_v = ("sum(f.f1*f.f1) AS s11, sum(f.f1*f.f2) AS s12, "
+              "sum(f.f2*f.f2) AS s22, sum(rt.r*f.f1) AS b1, sum(rt.r*f.f2) AS b2")
+    _als2_steps = []
+    for i in (1, 2):
+        _als2_steps.append(
+            f"""mu{i} AS (SELECT rt.u, {_mom_v}
+              FROM ratings rt JOIN w{i-1} f ON rt.it = f.it GROUP BY rt.u),
+      uu{i} AS MATERIALIZED (SELECT u, {_solve2} FROM mu{i}),
+      mv{i} AS (SELECT rt.it, {_mom_v}
+              FROM ratings rt JOIN uu{i} f ON rt.u = f.u GROUP BY rt.it),
+      w{i} AS MATERIALIZED (SELECT it, {_solve2} FROM mv{i})"""
+        )
+    oracles["q_als2_factors"] = f"""
+      WITH ratings AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS it,
+               CAST(sum(l.l_quantity) AS DOUBLE) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+      ),
+      w0 AS (SELECT DISTINCT it, 1.0::DOUBLE AS f1,
+                    ((it % 19) - 9) / 9.0::DOUBLE AS f2 FROM ratings),
+      {','.join(_als2_steps)}
+      SELECT it AS part_id, round(f1, 6) AS f1, round(f2, 6) AS f2,
+             round(f1*f1 + f2*f2, 6) AS norm2
+      FROM w2 ORDER BY norm2 DESC, part_id LIMIT 20
+    """
+
     # streaming ratings-MV maintenance + retrain == one-shot train:
     # per-batch (u,it) partials merge by exact integer addition, so the
     # gate replay shares the factor readout's oracle verbatim

@@ -62,6 +62,29 @@ def q_als_recommend(spark, sf):
     return recommend.als_recommend(ratings)
 
 
+def q_als2_factors(spark, sf):
+    """Rank-2 ALS item factors (closed-form 2×2 normal-equation solve
+    per half-step — real featurized ALS, same join+agg plan as rank-1
+    with 5 moment columns): top-20 items by rounded factor norm."""
+    ratings = recommend.build_ratings(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    _, vf = recommend.als_rank2(ratings)
+    norm2 = F.round(
+        F.col("v1") * F.col("v1") + F.col("v2") * F.col("v2"), 6
+    ).alias("norm2")
+    return (
+        vf.select(
+            F.col("it").alias("part_id"),
+            F.round("v1", 6).alias("f1"),
+            F.round("v2", 6).alias("f2"),
+            norm2,
+        )
+        .orderBy(F.desc("norm2"), "part_id")
+        .limit(20)
+    )
+
+
 def q_als_rmse(spark, sf):
     """Training-set RMSE/MAE of the rank-1 ALS model vs the global-mean
     baseline: the evaluate leg of the recommender triad, one factor

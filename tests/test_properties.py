@@ -656,3 +656,60 @@ def test_kaplan_meier_matches_naive(spark, users):
         d_ev = sum(1 for d, obs in durs if obs and d == t)
         want[t] = (n, d_ev)
     assert got == want, (got, want, durs)
+
+
+@given(
+    ratings=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(**SETTINGS)
+def test_als_rank2_matches_naive_solve(spark, ratings):
+    """als_rank2 must equal the literal per-entity regularized 2x2
+    normal-equation solve computed in pure Python — including
+    single-rating entities where only λ keeps the system invertible."""
+    from page_rank_hadoop_spark.operators.recommend import als_rank2
+
+    lam = 0.1
+    df = spark.createDataFrame(
+        [(u, i, float(r)) for u, i, r in ratings], "u long, it long, r double"
+    )
+    uf, vf = als_rank2(df, iters=2, lam=lam)
+    got_u = {r["u"]: (r["u1"], r["u2"]) for r in uf.collect()}
+    got_v = {r["it"]: (r["v1"], r["v2"]) for r in vf.collect()}
+
+    def solve(mine, fac):
+        s11 = sum(fac[k][0] * fac[k][0] for k, _ in mine)
+        s12 = sum(fac[k][0] * fac[k][1] for k, _ in mine)
+        s22 = sum(fac[k][1] * fac[k][1] for k, _ in mine)
+        b1 = sum(r * fac[k][0] for k, r in mine)
+        b2 = sum(r * fac[k][1] for k, r in mine)
+        det = (s11 + lam) * (s22 + lam) - s12 * s12
+        return (
+            (b1 * (s22 + lam) - b2 * s12) / det,
+            (b2 * (s11 + lam) - b1 * s12) / det,
+        )
+
+    v = {i: (1.0, ((i % 19) - 9) / 9.0) for _, i, _ in ratings}
+    u: dict = {}
+    for _ in range(2):
+        u = {
+            uu: solve([(i, r) for tu, i, r in ratings if tu == uu], v)
+            for uu in {t[0] for t in ratings}
+        }
+        v = {
+            ii: solve([(tu, r) for tu, i, r in ratings if i == ii], u)
+            for ii in {t[1] for t in ratings}
+        }
+    assert set(got_u) == set(u) and set(got_v) == set(v)
+    for k in u:
+        assert abs(got_u[k][0] - u[k][0]) < 1e-9 and abs(got_u[k][1] - u[k][1]) < 1e-9
+    for k in v:
+        assert abs(got_v[k][0] - v[k][0]) < 1e-9 and abs(got_v[k][1] - v[k][1]) < 1e-9
