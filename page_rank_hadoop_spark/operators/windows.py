@@ -796,9 +796,17 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
     Spark's log(0)=NULL vs DuckDB's -inf divergence).
     """
     durs = conversion_durations(events).select("dur", "observed")
-    risk = (
+    # ONE aggregate yields both the total and the observed count per
+    # day; the suffix-sum at-risk window then sits DIRECTLY over the
+    # aggregate (no join before the window — the plan-audit pin for
+    # benign global windows), and filtering to event days afterwards
+    # preserves the full at-risk accounting
+    base = (
         durs.groupBy("dur")
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("observed").cast("long")).alias("d_events"),
+        )
         .withColumn(
             "n_risk",
             F.sum("c").over(
@@ -808,12 +816,7 @@ def kaplan_meier(events: DataFrame) -> DataFrame:
             ),
         )
     )
-    evt = (
-        durs.filter("observed")
-        .groupBy("dur")
-        .agg(F.count("*").alias("d_events"))
-    )
-    life = evt.join(risk.select("dur", "n_risk"), "dur").withColumn(
+    life = base.filter(F.col("d_events") > 0).withColumn(
         "hazard", F.round(F.col("d_events") / F.col("n_risk"), 6)
     )
     surv = F.round(

@@ -999,6 +999,11 @@ def rehearse_als(spark, sf_dir: str, out_dir: str) -> list[dict]:
         r["shuffle_mb"] = (
             round((b1 - b0) / 1e6, 2) if b0 is not None and b1 is not None else None
         )
+        # rank-2 rides the same plan with 5 moment columns — its cost
+        # must track rank-1's, not blow up with the closed-form solve
+        recommend.als_rank2(rt)[1].count()
+        _, t2 = _timed(lambda: recommend.als_rank2(rt)[1].count())
+        r["als2_sec"] = t2
         rows.append(r)
     one.unpersist()
     ten.unpersist()
@@ -1103,6 +1108,7 @@ def main() -> int:
                 ("ratings", "ratings"),
                 ("items", "items"),
                 ("als_sec", "als s"),
+                ("als2_sec", "als2 s"),
                 ("shuffle_mb", "shuffle MB"),
             ],
         )
