@@ -212,15 +212,16 @@ def cmd_recommend(spark: SparkSession, args: argparse.Namespace) -> int:
         load_table(spark, args.input, "lineitem"),
         load_table(spark, args.input, "orders"),
     ).localCheckpoint()  # train + recommend + evaluate all scan it
+    # train ONCE; the recommendations and the fit line are scored from
+    # the same factor tables that get written
     uf, vf = recommend.als_rank1(ratings, iters=args.iterations, lam=args.lam)
     write_compacted(uf, os.path.join(args.out, "user_factors"))
     write_compacted(vf, os.path.join(args.out, "item_factors"))
     recs = recommend.als_recommend(
-        ratings, n_users=args.users, top_k=args.k,
-        iters=args.iterations, lam=args.lam,
+        ratings, n_users=args.users, top_k=args.k, factors=(uf, vf)
     )
     write_compacted(recs, os.path.join(args.out, "recommendations"))
-    fit = recommend.als_rmse(ratings, iters=args.iterations, lam=args.lam).first()
+    fit = recommend.als_rmse(ratings, factors=(uf, vf)).first()
     print(
         f"recommend[als]: {fit['n_ratings']} ratings, rmse {fit['rmse']} "
         f"(baseline {fit['rmse_baseline']}), top-{args.k} for {args.users} "

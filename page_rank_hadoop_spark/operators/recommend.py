@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 __all__ = ["build_ratings", "als_rank1", "als_rank2", "als_recommend", "als_rmse"]
 
@@ -70,9 +69,15 @@ def als_rank1(
     gracefully to a co-partitioned shuffle join, still linear. The
     unrolled plan is 2·iters joins deep — shallow enough that no
     checkpoint relay is needed (contrast the 50-round PageRank loop,
-    pagerank.py:54, which must break lineage).
+    pagerank.py:54, which must break lineage). Ratings are eagerly
+    localCheckpointed rather than persisted: each half-step scans them,
+    and checkpoint blocks are reclaimed by the ContextCleaner once the
+    query objects die — a CacheManager persist would pin a ratings copy
+    per invocation for the session lifetime.
     """
-    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    if iters < 1:
+        raise ValueError(f"als_rank1: iters must be >= 1, got {iters}")
+    ratings = ratings.localCheckpoint()
     v = ratings.select("it").distinct().select("it", F.lit(1.0).alias("v"))
     u = None
     for _ in range(iters):
@@ -131,7 +136,9 @@ def als_rank2(
     which point the solve moves into a small-matrix expression or a
     Pandas UDF over the per-entity moment rows — still never a
     per-round collect)."""
-    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    if iters < 1:
+        raise ValueError(f"als_rank2: iters must be >= 1, got {iters}")
+    ratings = ratings.localCheckpoint()
     v = ratings.select("it").distinct().select(
         "it",
         F.lit(1.0).alias("v1"),
@@ -172,18 +179,25 @@ def als_rank2(
     return u, v
 
 
-def als_rmse(ratings: DataFrame, iters: int = 2, lam: float = 0.1) -> DataFrame:
+def als_rmse(
+    ratings: DataFrame,
+    iters: int = 2,
+    lam: float = 0.1,
+    factors: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Training-set fit of the rank-1 model: RMSE / MAE of û = u_i·v_j
     against the observed ratings, plus the trivial-baseline (global
     mean) RMSE it must beat — the evaluate leg of the train /
     recommend / evaluate triad. One factor join per side then a single
     partial-agg'd pass over ratings; one output row at any scale.
+    Pass ``factors=(uf, vf)`` to evaluate an already-trained model
+    instead of retraining (the CLI triad trains once).
 
     The error moments round at 6dp BEFORE the sqrt (the cusum rule:
     partial-agg summation order differs ~1 ulp between engines; round
     the moment, then derive).
     """
-    uf, vf = als_rank1(ratings, iters=iters, lam=lam)
+    uf, vf = factors if factors is not None else als_rank1(ratings, iters=iters, lam=lam)
     scored = (
         ratings.join(uf, "u")
         .join(vf, "it")
@@ -215,6 +229,7 @@ def als_recommend(
     top_k: int = 3,
     iters: int = 2,
     lam: float = 0.1,
+    factors: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k unseen-item recommendations for the ``n_users`` smallest
     customer keys: score = u_i·v_j over the candidate set (selected
@@ -224,9 +239,10 @@ def als_recommend(
     Candidate volume is |selected users| × |items| — bounded by the
     explicit user subset, never a full bipartite cross product. Scores
     round to 6dp BEFORE ranking so the top-k cut is deterministic
-    cross-engine (rounded-score desc, item asc tiebreak).
+    cross-engine (rounded-score desc, item asc tiebreak). Pass
+    ``factors=(uf, vf)`` to score an already-trained model.
     """
-    uf, vf = als_rank1(ratings, iters=iters, lam=lam)
+    uf, vf = factors if factors is not None else als_rank1(ratings, iters=iters, lam=lam)
     sel = (
         ratings.select("u").distinct()
         .orderBy("u").limit(n_users)

@@ -853,11 +853,12 @@ def log_rank_test(events: DataFrame) -> DataFrame:
     d·n₁/n and the hypergeometric variance is
     d·n₁·(n−n₁)·(n−d) / (n²·(n−1)); χ² = (O₁−E₁)²/V.
 
-    Engine determinism: every per-day term is a product of EXACT
-    integers (counts ≤ 2^53 by construction) over a SINGLE division —
-    bit-identical cross-engine before the 6dp rounding; E₁ and V round
-    after their sums, then χ² derives from the rounded moments (the
-    cusum rule). Scale shape: everything after the fact-scale cohort
+    Engine determinism: every per-day term casts its integer counts to
+    double then multiplies in the same left-assoc order as the oracle —
+    overflow-free at any cohort size, and IEEE-correctly-rounded
+    products of identical operands are bit-identical cross-engine —
+    over a SINGLE division; E₁ and V round after their sums, then χ²
+    derives from the rounded moments (the cusum rule). Scale shape: everything after the fact-scale cohort
     pass operates on the ≤#days×2 life table; the at-risk suffix sums
     are a broadcast inequality join of two result-sized frames."""
     durs = conversion_durations(events)
@@ -900,13 +901,19 @@ def log_rank_test(events: DataFrame) -> DataFrame:
             "n1",
         )
     )
-    # exact-integer numerators over one division each (bit-identical
-    # cross-engine); the n=1 guard drops degenerate days from V
-    e1 = (F.col("d") * F.col("n1")) / F.col("n")
+    # counts cast to double BEFORE multiplying: the 4-term variance
+    # numerator overflows int64 at ~100k-per-day cohorts, while double
+    # products are overflow-free and IEEE-correctly-rounded — identical
+    # cross-engine for the identical left-assoc operand order (the
+    # oracle casts and associates the same way). One division each;
+    # the n=1 guard drops degenerate days from V
+    dd = F.col("d").cast("double")
+    nn = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    e1 = (dd * n1d) / nn
     v = F.when(
         F.col("n") > 1,
-        (F.col("d") * F.col("n1") * (F.col("n") - F.col("n1")) * (F.col("n") - F.col("d")))
-        / (F.col("n") * F.col("n") * (F.col("n") - 1)),
+        (dd * n1d * (nn - n1d) * (nn - dd)) / (nn * nn * (nn - F.lit(1.0))),
     ).otherwise(F.lit(0.0))
     moments = tab.agg(
         F.sum("d1").cast("bigint").alias("obs_early"),

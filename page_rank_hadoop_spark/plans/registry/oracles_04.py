@@ -1878,9 +1878,11 @@ def contribute_hll(oracles: dict[str, str]) -> None:
       tt AS (SELECT d1, n1, n1 + n2 AS n, d1 + d2 AS d FROM tab),
       mom AS (
         SELECT sum(d1)::BIGINT AS obs_early,
-               round(sum((d * n1) / n), 6) AS exp_early,
+               round(sum((d::DOUBLE * n1::DOUBLE) / n::DOUBLE), 6) AS exp_early,
                round(sum(CASE WHEN n > 1
-                 THEN (d * n1 * (n - n1) * (n - d)) / (n * n * (n - 1))
+                 THEN (d::DOUBLE * n1::DOUBLE * (n::DOUBLE - n1::DOUBLE)
+                       * (n::DOUBLE - d::DOUBLE))
+                      / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE))
                  ELSE 0.0::DOUBLE END), 6) AS v
         FROM tt
       ),

@@ -822,8 +822,15 @@ def run_als_gate_replay(
     tmp = tempfile.mkdtemp(prefix="als_gate_replay_")
     mv_dir = os.path.join(tmp, "ratings_mv")
     try:
+        # the staged rows are a lineitem JOIN orders, so the cache key
+        # must fingerprint BOTH tables — lineitem via the table arg,
+        # orders embedded in the tag (else regenerating orders alone
+        # would serve stale custkeys)
         src = _staged_source(
-            lines, (sf_dir, "als", n_batches), n_batches, table="lineitem"
+            lines,
+            (sf_dir, "als", n_batches, _source_fingerprint(sf_dir, "orders")),
+            n_batches,
+            table="lineitem",
         )
         stream = (
             spark.readStream.schema(lines.schema)
