@@ -156,7 +156,11 @@ def shortest_paths(edges: DataFrame, source, max_hops: int = 10) -> DataFrame:
             )
             if nxt.count() == 0:
                 break
-            settled = settled.unionByName(nxt).localCheckpoint()
+            # lazy union (round 11): nxt is already materialized by its
+            # count, so settled is a ≤max-hop union of cached leaves —
+            # cheaper to rescan in the next anti-join's broadcast build
+            # than the per-hop eager-checkpoint JOB the old form paid.
+            settled = settled.unionByName(nxt)
             frontier = nxt
     finally:
         if loop_parts != session_parts:
@@ -377,28 +381,42 @@ def hits(
 
 def _hits_loop(e: DataFrame, nodes: DataFrame, n: int, n_iter: int) -> DataFrame:
     """The HITS rounds proper (see ``hits``, whose shuffle-partition pin
-    and edge-cache cleanup wrap this)."""
+    and edge-cache cleanup wrap this).
+
+    Round 11 fusion (guide §2.4, one exchange instead of two): both
+    update directions ride ONE tagged symmetric edge table — edge
+    (u→v) becomes (key=u, other=v, fwd=true)  [hub(u) feeds a_raw(v)]
+    and (key=v, other=u, fwd=false)           [auth(v) feeds h_raw(u)] —
+    so each round is one scores join + one groupBy(other) with two
+    conditional sums, replacing two join+groupBy legs PLUS the 3-way
+    nodes⋈auth⋈hub recombine. Every vertex incident to an edge appears
+    as ``other`` on at least one row (either side of its edge), so the
+    group-by's key set IS the vertex set and the old nodes left-join is
+    dead weight. The summed terms per vertex are identical multisets;
+    sums and the L1-normalizing masses agree with the unfused form (and
+    the DuckDB oracle) at the pinned 6dp."""
+    em = (
+        e.select(F.col("src").alias("key"), F.col("dst").alias("other"), F.lit(True).alias("fwd"))
+        .unionByName(
+            e.select(F.col("dst").alias("key"), F.col("src").alias("other"), F.lit(False).alias("fwd"))
+        )
+        .repartition("key")
+        .localCheckpoint()
+    )
     scores = nodes.select(
         "id", (F.lit(1.0) / n).alias("hub"), (F.lit(1.0) / n).alias("authority")
     ).localCheckpoint()
     for _ in range(n_iter):
-        auth = (
-            e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("a_raw"))
-        )
-        hub = (
-            e.join(scores.select(F.col("id").alias("dst"), "authority"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("authority").alias("h_raw"))
-        )
         joined = (
-            nodes.join(auth, "id", "left")
-            .join(hub, "id", "left")
-            .select(
-                "id",
-                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
-                F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
+            em.join(scores.withColumnRenamed("id", "key"), "key")
+            .groupBy(F.col("other").alias("id"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(~F.col("fwd"), F.col("authority"))), F.lit(0.0)
+                ).alias("h_raw"),
+                F.coalesce(
+                    F.sum(F.when(F.col("fwd"), F.col("hub"))), F.lit(0.0)
+                ).alias("a_raw"),
             )
             .localCheckpoint(eager=False)
         )
@@ -1158,7 +1176,11 @@ def seeded_closeness(
             )
             if nxt.count() == 0:
                 break
-            settled = settled.unionByName(nxt).localCheckpoint()
+            # lazy union (round 11): nxt is already materialized by its
+            # count, so settled is a ≤max-hop union of cached leaves —
+            # cheaper to rescan in the next anti-join's broadcast build
+            # than the per-hop eager-checkpoint JOB the old form paid.
+            settled = settled.unionByName(nxt)
             frontier = nxt
     finally:
         if loop_parts != session_parts:
@@ -1310,7 +1332,13 @@ def seeded_betweenness(
             )
             if lt.count() == 0:
                 break
-            settled = settled.unionByName(lt.select("seed", "id")).localCheckpoint()
+            # lazy union, deliberately (round 11): each level frame is
+            # already a materialized LogicalRDD (the count above), so the
+            # growing settled set is a ≤max_hops-deep union of cached
+            # leaves — scanning it inside the next anti-join's broadcast
+            # build costs less than the per-level eager-checkpoint JOB
+            # the old form paid just to flatten it.
+            settled = settled.unionByName(lt.select("seed", "id"))
             levels.append(lt)
         # backward dependency accumulation down the level stack
         deltas = levels[-1].select(
@@ -1428,7 +1456,11 @@ def seeded_centrality_features(
             )
             if nxt.count() == 0:
                 break
-            settled = settled.unionByName(nxt).localCheckpoint()
+            # lazy union (round 11): nxt is already materialized by its
+            # count, so settled is a ≤max-hop union of cached leaves —
+            # cheaper to rescan in the next anti-join's broadcast build
+            # than the per-hop eager-checkpoint JOB the old form paid.
+            settled = settled.unionByName(nxt)
             frontier = nxt
     finally:
         if loop_parts != session_parts:

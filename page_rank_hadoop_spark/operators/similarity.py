@@ -22,11 +22,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from page_rank_hadoop_spark.functions.vectors import cosine, dot, norm
+from page_rank_hadoop_spark.functions.vectors import (
+    cosine,
+    dot,
+    lit_double_matrix,
+    lit_doubles,
+    lit_longs,
+    norm,
+)
 
 
 def _probe_lit(probe: list[float]):
-    return F.array(*[F.lit(float(x)) for x in probe])
+    return lit_doubles(probe)
 
 
 Centroids = list[tuple[int, list[float]]]
@@ -105,7 +112,7 @@ def hyperplane_signature(embeddings: DataFrame, n_planes: int = 16, dim: int = 6
     bits = []
     for i in range(n_planes):
         plane = [math.sin(i * 7919 + j * 104729) for j in range(dim)]
-        d = dot(F.col("embedding"), F.array(*[F.lit(x) for x in plane]))
+        d = dot(F.col("embedding"), lit_doubles(plane))
         bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
     sig = F.lit(0).cast("long")
     for b, bit in enumerate(bits):
@@ -188,14 +195,13 @@ def ivf_assign(
     )
     sims = F.array(
         *[
-            dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
-            / (F.col("_vn") * F.lit(cn))
+            dot(F.col("embedding"), lit_doubles(cv)) / (F.col("_vn") * F.lit(cn))
             for (_, cv), cn in zip(centroids, cnorms)
         ]
     )
     with_sims = with_norm.select("vec_id", "embedding", sims.alias("sims"))
     idx = F.array_position("sims", F.array_max("sims")).cast("int")  # 1-based
-    cid = F.element_at(F.array(*[F.lit(int(c)) for c, _ in centroids]), idx)
+    cid = F.element_at(lit_longs([c for c, _ in centroids]), idx)
     # Degenerate vectors (zero norm → every cosine is NaN → no argmax →
     # NULL id) file deterministically under the FIRST codebook entry: a
     # NULL centroid would land in the __HIVE_DEFAULT_PARTITION__ of a
@@ -285,8 +291,7 @@ def ivf_assign_two_level(
     )
     coarse_sims = F.array(
         *[
-            dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
-            / (F.col("_vn") * F.lit(cn))
+            dot(F.col("embedding"), lit_doubles(cv)) / (F.col("_vn") * F.lit(cn))
             for cv, cn in zip(coarse, cnorms)
         ]
     )
@@ -307,8 +312,7 @@ def ivf_assign_two_level(
         fnorms = [math.sqrt(sum(x * x for x in fv)) for fv in fins]
         return F.array(
             *[
-                dot(F.col("embedding"), F.array(*[F.lit(x) for x in fv]))
-                / (F.col("_vn") * F.lit(fn))
+                dot(F.col("embedding"), lit_doubles(fv)) / (F.col("_vn") * F.lit(fn))
                 for fv, fn in zip(fins, fnorms)
             ]
         )
@@ -537,8 +541,7 @@ def ivf_assign_multiprobe(
         *[
             F.struct(
                 (
-                    dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
-                    / (F.col("_vn") * F.lit(cn))
+                    dot(F.col("embedding"), lit_doubles(cv)) / (F.col("_vn") * F.lit(cn))
                 ).alias("sim"),
                 F.lit(int(c)).alias("cid"),
             )
@@ -905,7 +908,7 @@ def kmeans_train(
                     F.sum("n").alias("n_vectors"),
                     F.aggregate(
                         F.collect_list("sums"),
-                        F.array(*[F.lit(0.0)] * dim),
+                        lit_doubles([0.0] * dim),
                         lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
                     ).alias("_sums"),
                 )
@@ -920,14 +923,13 @@ def kmeans_train(
         cnorms = [math.sqrt(sum(x * x for x in cv)) for _, cv in cands_now]
         sims = F.array(
             *[
-                dot(F.col("embedding"), F.array(*[F.lit(x) for x in cv]))
-                / (F.col("_vn") * F.lit(cn))
+                dot(F.col("embedding"), lit_doubles(cv)) / (F.col("_vn") * F.lit(cn))
                 for (_, cv), cn in zip(cands_now, cnorms)
             ]
         )
         idx = (F.array_position("sims", F.array_max("sims")) - 1).cast("int")
         cid = F.element_at(
-            F.array(*[F.lit(c) for c, _ in cands_now]), idx + F.lit(1)
+            lit_longs([c for c, _ in cands_now]), idx + F.lit(1)
         )
         assigned = emb.select("embedding", sims.alias("sims")).select(
             "embedding", cid.alias("centroid")
@@ -1184,8 +1186,8 @@ def _sq_codes_expr(vec, mn: list[float], scale: list[float]):
     """codes[i] = round((v[i] − mn[i]) / scale[i]) — the int8 encode as
     a pure JVM transform against literal bounds arrays (the (x, i)
     two-parameter HOF lambda is the element+index form, deliberate)."""
-    mn_l = F.array(*[F.lit(float(v)) for v in mn])
-    sc_l = F.array(*[F.lit(float(v)) for v in scale])
+    mn_l = lit_doubles(mn)
+    sc_l = lit_doubles(scale)
     return F.transform(
         vec, lambda x, i: F.round((x - F.get(mn_l, i)) / F.get(sc_l, i)).cast("int")
     )
@@ -1193,8 +1195,8 @@ def _sq_codes_expr(vec, mn: list[float], scale: list[float]):
 
 def _sq_dequant_expr(codes, mn: list[float], scale: list[float]):
     """dequant[i] = mn[i] + code[i]·scale[i] (JVM transform)."""
-    mn_l = F.array(*[F.lit(float(v)) for v in mn])
-    sc_l = F.array(*[F.lit(float(v)) for v in scale])
+    mn_l = lit_doubles(mn)
+    sc_l = lit_doubles(scale)
     return F.transform(codes, lambda c, i: F.get(mn_l, i) + c * F.get(sc_l, i))
 
 
@@ -1388,7 +1390,7 @@ def pq_quantization_report(
         # plan-analysis cost at m·n_codes scale, see pq_adc_knn), same
         # per-distance zip_with/fold arithmetic so every value (and the
         # oracle hash) is unchanged
-        cb = F.array(*[F.array(*[F.lit(c) for c in cv]) for _, cv in books[s]])
+        cb = lit_double_matrix([cv for _, cv in books[s]])
         return F.transform(
             cb,
             lambda c: F.aggregate(
@@ -1883,9 +1885,7 @@ def delete_from_ivf_index(spark, path: str, vec_ids) -> int:
         ids_df = (
             spark.range(len(ids))
             .select(
-                F.get(
-                    F.array(*[F.lit(v) for v in ids]), F.col("id").cast("int")
-                )
+                F.get(lit_longs(ids), F.col("id").cast("int"))
                 .cast("long")  # one schema for every tombstone file,
                 .alias("vec_id")  # whatever width the literals inferred
             )
@@ -2156,7 +2156,7 @@ def pq_adc_knn(
         # plan-analysis cost at m·n_codes scale), same per-distance
         # zip_with/fold arithmetic so every value (and the oracle
         # hash) is unchanged
-        cb = F.array(*[F.array(*[F.lit(x) for x in cv]) for _, cv in books[s]])
+        cb = lit_double_matrix([cv for _, cv in books[s]])
         return F.transform(
             cb,
             lambda c: F.aggregate(
@@ -2419,15 +2419,10 @@ def pq_train_codebooks(
                 )
             else:
                 cb3 = F.array(
-                    *[
-                        F.array(
-                            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in books[s]]
-                        )
-                        for s in range(m)
-                    ]
+                    *[lit_double_matrix([cv for _, cv in books[s]]) for s in range(m)]
                 )
                 cids = F.array(
-                    *[F.array(*[F.lit(int(c)) for c, _ in books[s]]) for s in range(m)]
+                    *[lit_longs([c for c, _ in books[s]]) for s in range(m)]
                 )
                 dl = F.transform(
                     F.element_at(cb3, F.col("s") + 1),
@@ -2564,7 +2559,7 @@ def probe_ivf_index_adc(
     adc = reduce(
         lambda a, b: a + b,
         [
-            F.get(F.array(*[F.lit(v) for v in qd[sp]]), F.get("codes", sp))
+            F.get(lit_doubles(qd[sp]), F.get("codes", sp))
             for sp in range(m)
         ],
     )
@@ -2617,7 +2612,7 @@ def probe_ivf_index_sq(
         cent = np.asarray(cv, dtype="float64")
         sims.append((float(p @ cent / (np.linalg.norm(p) * np.linalg.norm(cent))), c))
     probed = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:n_probe]]
-    p_l = F.array(*[F.lit(float(x)) for x in probe])
+    p_l = lit_doubles(probe)
     df = (
         spark.read.parquet(path)
         .filter(F.col("centroid").isin(probed))

@@ -1306,14 +1306,20 @@ def textrank_keywords(
         .distinct()
         .localCheckpoint()
     )
+    # outdegree folded INTO the checkpointed edge table once (round 11):
+    # the loop used to re-aggregate deg and re-join it every round — one
+    # whole extra Exchange + HashAggregate per iteration for a value
+    # that never changes (guide §2.4: remove shuffles outright). The
+    # per-round contribution sum is arithmetic-identical: the same
+    # pr/outdeg terms reach the same groupBy.
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = edges.join(deg, "src").localCheckpoint()
     verts = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     n = verts.count()
     pr = verts.select("id", F.lit(1.0).alias("pr")).localCheckpoint()
     for _ in range(n_iter):
         contrib = (
             edges.join(pr.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
