@@ -50,6 +50,27 @@ def get_spark(
         # ANSI mode off: we want permissive casts identical to the lenient
         # semantics the oracles assume (no runtime errors on edge values).
         .config("spark.sql.ansi.enabled", "false")
+        # Round 11 (guide §3.1): let the planner pick shuffled-hash join
+        # when its build side fits, and let AQE rewrite sort-merge→SHJ at
+        # runtime when every post-shuffle partition is under the local-map
+        # threshold. A/B over the shuffle-join-heavy queries (alternating,
+        # same session, 4 rounds): q_ngram_jaccard_prefix 4.23→3.44s,
+        # q_market_basket 2.44→1.66s, q_repeated_chunks 1.55→1.08s,
+        # q_containment_pairs 1.84→1.50s, q_waiting_suppliers 2.41→2.09s,
+        # no regressions (worst wash: +0.07s min on band_index_compacted
+        # with a better median). Both paths are SIZE-GUARDED — the planner
+        # only builds a local hash map it estimates to fit, and the AQE
+        # rewrite checks real partition bytes — so the OOM risk SMJ
+        # protects against stays bounded; at cluster scale tune the
+        # threshold (or restore SMJ) via the env knobs.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64MB"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
