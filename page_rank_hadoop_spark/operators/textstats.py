@@ -275,7 +275,12 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 5) -> DataFrame:
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")), lambda i: F.col("w").substr(i, F.lit(1))
     )
-    cur = vocab.select("freq", chars.alias("seq")).localCheckpoint()
+    # lazy checkpoints (round 11): each step's top-pair collect is the
+    # materializing action for the previous fold, and the LAST step's
+    # fold output is never read at all (the merge table is built from
+    # the collected argmaxes) — eager checkpoints paid one extra job per
+    # step plus one fully wasted final fold.
+    cur = vocab.select("freq", chars.alias("seq")).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         # sequence(1, size-1) would step BACKWARD for 1-symbol words
@@ -318,7 +323,7 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 5) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        cur = cur.select("freq", folded.alias("seq")).localCheckpoint()
+        cur = cur.select("freq", folded.alias("seq")).localCheckpoint(eager=False)
     # literal-frame result via range+lits, not createDataFrame (a literal
     # list becomes a Python-RDD scan re-spawning workers per action)
     rows = [
@@ -1316,15 +1321,22 @@ def textrank_keywords(
     edges = edges.join(deg, "src").localCheckpoint()
     verts = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     n = verts.count()
+    # small-graph loop hints (round 11 — the graph.py convention):
+    # checkpointed pr/contrib frames are stats-free LogicalRDDs, so AQE
+    # never auto-broadcasts them and each round paid a full edge-table
+    # exchange; below the threshold an explicit broadcast of the
+    # vocab-sized rank side collapses the per-round exchanges to the
+    # one contribution groupBy.
+    bc = F.broadcast if edges.count() <= 1_000_000 else (lambda df: df)
     pr = verts.select("id", F.lit(1.0).alias("pr")).localCheckpoint()
     for _ in range(n_iter):
         contrib = (
-            edges.join(pr.withColumnRenamed("id", "src"), "src")
+            edges.join(bc(pr.withColumnRenamed("id", "src")), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
         pr = (
-            verts.join(contrib, "id", "left")
+            verts.join(bc(contrib), "id", "left")
             .select(
                 "id",
                 (

@@ -813,7 +813,9 @@ def q_dedup_gate_replay(spark, sf):
     from page_rank_hadoop_spark.streaming.ingest import dedup_gate_batch
 
     d = _docs(spark, sf).select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="gate_replay_")
+    from page_rank_hadoop_spark.streaming.replay import scratch_dir
+
+    base = scratch_dir("gate_replay_")
     corpus_dir = os.path.join(base, "corpus")
     table = f"gate_replay_mv_{uuid.uuid4().hex[:12]}"
     try:
@@ -855,7 +857,9 @@ def q_ann_gate_replay(spark, sf):
     from page_rank_hadoop_spark.streaming.ingest import ann_gate_batch
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    base = tempfile.mkdtemp(prefix="ann_gate_replay_")
+    from page_rank_hadoop_spark.streaming.replay import scratch_dir
+
+    base = scratch_dir("ann_gate_replay_")
     idx = os.path.join(base, "ivf_index")
     try:
         for b in range(3):

@@ -89,9 +89,9 @@ def run_join_replay_to_memory(
     import tempfile
 
     from page_rank_hadoop_spark.sources.catalog import normalize_ts
-    from page_rank_hadoop_spark.streaming.replay import NANOS_CONF
+    from page_rank_hadoop_spark.streaming.replay import NANOS_CONF, scratch_dir
 
-    tmp = tempfile.mkdtemp(prefix="events_join_replay_")
+    tmp = scratch_dir("events_join_replay_")
     for f in glob.glob(os.path.join(sf_dir, "events.parquet")):
         shutil.copy(f, tmp)
 
