@@ -19,7 +19,7 @@ def _sql_double(x: float) -> str:
     string that round-trips to the same IEEE-754 double in Python, and
     Spark's parser reads it back to the nearest double — i.e. the same
     bits — so values are identical to ``F.lit(x)`` (pinned in
-    tests/test_round11b_ops.py, including subnormals and -0.0)."""
+    tests/test_round11c_opt.py, including subnormals and -0.0)."""
     if math.isnan(x):
         return "double('NaN')"
     if math.isinf(x):

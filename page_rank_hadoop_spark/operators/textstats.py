@@ -1317,17 +1317,26 @@ def textrank_keywords(
     # that never changes (guide §2.4: remove shuffles outright). The
     # per-round contribution sum is arithmetic-identical: the same
     # pr/outdeg terms reach the same groupBy.
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Round 12 (ADVICE r11): the vocab-sized deg table is checkpointed
+    # once and serves three roles — the per-edge outdeg join, the vertex
+    # set (its keys ARE the distinct srcs of the symmetric edge set),
+    # and, via ONE tiny agg, both pre-loop scalars (vertex count and the
+    # broadcast-guard edge count = Σ outdeg). That drops the separate
+    # verts distinct+checkpoint job and the two standalone count jobs.
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
     edges = edges.join(deg, "src").localCheckpoint()
-    verts = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
-    n = verts.count()
+    verts = deg.select(F.col("src").alias("id"))
+    stats = deg.agg(
+        F.count("*").alias("nv"), F.sum("outdeg").alias("ne")
+    ).first()
+    n, n_edges = stats["nv"], stats["ne"] or 0
     # small-graph loop hints (round 11 — the graph.py convention):
     # checkpointed pr/contrib frames are stats-free LogicalRDDs, so AQE
     # never auto-broadcasts them and each round paid a full edge-table
     # exchange; below the threshold an explicit broadcast of the
     # vocab-sized rank side collapses the per-round exchanges to the
     # one contribution groupBy.
-    bc = F.broadcast if edges.count() <= 1_000_000 else (lambda df: df)
+    bc = F.broadcast if n_edges <= 1_000_000 else (lambda df: df)
     pr = verts.select("id", F.lit(1.0).alias("pr")).localCheckpoint()
     for _ in range(n_iter):
         contrib = (

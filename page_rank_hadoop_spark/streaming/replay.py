@@ -35,10 +35,23 @@ def scratch_dir(prefix: str) -> str:
     goes to the RAM-backed dir when one exists. Production replays point
     checkpoints at durable storage deliberately (that's a recovery
     contract, not a perf choice); SPARK_GRAFT_STREAM_SCRATCH overrides,
-    and hosts without /dev/shm fall back to the normal tempdir."""
+    and hosts without /dev/shm fall back to the normal tempdir.
+
+    /dev/shm is only auto-selected when it has headroom (ADVICE r11):
+    replay scratch holds full parquet copies of the events table plus
+    staged microbatches and state-store checkpoints, and Docker defaults
+    the tmpfs to 64 MB — picking it blind trades a working tempdir path
+    for mid-stream ENOSPC. The floor is a conservative 1 GiB (test-scale
+    staging is ~tens of MB; anything tighter belongs in the env
+    override, which skips the check entirely)."""
     base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if base is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        base = "/dev/shm"
+        try:
+            vfs = os.statvfs("/dev/shm")
+            if vfs.f_bavail * vfs.f_frsize >= 1 << 30:
+                base = "/dev/shm"
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
