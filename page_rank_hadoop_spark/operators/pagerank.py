@@ -235,7 +235,17 @@ def _run_pagerank_loop(
                 ).alias("pr"),
             )
         if eager_checkpoint:
-            new_ranks = new_ranks.localCheckpoint()
+            if fixed_iterations is None:
+                # fused superstep (round 12, the pregel-harness rule):
+                # adaptive mode runs a delta action right below — marking
+                # the snapshot lazily lets that ONE action materialize
+                # the checkpoint and return the scalar, where eager +
+                # delta was two jobs and two passes per iteration
+                new_ranks = new_ranks.localCheckpoint(eager=False)
+            else:
+                # fixed mode has no per-round action; the eager
+                # checkpoint IS the round's one job
+                new_ranks = new_ranks.localCheckpoint()
         else:
             if i % checkpoint_every == 0:
                 new_ranks = new_ranks.localCheckpoint(eager=False)

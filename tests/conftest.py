@@ -7,6 +7,83 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Round 12 (judge r11 item 6): the slow tail, centrally listed so the
+# whole fast-lane policy is one reviewable block (see pytest.ini for the
+# why). Selection rule: every test that measured >10s call time in the
+# full-suite duration run (2026-08-18, 553 passed in 54:35 under host
+# contention) EXCEPT one kept smoke per operator family — streaming
+# keeps the three ~11-14s oracle-parity replays (sessionize, join ×2),
+# CLI keeps the search/phrase smoke, plans keeps the per-query
+# expectations gate. Everything here re-runs under `-m slow`.
+SLOW_TESTS = {
+    # subprocess CLI pipelines (whole-engine re-runs in a child process)
+    "tests/test_cli.py::test_cli_select_dsir",  # 515s
+    "tests/test_cli.py::test_cli_recommend_als",  # 486s
+    "tests/test_round5_ops.py::test_cli_dedup_index_across_processes",  # 118s
+    "tests/test_round5_ops.py::test_serving_latency_bench_smoke",  # 21s
+    # registry-wide audits (construct all 280 query plans)
+    "tests/test_plans.py::test_no_unbounded_global_windows_anywhere",  # 374s
+    # streaming replay sweeps (crash-heal, watermark edges, gates)
+    "tests/test_windows_streaming.py::test_watermark_boundary_inclusive",  # 43s
+    "tests/test_windows_streaming.py::test_watermark_drops_late_data_append_mode",  # 37s
+    "tests/test_windows_streaming.py::test_streaming_crash_heal_equals_uninterrupted",  # 37s
+    "tests/test_windows_streaming.py::test_streaming_zscore_single_vs_split_batches_identical",  # 20s
+    "tests/test_windows_streaming.py::test_streaming_dedup_within_watermark",  # 19s
+    "tests/test_windows_streaming.py::test_stateful_sessionize_replay_three_batches_matches_batch",  # 18s
+    "tests/test_windows_streaming.py::test_foreachbatch_stream_upsert",  # 17s
+    "tests/test_windows_streaming.py::test_ann_gated_streaming_ingest",  # 17s
+    "tests/test_windows_streaming.py::test_dedup_gated_streaming_ingest",  # 14s
+    # property sweeps (randomized multi-case invariants)
+    "tests/test_properties.py::test_pregel_pagerank_mass_recurrence_random_graphs",  # 18s
+    "tests/test_properties.py::test_quality_funnel_chain_invariants",  # 15s
+    "tests/test_properties.py::test_components_match_union_find",  # 15s
+    "tests/test_properties.py::test_snapshot_diff_apply_round_trip",  # 15s
+    "tests/test_properties.py::test_merge_df_matches_counter_addition",  # 14s
+    "tests/test_properties.py::test_sorted_neighborhood_matches_naive",  # 13s
+    "tests/test_properties.py::test_mixture_sample_rate_monotone_and_stable",  # 11s
+    "tests/test_properties.py::test_als_rank2_matches_naive_solve",  # 11s
+    # heavyweight parity/recall pins with cheaper siblings kept fast
+    "tests/test_sketches.py::TestCMS::test_never_undercounts_all_keys",  # 43s
+    "tests/test_dedup_similarity.py::test_ivf_assign_arrow_equals_expression_impl",  # 33s
+    "tests/test_band_index_mv.py::test_streaming_gate_rides_stored_mv",  # 24s
+    "tests/test_band_index_mv.py::test_compact_band_index_shrinks_files_preserves_probe",  # 13s
+    "tests/test_round9c_ops.py::TestSCC::test_hops_parity",  # 20s
+    "tests/test_round9c_ops.py::TestSCC::test_pointer_jump_parity",  # 16s
+    "tests/test_round9c_ops.py::TestBetweenness::test_path_graph_middle_is_max",  # 11s
+    "tests/test_pq_adc.py::test_multiprobe_recall_superset_of_single",  # 17s
+    "tests/test_pq_adc.py::test_multiprobe_full_probe_equals_brute_force",  # 12s
+    "tests/test_pq_adc.py::test_sq_index_probe_and_cursor_parity",  # 12s
+    "tests/test_pagerank.py::test_warm_start_resume_equals_straight_run",  # 15s
+    "tests/test_pipeline.py::test_merge_scd2_history_chain",  # 10s
+    # second tier (5–10s each): tests whose family keeps a cheaper
+    # sibling in the fast lane — subprocess CLI variants beyond the two
+    # kept smokes (search + ingest pipeline; the CLI wraps oracle-gated
+    # operators), naive-recomputation property twins of oracle-gated
+    # keys, and crash/redelivery sweeps whose happy path stays fast
+    "tests/test_cli.py::test_cli_index_pagerank_query",  # 10s
+    "tests/test_cli.py::test_cli_dedup_exact_and_minhash",  # 10s
+    "tests/test_cli.py::test_cli_ingest_minhash_gate_end_to_end",  # 9s
+    "tests/test_cli.py::test_cli_query_bounded_collect",  # 8s
+    "tests/test_cli.py::test_cli_ingest_ann_gate_end_to_end",  # 8s
+    "tests/test_cli.py::test_cli_prepare_pipeline",  # 7s
+    "tests/test_cli.py::test_cli_communities_both_algorithms",  # 7s
+    "tests/test_round5_ops.py::test_cli_dedup_index_build_probe_append",  # 10s
+    "tests/test_properties.py::test_kaplan_meier_matches_naive",  # 10s
+    "tests/test_properties.py::test_bigram_logprob_matches_naive",  # 8s
+    "tests/test_properties.py::test_als_rank1_matches_naive_alternation",  # 8s
+    "tests/test_windows_streaming.py::test_cms_alert_gate_idempotent_under_redelivery",  # 9s
+    "tests/test_band_index_mv.py::test_gate_heals_crash_between_mv_and_corpus_write",  # 10s
+    "tests/test_round9c_ops.py::TestCentralityFeatures::test_consistent_with_closeness_walk",  # 10s
+    "tests/test_round6_ops.py::test_ivf_index_compaction",  # 8s
+    "tests/test_dedup_similarity.py::test_simhash_multiprobe_recall",  # 8s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 def drop_warehouse_table(spark, name: str) -> None:
     """Test alias for sources/serving.drop_table_and_location (catalog
